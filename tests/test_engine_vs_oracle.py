@@ -1,0 +1,122 @@
+"""Differential tests: Spark BM25 engine vs pure-NumPy oracle on the
+deterministic transcripts table (seed 42, scale 0.001) — the keystone
+rank-identity gate (ranks exact, scores 1e-6), mirroring the
+reference's recompute-the-answer e2e pattern (tests/cli_e2e.rs:181-292)
+over the reference query set (FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from xf_spark.index.builder import build_engine
+from xf_spark.oracle import OracleIndex
+from xf_spark.transcripts import load_transcripts
+
+SCALE = 0.001
+TOL = 1e-6
+
+QUERY_SET = [
+    ("lexical_machine", "machine", 20),
+    ("lexical_machine_100", "machine", 100),
+    ("lexical_rust", "rust", 20),
+    ("multi_term_or", "rust async patterns", 20),
+    ("phrase_ml", '"machine learning"', 20),
+    ("bool_and", "rust AND async", 20),
+    ("bool_not", "python NOT snake", 20),
+    ("prefix", "progr*", 20),
+    ("empty_matchall", "", 20),
+    ("unicode_cjk", "日本語のテキストも検索できます", 20),
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    transcripts = load_transcripts(spark, SCALE)
+    engine = build_engine(transcripts)
+    rows = engine.docs.select("doc_id", "text", "role", "ts").collect()
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in rows])
+    attrs = {r["doc_id"]: (r["role"], r["ts"]) for r in rows}
+    return engine, oracle, attrs
+
+
+def _ranks_and_scores(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize("name,query,limit", QUERY_SET, ids=[q[0] for q in QUERY_SET])
+def test_rank_identity(built, name, query, limit):
+    engine, oracle, _ = built
+    got = _ranks_and_scores(engine.search(query, limit=limit))
+    want = oracle.search(query, limit=limit)
+    assert [d for d, _ in got] == [d for d, _ in want], f"rank mismatch for {name}"
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (name, gd, gs, ws)
+
+
+def test_role_filter(built):
+    engine, oracle, attrs = built
+    got = _ranks_and_scores(engine.search("rust", limit=20, roles=["assistant"]))
+    want = oracle.search(
+        "rust", limit=20, doc_filter=lambda d: attrs[d][0] == "assistant"
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_date_filter(built):
+    engine, oracle, attrs = built
+    since = dt.datetime(2023, 1, 1)
+    until = dt.datetime(2025, 1, 1)
+    got = _ranks_and_scores(
+        engine.search("rust", limit=20, since=since, until=until)
+    )
+    want = oracle.search(
+        "rust", limit=20, doc_filter=lambda d: since <= attrs[d][1] <= until
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_offset_pagination(built):
+    engine, oracle, _ = built
+    full = oracle.search("rust", limit=30)
+    page = _ranks_and_scores(engine.search("rust", limit=10, offset=10))
+    assert [d for d, _ in page] == [d for d, _ in full[10:20]]
+
+
+def test_hydration_preserves_turn_text(built):
+    """Per-row invariant (BASELINE.json input_hint): per-turn text
+    equality under stable (conv_id, turn_idx) ordering, end-to-end."""
+    engine, _, _ = built
+    rows = engine.search_hydrated("machine", limit=10).collect()
+    base = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in engine.docs.select("conv_id", "turn_idx", "text").collect()
+    }
+    assert rows
+    for r in rows:
+        assert r["text"] == base[(r["conv_id"], r["turn_idx"])]
+
+
+def test_doc_ids_dense_and_ordered(built):
+    engine, _, _ = built
+    rows = engine.docs.select("doc_id", "conv_id", "turn_idx").collect()
+    rows.sort(key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert [r["doc_id"] for r in rows] == list(range(len(rows)))
+
+
+def test_doc_ids_invariant_under_parallelism(spark):
+    """N-vs-4N proxy at the docID layer: partition count must not
+    change the assignment."""
+    transcripts = load_transcripts(spark, SCALE)
+    from xf_spark.index.docs import assign_doc_ids
+
+    a = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_doc_ids(transcripts, num_partitions=2).collect()
+    }
+    b = {
+        (r["conv_id"], r["turn_idx"]): r["doc_id"]
+        for r in assign_doc_ids(transcripts, num_partitions=8).collect()
+    }
+    assert a == b

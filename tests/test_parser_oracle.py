@@ -1,0 +1,159 @@
+"""Query-parser AST tests + oracle behavior (self-consistency layer:
+the oracle is itself pinned by these, then the engine is pinned to the
+oracle by the differential tests)."""
+
+from __future__ import annotations
+
+import math
+
+from xf_spark.oracle import CANDIDATE_MULTIPLIER, RRF_K, OracleIndex, bm25_idf
+from xf_spark.query.parser import parse_query, prefix_terms, query_terms
+
+
+class TestParser:
+    def test_empty_matchall(self):
+        assert parse_query("") == ("all",)
+        assert parse_query("   ") == ("all",)
+
+    def test_single_term_lowercased(self):
+        assert parse_query("Rust") == ("term", "rust")
+
+    def test_implicit_or(self):
+        assert parse_query("rust async") == ("or", [("term", "rust"), ("term", "async")])
+
+    def test_and(self):
+        assert parse_query("rust AND async") == (
+            "and",
+            [("term", "rust"), ("term", "async")],
+        )
+
+    def test_not(self):
+        assert parse_query("python NOT snake") == (
+            "not",
+            ("term", "python"),
+            ("term", "snake"),
+        )
+
+    def test_phrase(self):
+        assert parse_query('"machine learning"') == ("phrase", ["machine", "learning"])
+
+    def test_single_word_phrase_is_term(self):
+        assert parse_query('"machine"') == ("term", "machine")
+
+    def test_prefix(self):
+        assert parse_query("progr*") == ("prefix", "progr")
+
+    def test_multi_token_word_is_phrase(self):
+        assert parse_query("don't") == ("phrase", ["don", "t"])
+
+    def test_three_way_and_flattened(self):
+        assert parse_query("a1 AND b1 AND c1") == (
+            "and",
+            [("term", "a1"), ("term", "b1"), ("term", "c1")],
+        )
+
+    def test_unparseable_is_match_nothing(self):
+        # punctuation-only / all-dropped tokens -> empty boolean query,
+        # NOT match-all (match-all fires only on the empty string)
+        assert parse_query("!!! ---") == ("none",)
+        assert parse_query("日" * 14) == ("none",)  # 42 bytes, RemoveLong
+        assert parse_query("AND AND OR") == ("none",)
+
+    def test_leading_operator_skipped(self):
+        assert parse_query("AND rust") == ("term", "rust")
+
+    def test_term_extraction(self):
+        node = parse_query('rust AND "machine learning" NOT progr*')
+        assert query_terms(node) == {"rust", "machine", "learning"}
+        assert prefix_terms(node) == {"progr"}
+
+
+DOCS = [
+    (0, "rust is a systems programming language"),
+    (1, "machine learning with rust and python"),
+    (2, "python snake handling for beginners"),
+    (3, "async rust programming patterns rust rust"),
+    (4, "machine learning machine learning deep dive"),
+    (5, "coffee break"),
+    (6, ""),
+]
+
+
+class TestOracle:
+    def setup_method(self):
+        self.ix = OracleIndex.build(DOCS)
+
+    def test_stats(self):
+        assert self.ix.n_docs == 7
+        total = sum(self.ix.doc_len.values())
+        assert math.isclose(self.ix.avgdl, total / 7)
+
+    def test_idf_formula(self):
+        assert math.isclose(bm25_idf(7, 3), math.log(1 + (7 - 3 + 0.5) / 3.5))
+
+    def test_single_term_ranking(self):
+        hits = self.ix.search("rust", limit=10)
+        ids = [d for d, _ in hits]
+        # doc 3 has tf=3 -> highest
+        assert ids[0] == 3
+        assert set(ids) == {0, 1, 3}
+        scores = [s for _, s in hits]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_and(self):
+        hits = self.ix.search("rust AND python", limit=10)
+        assert [d for d, _ in hits] == [1]
+
+    def test_not(self):
+        hits = self.ix.search("python NOT snake", limit=10)
+        assert [d for d, _ in hits] == [1]
+
+    def test_or_scores_sum(self):
+        both = dict(self.ix.search("rust python", limit=10))
+        rust = dict(self.ix.search("rust", limit=10))
+        python = dict(self.ix.search("python", limit=10))
+        assert math.isclose(both[1], rust[1] + python[1], rel_tol=1e-12)
+
+    def test_phrase(self):
+        hits = self.ix.search('"machine learning"', limit=10)
+        assert set(d for d, _ in hits) == {1, 4}
+        # no adjacency -> no match
+        assert self.ix.search('"learning machine"', limit=10) == [
+            (4, self.ix.search('"learning machine"', limit=10)[0][1])
+        ] or set(
+            d for d, _ in self.ix.search('"learning machine"', limit=10)
+        ) == {4}
+
+    def test_phrase_adjacency_strict(self):
+        ix = OracleIndex.build([(0, "alpha beta"), (1, "alpha gamma beta")])
+        assert [d for d, _ in ix.search('"alpha beta"', limit=10)] == [0]
+
+    def test_prefix(self):
+        hits = self.ix.search("progr*", limit=10)
+        assert set(d for d, _ in hits) == {0, 3}
+
+    def test_matchall(self):
+        hits = self.ix.search("", limit=100)
+        assert [d for d, _ in hits] == [0, 1, 2, 3, 4, 5, 6]
+        assert all(s == 1.0 for _, s in hits)
+
+    def test_limit_and_tiebreak(self):
+        hits = self.ix.search("", limit=3)
+        assert [d for d, _ in hits] == [0, 1, 2]
+
+    def test_filter_pre_topk(self):
+        hits = self.ix.search("rust", limit=1, doc_filter=lambda d: d != 3)
+        assert hits[0][0] != 3
+
+    def test_rrf_spot_value(self):
+        # doc at rank 0 in both lists scores 2/61 (hybrid.rs:375-384)
+        fused = OracleIndex.rrf_fuse([(7, 5.0)], [(7, 0.9)], limit=10)
+        assert math.isclose(fused[0][1], 2.0 / 61.0)
+        assert RRF_K == 60 and CANDIDATE_MULTIPLIER == 3
+
+    def test_rrf_in_both_tiebreak(self):
+        # a in both at ranks 0,1; b only lexical rank 1, c only sem rank 0
+        lex = [(1, 9.0), (2, 8.0)]
+        sem = [(3, 0.9), (1, 0.8)]
+        fused = OracleIndex.rrf_fuse(lex, sem, limit=10)
+        assert fused[0][0] == 1  # 1/61 + 1/62 beats single-list scores

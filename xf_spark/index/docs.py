@@ -1,0 +1,91 @@
+"""Document preparation: stable, dense, deterministic doc IDs.
+
+The engine's docID invariant (SURVEY.md §7.0, mirroring the
+reference's sorted vector file vector.rs:306-310 and the
+``ORDER BY created_at, id`` conversation ordering storage.rs:1360-1387):
+
+    doc_id = dense global rank over (conv_id, turn_idx)
+
+computed WITHOUT a single-partition global window. The scalable shape:
+
+1. range-repartition + sort within partitions on the ordering key —
+   a total order across ordered disjoint partitions;
+2. one cheap pass counts rows per partition (count-only aggregate);
+3. the driver prefix-sums the counts (O(#partitions), tiny) and
+   broadcasts the offsets;
+4. a mapInPandas pass assigns doc_id = offset[pid] + local_row.
+
+This is the classic zipWithIndex-on-sorted-data pattern: two scans, no
+shuffle beyond the range partitioning, no driver collect of data rows —
+it holds at 10^12 rows where a ``row_number() OVER (ORDER BY ...)``
+window (one reducer) would not.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df`` plus a dense int64 ``doc_id`` column ranking rows
+    by ``order_cols`` (default: conv_id, turn_idx). Deterministic for
+    any partition count as long as the ordering key is unique."""
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
+        *order_cols
+    )
+    ordered = ordered.cache()
+
+    # pass 1: per-partition row counts (count-only, no data movement)
+    counts = (
+        ordered.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["_pid"]: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(ordered.schema.fields) + [T.StructField("doc_id", T.LongType())]
+    )
+    bc = ordered.sparkSession.sparkContext.broadcast(offsets)
+
+    def add_ids(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        local = bc.value.get(pid, 0)
+        for pdf in pdf_iter:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf["doc_id"] = range(local, local + n)
+            local += n
+            yield pdf
+
+    return ordered.mapInPandas(add_ids, schema=schema)
+
+
+def prepare_docs(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Transcripts -> unified doc table with stable doc_id.
+
+    Output: (doc_id long, conv_id, turn_idx, role, text, tool, ts) —
+    the analog of the reference's unified Tantivy doc space
+    (search.rs:213-247): one searchable doc per turn, role as the
+    doc-type filter field, ts as the FAST range/sort field."""
+    return assign_doc_ids(transcripts, ["conv_id", "turn_idx"], num_partitions)

@@ -1,0 +1,208 @@
+"""Pure-Python/NumPy oracle: in-memory inverted index + exact BM25.
+
+The differential-testing keystone (modeled on the reference's
+tests/cli_e2e.rs:197-292, which *recomputes* expected semantic/hybrid
+results through an independent code path): every Spark query result is
+compared against this oracle — ranks exact, scores at 1e-6.
+
+Pinned scoring semantics (FIXTURES.md §4, README.md:995-1000):
+- BM25: k1 = 1.2, b = 0.75,
+  idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+  tfp(t,d) = tf (k1+1) / (tf + k1 (1 - b + b |d|/avgdl))
+  score(d) = sum over query terms of idf * tfp
+- GLOBAL stats (N, avgdl, df) — never per-partition/segment. This is
+  the deliberate divergence from Tantivy's per-segment scoring that
+  makes N-vs-4N executor runs rank-identical.
+- |d| = exact token count (we pin exact lengths, not Tantivy's
+  256-entry fieldnorm quantization; documented in SURVEY.md §7.0).
+- Tiebreak everywhere: (score desc, doc_id asc).
+- Tokenizer identical to the engine: xf_spark.functions.textcore.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from xf_spark.functions.hash_embed import hash_embed
+from xf_spark.functions.textcore import canonicalize_for_embedding, generate_prefixes, tokenize
+
+K1 = 1.2
+B = 0.75
+RRF_K = 60
+CANDIDATE_MULTIPLIER = 3
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_tf_part(tf: float, dl: float, avgdl: float) -> float:
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+@dataclass
+class OracleIndex:
+    """In-memory inverted index over (doc_id, text) with prefix field."""
+
+    doc_ids: list = field(default_factory=list)
+    doc_len: dict = field(default_factory=dict)        # doc_id -> token count
+    postings: dict = field(default_factory=dict)       # term -> {doc_id: [positions]}
+    prefix_postings: dict = field(default_factory=dict)  # prefix term -> {doc_id: tf}
+    meta: dict = field(default_factory=dict)           # doc_id -> metadata dict
+    n_docs: int = 0
+    avgdl: float = 0.0
+
+    @classmethod
+    def build(cls, rows) -> "OracleIndex":
+        """rows: iterable of (doc_id, text) or (doc_id, text, meta)."""
+        ix = cls()
+        total_len = 0
+        for row in rows:
+            doc_id, text = row[0], row[1]
+            meta = row[2] if len(row) > 2 else {}
+            toks = tokenize(text or "")
+            ix.doc_ids.append(doc_id)
+            ix.doc_len[doc_id] = len(toks)
+            ix.meta[doc_id] = meta
+            total_len += len(toks)
+            for pos, t in enumerate(toks):
+                ix.postings.setdefault(t, {}).setdefault(doc_id, []).append(pos)
+            for p in generate_prefixes(text or ""):
+                d = ix.prefix_postings.setdefault(p, {})
+                d[doc_id] = d.get(doc_id, 0) + 1
+        ix.n_docs = len(ix.doc_ids)
+        ix.avgdl = (total_len / ix.n_docs) if ix.n_docs else 0.0
+        return ix
+
+    # -- scoring ----------------------------------------------------------
+
+    def _term_scores(self, term: str, prefix: bool = False) -> dict:
+        """doc_id -> BM25 contribution of one term (0 if absent)."""
+        plist = (self.prefix_postings if prefix else self.postings).get(term)
+        if not plist:
+            return {}
+        df = len(plist)
+        idf = bm25_idf(self.n_docs, df)
+        out = {}
+        for doc_id, positions in plist.items():
+            tf = positions if isinstance(positions, int) else len(positions)
+            out[doc_id] = idf * bm25_tf_part(tf, self.doc_len[doc_id], self.avgdl)
+        return out
+
+    def search(
+        self,
+        query: str,
+        limit: int = 20,
+        doc_filter=None,
+    ) -> list[tuple]:
+        """Query language parity with the reference QueryParser subset
+        (README.md:1384-1390): bare terms (OR... Tantivy default is OR
+        across terms with BM25 sum — we pin sum-over-matching-terms,
+        docs matching any term), "quoted phrases", AND / OR / NOT,
+        trailing-* prefix. Returns [(doc_id, score)] sorted by
+        (score desc, doc_id asc), truncated to limit.
+
+        doc_filter: optional predicate doc_id -> bool applied BEFORE
+        top-k (the engine filters pre-top-k; no adaptive refetch).
+        """
+        from xf_spark.query.parser import parse_query  # shared grammar
+
+        plan = parse_query(query)
+        scored = self._eval(plan)
+        if doc_filter is not None:
+            scored = {d: s for d, s in scored.items() if doc_filter(d)}
+        ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:limit]
+
+    def _eval(self, node) -> dict:
+        """Evaluate a parsed query node -> {doc_id: score}."""
+        kind = node[0]
+        if kind == "all":
+            return {d: 1.0 for d in self.doc_ids}
+        if kind == "none":
+            return {}
+        if kind == "term":
+            return self._term_scores(node[1])
+        if kind == "prefix":
+            return self._term_scores(node[1], prefix=True)
+        if kind == "phrase":
+            return self._phrase_scores(node[1])
+        if kind == "and":
+            parts = [self._eval(c) for c in node[1]]
+            if not parts:
+                return {}
+            docs = set(parts[0])
+            for p in parts[1:]:
+                docs &= set(p)
+            return {d: sum(p.get(d, 0.0) for p in parts) for d in docs}
+        if kind == "or":
+            parts = [self._eval(c) for c in node[1]]
+            out: dict = {}
+            for p in parts:
+                for d, s in p.items():
+                    out[d] = out.get(d, 0.0) + s
+            return out
+        if kind == "not":
+            base = self._eval(node[1])
+            excl = set(self._eval(node[2]))
+            return {d: s for d, s in base.items() if d not in excl}
+        raise ValueError(f"unknown node {kind}")
+
+    def _phrase_scores(self, terms: list[str]) -> dict:
+        """Exact-adjacency phrase match on positions; score = sum of the
+        member terms' BM25 contributions (Tantivy PhraseQuery scores
+        with the phrase frequency; we pin sum-of-term-scores for docs
+        where the phrase occurs — engine and oracle share this pin)."""
+        if not terms:
+            return {}
+        plists = [self.postings.get(t, {}) for t in terms]
+        cand = set(plists[0])
+        for p in plists[1:]:
+            cand &= set(p)
+        out = {}
+        for d in cand:
+            first = plists[0][d]
+            rest = [set(p[d]) for p in plists[1:]]
+            if any(all((pos + i + 1) in rest[i] for i in range(len(rest))) for pos in first):
+                out[d] = sum(self._term_scores(t).get(d, 0.0) for t in terms)
+        return out
+
+    # -- semantic / hybrid ------------------------------------------------
+
+    def semantic_topk(self, query: str, texts: dict, limit: int = 20, doc_filter=None):
+        """Brute-force cosine top-k over hash embeddings of ``texts``
+        (doc_id -> raw text). Mirrors vector.rs:853-905: dot product of
+        L2-normalized vectors, sort (score desc, doc_id asc)."""
+        q = hash_embed(canonicalize_for_embedding(query))
+        items = [
+            (d, t) for d, t in texts.items() if doc_filter is None or doc_filter(d)
+        ]
+        scores = []
+        for d, t in items:
+            v = hash_embed(canonicalize_for_embedding(t or ""))
+            scores.append((d, float(np.dot(q, v))))
+        scores.sort(key=lambda kv: (-kv[1], kv[0]))
+        return scores[:limit]
+
+    @staticmethod
+    def rrf_fuse(lexical: list, semantic: list, limit: int, offset: int = 0):
+        """Reciprocal Rank Fusion, parity with hybrid.rs:136-202:
+        score(d) = sum over lists of 1/(60 + rank + 1); tiebreaks
+        score desc -> in-both first -> doc_id asc."""
+        ranks_lex = {d: r for r, (d, _s) in enumerate(lexical)}
+        ranks_sem = {d: r for r, (d, _s) in enumerate(semantic)}
+        all_docs = set(ranks_lex) | set(ranks_sem)
+        fused = []
+        for d in all_docs:
+            s = 0.0
+            if d in ranks_lex:
+                s += 1.0 / (RRF_K + ranks_lex[d] + 1)
+            if d in ranks_sem:
+                s += 1.0 / (RRF_K + ranks_sem[d] + 1)
+            in_both = 1 if (d in ranks_lex and d in ranks_sem) else 0
+            fused.append((d, s, in_both))
+        fused.sort(key=lambda t: (-t[1], -t[2], t[0]))
+        return [(d, s) for d, s, _ in fused[offset : offset + limit]]

@@ -1,0 +1,264 @@
+"""BM25 query engine — DataFrame path (global-stats, rank-identical).
+
+Evaluates the parsed query AST over postings DataFrames with the
+pinned scoring semantics (see xf_spark.oracle — identical constants
+and formula; oracle and engine share tokenizer + parser, so the only
+thing this module must get right is the relational plan).
+
+Plan shape per node (SURVEY.md §2.3 mapping):
+- term / implicit-OR of terms: ONE postings scan filtered to the query
+  terms (predicate pushdown at the source), broadcast join of the tiny
+  (term, idf) table, score expression in whole-stage codegen, one
+  groupBy(doc_id) sum. No per-row Python anywhere.
+- AND: same single scan + groupBy(doc_id) with an n-distinct-terms
+  filter (count-distinct over <=8 query terms — cheap) — NOT a join
+  chain.
+- NOT: left_anti join on doc_id.
+- phrase: candidate AND (same scan) then positional-adjacency check in
+  one vectorized pandas UDF over the (term -> positions) map — runs
+  only on candidate docs (docs containing ALL phrase terms).
+- match-all: score 1.0 for every doc (search.rs:532-537).
+- top-k: orderBy(score desc, doc_id asc).limit(k) — Spark compiles
+  this to TakeOrderedAndProject: per-partition heaps + k-sized merge,
+  the same two-phase shape as the reference's chunked heap merge
+  (vector.rs:913-993), and the tiebreak is pinned.
+
+Filters (role / ts) run BEFORE top-k (no adaptive refetch loop,
+SURVEY.md §2.3 "Adaptive fetch"); BM25 stats stay index-global under
+filters, matching the reference (type filter is a Must clause over the
+same global index, search.rs:554-576).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from xf_spark.index.postings import CorpusStats
+from xf_spark.query.parser import parse_query
+
+K1 = 1.2
+B = 0.75
+
+
+def idf_for(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _score_col(idf_col, stats: CorpusStats):
+    """BM25 expression over (tf, dl) columns — pure Catalyst, codegen'd."""
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.lit(stats.avgdl))
+    return idf_col * tf * F.lit(K1 + 1.0) / denom
+
+
+@dataclass
+class BM25Engine:
+    """Query engine over built index DataFrames.
+
+    docs:     (doc_id, conv_id, turn_idx, role, text, tool, ts)
+    postings: (term, doc_id, tf, dl[, positions])
+    prefix_postings: (term, doc_id, tf, dl) or None
+    stats:    global CorpusStats
+    """
+
+    docs: DataFrame
+    postings: DataFrame
+    stats: CorpusStats
+    prefix_postings: DataFrame | None = None
+
+    # -- public API -------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        limit: int = 20,
+        offset: int = 0,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+    ) -> DataFrame:
+        """-> (doc_id, score) top-k, pinned order (score desc, doc_id
+        asc). Filters applied pre-top-k; scores stay global."""
+        plan = parse_query(query)
+        scored = self._eval(plan)
+        if roles or since is not None or until is not None:
+            attrs = self.docs.select("doc_id", "role", "ts")
+            cond = F.lit(True)
+            if roles:
+                cond = cond & F.col("role").isin(list(roles))
+            if since is not None:
+                cond = cond & (F.col("ts") >= F.lit(since))
+            if until is not None:
+                cond = cond & (F.col("ts") <= F.lit(until))
+            scored = scored.join(attrs.where(cond), "doc_id", "left_semi")
+        ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(limit)
+
+    def search_hydrated(self, query: str, limit: int = 20, **kw) -> DataFrame:
+        """Top-k joined back to the doc table (text/hydration join,
+        storage.rs:1246-1255 analog). The k-row result is broadcast to
+        the doc-table join — never the reverse."""
+        hits = self.search(query, limit=limit, **kw)
+        return (
+            self.docs.join(F.broadcast(hits), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    # -- AST evaluation ---------------------------------------------------
+
+    def _eval(self, node) -> DataFrame:
+        kind = node[0]
+        if kind == "all":
+            return self.docs.select("doc_id", F.lit(1.0).alias("score"))
+        if kind == "none":
+            return self._empty_scored()
+        if kind == "term":
+            return self._terms_scored([node[1]])
+        if kind == "prefix":
+            return self._terms_scored([node[1]], prefix=True)
+        if kind == "phrase":
+            return self._phrase_scored(node[1])
+        if kind == "or":
+            flat_terms = [c[1] for c in node[1] if c[0] == "term"]
+            others = [c for c in node[1] if c[0] != "term"]
+            parts = []
+            if flat_terms:
+                parts.append(self._terms_scored(flat_terms))
+            parts.extend(self._eval(c) for c in others)
+            if len(parts) == 1:
+                return parts[0]
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p)
+            return union.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        if kind == "and":
+            if all(c[0] == "term" for c in node[1]):
+                return self._terms_scored(
+                    [c[1] for c in node[1]], require_all=True
+                )
+            parts = [self._eval(c) for c in node[1]]
+            acc = parts[0]
+            for i, p in enumerate(parts[1:], 1):
+                p = p.withColumnRenamed("score", f"_s{i}")
+                acc = acc.join(p, "doc_id")
+                acc = acc.withColumn(
+                    "score", F.col("score") + F.col(f"_s{i}")
+                ).drop(f"_s{i}")
+            return acc
+        if kind == "not":
+            base = self._eval(node[1])
+            excl = self._eval(node[2]).select("doc_id")
+            return base.join(excl, "doc_id", "left_anti")
+        raise ValueError(f"unknown node {kind}")
+
+    def _idf_df(self, terms: list[str], prefix: bool = False):
+        """Collect df for the (few) query terms, return a tiny
+        broadcastable (term, idf) DataFrame. The df lookup is a
+        count-only aggregate over postings pruned to the query terms."""
+        src = self.prefix_postings if prefix else self.postings
+        dfs = {
+            r["term"]: r["df"]
+            for r in src.where(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+        spark = self.postings.sparkSession
+        # weight idf by term multiplicity: a query like "rust rust" is
+        # two should-clauses in the reference, doubling that term's
+        # contribution; scoring is linear in idf so m copies == idf*m
+        from collections import Counter
+
+        counts = Counter(terms)
+        rows = [
+            (t, idf_for(self.stats.n_docs, dfs.get(t, 0)) * m)
+            for t, m in counts.items()
+        ]
+        return spark.createDataFrame(rows, "term string, idf double"), dfs
+
+    def _terms_scored(
+        self, terms: list[str], require_all: bool = False, prefix: bool = False
+    ) -> DataFrame:
+        src = self.prefix_postings if prefix else self.postings
+        if src is None:
+            raise ValueError("prefix postings not built")
+        idf_df, dfs = self._idf_df(terms, prefix)
+        present = [t for t in terms if dfs.get(t)]
+        if not present or (require_all and len(present) < len(set(terms))):
+            return self._empty_scored()
+        hits = (
+            src.where(F.col("term").isin(present))
+            .join(F.broadcast(idf_df), "term")
+            .withColumn("tscore", _score_col(F.col("idf"), self.stats))
+        )
+        aggs = [F.sum("tscore").alias("score")]
+        if require_all:
+            aggs.append(F.countDistinct("term").alias("_nt"))
+        out = hits.groupBy("doc_id").agg(*aggs)
+        if require_all:
+            out = out.where(F.col("_nt") == len(set(terms))).drop("_nt")
+        return out
+
+    def _phrase_scored(self, terms: list[str]) -> DataFrame:
+        uniq = sorted(set(terms))
+        idf_df, dfs = self._idf_df(uniq)
+        if any(not dfs.get(t) for t in uniq):
+            return self._empty_scored()
+        idf_by_term = {t: idf_for(self.stats.n_docs, dfs[t]) for t in uniq}
+        stats = self.stats
+        phrase = list(terms)
+
+        # candidate docs: contain ALL phrase terms (single scan+group)
+        cand = (
+            self.postings.where(F.col("term").isin(uniq))
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))
+                ).alias("pmap"),
+                F.first("dl").alias("dl"),
+            )
+            .where(F.size("pmap") == len(uniq))
+        )
+
+        @F.pandas_udf(T.DoubleType())
+        def phrase_score(pmaps: pd.Series, dls: pd.Series) -> pd.Series:
+            def one(pmap, dl):
+                first = pmap[phrase[0]]
+                rest = [set(pmap[t]) for t in phrase[1:]]
+                ok = any(
+                    all((p + i + 1) in rest[i] for i in range(len(rest)))
+                    for p in first
+                )
+                if not ok:
+                    return None
+                # score = sum of member-term BM25 (phrase order, dupes
+                # double-count) — pinned identically in the oracle
+                s = 0.0
+                for t in phrase:
+                    tf = float(len(pmap[t]))
+                    s += idf_by_term[t] * tf * (K1 + 1.0) / (
+                        tf + K1 * (1.0 - B + B * dl / stats.avgdl)
+                    )
+                return s
+
+            return pd.Series(
+                [one(pm, float(d)) for pm, d in zip(pmaps, dls)], dtype="float64"
+            )
+
+        return (
+            cand.withColumn("score", phrase_score("pmap", "dl"))
+            .where(F.col("score").isNotNull())
+            .select("doc_id", "score")
+        )
+
+    def _empty_scored(self) -> DataFrame:
+        spark = self.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score double")

@@ -1,0 +1,134 @@
+"""Query-string parser — the reference's query language as an AST.
+
+Grammar (parity with the reference's Tantivy QueryParser subset,
+README.md:1384-1390 and search.rs:534-576):
+
+- bare terms: ``rust async`` — implicit OR; BM25 scores sum over
+  matching terms (docs matching any term qualify).
+- quoted phrase: ``"machine learning"`` — exact positional adjacency
+  (phrase queries use the positions-bearing text field only,
+  search.rs:541-546).
+- boolean: ``a AND b``, ``a OR b``, ``a NOT b`` (left-associative
+  fold; NOT excludes the right operand's matches from the left's).
+- prefix: ``progr*`` — matched against the edge-n-gram prefix field
+  (search.rs:229-235); prefix terms are 2..15 chars by construction.
+- empty string: match-all (search.rs:532-537). A NON-empty query whose
+  tokens are all dropped by analysis (punctuation-only, or a single
+  >=40-byte token removed by the RemoveLongFilter) matches NOTHING —
+  Tantivy yields an empty boolean query there, and xf's match-all
+  special case fires only on the empty *string* before parsing.
+
+Pinned divergence from Tantivy (documented per SURVEY.md §7.0): bare
+terms search the ``text`` field only; the prefix field is reached only
+via trailing ``*``. (Tantivy's QueryParser ORs both fields; the
+dual-field score sum depends on Tantivy-internal per-field stats we
+deliberately don't replicate. Engine and oracle share THIS grammar, so
+they cannot diverge from each other.)
+
+AST nodes (plain tuples, picklable into Spark closures):
+  ("all",) | ("none",) | ("term", t) | ("prefix", p)
+  | ("phrase", [t...]) | ("and", [n...]) | ("or", [n...])
+  | ("not", base, excl)
+"""
+
+from __future__ import annotations
+
+import re
+
+from xf_spark.functions.textcore import tokenize
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+
+
+def _atom(raw: str):
+    """One non-operator token -> AST node (or None if it tokenizes to
+    nothing, e.g. punctuation-only)."""
+    if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
+        terms = tokenize(raw[1:-1])
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("phrase", terms)
+    if raw.endswith("*") and len(raw) > 1:
+        terms = tokenize(raw[:-1])
+        if not terms:
+            return None
+        return ("prefix", terms[-1])
+    terms = tokenize(raw)
+    if not terms:
+        return None
+    if len(terms) == 1:
+        return ("term", terms[0])
+    # one input word splitting into several tokens ("don't") — pinned
+    # to a phrase, matching Tantivy's tokenized-word behavior
+    return ("phrase", terms)
+
+
+def parse_query(query: str):
+    """Parse a query string into the AST; "" -> ("all",)."""
+    query = (query or "").strip()
+    if not query:
+        return ("all",)
+
+    raws = _TOKEN_RE.findall(query)
+    acc = None
+    pending_op = None  # "AND" | "OR" | "NOT" | None (None => implicit OR)
+    for raw in raws:
+        if raw in ("AND", "OR", "NOT"):
+            # leading / dangling operators are syntax noise, not terms
+            if acc is not None:
+                pending_op = raw
+            continue
+        node = _atom(raw)
+        if node is None:
+            continue
+        if acc is None:
+            acc = node
+        elif pending_op == "AND":
+            if acc[0] == "and":
+                acc = ("and", acc[1] + [node])
+            else:
+                acc = ("and", [acc, node])
+        elif pending_op == "NOT":
+            acc = ("not", acc, node)
+        else:  # explicit OR or implicit juxtaposition
+            if acc[0] == "or":
+                acc = ("or", acc[1] + [node])
+            else:
+                acc = ("or", [acc, node])
+        pending_op = None
+    # non-empty input, no usable atoms -> empty boolean query
+    return acc if acc is not None else ("none",)
+
+
+def query_terms(node) -> set[str]:
+    """All positive text-field terms referenced by the AST (for postings
+    partition pruning); excludes prefix terms and NOT-excluded terms."""
+    kind = node[0]
+    if kind == "term":
+        return {node[1]}
+    if kind == "phrase":
+        return set(node[1])
+    if kind in ("and", "or"):
+        out: set[str] = set()
+        for c in node[1]:
+            out |= query_terms(c)
+        return out
+    if kind == "not":
+        return query_terms(node[1]) | query_terms(node[2])
+    return set()
+
+
+def prefix_terms(node) -> set[str]:
+    kind = node[0]
+    if kind == "prefix":
+        return {node[1]}
+    if kind in ("and", "or"):
+        out: set[str] = set()
+        for c in node[1]:
+            out |= prefix_terms(c)
+        return out
+    if kind == "not":
+        return prefix_terms(node[1]) | prefix_terms(node[2])
+    return set()
