@@ -1,38 +1,120 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(): flagship query — BM25 top-k over the sf0.001 documents table
+through the xf_spark engine (build postings -> global stats -> score
+-> TakeOrdered top-k -> hydrate).
+
+queries()/oracle_sql(): one entry per implemented operator family from
+SURVEY.md §2 (+ the training-data ops), each with an independent DuckDB
+recomputation. Implementations live in xf_spark.entry_queries /
+xf_spark.entry_oracles.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+# make xf_spark importable regardless of the caller's cwd/sys.path
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+# python workers spawn with the JVM's env, not the driver's sys.path
+os.environ["PYTHONPATH"] = _HERE + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make xf_spark importable on executors even if the session was
+    created before our PYTHONPATH export (addPyFile reaches running
+    workers; equivalent of spark-submit --py-files)."""
+    if getattr(_ship_package, "_done", False):
+        return
+    import shutil
+    import tempfile
+    import zipfile
+
+    tmp = os.path.join(tempfile.gettempdir(), "xf_spark_pkg.zip")
+    pkg = os.path.join(_HERE, "xf_spark")
+    with zipfile.ZipFile(tmp, "w") as zf:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _HERE))
+    try:
+        spark.sparkContext.addPyFile(tmp)
+    except Exception:
+        pass  # already added in this context
+    _ship_package._done = True
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-20 for 'spark' over sf0.001 documents,
+    hydrated with the matching text."""
+    from xf_spark import entry_queries as eq
+
+    _ship_package(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    engine = eq._doc_engine(spark, sf_dir)
+    hits = engine.search("spark", limit=20)
+    docs = engine.docs
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .select("doc_id", F.round("score", 4).alias("score"), "text")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from xf_spark import entry_queries as eq
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def shipped(fn):
+        def wrapper(spark, sf_dir):
+            _ship_package(spark)
+            return fn(spark, sf_dir)
+
+        return wrapper
+
+    return {k: shipped(v) for k, v in {
+        # full-text core (SURVEY.md §2.3)
+        "bm25_single_term": eq.bm25_single_term,
+        "bm25_or_terms": eq.bm25_or_terms,
+        "bm25_and_terms": eq.bm25_and_terms,
+        "bm25_not_terms": eq.bm25_not_terms,
+        "term_doc_freq": eq.term_doc_freq,
+        "corpus_stats_row": eq.corpus_stats_row,
+        "doc_token_lengths": eq.doc_token_lengths,
+        # dedup family (training-data ops)
+        "dedup_exact_stats": eq.dedup_exact_stats,
+        "dedup_exact_groups": eq.dedup_exact_groups,
+        "ngram_jaccard_pairs": eq.ngram_jaccard_pairs,
+        # text analysis
+        "text_quality": eq.text_quality,
+        "length_histogram": eq.length_histogram,
+        "lang_distribution": eq.lang_distribution,
+        # similarity
+        "cosine_topk": eq.cosine_topk,
+        "label_centroid_norms": eq.label_centroid_norms,
+        # stats/analytics surface (SURVEY.md §2.8)
+        "events_daily_counts": eq.events_daily_counts,
+        "events_hourly_histogram": eq.events_hourly_histogram,
+        "events_dow_histogram": eq.events_dow_histogram,
+        "events_type_engagement": eq.events_type_engagement,
+        "events_monthly_trend": eq.events_monthly_trend,
+        "events_longest_gap": eq.events_longest_gap,
+        "events_value_percentiles": eq.events_value_percentiles,
+        "events_user_activity": eq.events_user_activity,
+        # general engine sanity
+        "tpch_q1": eq.tpch_q1,
+    }.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from xf_spark.entry_oracles import ORACLES
+
+    return dict(ORACLES)

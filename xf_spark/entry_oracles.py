@@ -1,0 +1,288 @@
+"""DuckDB oracle SQL paired with entry_queries.py (driver contract).
+
+Each statement runs against the driver's pre-registered parquet views
+(region nation customer supplier part orders lineitem events documents
+embeddings) and must match the Spark result column-for-column
+(names, row set; floats rounded identically on both sides).
+
+The BM25 statements re-express the engine's pinned scoring semantics
+(k1=1.2, b=0.75, idf = ln(1+(N-df+0.5)/(df+0.5)), GLOBAL stats, exact
+doc lengths, tiebreak score desc / doc_id asc) in pure ANSI-ish SQL —
+an independent recomputation in a third engine, on top of the NumPy
+oracle used in pytest. Tokenization in SQL uses the ASCII class
+[^0-9A-Za-z] — the documents table is ASCII; the engine's tokenizer is
+the Unicode superset of this and agrees on ASCII input.
+"""
+
+from __future__ import annotations
+
+# shared tokenization CTE over the documents view
+_TOK = """
+tok AS (
+  SELECT doc_id, lower(raw) AS term
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[^0-9A-Za-z]+')) AS raw
+    FROM documents
+  )
+  WHERE raw <> '' AND strlen(raw) < 40
+)
+"""
+
+_STATS = """
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+)
+"""
+
+
+def _bm25_sql(terms: list[str], require_all: bool = False, exclude: str | None = None) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    having = (
+        f"HAVING count(DISTINCT tf.term) = {len(set(terms))}" if require_all else ""
+    )
+    not_clause = (
+        f"AND tf.doc_id NOT IN (SELECT doc_id FROM tok WHERE term = '{exclude}')"
+        if exclude
+        else ""
+    )
+    return f"""
+WITH {_TOK}, {_STATS},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN ({in_list}) GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok WHERE term IN ({in_list}) GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE 1=1 {not_clause}
+  GROUP BY tf.doc_id
+  {having}
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["bm25_single_term"] = _bm25_sql(["spark"])
+ORACLES["bm25_or_terms"] = _bm25_sql(["spark", "join", "window"])
+ORACLES["bm25_and_terms"] = _bm25_sql(["spark", "join"], require_all=True)
+ORACLES["bm25_not_terms"] = _bm25_sql(["spark"], exclude="window")
+
+ORACLES["term_doc_freq"] = f"""
+WITH {_TOK}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM tok GROUP BY term
+ORDER BY df DESC, term
+LIMIT 20
+"""
+
+ORACLES["corpus_stats_row"] = f"""
+WITH {_TOK}
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       round((SELECT count(*) FROM tok)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE, 6) AS avgdl,
+       (SELECT count(*) FROM tok) AS total_tokens
+"""
+
+ORACLES["doc_token_lengths"] = f"""
+WITH {_TOK}
+SELECT doc_id, count(*) AS n_tokens
+FROM tok GROUP BY doc_id
+ORDER BY n_tokens DESC, doc_id
+LIMIT 20
+"""
+
+ORACLES["dedup_exact_stats"] = """
+WITH per AS (SELECT text, count(*) AS c FROM documents GROUP BY text)
+SELECT sum(c)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_distinct,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_rows
+FROM per
+"""
+
+ORACLES["dedup_exact_groups"] = """
+SELECT min(doc_id) AS keep_id, count(*) AS group_size
+FROM documents GROUP BY text
+HAVING count(*) > 1
+ORDER BY group_size DESC, keep_id
+LIMIT 20
+"""
+
+ORACLES["ngram_jaccard_pairs"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                          x -> lower(x)),
+           x -> x <> '' AND strlen(x) < 40) AS t
+  FROM documents WHERE doc_id < 200
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             AS shingle
+    FROM toks
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+_STOP = "['the','a','of','and','to','in','is','for','on','with']"
+ORACLES["text_quality"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                          x -> lower(x)),
+           x -> x <> '' AND strlen(x) < 40) AS t
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id,
+       len(t)::BIGINT AS n_tokens,
+       round(len(list_filter(list_distinct(t),
+                             x -> list_contains({_STOP}, x)))::DOUBLE
+             / greatest(len(list_distinct(t)), 1), 6) AS stop_ratio,
+       round(list_sum(list_transform(t, x -> length(x)::DOUBLE))
+             / greatest(len(t), 1), 6) AS mean_token_len
+FROM toks
+ORDER BY doc_id
+"""
+
+ORACLES["length_histogram"] = """
+WITH b AS (
+  SELECT CASE WHEN n_chars <= 150 THEN '0-150'
+              WHEN n_chars <= 300 THEN '151-300'
+              WHEN n_chars <= 450 THEN '301-450'
+              ELSE '450+' END AS bucket
+  FROM documents
+)
+SELECT bucket, count(*) AS n,
+       round(count(*) * 100.0 / (SELECT count(*) FROM documents), 4) AS pct
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+ORACLES["lang_distribution"] = """
+SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ORACLES["cosine_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             5) AS cosine
+FROM e CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+ORACLES["label_centroid_norms"] = """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS val FROM e
+),
+comp AS (
+  SELECT label, i, sum(val) / count(*) AS c, count(*) AS n
+  FROM ex GROUP BY label, i
+)
+SELECT label, max(n)::BIGINT AS n,
+       round(sqrt(sum(c * c)), 6) AS centroid_norm
+FROM comp GROUP BY label ORDER BY label
+"""
+
+ORACLES["events_daily_counts"] = """
+SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY day ORDER BY day
+"""
+
+ORACLES["events_hourly_histogram"] = """
+SELECT hour(ts)::BIGINT AS hour, count(*) AS n
+FROM events GROUP BY 1 ORDER BY hour
+"""
+
+ORACLES["events_dow_histogram"] = """
+SELECT dayofweek(ts)::BIGINT AS dow, count(*) AS n
+FROM events GROUP BY 1 ORDER BY dow
+"""
+
+ORACLES["events_type_engagement"] = """
+SELECT event_type, count(*) AS n,
+       round(sum(value), 2) AS total_value,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["events_monthly_trend"] = """
+SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1 ORDER BY month
+"""
+
+ORACLES["events_longest_gap"] = """
+WITH days AS (SELECT DISTINCT ts::DATE AS day FROM events),
+gaps AS (
+  SELECT day - lag(day) OVER (ORDER BY day) AS gap FROM days
+)
+SELECT max(gap)::BIGINT AS max_gap_days FROM gaps
+"""
+
+ORACLES["events_value_percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["events_user_activity"] = """
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT ts::DATE) AS active_days,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 20
+"""
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -1,0 +1,443 @@
+"""Driver-contract query implementations (see __spark_entry__.py).
+
+Each function takes (spark, sf_dir) and returns a DataFrame whose
+column names match the paired DuckDB oracle SQL in
+``entry_oracles.py`` exactly (the driver sorts columns by name and
+value-hashes them).
+
+Conventions:
+- floats are rounded (4-6 dp) on BOTH sides so double-precision
+  evaluation-order noise cannot flip the hash;
+- session timezone forced to UTC per query (the driver owns the
+  SparkSession; DuckDB timestamps are UTC-naive);
+- every query is a self-contained plan over the sf_dir parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from xf_spark.index.postings import CorpusStats, build_postings, corpus_stats
+from xf_spark.query.bm25 import BM25Engine
+
+K1 = 1.2
+B = 0.75
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _doc_engine(spark: SparkSession, sf_dir: str) -> BM25Engine:
+    """BM25 engine over the driver's ``documents`` table (doc_id, text).
+
+    doc_id is already a dense unique int64 — no docID assignment pass
+    needed; the engine machinery is identical to the transcripts path."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    postings = build_postings(docs, with_positions=False)
+    stats = corpus_stats(docs)
+    return BM25Engine(docs=docs, postings=postings, stats=stats)
+
+
+def _rounded_hits(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.round(F.col("score"), 4).alias("score"))
+
+
+# ---------------------------------------------------------------------------
+# Full-text core (SURVEY.md §2.3): BM25 top-k over the documents table
+# ---------------------------------------------------------------------------
+
+def bm25_single_term(spark, sf_dir):
+    return _rounded_hits(_doc_engine(spark, sf_dir).search("spark", limit=20))
+
+
+def bm25_or_terms(spark, sf_dir):
+    return _rounded_hits(
+        _doc_engine(spark, sf_dir).search("spark join window", limit=20)
+    )
+
+
+def bm25_and_terms(spark, sf_dir):
+    return _rounded_hits(
+        _doc_engine(spark, sf_dir).search("spark AND join", limit=20)
+    )
+
+
+def bm25_not_terms(spark, sf_dir):
+    return _rounded_hits(
+        _doc_engine(spark, sf_dir).search("spark NOT window", limit=20)
+    )
+
+
+def term_doc_freq(spark, sf_dir):
+    """Top-20 terms by document frequency (SURVEY.md §2.8 top-hashtags
+    analog: explode -> lower -> groupBy -> count -> orderBy/limit)."""
+    docs = _read(spark, sf_dir, "documents")
+    from xf_spark.functions.udfs import tokenize_udf
+
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_udf(F.col("text"))).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+def corpus_stats_row(spark, sf_dir):
+    """Global stats row: N, avgdl, total tokens (partition-invariant
+    scoring inputs; SURVEY.md §7.0)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    from xf_spark.functions.udfs import tokenize_udf
+
+    dl = docs.select(F.size(tokenize_udf(F.col("text"))).alias("dl"))
+    return dl.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.sum("dl").alias("total_tokens"),
+    )
+
+
+def doc_token_lengths(spark, sf_dir):
+    """Top-20 docs by token count (dl desc, doc_id asc)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    from xf_spark.functions.udfs import tokenize_udf
+
+    return (
+        docs.select(
+            "doc_id", F.size(tokenize_udf(F.col("text"))).cast("long").alias("n_tokens")
+        )
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (training-data ops)
+# ---------------------------------------------------------------------------
+
+def dedup_exact_stats(spark, sf_dir):
+    """Exact dedup: total rows, distinct texts, rows that are dups.
+
+    Spark shape: sha2 hash-groupBy (no full-text shuffle — 32-byte
+    digests move, not documents)."""
+    docs = _read(spark, sf_dir, "documents")
+    hashed = docs.select(F.sha2(F.col("text"), 256).alias("h"))
+    per = hashed.groupBy("h").agg(F.count("*").alias("c"))
+    return per.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("n_dup_rows"),
+    )
+
+
+def dedup_exact_groups(spark, sf_dir):
+    """Duplicate-text groups: min doc_id as the kept representative,
+    group size; top 20 by (size desc, keep_id asc)."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("group_size"))
+        .where(F.col("group_size") > 1)
+        .select("keep_id", "group_size")
+        .orderBy(F.desc("group_size"), F.asc("keep_id"))
+        .limit(20)
+    )
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by 3-token-shingle Jaccard >= 0.8.
+
+    Spark shape: shingle -> explode -> self-join on shingle ->
+    per-pair intersection count -> Jaccard from set sizes. The join is
+    shingle-partitioned (no cross product); at 100 TB the same plan
+    holds because shingles are hashed+salted like any head-skewed key.
+    Restricted to doc_id < 200 to bound the candidate pair count at
+    bench scales (documented cap)."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    from xf_spark.functions.udfs import tokenize_udf
+
+    toks = docs.select("doc_id", tokenize_udf(F.col("text")).alias("toks"))
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+                F.element_at(F.col("toks"), i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data ops)
+# ---------------------------------------------------------------------------
+
+_EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+
+def text_quality(spark, sf_dir):
+    """Quality scoring: token count, stopword ratio, mean token length
+    — top 20 by doc_id. All built-in functions (JVM-side)."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    from xf_spark.functions.udfs import tokenize_udf
+
+    toks = docs.select("doc_id", tokenize_udf(F.col("text")).alias("toks"))
+    stop = F.array([F.lit(s) for s in _EN_STOPWORDS])
+    return toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.size(F.array_intersect("toks", stop))
+            / F.greatest(F.size(F.array_distinct("toks")), F.lit(1)),
+            6,
+        ).alias("stop_ratio"),
+        F.round(
+            F.aggregate(
+                F.transform("toks", lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.greatest(F.size("toks"), F.lit(1)),
+            6,
+        ).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+def length_histogram(spark, sf_dir):
+    """Char-length buckets (<=150 / <=300 / <=450 / 450+) with counts
+    and pct — the likes-histogram analog (stats_analytics.rs:317-387)."""
+    docs = _read(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") <= 150, "0-150")
+        .when(F.col("n_chars") <= 300, "151-300")
+        .when(F.col("n_chars") <= 450, "301-450")
+        .otherwise("450+")
+    )
+    total = docs.count()
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .withColumn("pct", F.round(F.col("n") * 100.0 / F.lit(total), 4))
+        .orderBy("bucket")
+    )
+
+
+def lang_distribution(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(F.count("*").alias("n")).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (training-data ops)
+# ---------------------------------------------------------------------------
+
+def cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding.
+
+    Spark shape: broadcast 1-row query vector, JVM-side zip_with/
+    aggregate arithmetic (no Python), TakeOrdered top-k. The 100 TB
+    path swaps the scan for the LSH-bucketed variant in ops.similarity."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("v"), F.col("qv"))
+                / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))),
+                5,
+            ),
+        )
+        .where(F.col("vec_id") != 0)
+    )
+    return (
+        scored.select("vec_id", "cosine")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def label_centroid_norms(spark, sf_dir):
+    """Per-label centroid L2 norm + count (grouped vector aggregate)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    dim = 64
+    sums = emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+    )
+    sq = sum((F.col(f"s{i}") / F.col("n")) ** 2 for i in range(dim))
+    return sums.select(
+        "label", "n", F.round(F.sqrt(sq), 6).alias("centroid_norm")
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Stats / analytics surface (SURVEY.md §2.8) over the events table
+# ---------------------------------------------------------------------------
+
+def events_daily_counts(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("day")
+    )
+
+
+def events_hourly_histogram(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.hour("ts").cast("long").alias("hour"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("hour")
+    )
+
+
+def events_dow_histogram(spark, sf_dir):
+    """Day-of-week distribution, Sunday=0 (stats_analytics.rs:186-195)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.dayofweek("ts") - 1).cast("long").alias("dow"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("dow")
+    )
+
+
+def events_type_engagement(spark, sf_dir):
+    """Per-type totals: count, sum/avg value (engagement-totals analog,
+    stats_analytics.rs:448-462)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_monthly_trend(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("month")
+    )
+
+
+def events_longest_gap(spark, sf_dir):
+    """Longest gap in days between consecutive active days
+    (find_longest_gap, stats_analytics.rs:198-219): lag window."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    days = ev.select(F.to_date("ts").alias("day")).distinct()
+    w = Window.orderBy("day")
+    gaps = days.withColumn("prev", F.lag("day").over(w)).withColumn(
+        "gap", F.datediff("day", "prev")
+    )
+    return gaps.agg(F.max("gap").cast("long").alias("max_gap_days"))
+
+
+def events_value_percentiles(spark, sf_dir):
+    """Median + p90 of value per event type (median-engagement analog,
+    stats_analytics.rs:464-476) — exact percentile (discrete
+    interpolation differences vs DuckDB avoided by using the same
+    definition: continuous percentile)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_user_activity(spark, sf_dir):
+    """Top-20 users by events (count desc, user_id asc) with active-day
+    count — the DM-conversation-summary analog (collect_set/count/
+    min/max per group, storage.rs:529-548)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct(F.to_date("ts")).alias("active_days"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# General-engine sanity: TPC-H-ish aggregate
+# ---------------------------------------------------------------------------
+
+def tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
