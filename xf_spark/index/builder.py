@@ -5,6 +5,13 @@ Two forms:
   memory); the correctness path and the base for small/medium corpora.
 - the persisted segment index (see ``segments.py``) — the at-rest,
   compressed, resumable artifact for the 100 TB path.
+
+Build shape (one tokenize pass, no token-level shuffle):
+  docs -> doc_postings UDF -> explode -> postings [cache]
+  term_df = postings.groupBy(term).count  [cache]   (tiny: vocab-sized)
+  stats   = (N from docs.count, avgdl from sum(tf)/N)
+Queries then resolve idf from the cached vocab table — they never
+rescan the postings to learn document frequencies.
 """
 
 from __future__ import annotations
@@ -15,7 +22,8 @@ from xf_spark.index.docs import prepare_docs
 from xf_spark.index.postings import (
     build_postings,
     build_prefix_postings,
-    corpus_stats,
+    corpus_stats_from_postings,
+    term_df,
 )
 from xf_spark.query.bm25 import BM25Engine
 
@@ -30,12 +38,31 @@ def build_engine(
     docs = prepare_docs(transcripts)
     if cache:
         docs = docs.cache()
+    n_docs = docs.count()
+
     postings = build_postings(docs, with_positions=with_positions)
-    prefix = build_prefix_postings(docs) if with_prefix else None
     if cache:
         postings = postings.cache()
-        postings.count()  # materialize once; queries reuse
-        if prefix is not None:
+    vocab = term_df(postings)
+    if cache:
+        vocab = vocab.cache()
+        vocab.count()  # materializes vocab AND postings in one pass
+
+    prefix = prefix_vocab = None
+    if with_prefix:
+        prefix = build_prefix_postings(docs)
+        prefix_vocab = term_df(prefix)
+        if cache:
             prefix = prefix.cache()
-    stats = corpus_stats(docs)
-    return BM25Engine(docs=docs, postings=postings, stats=stats, prefix_postings=prefix)
+            prefix_vocab = prefix_vocab.cache()
+            prefix_vocab.count()
+
+    stats = corpus_stats_from_postings(postings, n_docs)
+    return BM25Engine(
+        docs=docs,
+        postings=postings,
+        stats=stats,
+        prefix_postings=prefix,
+        vocab=vocab,
+        prefix_vocab=prefix_vocab,
+    )

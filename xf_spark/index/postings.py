@@ -4,22 +4,19 @@ Pipeline (the Spark re-expression of the reference's index build,
 search.rs:356-511, per SURVEY.md §3.1):
 
     docs(doc_id, text)
-      -> tokenize (vectorized Arrow UDF)
-      -> posexplode(tokens)                    # (doc_id, pos, term)
-      -> groupBy(term, doc_id)                 # shuffle on (term, doc_id)
-         .agg(tf = count, positions = sort_array(collect_list(pos)))
+      -> doc_postings UDF (vectorized Arrow; per-doc term aggregation
+         INSIDE the scan stage — (term, tf, positions) structs)
+      -> explode                               # NO shuffle
+      -> postings(term, doc_id, tf, dl, positions)
 
 Scale notes:
-- the groupBy key is (term, doc_id), NOT bare term — head terms
-  ("the", "to") spread across reducers by doc_id, so Zipf skew does
-  not concentrate on one task at this stage. The bare-term grouping
-  (where skew WOULD bite) happens only in the segment builder, which
-  shards by doc-range first (see segments.py).
-- ``sort_array(collect_list(...))`` pins position order regardless of
-  shuffle arrival order — determinism under any parallelism.
-- partial aggregation (map-side combine) applies to the count; the
-  positions list has no combiner, but per-(term,doc) position lists
-  are bounded by document length, not corpus size.
+- per-doc aggregation in the UDF is map-side combine taken to its
+  limit: token-granularity rows never shuffle. The only build shuffles
+  are the tiny term-df aggregate and the segment-build repartition by
+  (term-bucket, doc-shard) — where head-term skew is handled by the
+  doc-shard component of the key (see segments.py).
+- positions emitted in document order — deterministic under any
+  parallelism.
 - ``positions`` are optional: phrase support costs ~3x postings bytes
   (SURVEY.md §7.7), so builders that don't need phrases skip them.
 
@@ -59,13 +56,22 @@ def build_postings(docs: DataFrame, with_positions: bool = True) -> DataFrame:
     ``dl`` (document token count) is denormalized into every posting
     row: +4 bytes/posting buys query-time scoring WITHOUT a
     doc-lengths join — at 100 TB that join would shuffle the whole
-    postings table on doc_id."""
-    toks = tokenized_docs(docs)
-    exploded = toks.select("doc_id", "dl", F.posexplode("tokens").alias("pos", "term"))
-    aggs = [F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl")]
+    postings table on doc_id. No shuffle here at all: per-doc term
+    aggregation happens inside the Arrow UDF, then explodes."""
+    from xf_spark.functions.udfs import doc_postings_udf
+
+    per_doc = docs.select(
+        "doc_id", doc_postings_udf(F.col("text")).alias("plist")
+    ).withColumn("dl", F.aggregate("plist", F.lit(0), lambda a, x: a + x["tf"]))
+    cols = [
+        "doc_id",
+        "dl",
+        F.col("p.term").alias("term"),
+        F.col("p.tf").alias("tf"),
+    ]
     if with_positions:
-        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    return exploded.groupBy("term", "doc_id").agg(*aggs)
+        cols.append(F.col("p.positions").alias("positions"))
+    return per_doc.select("doc_id", "dl", F.explode("plist").alias("p")).select(*cols)
 
 
 def build_prefix_postings(docs: DataFrame) -> DataFrame:
@@ -76,13 +82,18 @@ def build_prefix_postings(docs: DataFrame) -> DataFrame:
     TEXT-field token count (pinned scoring convention shared with the
     oracle: prefix idf comes from the prefix field's own df, tf/dl
     normalization from the text field)."""
-    pref = docs.select(
+    from xf_spark.functions.udfs import doc_prefix_postings_udf
+
+    per_doc = docs.select(
         "doc_id",
         F.size(tokenize_udf(F.col("text"))).alias("dl"),
-        F.explode(prefixes_udf(F.col("text"))).alias("term"),
+        doc_prefix_postings_udf(F.col("text")).alias("plist"),
     )
-    return pref.groupBy("term", "doc_id").agg(
-        F.count("*").cast("int").alias("tf"), F.first("dl").alias("dl")
+    return per_doc.select("doc_id", "dl", F.explode("plist").alias("p")).select(
+        "doc_id",
+        "dl",
+        F.col("p.term").alias("term"),
+        F.col("p.tf").alias("tf"),
     )
 
 
@@ -100,6 +111,15 @@ def corpus_stats(docs: DataFrame) -> CorpusStats:
     ).first()
     n = int(row["n"] or 0)
     return CorpusStats(n_docs=n, avgdl=float(row["avgdl"] or 0.0))
+
+
+def corpus_stats_from_postings(postings: DataFrame, n_docs: int) -> CorpusStats:
+    """Stats from an already-built postings table (avoids re-tokenizing
+    the corpus): avgdl = sum(tf) / N. Empty docs contribute 0 tokens
+    and are counted via ``n_docs`` (total docs, not docs-with-terms)."""
+    row = postings.agg(F.sum("tf").alias("total")).first()
+    total = int(row["total"] or 0)
+    return CorpusStats(n_docs=n_docs, avgdl=(total / n_docs) if n_docs else 0.0)
 
 
 def term_df(postings: DataFrame) -> DataFrame:

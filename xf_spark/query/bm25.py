@@ -70,6 +70,8 @@ class BM25Engine:
     postings: DataFrame
     stats: CorpusStats
     prefix_postings: DataFrame | None = None
+    vocab: DataFrame | None = None         # (term, df) — cached, vocab-sized
+    prefix_vocab: DataFrame | None = None
 
     # -- public API -------------------------------------------------------
 
@@ -158,30 +160,37 @@ class BM25Engine:
             return base.join(excl, "doc_id", "left_anti")
         raise ValueError(f"unknown node {kind}")
 
-    def _idf_df(self, terms: list[str], prefix: bool = False):
-        """Collect df for the (few) query terms, return a tiny
-        broadcastable (term, idf) DataFrame. The df lookup is a
-        count-only aggregate over postings pruned to the query terms."""
+    def _term_dfs(self, terms: list[str], prefix: bool = False) -> dict:
+        """df per query term. Resolved from the cached vocab table when
+        available (vocab-sized scan, never touches postings); falls
+        back to a pruned postings aggregate otherwise."""
+        uniq = list(set(terms))
+        voc = self.prefix_vocab if prefix else self.vocab
+        if voc is not None:
+            rows = voc.where(F.col("term").isin(uniq)).collect()
+            return {r["term"]: r["df"] for r in rows}
         src = self.prefix_postings if prefix else self.postings
-        dfs = {
+        return {
             r["term"]: r["df"]
-            for r in src.where(F.col("term").isin(terms))
+            for r in src.where(F.col("term").isin(uniq))
             .groupBy("term")
             .agg(F.count("*").alias("df"))
             .collect()
         }
-        spark = self.postings.sparkSession
-        # weight idf by term multiplicity: a query like "rust rust" is
-        # two should-clauses in the reference, doubling that term's
-        # contribution; scoring is linear in idf so m copies == idf*m
+
+    def _idf_map_col(self, terms: list[str], dfs: dict):
+        """Literal term->idf map column (no join, no createDataFrame).
+        idf is weighted by term multiplicity: 'rust rust' is two
+        should-clauses in the reference, doubling that term's
+        contribution; scoring is linear in idf so m copies == idf*m."""
         from collections import Counter
 
         counts = Counter(terms)
-        rows = [
-            (t, idf_for(self.stats.n_docs, dfs.get(t, 0)) * m)
-            for t, m in counts.items()
-        ]
-        return spark.createDataFrame(rows, "term string, idf double"), dfs
+        pairs = []
+        for t, m in counts.items():
+            pairs.append(F.lit(t))
+            pairs.append(F.lit(idf_for(self.stats.n_docs, dfs.get(t, 0)) * m))
+        return F.create_map(*pairs)
 
     def _terms_scored(
         self, terms: list[str], require_all: bool = False, prefix: bool = False
@@ -189,14 +198,13 @@ class BM25Engine:
         src = self.prefix_postings if prefix else self.postings
         if src is None:
             raise ValueError("prefix postings not built")
-        idf_df, dfs = self._idf_df(terms, prefix)
-        present = [t for t in terms if dfs.get(t)]
+        dfs = self._term_dfs(terms, prefix)
+        present = [t for t in set(terms) if dfs.get(t)]
         if not present or (require_all and len(present) < len(set(terms))):
             return self._empty_scored()
-        hits = (
-            src.where(F.col("term").isin(present))
-            .join(F.broadcast(idf_df), "term")
-            .withColumn("tscore", _score_col(F.col("idf"), self.stats))
+        idf_map = self._idf_map_col(terms, dfs)
+        hits = src.where(F.col("term").isin(present)).withColumn(
+            "tscore", _score_col(idf_map[F.col("term")], self.stats)
         )
         aggs = [F.sum("tscore").alias("score")]
         if require_all:
@@ -208,7 +216,7 @@ class BM25Engine:
 
     def _phrase_scored(self, terms: list[str]) -> DataFrame:
         uniq = sorted(set(terms))
-        idf_df, dfs = self._idf_df(uniq)
+        dfs = self._term_dfs(uniq)
         if any(not dfs.get(t) for t in uniq):
             return self._empty_scored()
         idf_by_term = {t: idf_for(self.stats.n_docs, dfs[t]) for t in uniq}

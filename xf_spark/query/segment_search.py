@@ -1,0 +1,436 @@
+"""Query engine over the persisted segment index (the 100 TB path).
+
+Execution shape per query (SURVEY.md §3.2 Spark shape):
+
+1. driver parses the query, resolves global df for its (few) terms
+   from the bucket-pruned vocab table — idf becomes a broadcast-sized
+   python dict;
+2. the segments parquet is scanned with partition pruning
+   (``bucket IN (...)``) + term predicate pushdown — only the query
+   terms' rows are ever read, each holding a compressed posting list;
+3. ``groupBy(shard).applyInPandas`` evaluates the whole boolean AST
+   shard-locally in NumPy (doc-range sharding puts every doc's
+   postings for all terms in the same shard, so AND/OR/NOT/phrase
+   need no cross-shard traffic) and emits a per-shard top-k;
+4. global ``orderBy(score desc, doc_id asc).limit(k)`` merges k-sized
+   lists — the two-phase heap-merge shape of the reference
+   (vector.rs:913-993).
+
+Scoring inside a shard uses **block-max WAND** (window variant) for
+scored OR/term queries: windows are the union of all query terms'
+block boundaries; each window's upper bound is the sum of the terms'
+block-max contributions; windows are scored in descending-bound order
+and scoring stops when the bound falls under the current k-th score
+(θ). Falls back to exhaustive vectorized scoring for tiny candidate
+sets — results are bit-identical either way (tested).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from xf_spark.index.codec import varint_decode
+from xf_spark.index.postings import CorpusStats
+from xf_spark.index.segments import K1, B, term_bucket
+from xf_spark.query.parser import parse_query, prefix_terms, query_terms
+
+TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def idf_for(n_docs: int, df: int) -> float:
+    import math
+
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# ---------------------------------------------------------------------------
+# NumPy shard-local evaluation
+# ---------------------------------------------------------------------------
+
+def _decode_row(row: dict) -> dict:
+    """Segment row -> numpy arrays (doc_ids, tf, dl, tf_part, blocks)."""
+    n = row["n_docs"]
+    doc_off = row["block_doc_off"]
+    ids = np.empty(n, dtype=np.int64)
+    # blocks delta-restart: decode each block independently (offsets
+    # enable skip decoding; full decode here — vectorized and cheap)
+    pos = 0
+    doc_bytes = row["doc_ids_bin"]
+    for bi in range(len(doc_off) - 1):
+        chunk = varint_decode(doc_bytes[doc_off[bi] : doc_off[bi + 1]])
+        ids[pos : pos + len(chunk)] = np.cumsum(chunk.astype(np.int64))
+        pos += len(chunk)
+    tfs = varint_decode(row["tfs_bin"]).astype(np.int64)
+    dls = varint_decode(row["dls_bin"]).astype(np.float64)
+    return {
+        "ids": ids,
+        "tfs": tfs,
+        "dls": dls,
+        "block_last": np.asarray(row["block_last_doc"], dtype=np.int64),
+        "block_max": np.asarray(row["block_max_tfpart"], dtype=np.float64),
+        "positions_bin": row.get("positions_bin"),
+    }
+
+
+def _tf_part(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    t = tfs.astype(np.float64)
+    return t * (K1 + 1.0) / (t + K1 * (1.0 - B + B * dls / avgdl))
+
+
+def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
+    """(score desc, doc_id asc) top-k, fully deterministic."""
+    if len(ids) > k:
+        order = np.lexsort((ids, -scores))[:k]
+    else:
+        order = np.lexsort((ids, -scores))
+    return ids[order], scores[order]
+
+
+def _or_exhaustive(parts: list) -> tuple[np.ndarray, np.ndarray]:
+    """parts: [(sorted ids, scores)] -> union with score sums, sorted."""
+    ids = np.concatenate([p[0] for p in parts])
+    sc = np.concatenate([p[1] for p in parts])
+    uids, inv = np.unique(ids, return_inverse=True)
+    out = np.zeros(len(uids), dtype=np.float64)
+    np.add.at(out, inv, sc)
+    return uids, out
+
+
+def wand_or_topk(term_entries: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max WAND (window variant) for OR-of-terms.
+
+    term_entries: [(ids, scores, block_last, block_ub)] with block_ub
+    already idf-multiplied. Returns the exact same (ids, scores) top-k
+    as exhaustive evaluation — block bounds only skip work, never
+    change results."""
+    total = sum(len(t[0]) for t in term_entries)
+    if total <= 4 * k or total < 4096:
+        return _topk(*_or_exhaustive([(t[0], t[1]) for t in term_entries]), k)
+
+    # windows = union of all block boundaries (right edges, inclusive)
+    bounds = np.unique(np.concatenate([t[2] for t in term_entries]))
+    n_w = len(bounds)
+    ub = np.zeros(n_w, dtype=np.float64)
+    wids = []  # per term: window index of each posting
+    for ids, _sc, block_last, block_ub in term_entries:
+        # block covering window w = first block with last >= bounds[w];
+        # windows never straddle a term's own block boundary
+        bi = np.searchsorted(block_last, bounds)
+        valid = bi < len(block_last)
+        contrib = np.zeros(n_w, dtype=np.float64)
+        contrib[valid] = block_ub[bi[valid]]
+        ub += contrib
+        wids.append(np.searchsorted(bounds, ids))
+
+    order = np.argsort(-ub, kind="stable")
+    best_ids = np.empty(0, dtype=np.int64)
+    best_sc = np.empty(0, dtype=np.float64)
+    theta = -np.inf
+    CHUNK = 64
+    for cs in range(0, n_w, CHUNK):
+        chunk = order[cs : cs + CHUNK]
+        # strict <: a doc tying the k-th score but with smaller doc_id
+        # must still be able to displace it (pinned tiebreak)
+        if len(best_ids) >= k and ub[chunk[0]] < theta:
+            break  # no remaining window can beat the k-th score
+        sel = np.zeros(n_w, dtype=bool)
+        sel[chunk] = True
+        parts = []
+        for (ids, sc, _bl, _bu), wid in zip(term_entries, wids):
+            m = sel[wid]
+            if m.any():
+                parts.append((ids[m], sc[m]))
+        if not parts:
+            continue
+        cids, csc = _or_exhaustive(parts)
+        best_ids, best_sc = _topk(
+            np.concatenate([best_ids, cids]), np.concatenate([best_sc, csc]), k
+        )
+        if len(best_ids) >= k:
+            theta = best_sc[-1]
+    return best_ids, best_sc
+
+
+def eval_shard(
+    pdf: pd.DataFrame,
+    plan,
+    idfs: dict,
+    avgdl: float,
+    k: int,
+    exhaustive: bool = False,
+) -> pd.DataFrame:
+    """Evaluate the query AST over one shard's segment rows."""
+    data: dict = {}
+    for _, row in pdf.iterrows():
+        data[(row["field"], row["term"])] = _decode_row(row)
+
+    def term_entry(fld: str, t: str):
+        d = data.get((fld, t))
+        if d is None:
+            return None
+        sc = idfs.get((fld, t), 0.0) * _tf_part(d["tfs"], d["dls"], avgdl)
+        return (d["ids"], sc, d["block_last"], d["block_max"] * idfs.get((fld, t), 0.0))
+
+    def ev(node) -> tuple[np.ndarray, np.ndarray]:
+        """FULL (untruncated) evaluation — required for composition
+        under AND/NOT. WAND truncation applies only at the plan root
+        (see below)."""
+        kind = node[0]
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if kind == "none":
+            return empty
+        if kind in ("term", "prefix"):
+            fld = "prefix" if kind == "prefix" else "text"
+            e = term_entry(fld, node[1])
+            if e is None:
+                return empty
+            return e[0], e[1]
+        if kind == "or":
+            parts = [p for p in (ev(c) for c in node[1]) if len(p[0])]
+            if not parts:
+                return empty
+            return _or_exhaustive(parts)
+        if kind == "and":
+            parts = [ev(c) for c in node[1]]
+            if any(len(p[0]) == 0 for p in parts):
+                return empty
+            common = parts[0][0]
+            for p in parts[1:]:
+                common = common[np.isin(common, p[0], assume_unique=False)]
+            if len(common) == 0:
+                return empty
+            total = np.zeros(len(common), dtype=np.float64)
+            for ids, sc in parts:
+                # duplicate ids impossible within a part (sorted unique)
+                idx = np.searchsorted(ids, common)
+                total += sc[idx]
+            return common, total
+        if kind == "not":
+            bids, bsc = ev(node[1])
+            eids, _ = ev(node[2])
+            if len(bids) == 0:
+                return bids, bsc
+            m = ~np.isin(bids, eids)
+            return bids[m], bsc[m]
+        if kind == "phrase":
+            return ev_phrase(node[1])
+        raise ValueError(f"unknown node {kind}")
+
+    def ev_phrase(terms: list[str]):
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        uniq = sorted(set(terms))
+        datas = {}
+        for t in uniq:
+            d = data.get(("text", t))
+            if d is None or d.get("positions_bin") in (None, b""):
+                return empty
+            datas[t] = d
+        common = datas[uniq[0]]["ids"]
+        for t in uniq[1:]:
+            common = common[np.isin(common, datas[t]["ids"])]
+        if len(common) == 0:
+            return empty
+        from xf_spark.index.codec import decode_positions
+
+        pos = {
+            t: decode_positions(datas[t]["positions_bin"], len(datas[t]["ids"]))
+            for t in uniq
+        }
+        tfp = {
+            t: idfs.get(("text", t), 0.0)
+            * _tf_part(datas[t]["tfs"], datas[t]["dls"], avgdl)
+            for t in uniq
+        }
+        out_ids, out_sc = [], []
+        for doc in common:
+            ok = False
+            idx0 = int(np.searchsorted(datas[terms[0]]["ids"], doc))
+            first = pos[terms[0]][idx0]
+            rest = []
+            for i, t in enumerate(terms[1:], 1):
+                ti = int(np.searchsorted(datas[t]["ids"], doc))
+                rest.append(set(pos[t][ti].tolist()))
+            for p in first:
+                if all((int(p) + i + 1) in rest[i] for i in range(len(rest))):
+                    ok = True
+                    break
+            if ok:
+                s = 0.0
+                for t in terms:  # phrase order, dupes double-count (pinned)
+                    ti = int(np.searchsorted(datas[t]["ids"], doc))
+                    s += float(tfp[t][ti])
+                out_ids.append(int(doc))
+                out_sc.append(s)
+        return (
+            np.asarray(out_ids, dtype=np.int64),
+            np.asarray(out_sc, dtype=np.float64),
+        )
+
+    # WAND fast path: plan root is a term/prefix leaf or an OR of them
+    def wand_entries(node):
+        if node[0] in ("term", "prefix"):
+            fld = "prefix" if node[0] == "prefix" else "text"
+            e = term_entry(fld, node[1])
+            return [e] if e is not None else []
+        if node[0] == "or" and all(c[0] in ("term", "prefix") for c in node[1]):
+            out = []
+            for c in node[1]:
+                fld = "prefix" if c[0] == "prefix" else "text"
+                e = term_entry(fld, c[1])
+                if e is not None:
+                    out.append(e)
+            return out
+        return None
+
+    entries = None if exhaustive else wand_entries(plan)
+    if entries is not None:
+        if not entries:
+            ids = np.empty(0, dtype=np.int64)
+            scores = np.empty(0, dtype=np.float64)
+        else:
+            ids, scores = wand_or_topk(entries, k)
+    else:
+        ids, scores = ev(plan)
+        ids, scores = _topk(ids, scores, k)
+    return pd.DataFrame({"doc_id": ids, "score": scores})
+
+
+# ---------------------------------------------------------------------------
+# SegmentIndex — load + search
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SegmentIndex:
+    spark: SparkSession
+    path: str
+    meta: dict
+    docs: DataFrame | None = None  # optional: match-all + filters + hydration
+    _segments: DataFrame = field(default=None, repr=False)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        ix = cls(spark=spark, path=path, meta=meta, docs=docs)
+        ix._segments = spark.read.parquet(os.path.join(path, "segments"))
+        return ix
+
+    @property
+    def stats(self) -> CorpusStats:
+        return CorpusStats(self.meta["n_docs"], self.meta["avgdl"])
+
+    def cache(self):
+        self._segments = self._segments.cache()
+        self._segments.count()
+        return self
+
+    def term_dfs(self, terms: set[str], fld: str) -> dict:
+        if not terms:
+            return {}
+        buckets = sorted({term_bucket(t, self.meta["n_buckets"]) for t in terms})
+        voc = self.spark.read.parquet(os.path.join(self.path, "vocab"))
+        rows = (
+            voc.where(
+                (F.col("field") == fld)
+                & F.col("bucket").isin(buckets)
+                & F.col("term").isin(sorted(terms))
+            )
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def search(
+        self,
+        query: str,
+        limit: int = 20,
+        offset: int = 0,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        exhaustive: bool = False,
+    ) -> DataFrame:
+        plan = parse_query(query)
+        if plan == ("all",):
+            if self.docs is None:
+                raise ValueError("match-all requires a docs table")
+            out = self.docs.select("doc_id", F.lit(1.0).alias("score"))
+            return self._finish(out, limit, offset, roles, since, until)
+
+        tterms = query_terms(plan)
+        pterms = prefix_terms(plan)
+        n = self.meta["n_docs"]
+        idfs = {
+            ("text", t): idf_for(n, df)
+            for t, df in self.term_dfs(tterms, "text").items()
+        }
+        idfs.update(
+            {
+                ("prefix", t): idf_for(n, df)
+                for t, df in self.term_dfs(pterms, "prefix").items()
+            }
+        )
+
+        nb = self.meta["n_buckets"]
+        buckets = sorted(
+            {term_bucket(t, nb) for t in tterms} | {term_bucket(t, nb) for t in pterms}
+        )
+        cond = F.lit(False)
+        if tterms:
+            cond = cond | (
+                (F.col("field") == "text") & F.col("term").isin(sorted(tterms))
+            )
+        if pterms:
+            cond = cond | (
+                (F.col("field") == "prefix") & F.col("term").isin(sorted(pterms))
+            )
+        seg = self._segments.where(F.col("bucket").isin(buckets) & cond)
+
+        filtered = roles or since is not None or until is not None
+        avgdl = self.meta["avgdl"]
+        # with post-filters, shards must return ALL matches (a filtered
+        # doc must not consume a top-k slot)
+        k_shard = 1 << 62 if filtered else max(limit + offset, limit)
+        plan_b, idfs_b = plan, idfs
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return eval_shard(pdf, plan_b, idfs_b, avgdl, k_shard, exhaustive)
+
+        scored = seg.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
+        return self._finish(scored, limit, offset, roles, since, until)
+
+    def _finish(self, scored, limit, offset, roles, since, until) -> DataFrame:
+        if (roles or since is not None or until is not None) and self.docs is not None:
+            attrs = self.docs.select("doc_id", "role", "ts")
+            cond = F.lit(True)
+            if roles:
+                cond = cond & F.col("role").isin(list(roles))
+            if since is not None:
+                cond = cond & (F.col("ts") >= F.lit(since))
+            if until is not None:
+                cond = cond & (F.col("ts") <= F.lit(until))
+            scored = scored.join(attrs.where(cond), "doc_id", "left_semi")
+        ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(limit)
+
+    def search_hydrated(self, query: str, limit: int = 20, **kw) -> DataFrame:
+        if self.docs is None:
+            raise ValueError("hydration requires a docs table")
+        hits = self.search(query, limit=limit, **kw)
+        return self.docs.join(F.broadcast(hits), "doc_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
