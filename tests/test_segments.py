@@ -113,6 +113,59 @@ def test_filters_pre_topk(built):
     assert got == sorted(got, key=lambda d: pos[d])
 
 
+class TestFusedBuild:
+    """The one-pass build (build_index) must agree with the oracle and
+    preserve docID/text alignment (regression: two jobs re-sampling
+    range boundaries independently silently shifted doc_ids)."""
+
+    @pytest.fixture(scope="class")
+    def fused(self, spark, tmp_path_factory):
+        from xf_spark.index.segments import build_index
+
+        path = str(tmp_path_factory.mktemp("fusedidx"))
+        tr = load_transcripts(spark, SCALE)
+        docs, stats, metrics = build_index(
+            tr, path, n_shards=4, n_buckets=16, slices=2
+        )
+        ix = SegmentIndex.load(spark, path, docs=docs)
+        rows = docs.select("doc_id", "text").collect()
+        oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in rows])
+        return ix, oracle, docs
+
+    @pytest.mark.parametrize(
+        "query,limit", QUERIES, ids=[f"fused-{q}@{k}" for q, k in QUERIES]
+    )
+    def test_fused_vs_oracle(self, fused, query, limit):
+        ix, oracle, _ = fused
+        got = [
+            (r["doc_id"], r["score"]) for r in ix.search(query, limit=limit).collect()
+        ]
+        want = oracle.search(query, limit=limit)
+        assert [d for d, _ in got] == [d for d, _ in want], query
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (query, gd)
+
+    def test_docid_text_dl_alignment(self, fused, spark):
+        """Segment-stored doc lengths must equal tokenize(docs.text) for
+        the SAME doc_id — the invariant the resampling bug violated."""
+        from pyspark.sql import functions as F
+
+        from xf_spark.functions.textcore import tokenize
+        from xf_spark.query.segment_search import _decode_row
+
+        ix, _, docs = fused
+        texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+        rows = (
+            ix._segments.where((F.col("field") == "text") & (F.col("term") == "machine"))
+            .collect()
+        )
+        assert rows
+        for r in rows:
+            d = _decode_row(r.asDict())
+            for doc_id, dl in zip(d["ids"], d["dls"]):
+                assert int(dl) == len(tokenize(texts[int(doc_id)])), int(doc_id)
+
+
 class TestWandUnit:
     def _mk_term(self, rng, n_docs, df, max_tf):
         ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)

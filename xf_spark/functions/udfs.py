@@ -75,6 +75,57 @@ def doc_prefix_postings_udf(texts: pd.Series) -> pd.Series:
     return texts.map(one)
 
 
+# Flat both-fields variant: ONE text pass emits text-field postings
+# (terms/tfs/positions as parallel flat arrays — no structs, so the
+# Arrow->pandas round-trip stays zero-copy-ish) AND prefix-field
+# postings. This is the build's only tokenize pass.
+_FLAT_STRUCT = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType())),
+        T.StructField("tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("pos_lens", T.ArrayType(T.IntegerType())),
+        T.StructField("pos_flat", T.ArrayType(T.IntegerType())),
+        T.StructField("p_terms", T.ArrayType(T.StringType())),
+        T.StructField("p_tfs", T.ArrayType(T.IntegerType())),
+        T.StructField("dl", T.IntegerType()),
+    ]
+)
+
+
+@pandas_udf(_FLAT_STRUCT)
+def doc_flat_postings_udf(texts: pd.Series) -> pd.DataFrame:
+    terms_o, tfs_o, plens_o, pflat_o, pt_o, ptf_o, dl_o = [], [], [], [], [], [], []
+    for text in texts:
+        text = text or ""
+        acc: dict = {}
+        toks = tokenize(text)
+        for pos, t in enumerate(toks):
+            acc.setdefault(t, []).append(pos)
+        items = sorted(acc.items())
+        terms_o.append([t for t, _ in items])
+        tfs_o.append([len(ps) for _, ps in items])
+        plens_o.append([len(ps) for _, ps in items])
+        pflat_o.append([p for _, ps in items for p in ps])
+        pacc: dict = {}
+        for p in generate_prefixes(text):
+            pacc[p] = pacc.get(p, 0) + 1
+        pitems = sorted(pacc.items())
+        pt_o.append([t for t, _ in pitems])
+        ptf_o.append([c for _, c in pitems])
+        dl_o.append(len(toks))
+    return pd.DataFrame(
+        {
+            "terms": terms_o,
+            "tfs": tfs_o,
+            "pos_lens": plens_o,
+            "pos_flat": pflat_o,
+            "p_terms": pt_o,
+            "p_tfs": ptf_o,
+            "dl": dl_o,
+        }
+    )
+
+
 @pandas_udf(T.ArrayType(T.StringType()))
 def prefixes_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: generate_prefixes(t or ""))

@@ -102,18 +102,71 @@ def decode_tfs(data: bytes) -> np.ndarray:
     return varint_decode(data).astype(np.int64)
 
 
+def encode_positions_flat(lens: np.ndarray, flat: np.ndarray) -> bytes:
+    """Flat-form positions encoder: ``lens[i]`` positions per posting,
+    values concatenated in ``flat``. One scatter for the counts, one
+    diff-with-restarts for the gaps, one varint pass — no per-document
+    Python at all."""
+    n = len(lens)
+    if n == 0:
+        return b""
+    lens = np.asarray(lens, dtype=np.int64)
+    total = int(lens.sum())
+    out = np.empty(n + total, dtype=np.uint64)
+    prev = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=prev[1:])
+    count_idx = np.arange(n, dtype=np.int64) + prev
+    out[count_idx] = lens.astype(np.uint64)
+    if total:
+        flat = np.asarray(flat, dtype=np.int64)
+        delta = np.empty(total, dtype=np.int64)
+        delta[0] = flat[0]
+        if total > 1:
+            delta[1:] = np.diff(flat)
+        starts = prev[lens > 0]  # flat start index of each nonempty list
+        delta[starts] = flat[starts]  # restart: first position as-is
+        mask = np.ones(n + total, dtype=bool)
+        mask[count_idx] = False
+        out[mask] = delta.astype(np.uint64)
+    return varint_encode(out)
+
+
 def encode_positions(pos_lists: list) -> bytes:
     """Per-doc position lists -> one interleaved varint stream:
     [count, first_pos, gaps...] per doc."""
-    chunks: list[np.ndarray] = []
-    for ps in pos_lists:
-        p = np.asarray(ps, dtype=np.int64)
-        chunks.append(np.array([len(p)], dtype=np.uint64))
-        if len(p):
-            chunks.append(delta_encode(p))
-    if not chunks:
+    n = len(pos_lists)
+    if n == 0:
         return b""
-    return varint_encode(np.concatenate(chunks))
+    lens = np.fromiter((len(p) for p in pos_lists), dtype=np.int64, count=n)
+    if lens.sum():
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pos_lists if len(p)]
+        )
+    else:
+        flat = np.empty(0, dtype=np.int64)
+    return encode_positions_flat(lens, flat)
+
+
+def reorder_segments(
+    lens: np.ndarray, flat: np.ndarray, order: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Reorder variable-length segments (lens/flat form) by ``order``
+    without materializing per-segment objects (gather trick)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    new_lens = lens[order]
+    total = int(new_lens.sum())
+    if total == 0:
+        return new_lens, np.empty(0, dtype=np.int64)
+    new_starts = np.zeros(len(new_lens), dtype=np.int64)
+    np.cumsum(new_lens[:-1], out=new_starts[1:])
+    idx = (
+        np.repeat(starts[order], new_lens)
+        + np.arange(total, dtype=np.int64)
+        - np.repeat(new_starts, new_lens)
+    )
+    return new_lens, np.asarray(flat, dtype=np.int64)[idx]
 
 
 def decode_positions(data: bytes, n_docs: int) -> list[np.ndarray]:

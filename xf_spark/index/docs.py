@@ -81,6 +81,101 @@ def assign_doc_ids(
     return ordered.mapInPandas(add_ids, schema=schema)
 
 
+def prepare_docs_tokenized(
+    transcripts: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Single-pass docID assignment + tokenization: the mapInPandas
+    that assigns doc_id also emits the per-doc flat posting arrays for
+    both index fields (terms/tfs/positions + prefix terms/tfs + dl).
+    One scan, one cacheable output — the build's pre-phase collapses
+    from two UDF passes to one."""
+    from xf_spark.functions.hash_embed import DIM  # noqa: F401 (keep import graph warm)
+    from xf_spark.functions.textcore import generate_prefixes, tokenize
+
+    order_cols = ["conv_id", "turn_idx"]
+    if num_partitions is None:
+        num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
+    # The cache is LOAD-BEARING for correctness, not a performance
+    # tweak: the counts job and the assign job MUST see the same
+    # partition boundaries, and a re-executed repartitionByRange
+    # re-samples (AQE re-plans per action) — without materialization
+    # the two jobs can disagree and silently shift doc_ids (observed:
+    # off-by-one dl corruption at partition boundaries).
+    ordered = transcripts.repartitionByRange(
+        num_partitions, *order_cols
+    ).sortWithinPartitions(*order_cols)
+    ordered = ordered.cache()
+
+    counts = (
+        ordered.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["_pid"]: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(ordered.schema.fields)
+        + [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("tfs", T.ArrayType(T.IntegerType())),
+            T.StructField("pos_lens", T.ArrayType(T.IntegerType())),
+            T.StructField("pos_flat", T.ArrayType(T.IntegerType())),
+            T.StructField("p_terms", T.ArrayType(T.StringType())),
+            T.StructField("p_tfs", T.ArrayType(T.IntegerType())),
+            T.StructField("dl", T.IntegerType()),
+        ]
+    )
+    bc = ordered.sparkSession.sparkContext.broadcast(offsets)
+
+    def assign_and_tokenize(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        local = bc.value.get(pid, 0)
+        for pdf in pdf_iter:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf["doc_id"] = range(local, local + n)
+            local += n
+            cols = {k: [] for k in ("terms", "tfs", "pos_lens", "pos_flat", "p_terms", "p_tfs", "dl")}
+            for text in pdf["text"]:
+                text = text or ""
+                acc_t: dict = {}
+                toks = tokenize(text)
+                for pos, t in enumerate(toks):
+                    acc_t.setdefault(t, []).append(pos)
+                items = sorted(acc_t.items())
+                cols["terms"].append([t for t, _ in items])
+                cols["tfs"].append([len(ps) for _, ps in items])
+                cols["pos_lens"].append([len(ps) for _, ps in items])
+                cols["pos_flat"].append([p for _, ps in items for p in ps])
+                acc_p: dict = {}
+                for p in generate_prefixes(text):
+                    acc_p[p] = acc_p.get(p, 0) + 1
+                pitems = sorted(acc_p.items())
+                cols["p_terms"].append([t for t, _ in pitems])
+                cols["p_tfs"].append([c for _, c in pitems])
+                cols["dl"].append(len(toks))
+            for k, v in cols.items():
+                pdf[k] = v
+            yield pdf
+
+    out = ordered.mapInPandas(assign_and_tokenize, schema=schema)
+    # expose the intermediate cache for release after downstream
+    # materialization (two full text copies = memory pressure)
+    out._ordered_cache = ordered
+    return out
+
+
 def prepare_docs(transcripts: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Transcripts -> unified doc table with stable doc_id.
 

