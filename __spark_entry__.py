@@ -93,6 +93,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stats": eq.dedup_exact_stats,
         "dedup_exact_groups": eq.dedup_exact_groups,
         "ngram_jaccard_pairs": eq.ngram_jaccard_pairs,
+        "minhash_dedup": eq.minhash_dedup,
+        # text ops
+        "lang_id_distribution": eq.lang_id_distribution,
+        "token_count_stats": eq.token_count_stats,
+        # ANN
+        "ann_ivf_full_probe": eq.ann_ivf_full_probe,
         # text analysis
         "text_quality": eq.text_quality,
         "length_histogram": eq.length_histogram,

@@ -1,0 +1,196 @@
+"""Tests: stats/analytics surface, date grammar, context expansion,
+snippets, sorts, lookups."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from xf_spark.analytics import stats as S
+from xf_spark.index.builder import build_engine
+from xf_spark.query.dates import parse_date_flexible, parse_date_range
+from xf_spark.query.results import (
+    add_snippets,
+    apply_sort,
+    conversation_context,
+    get_by_id,
+    get_by_ids,
+)
+from xf_spark.transcripts import load_transcripts
+
+SCALE = 0.001
+NOW = dt.datetime(2026, 8, 16, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    transcripts = load_transcripts(spark, SCALE)
+    engine = build_engine(transcripts)
+    rows = transcripts.collect()
+    return engine, transcripts, rows
+
+
+class TestStats:
+    def test_archive_stats(self, built):
+        engine, transcripts, rows = built
+        r = S.archive_stats(transcripts).first()
+        assert r["n_turns"] == len(rows)
+        assert r["n_conversations"] == len({x["conv_id"] for x in rows})
+        assert r["n_user"] == sum(1 for x in rows if x["role"] == "user")
+        assert r["first_ts"] == min(x["ts"] for x in rows)
+
+    def test_daily_counts_sum(self, built):
+        _, transcripts, rows = built
+        got = S.daily_counts(transcripts).collect()
+        assert sum(r["n"] for r in got) == len(rows)
+        days = [r["day"] for r in got]
+        assert days == sorted(days)
+
+    def test_hourly_distribution(self, built):
+        _, transcripts, rows = built
+        got = {r["hour"]: r["n"] for r in S.hourly_distribution(transcripts).collect()}
+        import collections
+
+        want = collections.Counter(x["ts"].hour for x in rows)
+        assert got == dict(want)
+
+    def test_dow_sunday_zero(self, built):
+        _, transcripts, rows = built
+        got = {r["dow"]: r["n"] for r in S.dow_distribution(transcripts).collect()}
+        import collections
+
+        # python weekday(): Mon=0..Sun=6 -> Sun=0 mapping: (wd+1)%7
+        want = collections.Counter((x["ts"].weekday() + 1) % 7 for x in rows)
+        assert got == dict(want)
+
+    def test_longest_gap(self, built):
+        _, transcripts, rows = built
+        days = sorted({x["ts"].date() for x in rows})
+        want = max(
+            (b - a).days for a, b in zip(days, days[1:])
+        ) if len(days) > 1 else None
+        got = S.longest_gap_days(transcripts).first()["max_gap_days"]
+        assert got == want
+
+    def test_conversation_summaries(self, built):
+        _, transcripts, rows = built
+        got = {r["conv_id"]: r for r in S.conversation_summaries(transcripts).collect()}
+        conv = rows[0]["conv_id"]
+        mine = [x for x in rows if x["conv_id"] == conv]
+        assert got[conv]["n_turns"] == len(mine)
+        assert got[conv]["roles"] == sorted({x["role"] for x in mine})
+
+    def test_histograms_cover_all(self, built):
+        _, transcripts, rows = built
+        lh = S.length_histogram(transcripts).collect()
+        assert sum(r["n"] for r in lh) == len(rows)
+        th = S.turns_per_conversation_histogram(transcripts).collect()
+        assert sum(r["n"] for r in th) == len({x["conv_id"] for x in rows})
+
+    def test_top_tools(self, built):
+        _, transcripts, rows = built
+        got = S.top_tools(transcripts, limit=3).collect()
+        import collections
+
+        want = collections.Counter(
+            x["tool"].lower() for x in rows if x["tool"]
+        ).most_common()
+        assert got[0]["n"] == want[0][1]
+
+    def test_median(self, built):
+        _, transcripts, rows = built
+        r = S.median_turn_length(transcripts).first()
+        assert r["p50_chars"] > 0
+
+
+class TestDates:
+    def test_iso_date(self):
+        assert parse_date_flexible("2024-03-05") == dt.datetime(2024, 3, 5)
+        assert parse_date_flexible("2024-03-05", end=True) == dt.datetime(
+            2024, 3, 5, 23, 59, 59, 999999
+        )
+
+    def test_year_month(self):
+        lo, hi = parse_date_range("2024-02")
+        assert lo == dt.datetime(2024, 2, 1)
+        assert hi.day == 29  # leap year
+
+    def test_quarter(self):
+        lo, hi = parse_date_range("q2 2024")
+        assert lo == dt.datetime(2024, 4, 1) and hi.month == 6 and hi.day == 30
+
+    def test_winter_spans_year(self):
+        lo, hi = parse_date_range("winter 2023")
+        assert lo == dt.datetime(2023, 12, 1)
+        assert hi.year == 2024 and hi.month == 2 and hi.day == 29
+
+    def test_month_year(self):
+        lo, hi = parse_date_range("january 2025")
+        assert lo == dt.datetime(2025, 1, 1) and hi.day == 31
+
+    def test_relative(self):
+        lo, hi = parse_date_range("yesterday", now=NOW)
+        assert lo.date() == dt.date(2026, 8, 15)
+        lo, _ = parse_date_range("last 3 days", now=NOW)
+        assert lo.date() == dt.date(2026, 8, 13)
+        lo, hi = parse_date_range("2 months ago", now=NOW)
+        assert lo.date() == dt.date(2026, 6, 16)
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            parse_date_flexible("next fortnight-ish")
+
+
+class TestResults:
+    def test_conversation_context(self, built):
+        engine, transcripts, rows = built
+        hits = engine.search("machine", limit=5)
+        ctx = conversation_context(engine.docs, hits).collect()
+        assert any(r["is_match"] for r in ctx)
+        # full conversations included, stable order, text preserved
+        convs = {r["conv_id"] for r in ctx}
+        by_conv = {}
+        for r in rows:
+            by_conv.setdefault(r["conv_id"], []).append(r)
+        got_by_conv = {}
+        for r in ctx:
+            got_by_conv.setdefault(r["conv_id"], []).append(r)
+        for c in convs:
+            want = sorted(by_conv[c], key=lambda x: x["turn_idx"])
+            got = got_by_conv[c]
+            assert [g["turn_idx"] for g in got] == [w["turn_idx"] for w in want]
+            assert [g["text"] for g in got] == [w["text"] for w in want]
+
+    def test_get_by_id(self, built):
+        engine, _, rows = built
+        r0 = rows[0]
+        got = get_by_id(engine.docs, r0["conv_id"], r0["turn_idx"]).collect()
+        assert len(got) == 1 and got[0]["text"] == r0["text"]
+
+    def test_get_by_ids_order_preserved(self, built):
+        engine, _, rows = built
+        ids = [(rows[5]["conv_id"], rows[5]["turn_idx"]),
+               (rows[0]["conv_id"], rows[0]["turn_idx"]),
+               ("convNOPE", 0)]
+        got = get_by_ids(engine.docs, ids).collect()
+        assert len(got) == 2  # missing id absent
+        assert got[0]["text"] == rows[5]["text"]
+        assert got[1]["text"] == rows[0]["text"]
+
+    def test_snippets_highlight(self, built):
+        engine, _, _ = built
+        hyd = engine.search_hydrated("machine", limit=5)
+        rows = add_snippets(hyd, "machine").collect()
+        assert rows
+        assert all("<b>" in r["snippet"].lower() for r in rows)
+
+    def test_sorts(self, built):
+        engine, _, _ = built
+        hyd = engine.search_hydrated("rust", limit=10)
+        by_date = apply_sort(hyd, "date").collect()
+        ts = [r["ts"] for r in by_date]
+        assert ts == sorted(ts)
+        by_eng = apply_sort(hyd, "engagement").collect()
+        lens = [len(r["text"]) for r in by_eng]
+        assert lens == sorted(lens, reverse=True)

@@ -1,0 +1,227 @@
+"""Tests for the training-data ops: dedup family, similarity, text
+analysis, multimodal plumbing — each verified against brute-force or
+pure-Python recomputation on the driver's documents/embeddings tables."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from xf_spark.ops import dedup as D
+from xf_spark.ops import similarity as SIM
+from xf_spark.ops import textops as TX
+from xf_spark.ops.multimodal import extract_features, frame_sample_plan, synth_media
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestExactDedup:
+    def test_keeps_min_id_per_text(self, documents):
+        out = D.exact_dedup(documents).collect()
+        rows = documents.collect()
+        first_by_text = {}
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            first_by_text.setdefault(r["text"], r["doc_id"])
+        assert sorted(r["doc_id"] for r in out) == sorted(first_by_text.values())
+
+
+class TestMinHash:
+    def test_signature_deterministic(self):
+        a = D.minhash_signature("the quick brown fox jumps over the lazy dog")
+        b = D.minhash_signature("the quick brown fox jumps over the lazy dog")
+        assert a == b and len(a) == D.N_HASHES
+
+    def test_identical_texts_share_all_bands(self, spark):
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta"),
+             (1, "alpha beta gamma delta epsilon zeta"),
+             (2, "completely different words entirely here now")],
+            "doc_id long, text string",
+        )
+        pairs = D.minhash_lsh_candidates(df).collect()
+        assert (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+    def test_lsh_verified_jaccard_vs_bruteforce(self, spark):
+        texts = [
+            "one two three four five six seven eight nine ten",
+            "one two three four five six seven eight nine eleven",  # near-dup
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten",  # exact dup
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.minhash_dedup_pairs(df, threshold=0.5).collect()
+        }
+        # brute-force shingle jaccard
+        sh = [D._shingles(t) for t in texts]
+        for i, j in itertools.combinations(range(len(texts)), 2):
+            jac = len(sh[i] & sh[j]) / len(sh[i] | sh[j])
+            if jac >= 0.5:
+                assert (i, j) in got, (i, j, jac)
+                assert abs(got[(i, j)] - round(jac, 6)) < 1e-9
+
+
+class TestSimHash:
+    def test_identical_zero_hamming(self, spark):
+        # one differing token out of 40: tiny simhash perturbation ->
+        # within the 4-block trick's recall guarantee (hamming <= 3)
+        base = " ".join(f"token{i:02d}" for i in range(40))
+        near = base.replace("token39", "token99")
+        df = spark.createDataFrame(
+            [(0, base), (1, base), (2, near), (3, "entirely different words here")],
+            "doc_id long, text string",
+        )
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+               D.simhash_candidates(df, max_hamming=24).collect()}
+        assert got[(0, 1)] == 0
+        assert (0, 3) not in got and (1, 3) not in got
+        # python-side ground truth for the near pair
+        h = bin(D.simhash(base) ^ D.simhash(near)).count("1")
+        if h <= 24 and (0, 2) in got:
+            assert got[(0, 2)] == h
+
+    def test_simhash_matches_python(self, documents):
+        rows = documents.limit(5).collect()
+        from pyspark.sql import functions as F
+
+        df = documents.limit(5).select(
+            "doc_id", D.simhash_udf(F.col("text")).alias("sh")
+        ).collect()
+        got = {r["doc_id"]: r["sh"] for r in df}
+        for r in rows:
+            assert got[r["doc_id"]] == D.simhash(r["text"])
+
+
+class TestEmbeddingNearDup:
+    def test_finds_identical_vectors(self, spark):
+        v = [float(x) for x in np.random.default_rng(0).standard_normal(16)]
+        v2 = [x * 1.001 for x in v]  # same direction
+        other = [float(x) for x in np.random.default_rng(9).standard_normal(16)]
+        df = spark.createDataFrame(
+            [(0, v), (1, v2), (2, other)], "vec_id long, embedding array<float>"
+        )
+        pairs = D.embedding_near_dup_pairs(df, threshold=0.99, n_planes=4).collect()
+        keys = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in keys
+        assert all(r["cosine"] >= 0.99 for r in pairs)
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, embeddings):
+        rows = embeddings.collect()
+        q = rows[0]["embedding"]
+        got = SIM.brute_force_topk(embeddings, q, k=5).collect()
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        qv = np.array(q, dtype=np.float64)
+        cos = (X @ qv) / (np.linalg.norm(X, axis=1) * np.linalg.norm(qv))
+        ids = np.array([r["vec_id"] for r in rows])
+        order = np.lexsort((ids, -np.round(cos, 6)))[:5]
+        assert [r["vec_id"] for r in got] == ids[order].tolist()
+
+    def test_ivf_recall_vs_brute(self, embeddings):
+        rows = embeddings.collect()
+        q = rows[3]["embedding"]
+        cent = SIM.train_centroids(embeddings, n_cells=8, sample=256)
+        celled = SIM.assign_cells(embeddings, cent).cache()
+        approx = set(
+            r["vec_id"] for r in SIM.ivf_topk(celled, cent, q, k=10, n_probe=4).collect()
+        )
+        exact = set(r["vec_id"] for r in SIM.brute_force_topk(embeddings, q, k=10).collect())
+        # recall@10 with half the cells probed should be high
+        assert len(approx & exact) >= 6
+
+    def test_ivf_full_probe_equals_brute(self, embeddings):
+        rows = embeddings.collect()
+        q = rows[7]["embedding"]
+        cent = SIM.train_centroids(embeddings, n_cells=4, sample=256)
+        celled = SIM.assign_cells(embeddings, cent)
+        approx = [r["vec_id"] for r in SIM.ivf_topk(celled, cent, q, k=10, n_probe=4).collect()]
+        exact = [r["vec_id"] for r in SIM.brute_force_topk(embeddings, q, k=10).collect()]
+        assert approx == exact  # probing ALL cells == exact
+
+
+class TestTextOps:
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the quick brown fox and the lazy dog run fast"),
+             (1, "日本語のテキストです漢字がたくさんあります"),
+             (2, "النص العربي هنا"),
+             (3, "Русский текст здесь"),
+             (4, "12345 67890 !!!")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["lang_guess"] for r in TX.lang_id(df).collect()}
+        assert got[0] == "en" and got[1] == "cjk" and got[2] == "ar"
+        assert got[3] == "ru" and got[4] == "other"
+
+    def test_quality_scores_ranges(self, documents):
+        out = TX.quality_scores(documents.limit(50)).collect()
+        for r in out:
+            assert 0 <= r["quality"] <= 1.0001
+            assert r["n_ws_tokens"] > 0
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "hello world"), (1, "don't stop 123!"), (2, "")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"]) for r in
+               TX.token_counts(df).collect()}
+        assert got[0] == (2, 2)
+        assert got[1][0] == 3 and got[1][1] >= 4  # don|'t| stop| 123|!
+        assert got[2][0] == 0
+
+    def test_fingerprints_deterministic_and_copy_detect(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(0, base), (1, base + " with a tiny suffix appended"), (2, "entirely unrelated content words only")],
+            "doc_id long, text string",
+        )
+        assert TX.rolling_fingerprints(base) == TX.rolling_fingerprints(base)
+        pairs = TX.fingerprint_overlap_pairs(df, min_common=1).collect()
+        keys = {(r["id_a"], r["id_b"]) for r in pairs}
+        assert (0, 1) in keys and (0, 2) not in keys
+
+
+class TestMultimodal:
+    def test_feature_extraction_shapes(self, spark):
+        media = synth_media(spark, n=12)
+        feats = extract_features(media, feature_dim=16).collect()
+        assert len(feats) == 12
+        for r in feats:
+            assert len(r["feature"]) == 16
+            assert r["n_bytes"] > 0
+            norm = float(np.linalg.norm(r["feature"]))
+            assert abs(norm - 1.0) < 1e-3
+
+    def test_deterministic(self, spark):
+        media = synth_media(spark, n=6)
+        a = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+        b = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+        assert a == b
+
+    def test_frame_sample_plan(self, spark):
+        media = synth_media(spark, n=9)
+        plan = frame_sample_plan(media, every_ms=1000).collect()
+        vids = {r["media_id"]: r for r in media.where("kind='video'").collect()}
+        import collections
+
+        per = collections.Counter(r["media_id"] for r in plan)
+        for mid, n in per.items():
+            dur = vids[mid]["meta"]["duration_ms"]
+            assert n == (dur - 1) // 1000 + 1

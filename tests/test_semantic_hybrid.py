@@ -1,0 +1,82 @@
+"""Differential tests: semantic cosine top-k and RRF hybrid vs the
+NumPy oracle (the reference's recompute pattern, tests/cli_e2e.rs
+expected_semantic_results / expected_hybrid_scores)."""
+
+from __future__ import annotations
+
+import pytest
+
+from xf_spark.index.builder import build_engine
+from xf_spark.oracle import OracleIndex
+from xf_spark.query.hybrid import candidate_count, hybrid_search, rrf_fuse
+from xf_spark.query.semantic import build_embeddings, semantic_topk
+from xf_spark.transcripts import load_transcripts
+
+SCALE = 0.001
+TOL = 1e-6
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    transcripts = load_transcripts(spark, SCALE)
+    engine = build_engine(transcripts)
+    embeddings = build_embeddings(engine.docs).cache()
+    embeddings.count()
+    rows = engine.docs.select("doc_id", "text").collect()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    oracle = OracleIndex.build(list(texts.items()))
+    return engine, embeddings, texts, oracle
+
+
+@pytest.mark.parametrize("query,limit", [
+    ("stress", 20), ("rust", 100), ("machine learning", 20),
+    ("日本語", 10), ("", 5),
+])
+def test_semantic_vs_oracle(built, query, limit):
+    _, embeddings, texts, oracle = built
+    got = [
+        (r["doc_id"], r["score"])
+        for r in semantic_topk(embeddings, query, limit=limit).collect()
+    ]
+    want = oracle.semantic_topk(query, texts, limit=limit)
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (gd, gs), (_, ws) in zip(got, want):
+        # engine stores float32 vectors; oracle computes in float32 too
+        assert abs(gs - ws) <= 1e-5 * max(1.0, abs(ws)), (query, gd, gs, ws)
+
+
+@pytest.mark.parametrize("query,limit", [("rust", 20), ("machine", 10)])
+def test_hybrid_vs_oracle(built, query, limit):
+    engine, embeddings, texts, oracle = built
+    got = [
+        (r["doc_id"], r["score"])
+        for r in hybrid_search(engine, embeddings, query, limit=limit).collect()
+    ]
+    n = candidate_count(limit)
+    lex = oracle.search(query, limit=n)
+    sem = oracle.semantic_topk(query, texts, limit=n)
+    want = oracle.rrf_fuse(lex, sem, limit=limit)
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) <= TOL, (query, gd, gs, ws)
+
+
+def test_rrf_spot_value(spark):
+    # doc at rank 0 in both lists -> 2/61 (hybrid.rs:375-384)
+    lex = spark.createDataFrame([(7, 5.0)], "doc_id long, score double")
+    sem = spark.createDataFrame([(7, 0.9)], "doc_id long, score double")
+    fused = rrf_fuse(lex, sem, limit=10).collect()
+    assert len(fused) == 1
+    assert abs(fused[0]["score"] - 2.0 / 61.0) < 1e-12
+
+
+def test_hybrid_offset_pagination(built):
+    engine, embeddings, texts, oracle = built
+    full = hybrid_search(engine, embeddings, "rust", limit=20).collect()
+    page = hybrid_search(engine, embeddings, "rust", limit=5, offset=5).collect()
+    # offset changes candidate_count (3*(limit+offset)), so recompute
+    n = candidate_count(5, 5)
+    lex = oracle.search("rust", limit=n)
+    sem = oracle.semantic_topk("rust", texts, limit=n)
+    want = oracle.rrf_fuse(lex, sem, limit=5, offset=5)
+    assert [r["doc_id"] for r in page] == [d for d, _ in want]

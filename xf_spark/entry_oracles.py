@@ -286,3 +286,121 @@ WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text ops oracles
+# ---------------------------------------------------------------------------
+
+def _minhash_oracle_sql() -> str:
+    """Exact replay of xf_spark.ops.dedup minhash-LSH-verified pairs:
+    same md5-derived shingle ints, same affine coefficients (< 2^31,
+    int64-safe), same mersenne modulus, same comma-joined band
+    digests, same exact-Jaccard verification."""
+    from xf_spark.ops.dedup import MINHASH_A, MINHASH_B, N_BANDS, N_HASHES
+
+    coef_rows = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    rpb = N_HASHES // N_BANDS
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                          x -> lower(x)),
+           x -> x <> '' AND strlen(x) < 40) AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             AS shingle
+    FROM toks
+  )
+),
+shi AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS v FROM sh
+),
+coef(i, a, b) AS (VALUES {coef_rows}),
+mh AS (
+  SELECT doc_id, i, min((a * v + b) % 2305843009213693951) AS sig
+  FROM shi CROSS JOIN coef
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {rpb} AS band,
+         string_agg(sig::VARCHAR, ',' ORDER BY i) AS digest
+  FROM mh GROUP BY doc_id, i // {rpb}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(coalesce(i.i, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.i, 0)), 6)
+         AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE coalesce(i.i, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.i, 0)) >= 0.8
+ORDER BY c.id_a, c.id_b
+"""
+
+
+ORACLES["minhash_dedup"] = _minhash_oracle_sql()
+
+ORACLES["lang_id_distribution"] = """
+WITH g AS (
+  SELECT CASE
+    WHEN length(regexp_replace(text, '[^一-鿿぀-ヿ]', '', 'g'))::DOUBLE
+         / greatest(length(text), 1) > 0.25 THEN 'cjk'
+    WHEN length(regexp_replace(text, '[^؀-ۿ]', '', 'g'))::DOUBLE
+         / greatest(length(text), 1) > 0.25 THEN 'ar'
+    WHEN length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))::DOUBLE
+         / greatest(length(text), 1) > 0.25 THEN 'ru'
+    WHEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+         / greatest(length(text), 1) > 0.4 THEN 'en'
+    ELSE 'other' END AS lang_guess
+  FROM documents
+)
+SELECT lang_guess, count(*) AS n FROM g GROUP BY lang_guess ORDER BY lang_guess
+"""
+
+ORACLES["token_count_stats"] = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT
+         AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))::BIGINT
+         AS n_bpe_tokens
+FROM documents
+WHERE doc_id < 30
+ORDER BY doc_id
+"""
+
+ORACLES["ann_ivf_full_probe"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             6) AS cosine
+FROM e CROSS JOIN q
+ORDER BY cosine DESC, vec_id
+LIMIT 15
+"""

@@ -441,3 +441,53 @@ def tpch_q1(spark, sf_dir):
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text ops entries (xf_spark.ops)
+# ---------------------------------------------------------------------------
+
+def minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup pairs verified by exact shingle Jaccard
+    (xf_spark.ops.dedup) — the DuckDB oracle replays the exact same
+    md5-derived minhash arithmetic."""
+    from xf_spark.ops.dedup import minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_dedup_pairs(docs, threshold=0.8)
+
+
+def lang_id_distribution(spark, sf_dir):
+    from xf_spark.ops.textops import lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        lang_id(docs)
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang_guess")
+    )
+
+
+def token_count_stats(spark, sf_dir):
+    """Whitespace + BPE-ish token counts for the first 30 docs."""
+    from xf_spark.ops.textops import token_counts
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    return token_counts(docs).select("doc_id", "n_ws_tokens", "n_bpe_tokens").orderBy(
+        "doc_id"
+    )
+
+
+def ann_ivf_full_probe(spark, sf_dir):
+    """IVF ANN with ALL cells probed == exact brute force (the oracle
+    is plain exact cosine top-k): proves the approximate path's
+    machinery without an approximation gap."""
+    from xf_spark.ops.similarity import assign_cells, ivf_topk, train_centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 7).first()["embedding"]
+    cent = train_centroids(emb, n_cells=4, sample=256)
+    celled = assign_cells(emb, cent)
+    out = ivf_topk(celled, cent, [float(x) for x in q], k=15, n_probe=4)
+    return out.select("vec_id", "cosine")

@@ -1,0 +1,159 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (n-gram/charset heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and rolling-hash document
+fingerprinting. Built-ins where possible; one vectorized pandas UDF
+where not. Each has a DuckDB-expressible oracle or a deterministic
+pure-Python mirror for tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+EN_STOPWORDS = [
+    "the", "a", "of", "and", "to", "in", "is", "for", "on", "with",
+    "that", "it", "you", "are", "this",
+]
+
+# BPE-ish pre-tokenizer (GPT-2-style contractions + word/number/punct
+# classes, public knowledge), used for token counting only.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID via charset ratios (pure built-ins):
+    cjk / arabic / cyrillic when those scripts dominate, else 'en' for
+    ascii-alpha-dominant text, else 'other'. A real pipeline swaps in
+    fastText/CLD3 behind the same column contract."""
+    total = F.greatest(F.length(text_col), F.lit(1))
+    n_cjk = F.length(F.regexp_replace(text_col, r"[^一-鿿぀-ヿ]", ""))
+    n_ar = F.length(F.regexp_replace(text_col, r"[^؀-ۿ]", ""))
+    n_cy = F.length(F.regexp_replace(text_col, r"[^Ѐ-ӿ]", ""))
+    n_lat = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", ""))
+    return docs.withColumn(
+        "lang_guess",
+        F.when(n_cjk / total > 0.25, "cjk")
+        .when(n_ar / total > 0.25, "ar")
+        .when(n_cy / total > 0.25, "ru")
+        .when(n_lat / total > 0.4, "en")
+        .otherwise("other"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features + composite score (all JVM-side):
+    token count, mean token length, stopword ratio, punctuation
+    ratio, uppercase ratio, digit ratio. Composite: heuristic blend
+    in [0, 1], higher = more prose-like."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
+    total = F.greatest(F.length(text_col), F.lit(1))
+    punct_ratio = F.length(F.regexp_replace(text_col, r"[^!-/:-@\[-`{-~]", "")) / total
+    upper_ratio = F.length(F.regexp_replace(text_col, r"[^A-Z]", "")) / total
+    digit_ratio = F.length(F.regexp_replace(text_col, r"[^0-9]", "")) / total
+    stop = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    lower_toks = F.transform(toks, lambda t: F.lower(t))
+    stop_ratio = F.size(F.array_intersect(lower_toks, stop)) / F.greatest(
+        F.size(F.array_distinct(lower_toks)), F.lit(1)
+    )
+    score = (
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(4.0), F.lit(1.0))) * 0.1
+    )
+    return docs.select(
+        "*",
+        n_tok.cast("long").alias("n_ws_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish token counts (JVM regexp, no UDF)."""
+    trimmed = F.trim(F.col(text_col))
+    ws = F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+    return docs.select(
+        "*",
+        ws.cast("long").alias("n_ws_tokens"),
+        bpe.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+FP_WINDOW = 8
+FP_BASE = 1_000_003
+FP_MOD = (1 << 61) - 1
+
+
+def rolling_fingerprints(text: str) -> list[int]:
+    """Winnowing-style fingerprints: rolling polynomial hash over
+    token windows, keep window minima (document fingerprinting for
+    copy detection; deterministic, pure python — shared with tests)."""
+    from xf_spark.functions.textcore import tokenize
+
+    toks = tokenize(text or "")
+    if len(toks) < FP_WINDOW:
+        toks = toks + [""] * (FP_WINDOW - len(toks)) if toks else []
+    if not toks:
+        return []
+    import hashlib
+
+    th = [
+        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) for t in toks
+    ]
+    hashes = []
+    for i in range(len(th) - FP_WINDOW + 1):
+        h = 0
+        for j in range(FP_WINDOW):
+            h = (h * FP_BASE + th[i + j]) % FP_MOD
+        hashes.append(h)
+    # winnow: min of each 4-window, deduped, sorted
+    out = set()
+    W = 4
+    for i in range(max(1, len(hashes) - W + 1)):
+        out.add(min(hashes[i : i + W]))
+    return sorted(out)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def fingerprints_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(rolling_fingerprints)
+
+
+def fingerprint_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("fingerprints", fingerprints_udf(F.col(text_col)))
+
+
+def fingerprint_overlap_pairs(
+    docs: DataFrame, min_common: int = 2, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Copy-detection candidate pairs: explode fingerprints ->
+    self-join on fingerprint -> pairs with >= min_common shared
+    fingerprints. Same bucket-join shape as the other dedup ops."""
+    fp = fingerprint_docs(docs, text_col).select(
+        id_col, F.explode("fingerprints").alias("fp")
+    ).distinct()
+    a = fp.alias("a")
+    b = fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+        .orderBy("id_a", "id_b")
+    )

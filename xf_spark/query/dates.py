@@ -1,0 +1,168 @@
+"""Natural-language date parsing for --since/--until filters.
+
+Driver-side pure-Python port of the useful subset of the reference's
+date_parser.rs grammar (846 lines; SURVEY.md §2.5):
+
+- strict ISO: YYYY-MM-DD (start- or end-of-day by ``end`` flag),
+  full ISO datetimes;
+- YYYY-MM and "<month> <year>";
+- quarters: "q1 2024" .. "q4 2024" (date_parser.rs:406-442);
+- seasons: "spring/summer/fall/autumn/winter 2023" — winter spans the
+  year boundary: Dec 1 year -> Feb end year+1 (date_parser.rs:444-478);
+- relative: today, yesterday, "this month/year", "last week/month/
+  year", "last N days/weeks/months/years", "N days/... ago"
+  (date_parser.rs:199-228).
+
+Returns naive UTC datetimes (the engine pins session TZ = UTC).
+``now`` is injectable for deterministic tests.
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+import re
+
+MONTHS = {m.lower(): i for i, m in enumerate(calendar.month_name) if m}
+MONTHS.update({m.lower(): i for i, m in enumerate(calendar.month_abbr) if m})
+
+_UNITS = {"day": 1, "week": 7}
+
+
+def _start_of_day(d: dt.date) -> dt.datetime:
+    return dt.datetime(d.year, d.month, d.day)
+
+
+def _end_of_day(d: dt.date) -> dt.datetime:
+    return dt.datetime(d.year, d.month, d.day, 23, 59, 59, 999999)
+
+
+def _month_range(year: int, month: int) -> tuple[dt.datetime, dt.datetime]:
+    last = calendar.monthrange(year, month)[1]
+    return _start_of_day(dt.date(year, month, 1)), _end_of_day(
+        dt.date(year, month, last)
+    )
+
+
+def parse_date_flexible(
+    text: str, end: bool = False, now: dt.datetime | None = None
+) -> dt.datetime:
+    """Parse one date expression -> datetime. ``end=True`` returns the
+    end of the expression's range (for --until), else the start."""
+    lo, hi = parse_date_range(text, now=now)
+    return hi if end else lo
+
+
+def parse_date_range(
+    text: str, now: dt.datetime | None = None
+) -> tuple[dt.datetime, dt.datetime]:
+    """Parse an expression into its (start, end) datetime range."""
+    now = now or dt.datetime.utcnow()
+    s = (text or "").strip().lower()
+    if not s:
+        raise ValueError("empty date expression")
+
+    # ISO datetime / date
+    m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})[t ](\d{2}):(\d{2})(?::(\d{2}))?", s)
+    if m:
+        t = dt.datetime(
+            int(m[1]), int(m[2]), int(m[3]), int(m[4]), int(m[5]), int(m[6] or 0)
+        )
+        return t, t
+    m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", s)
+    if m:
+        d = dt.date(int(m[1]), int(m[2]), int(m[3]))
+        return _start_of_day(d), _end_of_day(d)
+    m = re.fullmatch(r"(\d{4})-(\d{2})", s)
+    if m:
+        return _month_range(int(m[1]), int(m[2]))
+    m = re.fullmatch(r"(\d{4})", s)
+    if m:
+        y = int(m[1])
+        return _start_of_day(dt.date(y, 1, 1)), _end_of_day(dt.date(y, 12, 31))
+
+    # quarters: q1 2024 / 2024 q1 (date_parser.rs:406-442)
+    m = re.fullmatch(r"q([1-4])\s+(\d{4})", s) or re.fullmatch(
+        r"(\d{4})\s+q([1-4])", s
+    )
+    if m:
+        a, b = m.groups()
+        q, y = (int(a), int(b)) if len(a) == 1 else (int(b), int(a))
+        sm = 3 * (q - 1) + 1
+        lo, _ = _month_range(y, sm)
+        _, hi = _month_range(y, sm + 2)
+        return lo, hi
+
+    # seasons (date_parser.rs:444-478); winter spans the year boundary
+    m = re.fullmatch(r"(spring|summer|fall|autumn|winter)\s+(\d{4})", s)
+    if m:
+        season, y = m[1], int(m[2])
+        if season == "spring":
+            return _month_range(y, 3)[0], _month_range(y, 5)[1]
+        if season == "summer":
+            return _month_range(y, 6)[0], _month_range(y, 8)[1]
+        if season in ("fall", "autumn"):
+            return _month_range(y, 9)[0], _month_range(y, 11)[1]
+        return _month_range(y, 12)[0], _month_range(y + 1, 2)[1]
+
+    # month year: "january 2024" / "jan 2024"
+    m = re.fullmatch(r"([a-z]+)\s+(\d{4})", s)
+    if m and m[1] in MONTHS:
+        return _month_range(int(m[2]), MONTHS[m[1]])
+
+    # relative (date_parser.rs:199-228)
+    today = now.date()
+    if s == "today":
+        return _start_of_day(today), _end_of_day(today)
+    if s == "yesterday":
+        d = today - dt.timedelta(days=1)
+        return _start_of_day(d), _end_of_day(d)
+    if s == "this month":
+        return _month_range(today.year, today.month)
+    if s == "this year":
+        return _start_of_day(dt.date(today.year, 1, 1)), _end_of_day(
+            dt.date(today.year, 12, 31)
+        )
+    if s == "last week":
+        start = today - dt.timedelta(days=today.weekday() + 7)
+        return _start_of_day(start), _end_of_day(start + dt.timedelta(days=6))
+    if s == "last month":
+        y, mth = (today.year, today.month - 1) if today.month > 1 else (
+            today.year - 1,
+            12,
+        )
+        return _month_range(y, mth)
+    if s == "last year":
+        return _start_of_day(dt.date(today.year - 1, 1, 1)), _end_of_day(
+            dt.date(today.year - 1, 12, 31)
+        )
+    m = re.fullmatch(r"last\s+(\d+)\s+(day|week|month|year)s?", s)
+    if m:
+        n, unit = int(m[1]), m[2]
+        if unit in _UNITS:
+            start = today - dt.timedelta(days=n * _UNITS[unit])
+        elif unit == "month":
+            y, mth = today.year, today.month - n
+            while mth <= 0:
+                mth += 12
+                y -= 1
+            start = dt.date(y, mth, min(today.day, calendar.monthrange(y, mth)[1]))
+        else:
+            start = dt.date(today.year - n, today.month, today.day)
+        return _start_of_day(start), _end_of_day(today)
+    m = re.fullmatch(r"(\d+)\s+(day|week|month|year)s?\s+ago", s)
+    if m:
+        n, unit = int(m[1]), m[2]
+        if unit in _UNITS:
+            d = today - dt.timedelta(days=n * _UNITS[unit])
+        elif unit == "month":
+            y, mth = today.year, today.month - n
+            while mth <= 0:
+                mth += 12
+                y -= 1
+            d = dt.date(y, mth, min(today.day, calendar.monthrange(y, mth)[1]))
+        else:
+            d = dt.date(today.year - n, today.month, today.day)
+        return _start_of_day(d), _end_of_day(d)
+
+    raise ValueError(f"unrecognized date expression: {text!r}")

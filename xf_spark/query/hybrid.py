@@ -1,0 +1,84 @@
+"""Hybrid search: Reciprocal Rank Fusion of lexical + semantic lists.
+
+Parity with the reference's hybrid.rs:136-213 pinned semantics
+(FIXTURES.md §4):
+- K = 60; fused score = sum over lists of 1/(K + rank + 1), rank
+  0-based within each list;
+- candidate multiplier 3: each source fetches 3*(limit+offset);
+- tiebreaks: score desc -> present-in-both-lists first -> doc_id asc.
+
+Spark shape (SURVEY.md §3.3): two ranked DataFrames -> row_number
+windows -> full outer join on doc_id -> RRF expression -> orderBy with
+the exact tiebreaks -> offset/limit. The inputs are k-sized (top-k
+results), so every step here is broadcast-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+RRF_K = 60
+CANDIDATE_MULTIPLIER = 3
+
+
+def candidate_count(limit: int, offset: int = 0) -> int:
+    return CANDIDATE_MULTIPLIER * (limit + offset)
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    semantic: DataFrame,
+    limit: int,
+    offset: int = 0,
+) -> DataFrame:
+    """Fuse two (doc_id, score) DataFrames (already in rank order
+    semantics: rank = row_number over (score desc, doc_id asc)).
+    Returns (doc_id, score[, in_both]) — score is the RRF score."""
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lexical.select(
+        "doc_id", (F.row_number().over(w) - 1).alias("lex_rank")
+    )
+    sem = semantic.select(
+        "doc_id", (F.row_number().over(w) - 1).alias("sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.when(
+                F.col("lex_rank").isNotNull(),
+                1.0 / (F.lit(RRF_K) + F.col("lex_rank") + 1),
+            ).otherwise(0.0)
+            + F.when(
+                F.col("sem_rank").isNotNull(),
+                1.0 / (F.lit(RRF_K) + F.col("sem_rank") + 1),
+            ).otherwise(0.0)
+        ).alias("score"),
+        (F.col("lex_rank").isNotNull() & F.col("sem_rank").isNotNull())
+        .cast("int")
+        .alias("in_both"),
+    )
+    ranked = fused.orderBy(
+        F.desc("score"), F.desc("in_both"), F.asc("doc_id")
+    )
+    if offset:
+        ranked = ranked.offset(offset)
+    return ranked.limit(limit).select("doc_id", "score")
+
+
+def hybrid_search(
+    lexical_engine,
+    embeddings: DataFrame,
+    query: str,
+    limit: int = 20,
+    offset: int = 0,
+    **search_kw,
+) -> DataFrame:
+    """Full hybrid flow (main.rs:1302-1380): both sources fetch
+    3x(limit+offset) candidates, RRF-fuse, paginate."""
+    from xf_spark.query.semantic import semantic_topk
+
+    n = candidate_count(limit, offset)
+    lex = lexical_engine.search(query, limit=n, **search_kw)
+    sem = semantic_topk(embeddings, query, limit=n)
+    return rrf_fuse(lex, sem, limit=limit, offset=offset)

@@ -1,0 +1,137 @@
+"""Result-shaping operators: context expansion, snippets, sorts,
+point/batch lookups, export.
+
+Mirrors the reference's post-search surface (SURVEY.md §2.3/2.6/2.7).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from xf_spark.query.parser import parse_query, query_terms
+
+
+def conversation_context(docs: DataFrame, hits: DataFrame) -> DataFrame:
+    """Expand matched turns to their FULL conversations, carrying a
+    per-turn match flag — the DM conversation-context analog
+    (build_dm_context main.rs:1570-1631; ordering parity with
+    storage.rs:1360-1387 ORDER BY created_at, id == (ts, turn_idx)).
+
+    The per-turn text-equality-under-stable-ordering invariant rides on
+    this path: output is every turn of every matched conversation, in
+    (conv_id, turn_idx) order, text untouched."""
+    matched_convs = (
+        docs.join(F.broadcast(hits.select("doc_id")), "doc_id", "left_semi")
+        .select("conv_id")
+        .distinct()
+    )
+    flags = hits.select("doc_id", F.lit(True).alias("is_match"))
+    return (
+        docs.join(F.broadcast(matched_convs), "conv_id", "left_semi")
+        .join(F.broadcast(flags), "doc_id", "left")
+        .withColumn("is_match", F.coalesce("is_match", F.lit(False)))
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def get_by_id(docs: DataFrame, conv_id: str, turn_idx: int) -> DataFrame:
+    """Point lookup (get_by_id_impl, search.rs:748-823)."""
+    return docs.where(
+        (F.col("conv_id") == conv_id) & (F.col("turn_idx") == turn_idx)
+    ).limit(1)
+
+
+def get_by_ids(docs: DataFrame, ids: list[tuple[str, int]]) -> DataFrame:
+    """Batch lookup aligned to input order (get_by_ids,
+    search.rs:683-746: result preserves request order; missing ids are
+    absent rather than None rows). Broadcast-joins the tiny id list."""
+    spark = docs.sparkSession
+    req = spark.createDataFrame(
+        [(c, t, i) for i, (c, t) in enumerate(ids)],
+        "conv_id string, turn_idx int, _req_order long",
+    )
+    return (
+        docs.join(F.broadcast(req), ["conv_id", "turn_idx"])
+        .orderBy("_req_order")
+        .drop("_req_order")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort orders (apply_search_sort, main.rs:1844-1880)
+# ---------------------------------------------------------------------------
+
+def apply_sort(results: DataFrame, order: str = "relevance") -> DataFrame:
+    """relevance: (score desc, doc_id asc) — the engine order.
+    date: ts asc, tie score desc. date_desc: ts desc, tie score desc.
+    engagement: text length desc (fav+rt analog; transcripts have no
+    engagement counters), tie ts desc."""
+    if order == "relevance":
+        return results.orderBy(F.desc("score"), F.asc("doc_id"))
+    if order == "date":
+        return results.orderBy(F.asc("ts"), F.desc("score"), F.asc("doc_id"))
+    if order == "date_desc":
+        return results.orderBy(F.desc("ts"), F.desc("score"), F.asc("doc_id"))
+    if order == "engagement":
+        return results.orderBy(
+            F.desc(F.length("text")), F.desc("ts"), F.asc("doc_id")
+        )
+    raise ValueError(f"unknown sort order: {order}")
+
+
+# ---------------------------------------------------------------------------
+# Snippets / highlights (SnippetGenerator analog, search.rs:582-586)
+# ---------------------------------------------------------------------------
+
+SNIPPET_MAX_CHARS = 150
+
+
+def add_snippets(hydrated: DataFrame, query: str) -> DataFrame:
+    """Add a ``snippet`` column: the first query-term window of the
+    text with matches wrapped in <b>..</b>. Runs only on the final
+    top-k rows (cheap by construction — post-hoc, never in the scoring
+    path)."""
+    terms = sorted(query_terms(parse_query(query)))
+    if not terms:
+        return hydrated.withColumn(
+            "snippet", F.substring("text", 1, SNIPPET_MAX_CHARS)
+        )
+    pattern = re.compile(
+        r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b", re.IGNORECASE
+    )
+
+    @F.pandas_udf(T.StringType())
+    def snip(texts: pd.Series) -> pd.Series:
+        def one(text):
+            text = text or ""
+            m = pattern.search(text)
+            if not m:
+                return text[:SNIPPET_MAX_CHARS]
+            start = max(0, m.start() - SNIPPET_MAX_CHARS // 3)
+            window = text[start : start + SNIPPET_MAX_CHARS]
+            out = pattern.sub(lambda g: f"<b>{g.group(0)}</b>", window)
+            return ("..." if start > 0 else "") + out
+
+        return texts.map(one)
+
+    return hydrated.withColumn("snippet", snip(F.col("text")))
+
+
+# ---------------------------------------------------------------------------
+# Export (cmd_export, main.rs:2757-2939)
+# ---------------------------------------------------------------------------
+
+def export_results(df: DataFrame, path: str, fmt: str = "json") -> None:
+    """json (lines) / csv / parquet export of any result DataFrame."""
+    writer = df.coalesce(1).write.mode("overwrite")
+    if fmt in ("json", "jsonl"):
+        writer.json(path)
+    elif fmt == "csv":
+        writer.option("header", True).csv(path)
+    elif fmt == "parquet":
+        writer.parquet(path)
+    else:
+        raise ValueError(f"unknown export format: {fmt}")
