@@ -1,0 +1,165 @@
+"""Tests: XfIndex facade, CLI, archive source reader, and query-level
+parallelism invariance (N vs 4N rank identity)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from xf_spark.engine import XfIndex
+from xf_spark.oracle import OracleIndex
+from xf_spark.sources.archive import (
+    conversations_grouped,
+    read_transcript_archive,
+)
+from xf_spark.transcripts import ensure_transcripts_parquet, load_transcripts
+
+SCALE = 0.001
+
+
+@pytest.fixture(scope="module")
+def xfindex(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("xfidx"))
+    tr = load_transcripts(spark, SCALE)
+    ix = XfIndex.build(tr, path, n_shards=4, n_buckets=16, slices=2).cache()
+    rows = ix.docs.select("doc_id", "text").collect()
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in rows])
+    return ix, oracle, path
+
+
+class TestXfIndex:
+    def test_lexical_matches_oracle(self, xfindex):
+        ix, oracle, _ = xfindex
+        got = [r["doc_id"] for r in ix.search("machine", mode="lexical", limit=10).collect()]
+        want = [d for d, _ in oracle.search("machine", limit=10)]
+        assert got == want
+
+    def test_modes_and_aliases(self, xfindex):
+        ix, _, _ = xfindex
+        for mode in ["lexical", "semantic", "hybrid", "bm25", "vector", "rrf"]:
+            assert ix.search("rust", mode=mode, limit=3).count() == 3
+
+    def test_natural_language_dates(self, xfindex):
+        ix, _, _ = xfindex
+        out = ix.search("rust", mode="lexical", limit=50, since="2024", until="2024")
+        rows = out.collect()
+        assert all(r["ts"].year == 2024 for r in rows)
+
+    def test_role_filter_hybrid(self, xfindex):
+        ix, _, _ = xfindex
+        rows = ix.search("rust", mode="hybrid", limit=10, roles=["tool"]).collect()
+        assert all(r["role"] == "tool" for r in rows)
+
+    def test_reopen_from_disk(self, xfindex, spark):
+        ix, oracle, path = xfindex
+        reopened = XfIndex.open(spark, path)
+        got = [r["doc_id"] for r in reopened.search("machine", mode="lexical", limit=5).collect()]
+        want = [d for d, _ in oracle.search("machine", limit=5)]
+        assert got == want
+
+    def test_stats(self, xfindex):
+        ix, _, _ = xfindex
+        s = ix.stats(detailed=True)
+        assert s["n_turns"] == 1512
+        assert sum(d["n"] for d in s["daily"]) == 1512
+
+
+class TestQueryParallelismInvariance:
+    """North-rule N-vs-4N proxy at the QUERY level: the same persisted
+    index searched under different session parallelism must return
+    rank-identical results (scores are global-stat-based)."""
+
+    def test_rank_identity_across_shuffle_partitions(self, xfindex, spark):
+        ix, _, path = xfindex
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        results = {}
+        for parts in ("2", "16"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            reopened = XfIndex.open(spark, path)
+            results[parts] = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in reopened.search("rust async", mode="lexical", limit=30).collect()
+            ]
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert results["2"] == results["16"]
+
+
+class TestArchiveSource:
+    def test_js_wrapped_roundtrip(self, spark, tmp_path):
+        rows = [
+            {"conv_id": "c1", "turn_idx": 0, "role": "user",
+             "text": "hello world", "tool": "", "ts": "2024-01-05T10:00:00"},
+            {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+             "text": "hi there", "tool": "", "ts": "Fri Jan 05 10:01:00 +0000 2024"},
+            {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+             "text": "hi there", "tool": "", "ts": "Fri Jan 05 10:01:00 +0000 2024"},
+            {"conv_id": "c0", "turn_idx": 0, "role": "user",
+             "text": "earlier conv", "tool": "", "ts": "2023-06-01T08:00:00"},
+        ]
+        f = tmp_path / "transcripts-part0.js"
+        f.write_text(
+            "window.YTD.transcripts.part0 = " + json.dumps(rows) + ";"
+        )
+        out = read_transcript_archive(spark, str(f)).collect()
+        assert len(out) == 3  # dup (c1,1) dropped
+        assert [(r["conv_id"], r["turn_idx"]) for r in out] == [
+            ("c0", 0), ("c1", 0), ("c1", 1)
+        ]
+        # both ts formats parsed
+        assert all(r["ts"] is not None for r in out)
+
+    def test_conversations_grouped_order(self, spark):
+        tr = load_transcripts(spark, SCALE)
+        grouped = conversations_grouped(tr)
+        row = grouped.orderBy("conv_id").first()
+        idxs = [m["turn_idx"] for m in row["messages"]]
+        assert idxs == sorted(idxs)
+        assert row["n_turns"] == len(idxs)
+
+
+class TestCli:
+    @pytest.fixture(scope="class")
+    def cli_index(self, tmp_path_factory):
+        fixture = ensure_transcripts_parquet(SCALE)
+        out = str(tmp_path_factory.mktemp("cliidx"))
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "index",
+             "--input", fixture, "--out", out + "/idx", "--shards", "4",
+             "--slices", "1"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "indexed 1512 turns" in r.stdout
+        return out + "/idx", env
+
+    def test_cli_search_json(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--mode", "lexical",
+             "--limit", "3", "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(payload) == 3
+        assert all("score" in row for row in payload)
+
+    def test_cli_stats(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "stats",
+             "--index", idx],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        s = json.loads(r.stdout[r.stdout.index("{"):])
+        assert s["n_turns"] == 1512

@@ -1,0 +1,159 @@
+"""xf_spark CLI — the `xf` command surface over spark-submit.
+
+    spark-submit --py-files xf_spark.zip -m ... OR
+    python -m xf_spark index --input transcripts.parquet --out /idx
+    python -m xf_spark search "machine learning" --index /idx --mode lexical
+    python -m xf_spark stats --index /idx --detailed
+    python -m xf_spark export --index /idx --query rust --format csv --out /tmp/r
+
+Mirrors the reference CLI (cli.rs): index / search (modes lexical|
+semantic|hybrid, --types -> --roles, --since/--until natural-language
+dates, --limit/--offset, --context, five output formats) / stats /
+export.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from xf_spark.session import get_spark
+
+    return get_spark("xf_spark_cli", cores=args.cores)
+
+
+def cmd_index(args) -> int:
+    from xf_spark.engine import XfIndex
+
+    spark = _spark(args)
+    transcripts = spark.read.parquet(args.input)
+    ix = XfIndex.build(
+        transcripts,
+        args.out,
+        with_embeddings=not args.no_embeddings,
+        n_shards=args.shards,
+        slices=args.slices,
+    )
+    n = ix.docs.count()
+    print(f"indexed {n} turns -> {args.out}")
+    return 0
+
+
+def _format_rows(rows, fmt: str, columns: list[str]):
+    if fmt == "json":
+        print(json.dumps([{c: str(r[c]) for c in columns} for r in rows]))
+    elif fmt == "json-pretty":
+        print(json.dumps([{c: str(r[c]) for c in columns} for r in rows], indent=2))
+    elif fmt == "csv":
+        print(",".join(columns))
+        for r in rows:
+            print(",".join(str(r[c]).replace(",", " ") for c in columns))
+    elif fmt == "compact":
+        for r in rows:
+            print(f"{r['conv_id']}/{r['turn_idx']} {r['score']:.4f}")
+    else:  # text
+        for r in rows:
+            text = (r["text"] or "").replace("\n", " ")
+            snippet = r["snippet"] if "snippet" in columns else text[:100]
+            print(
+                f"[{r['score']:.4f}] ({r['conv_id']}, {r['turn_idx']}) "
+                f"<{r['role']}> {snippet}"
+            )
+
+
+def cmd_search(args) -> int:
+    from xf_spark.engine import XfIndex
+
+    spark = _spark(args)
+    ix = XfIndex.open(spark, args.index)
+    df = ix.search(
+        args.query,
+        mode=args.mode,
+        limit=args.limit,
+        offset=args.offset,
+        roles=args.roles.split(",") if args.roles else None,
+        since=args.since,
+        until=args.until,
+        sort=args.sort,
+        snippets=args.format == "text",
+        context=args.context,
+    )
+    rows = df.collect()
+    cols = df.columns
+    _format_rows(rows, args.format, cols)
+    return 0
+
+
+def cmd_stats(args) -> int:
+    from xf_spark.engine import XfIndex
+
+    spark = _spark(args)
+    ix = XfIndex.open(spark, args.index)
+    print(json.dumps(ix.stats(detailed=args.detailed), default=str, indent=2))
+    return 0
+
+
+def cmd_export(args) -> int:
+    from xf_spark.engine import XfIndex
+    from xf_spark.query.results import export_results
+
+    spark = _spark(args)
+    ix = XfIndex.open(spark, args.index)
+    df = ix.search(args.query or "", mode="lexical", limit=args.limit)
+    export_results(df, args.out, fmt=args.format)
+    print(f"exported -> {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="xf_spark")
+    p.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index")
+    pi.add_argument("--input", required=True, help="transcripts parquet path")
+    pi.add_argument("--out", required=True, help="index output dir")
+    pi.add_argument("--shards", type=int, default=64)
+    pi.add_argument("--slices", type=int, default=2)
+    pi.add_argument("--no-embeddings", action="store_true")
+    pi.set_defaults(fn=cmd_index)
+
+    ps = sub.add_parser("search")
+    ps.add_argument("query")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--mode", default="hybrid",
+                    choices=["lexical", "semantic", "hybrid", "bm25", "vector", "rrf"])
+    ps.add_argument("--limit", type=int, default=20)
+    ps.add_argument("--offset", type=int, default=0)
+    ps.add_argument("--roles", default=None, help="comma list: user,assistant,tool")
+    ps.add_argument("--since", default=None)
+    ps.add_argument("--until", default=None)
+    ps.add_argument("--sort", default="relevance",
+                    choices=["relevance", "date", "date_desc", "engagement"])
+    ps.add_argument("--context", action="store_true")
+    ps.add_argument("--format", default="text",
+                    choices=["text", "json", "json-pretty", "csv", "compact"])
+    ps.set_defaults(fn=cmd_search)
+
+    pt = sub.add_parser("stats")
+    pt.add_argument("--index", required=True)
+    pt.add_argument("--detailed", action="store_true")
+    pt.set_defaults(fn=cmd_stats)
+
+    pe = sub.add_parser("export")
+    pe.add_argument("--index", required=True)
+    pe.add_argument("--query", default="")
+    pe.add_argument("--limit", type=int, default=1000)
+    pe.add_argument("--format", default="json", choices=["json", "csv", "parquet"])
+    pe.add_argument("--out", required=True)
+    pe.set_defaults(fn=cmd_export)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,171 @@
+"""XfIndex — the unified engine facade (the `xf` CLI surface as a
+library: index once, then lexical / semantic / hybrid search, stats,
+context, snippets — SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from xf_spark.index.segments import build_index
+from xf_spark.query.dates import parse_date_flexible
+from xf_spark.query.hybrid import hybrid_search
+from xf_spark.query.results import add_snippets, apply_sort, conversation_context
+from xf_spark.query.segment_search import SegmentIndex
+from xf_spark.query.semantic import build_embeddings, semantic_topk
+
+
+@dataclass
+class XfIndex:
+    """A built index: segment files + docs table + embeddings."""
+
+    spark: SparkSession
+    path: str
+    segment_index: SegmentIndex
+    docs: DataFrame
+    embeddings: DataFrame | None = None
+
+    # -- build / open -------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        transcripts: DataFrame,
+        path: str,
+        with_embeddings: bool = True,
+        **build_kw,
+    ) -> "XfIndex":
+        """Full build (cmd_index analog, main.rs:766-1079): segment
+        index + docs parquet + embeddings parquet, all under ``path``.
+        Resumable per slice via the manifest."""
+        spark = transcripts.sparkSession
+        docs, stats, _metrics = build_index(transcripts, path, **build_kw)
+        docs_path = os.path.join(path, "docs")
+        if not os.path.isdir(docs_path):
+            docs.write.mode("overwrite").parquet(docs_path)
+        emb = None
+        if with_embeddings:
+            emb_path = os.path.join(path, "embeddings")
+            if not os.path.isdir(emb_path):
+                build_embeddings(docs).write.mode("overwrite").parquet(emb_path)
+            emb = spark.read.parquet(emb_path)
+        docs_df = spark.read.parquet(docs_path)
+        seg = SegmentIndex.load(spark, path, docs=docs_df)
+        return cls(
+            spark=spark, path=path, segment_index=seg, docs=docs_df, embeddings=emb
+        )
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "XfIndex":
+        docs = spark.read.parquet(os.path.join(path, "docs"))
+        seg = SegmentIndex.load(spark, path, docs=docs)
+        emb_path = os.path.join(path, "embeddings")
+        emb = spark.read.parquet(emb_path) if os.path.isdir(emb_path) else None
+        return cls(spark=spark, path=path, segment_index=seg, docs=docs, embeddings=emb)
+
+    def cache(self) -> "XfIndex":
+        self.segment_index.cache()
+        self.docs = self.docs.cache()
+        self.docs.count()
+        if self.embeddings is not None:
+            self.embeddings = self.embeddings.cache()
+            self.embeddings.count()
+        return self
+
+    # -- search (cmd_search analog, main.rs:1082-1490) ----------------------
+
+    def search(
+        self,
+        query: str,
+        mode: str = "hybrid",
+        limit: int = 20,
+        offset: int = 0,
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        sort: str = "relevance",
+        snippets: bool = False,
+        context: bool = False,
+    ) -> DataFrame:
+        """Mode dispatch lexical | semantic | hybrid (aliases bm25 |
+        vector | rrf, hybrid.rs:51-85); natural-language since/until;
+        post sort; optional snippets / conversation context."""
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        mode = {"bm25": "lexical", "vector": "semantic", "rrf": "hybrid"}.get(
+            mode, mode
+        )
+        common = dict(roles=roles, since=since_dt, until=until_dt)
+        if mode == "lexical":
+            hits = self.segment_index.search(
+                query, limit=limit, offset=offset, **common
+            )
+        elif mode == "semantic":
+            if self.embeddings is None:
+                raise ValueError("index built without embeddings")
+            flt = self._doc_filter(**common)
+            hits = semantic_topk(
+                self.embeddings, query, limit=limit + offset, doc_filter=flt
+            )
+            if offset:
+                hits = hits.offset(offset).limit(limit)
+        elif mode == "hybrid":
+            if self.embeddings is None:
+                raise ValueError("index built without embeddings")
+            hits = hybrid_search(
+                self.segment_index,
+                self.embeddings,
+                query,
+                limit=limit,
+                offset=offset,
+                doc_filter=self._doc_filter(**common),
+                **common,
+            )
+        else:
+            raise ValueError(f"unknown mode {mode}")
+
+        hydrated = self.docs.join(F.broadcast(hits), "doc_id")
+        out = apply_sort(hydrated, sort)
+        if snippets:
+            out = add_snippets(out, query)
+        if context:
+            out = conversation_context(self.docs, hits)
+        return out
+
+    def _doc_filter(self, roles=None, since=None, until=None):
+        if not roles and since is None and until is None:
+            return None
+        cond = F.lit(True)
+        if roles:
+            cond = cond & F.col("role").isin(list(roles))
+        if since is not None:
+            cond = cond & (F.col("ts") >= F.lit(since))
+        if until is not None:
+            cond = cond & (F.col("ts") <= F.lit(until))
+        return self.docs.where(cond).select("doc_id")
+
+    # -- stats (cmd stats analog) -------------------------------------------
+
+    def stats(self, detailed: bool = False) -> dict:
+        from xf_spark.analytics import stats as S
+
+        basic = self.docs.agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_conversations"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        ).first()
+        out = {k: basic[k] for k in basic.asDict()}
+        if detailed:
+            out["daily"] = [r.asDict() for r in S.daily_counts(self.docs).collect()]
+            out["hourly"] = [
+                r.asDict() for r in S.hourly_distribution(self.docs).collect()
+            ]
+            out["tools"] = [r.asDict() for r in S.top_tools(self.docs).collect()]
+            out["length_histogram"] = [
+                r.asDict() for r in S.length_histogram(self.docs).collect()
+            ]
+        return out

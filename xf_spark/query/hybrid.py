@@ -72,13 +72,16 @@ def hybrid_search(
     query: str,
     limit: int = 20,
     offset: int = 0,
+    doc_filter: DataFrame | None = None,
     **search_kw,
 ) -> DataFrame:
     """Full hybrid flow (main.rs:1302-1380): both sources fetch
-    3x(limit+offset) candidates, RRF-fuse, paginate."""
+    3x(limit+offset) candidates, RRF-fuse, paginate. ``doc_filter``
+    (doc_id DataFrame) constrains the semantic branch to the same
+    filtered doc set as the lexical filters in ``search_kw``."""
     from xf_spark.query.semantic import semantic_topk
 
     n = candidate_count(limit, offset)
     lex = lexical_engine.search(query, limit=n, **search_kw)
-    sem = semantic_topk(embeddings, query, limit=n)
+    sem = semantic_topk(embeddings, query, limit=n, doc_filter=doc_filter)
     return rrf_fuse(lex, sem, limit=limit, offset=offset)

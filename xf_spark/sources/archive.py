@@ -1,0 +1,96 @@
+"""Archive source readers (SURVEY.md §2.1).
+
+The reference ingests JS-wrapped JSON archive files
+(``window.YTD.<type>.part<n> = [...]``, parser.rs:34-51). The Spark
+re-expression: read whole files as text, strip the JS wrapper with a
+regexp, parse with from_json against an explicit schema, explode.
+Dedup-by-id on multi-part files mirrors parser.rs:144-198.
+
+Plus the timestamp grammar (parser.rs:76-88): X's
+"Fri Jan 09 15:12:21 +0000 2026" format and ISO-8601.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+# X's legacy format "Fri Jan 09 15:12:21 +0000 2026" (parser.rs:76-81).
+# Spark 3+ datetime patterns reject weekday fields, so the weekday
+# prefix is stripped before parsing the remainder.
+X_TS_FORMAT = "MMM dd HH:mm:ss Z yyyy"
+
+
+def parse_ts_flexible(col):
+    """Parse either X's legacy format or ISO-8601 (parser.rs:76-88)."""
+    without_dow = F.regexp_replace(col, r"^[A-Za-z]{3} ", "")
+    return F.coalesce(
+        F.try_to_timestamp(without_dow, F.lit(X_TS_FORMAT)),
+        F.try_to_timestamp(col),
+    )
+
+
+def read_js_archive(
+    spark: SparkSession,
+    path: str,
+    item_schema: T.StructType,
+    dedup_key: str | None = "id",
+) -> DataFrame:
+    """Read ``window.YTD.*.part* = [ ... ];`` files into rows.
+
+    wholetext read -> strip wrapper prefix + trailing ';' -> from_json
+    as array<item_schema> -> explode -> optional dropDuplicates.
+    At scale each file is one task; archives shard naturally by file."""
+    raw = spark.read.text(path, wholetext=True)
+    stripped = raw.select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("value"), r"^\s*window\.YTD\.\w+\.part\d+\s*=\s*", ""),
+            r";\s*$",
+            "",
+        ).alias("json")
+    )
+    arr = stripped.select(
+        F.from_json("json", T.ArrayType(item_schema)).alias("items")
+    )
+    out = arr.select(F.explode("items").alias("item")).select("item.*")
+    if dedup_key and dedup_key in out.columns:
+        out = out.dropDuplicates([dedup_key])
+    return out
+
+
+# Transcript-shaped conversation archive: the DM-grouping analog
+# (parse_direct_messages, parser.rs:327-435): messages grouped into
+# conversations, per-conversation sort, id dedup.
+CONVERSATION_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.StringType()),
+    ]
+)
+
+
+def read_transcript_archive(spark: SparkSession, path: str) -> DataFrame:
+    """JS-wrapped transcript archive -> the input_hint table, with
+    per-conversation stable ordering and (conv_id, turn_idx) dedup."""
+    items = read_js_archive(spark, path, CONVERSATION_ITEM_SCHEMA, dedup_key=None)
+    return (
+        items.dropDuplicates(["conv_id", "turn_idx"])
+        .withColumn("ts", parse_ts_flexible(F.col("ts")))
+        .repartitionByRange("conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+
+
+def conversations_grouped(transcripts: DataFrame) -> DataFrame:
+    """Conversation view: sorted struct array per conv_id — the
+    DmConversation{conversation_id, messages} shape (model.rs:63-67),
+    ordering pinned by sort_array over (turn_idx, ...) structs."""
+    return transcripts.groupBy("conv_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("turn_idx", "role", "text", "tool", "ts"))
+        ).alias("messages"),
+        F.count("*").alias("n_turns"),
+    )
