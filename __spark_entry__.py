@@ -117,6 +117,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": eq.events_user_activity,
         # general engine sanity
         "tpch_q1": eq.tpch_q1,
+        # transcripts flagship engine (rows-only: no DuckDB view for
+        # the in-repo synthesized table; pytest oracles cover these)
+        "transcripts_bm25_machine": eq.transcripts_bm25_machine,
+        "transcripts_phrase_ml": eq.transcripts_phrase_ml,
+        "transcripts_hybrid_rust": eq.transcripts_hybrid_rust,
+        "transcripts_context_expansion": eq.transcripts_context_expansion,
     }.items()}
 
 

@@ -491,3 +491,64 @@ def ann_ivf_full_probe(spark, sf_dir):
     celled = assign_cells(emb, cent)
     out = ivf_topk(celled, cent, [float(x) for x in q], k=15, n_probe=4)
     return out.select("vec_id", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# Transcripts-engine entries (rows-only driver checks — the transcripts
+# table is synthesized in-repo per BASELINE.json input_hint, so there
+# is no DuckDB view to oracle against; pytest covers rank-identity vs
+# the NumPy oracle instead)
+# ---------------------------------------------------------------------------
+
+_ENGINE_MEMO: dict = {}
+
+
+def _transcripts_engine(spark, sf_dir):
+    """Memoized BM25 engine + embeddings over the deterministic
+    transcripts table at the scale matching sf_dir."""
+    scale = 0.01 if "0.01" in sf_dir else (0.1 if "0.1" in sf_dir else 0.001)
+    key = (id(spark), scale)
+    if key not in _ENGINE_MEMO:
+        from xf_spark.index.builder import build_engine
+        from xf_spark.query.semantic import build_embeddings
+        from xf_spark.transcripts import load_transcripts
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        tr = load_transcripts(spark, scale)
+        eng = build_engine(tr)
+        emb = build_embeddings(eng.docs).cache()
+        _ENGINE_MEMO[key] = (eng, emb)
+    return _ENGINE_MEMO[key]
+
+
+def transcripts_bm25_machine(spark, sf_dir):
+    eng, _ = _transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated("machine", limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score"), "text"
+    )
+
+
+def transcripts_phrase_ml(spark, sf_dir):
+    eng, _ = _transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated('"machine learning"', limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+def transcripts_hybrid_rust(spark, sf_dir):
+    from xf_spark.query.hybrid import hybrid_search
+
+    eng, emb = _transcripts_engine(spark, sf_dir)
+    return hybrid_search(eng, emb, "rust", limit=20).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+
+
+def transcripts_context_expansion(spark, sf_dir):
+    from xf_spark.query.results import conversation_context
+
+    eng, _ = _transcripts_engine(spark, sf_dir)
+    hits = eng.search("machine", limit=5)
+    return conversation_context(eng.docs, hits).select(
+        "conv_id", "turn_idx", "role", "text", "is_match"
+    )

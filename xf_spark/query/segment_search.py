@@ -362,7 +362,13 @@ class SegmentIndex:
     def stats(self) -> CorpusStats:
         return CorpusStats(self.meta["n_docs"], self.meta["avgdl"])
 
-    def cache(self):
+    def cache(self, coalesce_to: int = 16):
+        """Cache segments for repeated queries. Coalescing bounds the
+        per-query task count (a cached scan visits every cached
+        partition; tens of file-sized partitions = pure scheduling
+        overhead at ~5 ms/task)."""
+        if coalesce_to:
+            self._segments = self._segments.coalesce(coalesce_to)
         self._segments = self._segments.cache()
         self._segments.count()
         return self
