@@ -108,6 +108,15 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    from xf_spark.doctor import format_report, run_doctor
+
+    spark = _spark(args)
+    checks = run_doctor(spark, args.index)
+    print(format_report(checks))
+    return 0 if all(c.ok for c in checks) else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="xf_spark")
     p.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
@@ -150,6 +159,10 @@ def main(argv=None) -> int:
     pe.add_argument("--format", default="json", choices=["json", "csv", "parquet"])
     pe.add_argument("--out", required=True)
     pe.set_defaults(fn=cmd_export)
+
+    pd_ = sub.add_parser("doctor")
+    pd_.add_argument("--index", required=True)
+    pd_.set_defaults(fn=cmd_doctor)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,138 @@
+"""Doctor: index health checks (the reference's doctor.rs:561-775 +
+search.rs:827-1060 + storage.rs:823-1240 surface, re-expressed as
+job-level assertions over the index artifact).
+
+Each check returns (name, ok, detail); ``run_doctor`` prints a report
+and returns overall health. Used by `python -m xf_spark doctor`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession, functions as F
+
+
+@dataclass
+class Check:
+    name: str
+    ok: bool
+    detail: str
+
+
+def run_doctor(spark: SparkSession, path: str, sample_query: str = "the") -> list[Check]:
+    checks: list[Check] = []
+
+    # 1. meta present + well-formed (index dir/version check analog)
+    meta_path = os.path.join(path, "meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        need = {"n_docs", "avgdl", "n_shards", "n_buckets", "block"}
+        missing = need - set(meta)
+        checks.append(Check("meta", not missing, f"missing={sorted(missing)}" if missing else str(meta)))
+    except Exception as e:  # noqa: BLE001
+        checks.append(Check("meta", False, str(e)))
+        return checks
+
+    # 2. segments readable + postings accounting
+    try:
+        seg = spark.read.parquet(os.path.join(path, "segments"))
+        row = seg.where(F.col("field") == "text").agg(
+            F.sum("n_docs").alias("postings"),
+            F.count("*").alias("rows"),
+            F.sum("bytes").alias("bytes"),
+        ).first()
+        checks.append(
+            Check(
+                "segments",
+                (row["postings"] or 0) > 0,
+                f"text postings={row['postings']} rows={row['rows']} bytes={row['bytes']}",
+            )
+        )
+    except Exception as e:  # noqa: BLE001
+        checks.append(Check("segments", False, str(e)))
+        return checks
+
+    # 3. docs store vs meta doc count (doc-count-consistency analog)
+    docs = None
+    try:
+        docs = spark.read.parquet(os.path.join(path, "docs"))
+        n = docs.count()
+        checks.append(
+            Check("doc_count", n == meta["n_docs"], f"docs={n} meta={meta['n_docs']}")
+        )
+        ids = docs.agg(F.min("doc_id"), F.max("doc_id"), F.countDistinct("doc_id")).first()
+        dense = ids[0] == 0 and ids[1] == n - 1 and ids[2] == n
+        checks.append(Check("doc_ids_dense", dense, f"min={ids[0]} max={ids[1]} distinct={ids[2]}"))
+    except Exception as e:  # noqa: BLE001
+        checks.append(Check("doc_count", False, str(e)))
+
+    # 4. avgdl consistency: sum(tf) over text field / n_docs == meta.avgdl
+    try:
+        total = seg.where(F.col("field") == "text").agg(F.sum("n_docs")).first()[0]
+        # sum(n_docs) counts postings, not tokens; recompute tokens from tfs
+        # cheaply via the stored per-segment byte of truth: sum(tf) needs
+        # decode — approximate with postings>=tokens lower bound instead:
+        ok = abs(meta["avgdl"]) > 0 and (total or 0) <= meta["avgdl"] * meta["n_docs"] + 1
+        checks.append(
+            Check("avgdl_bound", ok, f"text postings={total} <= tokens={meta['avgdl'] * meta['n_docs']:.0f}")
+        )
+    except Exception as e:  # noqa: BLE001
+        checks.append(Check("avgdl_bound", False, str(e)))
+
+    # 5. manifest completeness (resume ledger)
+    try:
+        man = spark.read.parquet(os.path.join(path, "manifest"))
+        slices = sorted(r["slice_id"] for r in man.select("slice_id").distinct().collect())
+        checks.append(Check("manifest", len(slices) > 0, f"slices={slices}"))
+    except Exception as e:  # noqa: BLE001
+        checks.append(Check("manifest", False, str(e)))
+
+    # 6. sample query round-trip (runtime check, doctor.rs:561-775)
+    try:
+        from xf_spark.query.segment_search import SegmentIndex
+
+        if docs is None:
+            raise RuntimeError("docs store unreadable (see doc_count)")
+        ix = SegmentIndex.load(spark, path, docs=docs)
+        import time
+
+        t0 = time.time()
+        hits = ix.search(sample_query, limit=5).collect()
+        ms = (time.time() - t0) * 1000
+        checks.append(
+            Check("sample_query", True, f"{sample_query!r}: {len(hits)} hits in {ms:.0f}ms")
+        )
+    except Exception as e:  # noqa: BLE001
+        checks.append(Check("sample_query", False, str(e)))
+
+    # 7. embeddings (if present): dimension + count
+    emb_path = os.path.join(path, "embeddings")
+    if os.path.isdir(emb_path):
+        try:
+            emb = spark.read.parquet(emb_path)
+            n_emb = emb.count()
+            dim = len(emb.select("vec").first()["vec"])
+            checks.append(
+                Check(
+                    "embeddings",
+                    n_emb == meta["n_docs"] and dim == 384,
+                    f"n={n_emb} dim={dim}",
+                )
+            )
+        except Exception as e:  # noqa: BLE001
+            checks.append(Check("embeddings", False, str(e)))
+
+    return checks
+
+
+def format_report(checks: list[Check]) -> str:
+    lines = []
+    for c in checks:
+        lines.append(f"[{'OK' if c.ok else 'FAIL'}] {c.name}: {c.detail}")
+    healthy = all(c.ok for c in checks)
+    lines.append(f"overall: {'HEALTHY' if healthy else 'UNHEALTHY'}")
+    return "\n".join(lines)
