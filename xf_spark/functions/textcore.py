@@ -111,6 +111,9 @@ def _collapse_code_block(match: re.Match) -> str:
     return "\n".join(lines[:CODE_HEAD_LINES] + ["..."] + lines[-CODE_TAIL_LINES:])
 
 
+_MD_CHARS = set("*_`#>[]!-0123456789")
+
+
 def canonicalize_for_embedding(text: str) -> str:
     """NFC -> collapse code blocks (20 head + 10 tail) -> strip markdown
     -> collapse whitespace -> drop low-signal -> truncate 2000 chars.
@@ -118,9 +121,12 @@ def canonicalize_for_embedding(text: str) -> str:
     if not text:
         return ""
     s = unicodedata.normalize("NFC", text)
-    s = _CODE_BLOCK_RE.sub(_collapse_code_block, s)
-    for pat, repl in _MD_PATTERNS:
-        s = pat.sub(repl, s)
+    # fast path: the 10-regex markdown chain only runs when markdown
+    # trigger characters are present (hot loop: most turns are plain)
+    if any(c in _MD_CHARS for c in s):
+        s = _CODE_BLOCK_RE.sub(_collapse_code_block, s)
+        for pat, repl in _MD_PATTERNS:
+            s = pat.sub(repl, s)
     s = _WS_RE.sub(" ", s).strip()
     if s.lower() in LOW_SIGNAL:
         return ""

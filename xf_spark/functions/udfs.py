@@ -138,4 +138,8 @@ def canonicalize_udf(texts: pd.Series) -> pd.Series:
 
 @pandas_udf(T.ArrayType(T.FloatType()))
 def hash_embed_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: hash_embed(canonicalize_for_embedding(t or "")).tolist())
+    from xf_spark.functions.hash_embed import hash_embed_batch
+
+    canon = [canonicalize_for_embedding(t or "") for t in texts]
+    mat = hash_embed_batch(canon)
+    return pd.Series(list(mat))
