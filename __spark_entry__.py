@@ -117,6 +117,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": eq.events_user_activity,
         # general engine sanity
         "tpch_q1": eq.tpch_q1,
+        # transcripts engine over the documents-derived table — the
+        # FULL engine path (docID assignment -> postings -> BM25 /
+        # phrase / filters / context) with DuckDB differentials
+        "transcripts_docs_bm25": eq.transcripts_docs_bm25,
+        "transcripts_docs_phrase": eq.transcripts_docs_phrase,
+        "transcripts_docs_filtered": eq.transcripts_docs_filtered,
+        "transcripts_docs_context": eq.transcripts_docs_context,
         # transcripts flagship engine (rows-only: no DuckDB view for
         # the in-repo synthesized table; pytest oracles cover these)
         "transcripts_bm25_machine": eq.transcripts_bm25_machine,

@@ -404,3 +404,120 @@ FROM e CROSS JOIN q
 ORDER BY cosine DESC, vec_id
 LIMIT 15
 """
+
+# ---------------------------------------------------------------------------
+# Transcripts-engine differentials: a transcripts-shaped table is
+# derived from the documents view by PURE SQL (20 turns/conv,
+# zero-padded conv_id so (conv_id, turn_idx) order == doc_id order,
+# role by parity, ts = 2024-01-01 + doc_id minutes) — the Spark side
+# runs the REAL engine (docID assignment -> postings -> BM25/phrase/
+# filter/context) over the identically-derived DataFrame, so the whole
+# engine path gets an independent recomputation. `did` replicates the
+# engine's dense docID (rank over (conv_id, turn_idx)).
+# ---------------------------------------------------------------------------
+
+_TR_BASE = """
+base AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         'c' || lpad((doc_id // 20)::VARCHAR, 6, '0') AS conv_id,
+         (doc_id % 20)::INT AS turn_idx,
+         CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         text,
+         TIMESTAMP '2024-01-01 00:00:00' + (doc_id * 60) * INTERVAL 1 SECOND AS ts
+  FROM documents
+),
+ttok AS (
+  SELECT did, lower(raw) AS term
+  FROM (SELECT did, unnest(regexp_split_to_array(text, '[^0-9A-Za-z]+')) AS raw
+        FROM base)
+  WHERE raw <> '' AND strlen(raw) < 40
+),
+tdl AS (SELECT did, count(*)::DOUBLE AS dl FROM ttok GROUP BY did),
+tstats AS (
+  SELECT (SELECT count(*) FROM base)::DOUBLE AS n,
+         (SELECT count(*) FROM ttok)::DOUBLE
+           / (SELECT count(*) FROM base)::DOUBLE AS avgdl
+)
+"""
+
+# single-term scored CTE (term = 'spark'), BM25 k1=1.2 b=0.75
+_TR_SCORED_SPARK = """
+ttf AS (SELECT did, count(*)::DOUBLE AS tf FROM ttok
+        WHERE term = 'spark' GROUP BY did),
+tdf AS (SELECT count(*)::DOUBLE AS df FROM ttf),
+tscored AS (
+  SELECT ttf.did,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ttf.tf * 2.2
+           / (ttf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) AS score
+  FROM ttf
+  JOIN tdl ON tdl.did = ttf.did
+  CROSS JOIN tdf d
+  CROSS JOIN tstats s
+)
+"""
+
+ORACLES["transcripts_docs_bm25"] = f"""
+WITH {_TR_BASE}, {_TR_SCORED_SPARK}
+SELECT b.conv_id, b.turn_idx, round(t.score, 4) AS score, b.text
+FROM tscored t JOIN base b ON b.did = t.did
+ORDER BY t.score DESC, t.did
+LIMIT 20
+"""
+
+ORACLES["transcripts_docs_filtered"] = f"""
+WITH {_TR_BASE}, {_TR_SCORED_SPARK}
+SELECT b.conv_id, b.turn_idx, round(t.score, 4) AS score
+FROM tscored t JOIN base b ON b.did = t.did
+WHERE b.role = 'assistant' AND b.ts >= TIMESTAMP '2024-01-01 04:00:00'
+ORDER BY t.score DESC, t.did
+LIMIT 20
+"""
+
+ORACLES["transcripts_docs_phrase"] = f"""
+WITH {_TR_BASE},
+ptoks AS (
+  SELECT did,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                          x -> lower(x)),
+           x -> x <> '' AND strlen(x) < 40) AS t
+  FROM base
+),
+pcand AS (
+  SELECT did FROM ptoks
+  WHERE len(list_filter(range(1, len(t)),
+                        i -> t[i] = 'spark' AND t[i + 1] = 'join')) > 0
+),
+ptf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
+        WHERE term IN ('spark', 'join') GROUP BY did, term),
+pdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
+        WHERE term IN ('spark', 'join') GROUP BY term),
+pscored AS (
+  SELECT ptf.did,
+         sum( ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))
+              * ptf.tf * 2.2
+              / (ptf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
+  FROM ptf
+  JOIN pdf USING (term)
+  JOIN tdl ON tdl.did = ptf.did
+  JOIN pcand ON pcand.did = ptf.did
+  CROSS JOIN tstats s
+  GROUP BY ptf.did
+)
+SELECT b.conv_id, b.turn_idx, round(p.score, 4) AS score
+FROM pscored p JOIN base b ON b.did = p.did
+ORDER BY p.score DESC, p.did
+LIMIT 20
+"""
+
+ORACLES["transcripts_docs_context"] = f"""
+WITH {_TR_BASE}, {_TR_SCORED_SPARK},
+hits AS (SELECT did FROM tscored ORDER BY score DESC, did LIMIT 5),
+convs AS (SELECT DISTINCT b.conv_id FROM base b JOIN hits h ON b.did = h.did)
+SELECT b.conv_id, b.turn_idx, b.role, b.text,
+       (h.did IS NOT NULL) AS is_match
+FROM base b
+JOIN convs USING (conv_id)
+LEFT JOIN hits h ON h.did = b.did
+ORDER BY b.conv_id, b.turn_idx
+"""

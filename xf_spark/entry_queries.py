@@ -521,6 +521,83 @@ def _transcripts_engine(spark, sf_dir):
     return _ENGINE_MEMO[key]
 
 
+def _docs_transcripts_engine(spark, sf_dir):
+    """Full engine (docID assignment -> postings -> BM25) over a
+    transcripts-SHAPED table derived deterministically from the
+    driver's ``documents`` view — so the whole engine path gets a
+    DuckDB differential (the in-repo synthesized transcripts table has
+    no DuckDB view; this one does, because the derivation is pure SQL).
+
+    Derivation: 20 turns per conversation, conv_id zero-padded so the
+    (conv_id, turn_idx) ordering == doc_id ordering, role by parity,
+    ts = 2024-01-01 + doc_id minutes."""
+    key = (id(spark), sf_dir, "docs_tr")
+    if key not in _ENGINE_MEMO:
+        from xf_spark.index.builder import build_engine
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        docs = _read(spark, sf_dir, "documents")
+        tr = docs.select(
+            F.concat(
+                F.lit("c"),
+                F.lpad(F.floor(F.col("doc_id") / 20).cast("long").cast("string"), 6, "0"),
+            ).alias("conv_id"),
+            (F.col("doc_id") % 20).cast("int").alias("turn_idx"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.col("text"),
+            F.lit("").alias("tool"),
+            F.expr(
+                "timestamp'2024-01-01 00:00:00'"
+                " + make_interval(0, 0, 0, 0, 0, 0, doc_id * 60)"
+            ).alias("ts"),
+        )
+        _ENGINE_MEMO[key] = build_engine(tr, with_prefix=False)
+    return _ENGINE_MEMO[key]
+
+
+def transcripts_docs_bm25(spark, sf_dir):
+    """Engine-path BM25 ('spark'@20) over the documents-derived
+    transcripts table — oracled end-to-end incl. docID assignment."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated("spark", limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score"), "text"
+    )
+
+
+def transcripts_docs_phrase(spark, sf_dir):
+    """Positional phrase '"spark join"'@20 with a DuckDB adjacency
+    oracle (list_filter over token positions)."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated('"spark join"', limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+def transcripts_docs_filtered(spark, sf_dir):
+    """Role + since filters applied PRE-top-k with index-global BM25
+    stats (search.rs:554-576 semantics), oracled."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated(
+        "spark", limit=20, roles=["assistant"], since="2024-01-01 04:00:00"
+    ).select("conv_id", "turn_idx", F.round("score", 4).alias("score"))
+
+
+def transcripts_docs_context(spark, sf_dir):
+    """Top-5 hits expanded to full conversations with per-turn match
+    flags (the DM-context analog), oracled — pins the per-turn
+    text-equality-under-stable-(conv_id, turn_idx)-ordering invariant
+    against an independent engine."""
+    from xf_spark.query.results import conversation_context
+
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    hits = eng.search("spark", limit=5)
+    return conversation_context(eng.docs, hits).select(
+        "conv_id", "turn_idx", "role", "text", "is_match"
+    )
+
+
 def transcripts_bm25_machine(spark, sf_dir):
     eng, _ = _transcripts_engine(spark, sf_dir)
     return eng.search_hydrated("machine", limit=20).select(
