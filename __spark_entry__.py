@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_activity": eq.events_user_activity,
         # general engine sanity
         "tpch_q1": eq.tpch_q1,
+        # recursive-CTE analog (thread reconstruction)
+        "thread_reconstruction": eq.thread_reconstruction,
         # transcripts engine over the documents-derived table — the
         # FULL engine path (docID assignment -> postings -> BM25 /
         # phrase / filters / context) with DuckDB differentials

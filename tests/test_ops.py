@@ -225,3 +225,49 @@ class TestMultimodal:
         for mid, n in per.items():
             dur = vids[mid]["meta"]["duration_ms"]
             assert n == (dur - 1) // 1000 + 1
+
+
+class TestThreadReconstruction:
+    """get_thread vs the reference recursive-CTE semantics
+    (storage.rs:1518-1562): ancestors -> root -> descendants."""
+
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, parent_id long, ts long")
+
+    def test_branching_thread(self, spark):
+        # 1 <- 2 <- 3 ; 1 <- 4 (branch) ; 9 isolated
+        edges = self._edges(
+            spark,
+            [(1, None, 10), (2, 1, 20), (3, 2, 30), (4, 1, 40), (9, None, 90)],
+        )
+        from xf_spark.ops.graph import get_thread
+
+        got = [r["id"] for r in get_thread(edges, 3, order_col="ts").collect()]
+        assert got == [1, 2, 3, 4]
+        # from a leaf on the other branch: same thread
+        got = [r["id"] for r in get_thread(edges, 4, order_col="ts").collect()]
+        assert got == [1, 2, 3, 4]
+
+    def test_orphan_parent_is_root(self, spark):
+        # 5's parent 99 is absent from the table -> 5 is the root
+        edges = self._edges(spark, [(5, 99, 10), (6, 5, 20)])
+        from xf_spark.ops.graph import get_thread
+
+        got = [r["id"] for r in get_thread(edges, 6, order_col="ts").collect()]
+        assert got == [5, 6]
+
+    def test_depth_cap(self, spark):
+        # chain 0 <- 1 <- ... <- 12, cap depth at 3: ancestors stop
+        rows = [(i, i - 1 if i else None, i) for i in range(13)]
+        edges = self._edges(spark, rows)
+        from xf_spark.ops.graph import ancestor_ids
+
+        anc = ancestor_ids(edges, 12, max_depth=3)
+        assert [a[0] for a in anc] == [12, 11, 10, 9]
+
+    def test_isolated_node(self, spark):
+        edges = self._edges(spark, [(1, None, 10), (2, 1, 20)])
+        from xf_spark.ops.graph import get_thread
+
+        got = [r["id"] for r in get_thread(edges, 999, order_col="ts").collect()]
+        assert got == []

@@ -521,3 +521,41 @@ JOIN convs USING (conv_id)
 LEFT JOIN hits h ON h.did = b.did
 ORDER BY b.conv_id, b.turn_idx
 """
+
+# Thread reconstruction: DuckDB runs the reference's ACTUAL recursive
+# CTE shape (get_tweet_thread, storage.rs:1518-1562) over a reply
+# graph derived from documents; the Spark side runs the frontier-loop
+# re-expression in ops/graph.py.
+ORACLES["thread_reconstruction"] = """
+WITH RECURSIVE
+edges AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0 THEN NULL
+              ELSE greatest(doc_id - (1 + doc_id % 3), doc_id - doc_id % 20)
+         END AS parent_id,
+         text
+  FROM documents
+),
+ancestors(id, parent_id, depth) AS (
+  SELECT doc_id, parent_id, 0 FROM edges WHERE doc_id = 157
+  UNION ALL
+  SELECT e.doc_id, e.parent_id, a.depth + 1
+  FROM edges e JOIN ancestors a ON e.doc_id = a.parent_id
+  WHERE a.parent_id IS NOT NULL AND a.depth < 100
+),
+root AS (
+  SELECT id FROM ancestors
+  WHERE parent_id IS NULL OR parent_id NOT IN (SELECT doc_id FROM edges)
+  ORDER BY depth DESC
+  LIMIT 1
+),
+thread_ids(id) AS (
+  SELECT id FROM root
+  UNION ALL
+  SELECT e.doc_id FROM edges e JOIN thread_ids t ON e.parent_id = t.id
+)
+SELECT DISTINCT e.doc_id, e.parent_id, e.text
+FROM edges e
+WHERE e.doc_id IN (SELECT id FROM thread_ids)
+ORDER BY e.doc_id
+"""

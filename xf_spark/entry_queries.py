@@ -493,6 +493,29 @@ def ann_ivf_full_probe(spark, sf_dir):
     return out.select("vec_id", "cosine")
 
 
+def thread_reconstruction(spark, sf_dir):
+    """Reply-thread reconstruction (the recursive-CTE analog,
+    storage.rs:1518-1562): ancestors -> root -> descendants via a
+    bounded frontier loop of broadcast semi-joins. The reply graph is
+    derived from documents by pure SQL (20-node trees, branch step
+    1 + doc_id % 3) so DuckDB's real WITH RECURSIVE is the oracle."""
+    from xf_spark.ops.graph import get_thread
+
+    docs = _read(spark, sf_dir, "documents")
+    step = F.lit(1) + (F.col("doc_id") % 3)
+    block_start = F.col("doc_id") - (F.col("doc_id") % 20)
+    edges = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 20 == 0, F.lit(None).cast("long"))
+        .otherwise(F.greatest(F.col("doc_id") - step, block_start))
+        .alias("parent_id"),
+        "text",
+    )
+    return get_thread(edges, 157, id_col="doc_id", parent_col="parent_id").select(
+        "doc_id", "parent_id", "text"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transcripts-engine entries (rows-only driver checks — the transcripts
 # table is synthesized in-repo per BASELINE.json input_hint, so there
