@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_docs_bm25": eq.transcripts_docs_bm25,
         "transcripts_docs_phrase": eq.transcripts_docs_phrase,
         "transcripts_docs_filtered": eq.transcripts_docs_filtered,
+        "transcripts_docs_prefix": eq.transcripts_docs_prefix,
         "transcripts_docs_context": eq.transcripts_docs_context,
         # transcripts flagship engine (rows-only: no DuckDB view for
         # the in-repo synthesized table; pytest oracles cover these)

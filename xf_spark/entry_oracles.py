@@ -559,3 +559,40 @@ FROM edges e
 WHERE e.doc_id IN (SELECT id FROM thread_ids)
 ORDER BY e.doc_id
 """
+
+# Prefix field: words split on [\W_]+, len >= 2, first 100 such words;
+# a word emits prefix 'spar' iff len >= 4 and it starts with 'spar'.
+# idf from the prefix field's own df; tf/dl normalization from the
+# TEXT field (engine's pinned convention).
+ORACLES["transcripts_docs_prefix"] = f"""
+WITH {_TR_BASE},
+words AS (
+  SELECT did, unnest(l) AS w, unnest(range(1, len(l) + 1)) AS idx
+  FROM (SELECT did, regexp_split_to_array(text, '[\\W_]+') AS l FROM base)
+),
+pw AS (
+  SELECT did, lower(w) AS w,
+         row_number() OVER (PARTITION BY did ORDER BY idx) AS rn
+  FROM words WHERE strlen(w) >= 2
+),
+ptf AS (
+  SELECT did, count(*)::DOUBLE AS tf
+  FROM pw
+  WHERE rn <= 100 AND strlen(w) >= 4 AND substr(w, 1, 4) = 'spar'
+  GROUP BY did
+),
+pdf AS (SELECT count(*)::DOUBLE AS df FROM ptf),
+pscored AS (
+  SELECT ptf.did,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * ptf.tf * 2.2
+           / (ptf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) AS score
+  FROM ptf
+  JOIN tdl ON tdl.did = ptf.did
+  CROSS JOIN pdf d
+  CROSS JOIN tstats s
+)
+SELECT b.conv_id, b.turn_idx, round(p.score, 4) AS score
+FROM pscored p JOIN base b ON b.did = p.did
+ORDER BY p.score DESC, p.did
+LIMIT 20
+"""

@@ -576,7 +576,7 @@ def _docs_transcripts_engine(spark, sf_dir):
                 " + make_interval(0, 0, 0, 0, 0, 0, doc_id * 60)"
             ).alias("ts"),
         )
-        _ENGINE_MEMO[key] = build_engine(tr, with_prefix=False)
+        _ENGINE_MEMO[key] = build_engine(tr, with_prefix=True)
     return _ENGINE_MEMO[key]
 
 
@@ -605,6 +605,16 @@ def transcripts_docs_filtered(spark, sf_dir):
     return eng.search_hydrated(
         "spark", limit=20, roles=["assistant"], since="2024-01-01 04:00:00"
     ).select("conv_id", "turn_idx", F.round("score", 4).alias("score"))
+
+
+def transcripts_docs_prefix(spark, sf_dir):
+    """Edge-n-gram prefix query 'spar*'@20 — prefix-field idf/tf with
+    text-field dl/avgdl normalization (the pinned convention,
+    search.rs:229-235,1103-1134), oracled in SQL."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated("spar*", limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
 
 
 def transcripts_docs_context(spark, sf_dir):
