@@ -134,10 +134,21 @@ def main():
     lo_cpus = max(2, hi_scaling // 4)
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
 
+    # Build parallelism cap: measured at scale 1.0 (1.57M turns,
+    # min-of-2, idle host): local[16] = 20.4k turns/s beats BOTH
+    # local[32] = 16.9k and local[8] = 17.0k — the encode phase is
+    # memory-bandwidth-bound and this host saturates DRAM before 32
+    # threads. 16 cores/JVM also matches real-cluster executor sizing
+    # (4-8 cores/executor); query serving still uses all cpus.
+    build_cpus = min(cpus, 16)
+
     tmp = tempfile.mkdtemp(prefix="xf_bench_")
     try:
-        # headline build + query latencies at BENCH_SCALE
-        n_turns, hi_sec, queries = build_once(cpus, os.path.join(tmp, "hi"), True)
+        # headline build (min-of-2: host wall-time variance is ±2-3x)
+        # + query latencies at BENCH_SCALE
+        n_turns, hi_sec, queries = build_once(
+            build_cpus, os.path.join(tmp, "hi"), True, runs=2
+        )
         # scaling evidence (N vs 4N proxy) at SCALING_SCALE, min-of-N
         os.system("sync")
         ns, lo_sec_s, _ = build_once(
@@ -169,6 +180,7 @@ def main():
             "sf": sf,
             "build": {
                 "turns": n_turns,
+                "cores": build_cpus,
                 "build_sec": round(hi_sec, 2),
                 "turns_per_sec": round(n_turns / hi_sec, 1),
             },
