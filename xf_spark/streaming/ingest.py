@@ -1,0 +1,178 @@
+"""Structured Streaming ingestion for the transcript engine.
+
+The reference is a batch archive engine (README.md:1311) — streaming
+is the Spark-native extension of its incremental surface
+(lib.rs:213-465): new transcript files land in a directory, micro-
+batches flow through the SAME append path the batch engine uses, and
+windowed/stateful aggregations run with watermarks for late turns.
+
+Design points (all exercised by tests):
+
+- **file source + checkpoint = resumable exactly-once ingestion**:
+  the file source tracks processed files in the checkpoint, so a
+  restarted stream (same checkpointLocation) picks up ONLY unseen
+  files — the streaming analog of the segment build's manifest resume.
+- **foreachBatch -> append_transcripts**: each micro-batch builds a
+  new index VERSION dir (global BM25 stats change on append; an
+  in-place posting append would serve stale scores — see
+  index/incremental.py). A `CURRENT` pointer file is updated
+  atomically (tmp+rename, the reference's vector.rs:267-393 pattern).
+- **watermark + window aggregation**: turns/minute/role with late-data
+  tolerance — the streaming stats surface.
+- **applyInPandasWithState**: per-conversation running turn totals —
+  custom stateful operator; state survives stream restarts via the
+  state store (tested: two availableNow runs, second sees first's
+  counts).
+
+At scale: one micro-batch == one bounded batch job; the index-version
+cutover keeps queries consistent while a batch is in flight, and the
+state store shards by conv_id across executors.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def transcript_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """readStream over a directory of transcript parquet files
+    (input_hint schema). maxFilesPerTrigger bounds micro-batch size so
+    a backlog replays as several bounded jobs, not one giant one."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def current_index_path(index_root: str) -> str | None:
+    ptr = os.path.join(index_root, "CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        return f.read().strip() or None
+
+
+def _set_current(index_root: str, version_dir: str) -> None:
+    ptr = os.path.join(index_root, "CURRENT")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(version_dir)
+    os.replace(tmp, ptr)  # atomic cutover
+
+
+def stream_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **build_kw,
+):
+    """Stream transcript files into versioned index builds.
+
+    Each micro-batch unions with the CURRENT version's doc store and
+    writes index_root/v{epoch}; readers follow the CURRENT pointer.
+    Returns the StreamingQuery (await with .awaitTermination())."""
+    os.makedirs(index_root, exist_ok=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from xf_spark.engine import XfIndex
+        from xf_spark.index.incremental import append_transcripts
+
+        cur = current_index_path(index_root)
+        new_dir = os.path.join(index_root, f"v{batch_id}")
+        if cur is None:
+            XfIndex.build(batch_df, new_dir, **build_kw)
+        else:
+            append_transcripts(spark, cur, batch_df, new_dir, **build_kw)
+        _set_current(index_root, new_dir)
+
+    writer = (
+        transcript_stream(spark, input_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def turns_per_window(
+    stream_df: DataFrame, window: str = "1 minute", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Windowed turn counts per role with late-data tolerance — attach
+    to writeStream in append mode (watermark closes windows)."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("total_turns", T.LongType()),
+        T.StructField("last_turn_idx", T.IntegerType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total", T.LongType()),
+        T.StructField("last_idx", T.IntegerType()),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    total, last_idx = state.get if state.exists else (0, -1)
+    for pdf in pdfs:
+        total += len(pdf)
+        if len(pdf):
+            last_idx = max(last_idx, int(pdf["turn_idx"].max()))
+    state.update((total, last_idx))
+    yield pd.DataFrame(
+        {"conv_id": [key[0]], "total_turns": [total], "last_turn_idx": [last_idx]}
+    )
+
+
+def conversation_turn_totals(stream_df: DataFrame) -> DataFrame:
+    """Running per-conversation turn totals — custom stateful operator
+    via applyInPandasWithState. State (total, last_idx) persists in the
+    state store across micro-batches AND stream restarts."""
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
