@@ -163,3 +163,52 @@ class TestCli:
         assert r.returncode == 0, r.stderr[-2000:]
         s = json.loads(r.stdout[r.stdout.index("{"):])
         assert s["n_turns"] == 1512
+
+
+class TestTableResolution:
+    """sources/tables.py: identifier vs path resolution (the Iceberg
+    seam; no Iceberg jar in this sandbox, so identifier reads go to
+    the session catalog and paths to parquet)."""
+
+    def test_parquet_path_roundtrip(self, spark, tmp_path):
+        from xf_spark.sources.tables import load_table, write_table
+        from xf_spark.transcripts import load_transcripts
+
+        p = str(tmp_path / "tbl")
+        tr = load_transcripts(spark, 0.001)
+        write_table(tr, p, mode="overwrite")
+        assert load_table(spark, p).count() == tr.count()
+
+    def test_identifier_uses_catalog(self, spark):
+        from xf_spark.sources.tables import load_table
+        from xf_spark.transcripts import load_transcripts
+
+        load_transcripts(spark, 0.001).limit(7).createOrReplaceTempView("t7")
+        # temp views resolve without a dot; a dotted identifier goes to
+        # the catalog — create a real catalog table via SQL
+        spark.sql("CREATE DATABASE IF NOT EXISTS xfdb")
+        spark.sql("DROP TABLE IF EXISTS xfdb.turns7")
+        spark.sql("CREATE TABLE xfdb.turns7 AS SELECT * FROM t7")
+        try:
+            assert load_table(spark, "xfdb.turns7").count() == 7
+        finally:
+            spark.sql("DROP TABLE IF EXISTS xfdb.turns7")
+
+    def test_identifier_heuristic(self):
+        from xf_spark.sources.tables import is_table_identifier
+
+        assert is_table_identifier("db.table")
+        assert is_table_identifier("catalog.db.table")
+        assert not is_table_identifier("/root/testdata/sf0.01")
+        assert not is_table_identifier("fixtures/transcripts_sf0.1.parquet")
+        assert not is_table_identifier("plain_view")
+
+    def test_transcript_contract_enforced(self, spark, tmp_path):
+        from xf_spark.sources.tables import load_transcript_table
+
+        p = str(tmp_path / "bad")
+        spark.range(3).write.parquet(p)
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="missing columns"):
+            load_transcript_table(spark, p)

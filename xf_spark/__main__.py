@@ -28,8 +28,10 @@ def _spark(args):
 def cmd_index(args) -> int:
     from xf_spark.engine import XfIndex
 
+    from xf_spark.sources.tables import load_transcript_table
+
     spark = _spark(args)
-    transcripts = spark.read.parquet(args.input)
+    transcripts = load_transcript_table(spark, args.input)
     ix = XfIndex.build(
         transcripts,
         args.out,
@@ -123,7 +125,12 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pi = sub.add_parser("index")
-    pi.add_argument("--input", required=True, help="transcripts parquet path")
+    pi.add_argument(
+        "--input",
+        required=True,
+        help="transcripts source: parquet path or catalog table "
+        "identifier (db.table — Iceberg when the catalog is Iceberg)",
+    )
     pi.add_argument("--out", required=True, help="index output dir")
     pi.add_argument("--shards", type=int, default=64)
     pi.add_argument("--slices", type=int, default=2)
