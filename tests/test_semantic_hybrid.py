@@ -80,3 +80,42 @@ def test_hybrid_offset_pagination(built):
     sem = oracle.semantic_topk("rust", texts, limit=n)
     want = oracle.rrf_fuse(lex, sem, limit=5, offset=5)
     assert [r["doc_id"] for r in page] == [d for d, _ in want]
+
+
+def test_rrf_randomized_isomorphism(spark):
+    """25 seeded random cases: DataFrame rrf_fuse vs the pure-Python
+    oracle, bit-exact ranks and scores at 1e-12 — the reference's
+    randomized optimized-vs-legacy sweep (hybrid.rs:543-580, LCG seed
+    42)."""
+    from xf_spark import oracle as om
+
+    state = 42  # LCG, same constants as the reference sweep
+
+    def rnd(n):
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % 2**64
+        return state % n
+
+    for case in range(25):
+        n_lex, n_sem = 1 + rnd(30), 1 + rnd(30)
+        pool = list(range(60))
+        lex = [(pool[rnd(60)], float(rnd(1000)) / 10.0) for _ in range(n_lex)]
+        sem = [(pool[rnd(60)], float(rnd(1000)) / 1000.0) for _ in range(n_sem)]
+        # dedup doc_ids, then rank-order (score desc, doc_id asc) —
+        # the oracle takes rank-ordered lists; the DataFrame side
+        # derives ranks with the same window
+        lex = sorted({d: s for d, s in lex}.items(), key=lambda kv: (-kv[1], kv[0]))
+        sem = sorted({d: s for d, s in sem}.items(), key=lambda kv: (-kv[1], kv[0]))
+        limit = 1 + rnd(20)
+        offset = rnd(4)
+
+        ldf = spark.createDataFrame(lex, "doc_id long, score double")
+        sdf = spark.createDataFrame(sem, "doc_id long, score double")
+        got = [
+            (r["doc_id"], r["score"])
+            for r in rrf_fuse(ldf, sdf, limit=limit, offset=offset).collect()
+        ]
+        want = om.OracleIndex.rrf_fuse(lex, sem, limit=limit, offset=offset)
+        assert [d for d, _ in got] == [d for d, _ in want], f"case {case}"
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-12, (case, gd, gs, ws)
