@@ -198,3 +198,45 @@ class TestWandUnit:
         ids, sc = wand_or_topk(terms, 10)
         ei, es = _topk(terms[0][0], terms[0][1], 10)
         assert np.array_equal(ids, ei)
+
+
+class TestHeadTermSkew:
+    """North-rule pin: head-term skew is handled by the (term, shard)
+    layout — a term occurring in EVERY doc is split across doc-shards
+    with balanced posting-list sizes, so no single reducer ever owns a
+    stop word's full posting list."""
+
+    def test_universal_term_is_sharded_and_balanced(self, spark, tmp_path):
+        import pandas as pd
+
+        n = 4000
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [f"c{i // 20:05d}" for i in range(n)],
+                "turn_idx": pd.array([i % 20 for i in range(n)], dtype="int32"),
+                "role": ["user"] * n,
+                # 'the' in every doc (head term); filler varies
+                "text": [f"the filler{i % 97} word{i % 31}" for i in range(n)],
+                "tool": [""] * n,
+                "ts": pd.to_datetime(["2025-01-01"] * n),
+            }
+        )
+        src = str(tmp_path / "skew_src")
+        pdf.to_parquet(
+            src, index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True, row_group_size=512,
+        )
+        from xf_spark.index.segments import build_index
+
+        out = str(tmp_path / "skew_idx")
+        docs, stats, metrics = build_index(
+            spark.read.parquet(src), out, n_shards=8, slices=1
+        )
+        seg = spark.read.parquet(os.path.join(out, "segments"))
+        the_rows = seg.where("field = 'text' AND term = 'the'").collect()
+        shard_sizes = sorted(r["n_docs"] for r in the_rows)
+        assert len(the_rows) >= 4  # split across shards, not one reducer
+        assert sum(shard_sizes) == n
+        # balanced: largest shard within 2x of the mean
+        mean = sum(shard_sizes) / len(shard_sizes)
+        assert shard_sizes[-1] <= 2 * mean
