@@ -33,9 +33,11 @@ os.environ["PYTHONPATH"] = HERE + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 BENCH_SCALE = 0.1
 SCALING_SCALE = 0.25  # scaling runs need work >> fixed cost
-SCALING_RUNS = 2  # min-of-N: the host is virtualized and noisy (±50%
+SCALING_RUNS = 3  # min-of-N: the host is virtualized and noisy (±2-3x
 # run-to-run on identical builds measured); min is the least-noise
-# estimator of true cost
+# estimator of true cost. Scaling runs INTERLEAVE lo/hi so a host
+# contention window inflates both sides instead of silently tanking
+# the efficiency ratio (observed: one bad window -> eff 0.48 vs 0.9)
 QUERY_SET = [
     ("lexical_machine", "machine", 20),
     ("lexical_machine_100", "machine", 100),
@@ -149,15 +151,20 @@ def main():
         n_turns, hi_sec, queries = build_once(
             build_cpus, os.path.join(tmp, "hi"), True, runs=2
         )
-        # scaling evidence (N vs 4N proxy) at SCALING_SCALE, min-of-N
-        os.system("sync")
-        ns, lo_sec_s, _ = build_once(
-            lo_cpus, os.path.join(tmp, "slo"), False, SCALING_SCALE, SCALING_RUNS
-        )
-        os.system("sync")
-        ns, hi_sec_s, _ = build_once(
-            hi_scaling, os.path.join(tmp, "shi"), False, SCALING_SCALE, SCALING_RUNS
-        )
+        # scaling evidence (N vs 4N proxy) at SCALING_SCALE:
+        # interleaved min-of-N
+        lo_sec_s = hi_sec_s = None
+        for _ in range(SCALING_RUNS):
+            os.system("sync")
+            ns, lo_1, _ = build_once(
+                lo_cpus, os.path.join(tmp, "slo"), False, SCALING_SCALE
+            )
+            os.system("sync")
+            ns, hi_1, _ = build_once(
+                hi_scaling, os.path.join(tmp, "shi"), False, SCALING_SCALE
+            )
+            lo_sec_s = lo_1 if lo_sec_s is None else min(lo_sec_s, lo_1)
+            hi_sec_s = hi_1 if hi_sec_s is None else min(hi_sec_s, hi_1)
         thru_lo = ns / lo_sec_s
         thru_hi_s = ns / hi_sec_s
         scaling = {

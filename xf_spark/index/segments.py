@@ -585,16 +585,22 @@ def build_index(
         # tasks x fields x buckets tiny files; term-sorted row groups
         # give the same pruning via parquet min/max stats
         out_slice = os.path.join(out, f"slice={s}")
-        seg.write.partitionBy("field").mode("overwrite").parquet(out_slice)
+        # lineage metrics ride the write action itself (observe):
+        # no re-read of the written segments — at 10^12 scale that
+        # re-scan would cost as much as the write
+        from pyspark.sql import Observation
 
-        written = spark.read.parquet(out_slice)
-        row = written.agg(
-            F.count("*").alias("rows"),
+        obs = Observation(f"slice_{s}_metrics")
+        seg = seg.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
             F.sum("n_docs").alias("postings"),
             F.sum("bytes").alias("bytes"),
             F.max("n_docs").alias("max_seg"),
             F.expr("percentile(n_docs, 0.5)").alias("med_seg"),
-        ).first()
+        )
+        seg.write.partitionBy("field").mode("overwrite").parquet(out_slice)
+        row = obs.get
         m = BuildMetrics(
             slice_id=s,
             field="all",
