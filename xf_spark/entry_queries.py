@@ -33,11 +33,17 @@ def _doc_engine(spark: SparkSession, sf_dir: str) -> BM25Engine:
     """BM25 engine over the driver's ``documents`` table (doc_id, text).
 
     doc_id is already a dense unique int64 — no docID assignment pass
-    needed; the engine machinery is identical to the transcripts path."""
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    postings = build_postings(docs, with_positions=False)
-    stats = corpus_stats(docs)
-    return BM25Engine(docs=docs, postings=postings, stats=stats)
+    needed; the engine machinery is identical to the transcripts path.
+    Memoized per (session, sf_dir) with cached postings: the driver
+    runs many bm25_* queries back to back — the tokenize pass should
+    run once, not once per query."""
+    key = (id(spark), sf_dir, "doc_eng")
+    if key not in _ENGINE_MEMO:
+        docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+        postings = build_postings(docs, with_positions=False).cache()
+        stats = corpus_stats(docs)
+        _ENGINE_MEMO[key] = BM25Engine(docs=docs, postings=postings, stats=stats)
+    return _ENGINE_MEMO[key]
 
 
 def _rounded_hits(df: DataFrame) -> DataFrame:
