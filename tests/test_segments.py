@@ -240,3 +240,18 @@ class TestHeadTermSkew:
         # balanced: largest shard within 2x of the mean
         mean = sum(shard_sizes) / len(shard_sizes)
         assert shard_sizes[-1] <= 2 * mean
+
+
+def test_phrase_vectorized_equals_scalar_fallback(spark, built, monkeypatch):
+    """The int64-key vectorized adjacency and the scalar per-doc
+    fallback must be rank- and score-identical; force the fallback by
+    shrinking the key base below any real position."""
+    from xf_spark.query import segment_search as ss
+
+    ix, _oracle, _m, _p = built
+    want = [(r["doc_id"], r["score"]) for r in
+            ix.search('"machine learning"', limit=50).collect()]
+    monkeypatch.setattr(ss, "_POS_B", 2)  # every doc falls back
+    got = [(r["doc_id"], r["score"]) for r in
+           ix.search('"machine learning"', limit=50).collect()]
+    assert got == want and len(want) > 0
