@@ -1,0 +1,112 @@
+"""Incremental segment append: index only the delta, never rewrite
+existing segments — results must be rank- and score-identical to a
+full rebuild over the union, and WAND must stay exact under the
+avgdl-corrected block bounds."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xf_spark.engine import XfIndex
+from xf_spark.transcripts import load_transcripts
+
+QUERIES = [
+    ("machine", 30),
+    ("rust async patterns", 30),
+    ('"machine learning"', 20),
+    ("rust AND async", 20),
+    ("python NOT snake", 20),
+    ("progr*", 20),
+]
+
+
+def _split(tr, frac=0.7):
+    convs = [r[0] for r in tr.select("conv_id").distinct().orderBy("conv_id").collect()]
+    cut = convs[int(len(convs) * frac)]
+    return tr.where(F.col("conv_id") < cut), tr.where(F.col("conv_id") >= cut)
+
+
+@pytest.fixture(scope="module")
+def pair(spark, tmp_path_factory):
+    """(incrementally-appended index, full-rebuild index) over the
+    same corpus; the append half sorts AFTER the base half so doc_ids
+    coincide and results can be compared verbatim."""
+    tr = load_transcripts(spark, 0.001)
+    part1, part2 = _split(tr)
+    inc_path = str(tmp_path_factory.mktemp("apx") / "inc")
+    full_path = str(tmp_path_factory.mktemp("apx") / "full")
+    inc = XfIndex.build(part1, inc_path, with_embeddings=False, slices=1)
+    inc = inc.append(part2)
+    full = XfIndex.build(tr, full_path, with_embeddings=False, slices=1)
+    return inc, full
+
+
+class TestIncrementalAppend:
+    def test_stats_match_full_rebuild(self, pair):
+        inc, full = pair
+        mi, mf = inc.segment_index.meta, full.segment_index.meta
+        assert mi["n_docs"] == mf["n_docs"]
+        assert abs(mi["avgdl"] - mf["avgdl"]) < 1e-9
+        assert mi["slice_avgdl"]  # old slices recorded their encode avgdl
+
+    @pytest.mark.parametrize("query,limit", QUERIES, ids=[q for q, _ in QUERIES])
+    def test_results_identical_to_full_rebuild(self, pair, query, limit):
+        inc, full = pair
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               inc.segment_index.search(query, limit=limit).collect()]
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                full.segment_index.search(query, limit=limit).collect()]
+        assert got == want and len(want) > 0
+
+    @pytest.mark.parametrize("query,limit", QUERIES, ids=[q for q, _ in QUERIES])
+    def test_wand_exact_under_scaled_bounds(self, pair, query, limit):
+        """The load-bearing pin: appended indexes serve corrected
+        block-max bounds; WAND pruning must still return exactly the
+        exhaustive answer."""
+        inc, _ = pair
+        fast = [(r["doc_id"], round(r["score"], 9)) for r in
+                inc.segment_index.search(query, limit=limit).collect()]
+        slow = [(r["doc_id"], round(r["score"], 9)) for r in
+                inc.segment_index.search(query, limit=limit, exhaustive=True).collect()]
+        assert fast == slow
+
+    def test_append_is_deduped_noop(self, spark, pair):
+        inc, _ = pair
+        before = inc.segment_index.meta["n_docs"]
+        docs = inc.docs.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        inc2 = inc.append(docs.limit(50))  # all already present
+        assert inc2.segment_index.meta["n_docs"] == before
+
+    def test_interleaved_append_same_scores(self, spark, tmp_path):
+        """Appending convs that interleave the existing ordering: doc
+        ids diverge from a full rebuild, but per-turn BM25 scores and
+        the ranked (conv_id, turn_idx) sets must not."""
+        tr = load_transcripts(spark, 0.001)
+        odd = tr.where(F.crc32("conv_id") % 2 == 1)
+        even = tr.where(F.crc32("conv_id") % 2 == 0)
+        inc = XfIndex.build(odd, str(tmp_path / "i"), with_embeddings=False, slices=1)
+        inc = inc.append(even)
+        full = XfIndex.build(tr, str(tmp_path / "f"), with_embeddings=False, slices=1)
+        for query in ("machine", '"machine learning"'):
+            got = [
+                (r["conv_id"], r["turn_idx"], round(r["score"], 6))
+                for r in inc.search(query, mode="lexical", limit=25).collect()
+            ]
+            want = [
+                (r["conv_id"], r["turn_idx"], round(r["score"], 6))
+                for r in full.search(query, mode="lexical", limit=25).collect()
+            ]
+            assert len(got) == len(want) > 0
+            # scores are a pure function of content -> multisets match;
+            # WHICH tie members sit at the boundary depends on doc_id
+            # assignment order, which legitimately differs here
+            assert sorted(s for _, _, s in got) == sorted(s for _, _, s in want)
+            cut = min(s for _, _, s in want)
+            assert {(c, t) for c, t, s in got if s > cut} == {
+                (c, t) for c, t, s in want if s > cut
+            }

@@ -58,6 +58,26 @@ class XfIndex:
             spark=spark, path=path, segment_index=seg, docs=docs_df, embeddings=emb
         )
 
+    def append(self, new_transcripts: DataFrame) -> "XfIndex":
+        """INCREMENTAL append: tokenizes/encodes ONLY the new turns into
+        a fresh segment slice (existing segments untouched — see
+        segments.append_index for the stats-soundness argument),
+        appends the docs delta, updates global stats, and extends the
+        embeddings store for the new docs. Returns self, reloaded."""
+        from xf_spark.index.segments import append_index
+
+        old_n = int(self.segment_index.meta["n_docs"])  # pre-append N
+        n_added, _stats = append_index(new_transcripts, self.path)
+        docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
+        if n_added and self.embeddings is not None:
+            emb_path = os.path.join(self.path, "embeddings")
+            new_docs = docs.where(F.col("doc_id") >= old_n)
+            build_embeddings(new_docs).write.mode("append").parquet(emb_path)
+            self.embeddings = self.spark.read.parquet(emb_path)
+        self.docs = docs
+        self.segment_index = SegmentIndex.load(self.spark, self.path, docs=docs)
+        return self
+
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "XfIndex":
         docs = spark.read.parquet(os.path.join(path, "docs"))

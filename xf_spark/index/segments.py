@@ -428,14 +428,20 @@ def _encode_field_arrays(
     return out
 
 
-def _encode_partition_batches(batch_iter, avgdl, n_buckets, with_positions):
+def _encode_partition_batches(
+    batch_iter, avgdl, n_buckets, with_positions, shard_base=0
+):
     """mapInPandas body: one partition == one shard (the docID range
     sort already co-located each doc range). Accumulates the
     partition's per-doc flat postings and encodes every (field, term)
-    posting list — a narrow stage, nothing shuffles."""
+    posting list — a narrow stage, nothing shuffles.
+
+    ``shard_base`` offsets shard ids for APPENDED slices so they never
+    collide with existing shards (per-shard evaluation requires every
+    doc's postings in exactly one shard group)."""
     from pyspark import TaskContext
 
-    shard = TaskContext.get().partitionId()
+    shard = shard_base + TaskContext.get().partitionId()
     cols: dict[str, list] = {
         k: []
         for k in ("doc_id", "dl", "terms", "tfs", "pos_lens", "pos_flat", "p_terms", "p_tfs")
@@ -546,10 +552,18 @@ def build_index(
                 {
                     "n_docs": n_docs,
                     "avgdl": avgdl,
+                    "total_tokens": int(row["total"] or 0),
                     "n_shards": n_shards,
                     "n_buckets": n_buckets,
                     "with_positions": with_positions,
                     "block": BLOCK,
+                    # incremental-append bookkeeping: shard/slice id
+                    # allocation + per-slice encode-time avgdl (block
+                    # maxima were computed with it; query-time bounds
+                    # scale by max(1, avgdl_now/avgdl_enc))
+                    "next_shard": n_shards,
+                    "next_slice": slices,
+                    "slice_avgdl": {},
                 },
                 f,
             )
@@ -625,3 +639,136 @@ def build_index(
         ).write.mode("append").parquet(manifest_path)
     # keep `full` cached: docs (hydration) and future queries share it
     return docs, CorpusStats(n_docs, avgdl), all_metrics
+
+
+def append_index(new_transcripts: DataFrame, path: str):
+    """INCREMENTAL append: index only the new turns; existing segments
+    are never rewritten.
+
+    Why this is sound (and where the reference instead re-indexes
+    fully, README.md:1315):
+
+    - postings (term, doc_id, tf, positions) of existing docs do not
+      change on append — only the GLOBAL stats (N, avgdl, df) do;
+    - exact scores are computed at query time from raw tf/dl + the
+      CURRENT meta stats, so old segments score correctly unchanged;
+    - per-term df = sum of segment-row ``n_docs`` across slices, so an
+      appended slice updates df by existing;
+    - the only precomputed stat is the block-max WAND bound
+      tf_part(tf, dl, avgdl_enc). tf_part is increasing in avgdl and
+      tf_part(avgdl_new) <= tf_part(avgdl_enc) * (avgdl_new/avgdl_enc)
+      (the ratio (D + m/a_old)/(D + m/a_new) is maximized as D->0), so
+      scaling old bounds by max(1, avgdl_now/avgdl_enc) keeps them
+      valid upper bounds — WAND stays exact, only pruning loosens
+      fractionally. ``slice_avgdl`` in meta records each slice's
+      encode-time avgdl; SegmentIndex.load applies the factor.
+
+    New docs get doc_ids offset past the existing corpus (their shard
+    ids offset past existing shards), so doc ranges stay disjoint and
+    per-shard evaluation composes. Duplicate (conv_id, turn_idx) rows
+    are dropped against the stored docs table.
+
+    At 10^12 turns this is the difference between a bounded delta job
+    and re-tokenizing a petabyte per append.
+
+    Returns (n_appended, new CorpusStats)."""
+    from xf_spark.index.docs import prepare_docs_tokenized
+    from xf_spark.index.postings import CorpusStats
+
+    spark = new_transcripts.sparkSession
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    docs_path = os.path.join(path, "docs")
+    if not os.path.isdir(docs_path):
+        raise ValueError("append requires the index's docs table (XfIndex.build)")
+    old_docs = spark.read.parquet(docs_path)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    fresh = new_transcripts.select(*cols).join(
+        old_docs.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+    )
+
+    full = prepare_docs_tokenized(fresh, num_partitions=meta["n_shards"]).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(int(meta["n_docs"]))
+    ).cache()
+    row = full.agg(F.count("*").alias("n"), F.sum("dl").alias("total")).first()
+    m = int(row["n"] or 0)
+    if m == 0:
+        full.unpersist()
+        return 0, CorpusStats(meta["n_docs"], meta["avgdl"])
+    new_tokens = int(row["total"] or 0)
+    old_total = int(meta.get("total_tokens", round(meta["avgdl"] * meta["n_docs"])))
+    n_docs_new = meta["n_docs"] + m
+    avgdl_new = (old_total + new_tokens) / n_docs_new
+
+    shard_base = int(meta.get("next_shard", meta["n_shards"]))
+    slice_id = int(meta.get("next_slice", 10**6))
+    per_doc = full.select(
+        "doc_id", "dl", "terms", "tfs", "pos_lens", "pos_flat", "p_terms", "p_tfs"
+    )
+    wp = meta.get("with_positions", True)
+    nb = meta["n_buckets"]
+
+    def run(batches, _a=avgdl_new, _nb=nb, _wp=wp, _sb=shard_base):
+        return _encode_partition_batches(batches, _a, _nb, _wp, shard_base=_sb)
+
+    t0 = time.time()
+    seg = per_doc.mapInPandas(run, schema=SEGMENT_SCHEMA)
+    from pyspark.sql import Observation
+
+    obs = Observation(f"append_{slice_id}_metrics")
+    seg = seg.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_docs").alias("postings"),
+        F.sum("bytes").alias("bytes"),
+        F.max("n_docs").alias("max_seg"),
+        F.expr("percentile(n_docs, 0.5)").alias("med_seg"),
+    )
+    out_slice = os.path.join(path, "segments", f"slice={slice_id}")
+    # overwrite => rerunning a crashed append replaces its orphan
+    # slice instead of duplicating postings
+    seg.write.partitionBy("field").mode("overwrite").parquet(out_slice)
+    orow = obs.get
+
+    # docs first, meta last (tmp+rename): doctor's meta/docs count
+    # check detects a crash between the two
+    docs_delta = full.select("doc_id", *cols)
+    docs_delta.write.mode("append").parquet(docs_path)
+
+    slice_avgdl = {str(k): v for k, v in (meta.get("slice_avgdl") or {}).items()}
+    for entry in os.listdir(os.path.join(path, "segments")):
+        if entry.startswith("slice="):
+            s = entry.split("=", 1)[1]
+            if s != str(slice_id) and s not in slice_avgdl:
+                slice_avgdl[s] = meta["avgdl"]  # encoded at pre-append avgdl
+    meta.update(
+        n_docs=n_docs_new,
+        avgdl=avgdl_new,
+        total_tokens=old_total + new_tokens,
+        next_shard=shard_base + meta["n_shards"],
+        next_slice=slice_id + 1,
+        slice_avgdl=slice_avgdl,
+    )
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+
+    wall = time.time() - t0
+    spark.createDataFrame(
+        [
+            (
+                "all", slice_id, shard_base, shard_base + meta["n_shards"],
+                int(orow["rows"] or 0), int(orow["postings"] or 0),
+                int(orow["bytes"] or 0), wall,
+                float((orow["max_seg"] or 0) / max(orow["med_seg"] or 1, 1)),
+                float((orow["postings"] or 0) / wall) if wall else 0.0,
+            )
+        ],
+        "field string, slice_id int, shard_lo int, shard_hi int, "
+        "n_rows long, n_postings long, bytes long, wall_sec double, "
+        "skew_ratio double, postings_per_sec double",
+    ).write.mode("append").parquet(os.path.join(path, "manifest"))
+    full.unpersist()
+    return m, CorpusStats(n_docs_new, avgdl_new)

@@ -80,12 +80,17 @@ def _decode_row(row: dict) -> dict:
         pos += len(chunk)
     tfs = varint_decode(row["tfs_bin"]).astype(np.int64)
     dls = varint_decode(row["dls_bin"]).astype(np.float64)
+    # appended-index bound correction (see SegmentIndex.load)
+    try:
+        scale = float(row["bm_scale"])
+    except (KeyError, TypeError, ValueError):
+        scale = 1.0
     return {
         "ids": ids,
         "tfs": tfs,
         "dls": dls,
         "block_last": np.asarray(row["block_last_doc"], dtype=np.int64),
-        "block_max": np.asarray(row["block_max_tfpart"], dtype=np.float64),
+        "block_max": np.asarray(row["block_max_tfpart"], dtype=np.float64) * scale,
         "positions_bin": row.get("positions_bin"),
     }
 
@@ -403,6 +408,28 @@ class SegmentIndex:
             meta = json.load(f)
         ix = cls(spark=spark, path=path, meta=meta, docs=docs)
         ix._segments = spark.read.parquet(os.path.join(path, "segments"))
+        # incremental-append correction: a slice encoded its block-max
+        # WAND bounds with its OWN avgdl; tf_part is increasing in
+        # avgdl and bounded by the ratio, so scaling old bounds by
+        # max(1, avgdl_now/avgdl_enc) keeps them valid upper bounds
+        # (see segments.append_index). Exact scores are unaffected
+        # (recomputed from raw tf/dl at query time).
+        cur = meta["avgdl"]
+        scales = {
+            int(s): max(1.0, cur / enc)
+            for s, enc in (meta.get("slice_avgdl") or {}).items()
+            if enc and enc > 0
+        }
+        if any(v > 1.0 for v in scales.values()):
+            expr = None
+            for s, v in scales.items():
+                if expr is None:
+                    expr = F.when(F.col("slice") == s, F.lit(float(v)))
+                else:
+                    expr = expr.when(F.col("slice") == s, F.lit(float(v)))
+            ix._segments = ix._segments.withColumn(
+                "bm_scale", expr.otherwise(F.lit(1.0))
+            )
         return ix
 
     @property

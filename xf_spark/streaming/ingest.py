@@ -63,6 +63,20 @@ def transcript_stream(
     )
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Hard-link every file of ``src`` into ``dst`` (immutable-file
+    snapshot share; meta.json is later replaced via tmp+rename so the
+    linked inode of the old version is never mutated)."""
+    for root_, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root_, src)
+        os.makedirs(os.path.join(dst, rel) if rel != "." else dst, exist_ok=True)
+        for f in files:
+            s = os.path.join(root_, f)
+            d = os.path.join(dst, rel, f) if rel != "." else os.path.join(dst, f)
+            if not os.path.exists(d):
+                os.link(s, d)
+
+
 def current_index_path(index_root: str) -> str | None:
     ptr = os.path.join(index_root, "CURRENT")
     if not os.path.exists(ptr):
@@ -98,14 +112,23 @@ def stream_index(
         if batch_df.isEmpty():
             return
         from xf_spark.engine import XfIndex
-        from xf_spark.index.incremental import append_transcripts
 
         cur = current_index_path(index_root)
         new_dir = os.path.join(index_root, f"v{batch_id}")
         if cur is None:
             XfIndex.build(batch_df, new_dir, **build_kw)
         else:
-            append_transcripts(spark, cur, batch_df, new_dir, **build_kw)
+            # snapshot-isolated INCREMENTAL append: hard-link the
+            # current version's immutable files (segments slices, docs
+            # parquet — the Iceberg manifest-reuse pattern on a local
+            # FS), then index ONLY the micro-batch delta into a new
+            # slice. Cost per batch is O(delta), not O(corpus); the
+            # old version keeps serving unchanged.
+            import shutil as _sh
+
+            _sh.rmtree(new_dir, ignore_errors=True)  # crashed attempt
+            _link_tree(cur, new_dir)
+            XfIndex.open(spark, new_dir).append(batch_df)
         _set_current(index_root, new_dir)
 
     writer = (
