@@ -110,3 +110,23 @@ class TestIncrementalAppend:
             assert {(c, t) for c, t, s in got if s > cut} == {
                 (c, t) for c, t, s in want if s > cut
             }
+
+
+class TestAppendOperational:
+    def test_doctor_passes_on_appended_index(self, spark, pair):
+        from xf_spark.doctor import run_doctor
+
+        inc, _ = pair
+        checks = run_doctor(spark, inc.path, sample_query="machine")
+        bad = [c.name for c in checks if not c.ok]
+        assert not bad, f"doctor failed on appended index: {bad}"
+
+    def test_dedup_false_skips_antijoin(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        tr = load_transcripts(spark, 0.001)
+        p1, p2 = _split(tr)
+        ix = XfIndex.build(p1, str(tmp_path / "i"), with_embeddings=False, slices=1)
+        n1 = ix.segment_index.meta["n_docs"]
+        ix = ix.append(p2, dedup=False)
+        assert ix.segment_index.meta["n_docs"] == n1 + p2.count()

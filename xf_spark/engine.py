@@ -58,7 +58,7 @@ class XfIndex:
             spark=spark, path=path, segment_index=seg, docs=docs_df, embeddings=emb
         )
 
-    def append(self, new_transcripts: DataFrame) -> "XfIndex":
+    def append(self, new_transcripts: DataFrame, dedup: bool = True) -> "XfIndex":
         """INCREMENTAL append: tokenizes/encodes ONLY the new turns into
         a fresh segment slice (existing segments untouched — see
         segments.append_index for the stats-soundness argument),
@@ -67,7 +67,7 @@ class XfIndex:
         from xf_spark.index.segments import append_index
 
         old_n = int(self.segment_index.meta["n_docs"])  # pre-append N
-        n_added, _stats = append_index(new_transcripts, self.path)
+        n_added, _stats = append_index(new_transcripts, self.path, dedup=dedup)
         docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
         if n_added and self.embeddings is not None:
             emb_path = os.path.join(self.path, "embeddings")

@@ -641,7 +641,7 @@ def build_index(
     return docs, CorpusStats(n_docs, avgdl), all_metrics
 
 
-def append_index(new_transcripts: DataFrame, path: str):
+def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
     """INCREMENTAL append: index only the new turns; existing segments
     are never rewritten.
 
@@ -682,11 +682,19 @@ def append_index(new_transcripts: DataFrame, path: str):
     docs_path = os.path.join(path, "docs")
     if not os.path.isdir(docs_path):
         raise ValueError("append requires the index's docs table (XfIndex.build)")
-    old_docs = spark.read.parquet(docs_path)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    fresh = new_transcripts.select(*cols).join(
-        old_docs.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
-    )
+    fresh = new_transcripts.select(*cols)
+    if dedup:
+        # the anti-join scans the stored docs' 2-column projection —
+        # O(corpus) but columnar; bulk loaders with known-new deltas
+        # pass dedup=False to skip it (streaming keeps it on as the
+        # exactly-once backstop for replayed micro-batches)
+        old_docs = spark.read.parquet(docs_path)
+        fresh = fresh.join(
+            old_docs.select("conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+            "left_anti",
+        )
 
     full = prepare_docs_tokenized(fresh, num_partitions=meta["n_shards"]).withColumn(
         "doc_id", F.col("doc_id") + F.lit(int(meta["n_docs"]))
