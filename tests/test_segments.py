@@ -255,3 +255,16 @@ def test_phrase_vectorized_equals_scalar_fallback(spark, built, monkeypatch):
     got = [(r["doc_id"], r["score"]) for r in
            ix.search('"machine learning"', limit=50).collect()]
     assert got == want and len(want) > 0
+
+
+def test_search_many_matches_single_queries(built):
+    """Batched msearch == per-query search, rank- and score-identical."""
+    ix, _oracle, _m, _p = built
+    queries = ["machine", "rust async patterns", '"machine learning"',
+               "rust AND async", "python NOT snake", "progr*", "zzz_absent"]
+    batch = ix.search_many(queries, limit=20)
+    for q in queries:
+        single = ix.search_local(q, limit=20)
+        got = [(d, round(s, 9)) for d, s in batch[q]]
+        want = [(d, round(s, 9)) for d, s in single]
+        assert got == want, q
