@@ -212,3 +212,46 @@ class TestTableResolution:
 
         with _pt.raises(ValueError, match="missing columns"):
             load_transcript_table(spark, p)
+
+
+class TestCliAppend:
+    def test_cli_append_roundtrip(self, spark, tmp_path):
+        """CLI: index a subset, append the rest, search sees both."""
+        import pandas as pd
+
+        fixture = ensure_transcripts_parquet(SCALE)
+        pdf = pd.read_parquet(fixture)
+        half = len(pdf) // 2
+        p1, p2 = str(tmp_path / "p1.parquet"), str(tmp_path / "p2.parquet")
+        pdf.iloc[:half].to_parquet(p1, index=False, coerce_timestamps="us",
+                                   allow_truncated_timestamps=True)
+        pdf.iloc[half:].to_parquet(p2, index=False, coerce_timestamps="us",
+                                   allow_truncated_timestamps=True)
+        idx = str(tmp_path / "idx")
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "index",
+             "--input", p1, "--out", idx, "--shards", "4", "--slices", "1",
+             "--no-embeddings"],
+            capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "append",
+             "--input", p2, "--index", idx],
+            capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert f"appended {len(pdf) - half} turns" in r.stdout
+
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--mode", "lexical",
+             "--limit", "3", "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(payload) == 3

@@ -44,6 +44,21 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_append(args) -> int:
+    from xf_spark.engine import XfIndex
+    from xf_spark.sources.tables import load_transcript_table
+
+    spark = _spark(args)
+    ix = XfIndex.open(spark, args.index)
+    before = ix.segment_index.meta["n_docs"]
+    ix = ix.append(
+        load_transcript_table(spark, args.input), dedup=not args.no_dedup
+    )
+    after = ix.segment_index.meta["n_docs"]
+    print(f"appended {after - before} turns -> {args.index} (now {after})")
+    return 0
+
+
 def _format_rows(rows, fmt: str, columns: list[str]):
     if fmt == "json":
         print(json.dumps([{c: str(r[c]) for c in columns} for r in rows]))
@@ -136,6 +151,18 @@ def main(argv=None) -> int:
     pi.add_argument("--slices", type=int, default=2)
     pi.add_argument("--no-embeddings", action="store_true")
     pi.set_defaults(fn=cmd_index)
+
+    pa = sub.add_parser("append", help="incremental append (delta-only index)")
+    pa.add_argument(
+        "--input", required=True,
+        help="new transcripts: parquet path or catalog identifier",
+    )
+    pa.add_argument("--index", required=True, help="existing index dir")
+    pa.add_argument(
+        "--no-dedup", action="store_true",
+        help="skip the known-rows anti-join (bulk loads of known-new data)",
+    )
+    pa.set_defaults(fn=cmd_append)
 
     ps = sub.add_parser("search")
     ps.add_argument("query")

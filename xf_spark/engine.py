@@ -155,6 +155,14 @@ class XfIndex:
             out = conversation_context(self.docs, hits)
         return out
 
+    def msearch(
+        self, queries: list[str], limit: int = 20
+    ) -> dict[str, list[tuple[int, float]]]:
+        """Batched lexical multi-search (segment_search.search_many):
+        one pruned scan + one decode for the whole batch — the serving
+        path for query streams."""
+        return self.segment_index.search_many(queries, limit=limit)
+
     def _doc_filter(self, roles=None, since=None, until=None):
         if not roles and since is None and until is None:
             return None
