@@ -32,7 +32,8 @@ import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALE = 0.25
-RUNS = 2  # min-of-N: host wall-time variance is +/-2-3x
+RUNS = 1  # one timed build per submit; the parent interleaves
+# lo/hi rounds and takes best-of-2 per side (variance handling)
 
 
 def inner() -> None:
@@ -139,11 +140,20 @@ def main() -> None:
     # 2 cores/executor: 1x2 vs 4x2 = 2 vs 8 total cores — inside the
     # regime this host can physically scale (DRAM saturates at ~8
     # memory-heavy streams; 4x4=16 cores measured eff 0.57 purely from
-    # the bandwidth wall, see BENCH.md)
-    os.system("sync")
-    lo = run_one(1, CORES_PER, zip_path)
-    os.system("sync")
-    hi = run_one(4, CORES_PER, zip_path)
+    # the bandwidth wall, see BENCH.md). INTERLEAVED best-of-2 per
+    # side: host contention windows span minutes, so sequential
+    # lo-then-hi lets one side eat a window the other misses
+    # (observed ratios 0.70 and 1.10 on identical binaries).
+    lo = hi = None
+    for _ in range(2):
+        os.system("sync")
+        lo1 = run_one(1, CORES_PER, zip_path)
+        os.system("sync")
+        hi1 = run_one(4, CORES_PER, zip_path)
+        if lo is None or lo1["turns_per_sec"] > lo["turns_per_sec"]:
+            lo = lo1
+        if hi is None or hi1["turns_per_sec"] > hi["turns_per_sec"]:
+            hi = hi1
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
     print(
         json.dumps(
