@@ -14,7 +14,8 @@ local[$SPARK_GRAFT_CPUS]:
 4. sf_dir grounding: BM25 top-k over the driver's documents table.
 
 Output: {"metric", "value" (p50 lexical sec), "unit": "sec",
-"queries": {name: p50 sec}, "sf", "build": {...}, "scaling": {...}}
+"queries": {name: p50 sec}, "sf", "qps_msearch_batch8",
+"build": {...}, "scaling": {...}}
 """
 
 from __future__ import annotations
