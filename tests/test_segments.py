@@ -268,3 +268,84 @@ def test_search_many_matches_single_queries(built):
         got = [(d, round(s, 9)) for d, s in batch[q]]
         want = [(d, round(s, 9)) for d, s in single]
         assert got == want, q
+
+
+def test_phrase_randomized_encode_decode_isomorphism():
+    """20 seeded random mini-corpora, pure in-process: postings encoded
+    with the real codec (_encode_term), decoded + phrase-evaluated by
+    the vectorized path (eval_plan_on_data), compared against a
+    brute-force Python adjacency + BM25 recomputation. Catches codec/
+    position-framing/key-collision bugs on shapes the fixture corpus
+    never produces (adjacent duplicate terms, singleton docs, empty
+    overlaps)."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from xf_spark.index.segments import _encode_term
+    from xf_spark.query.segment_search import build_term_data, eval_plan_on_data
+
+    K1, B = 1.2, 0.75
+    rng = random.Random(42)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for case in range(20):
+        n_docs = rng.randint(1, 40)
+        docs = {
+            d: [vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(0, 30))]
+            for d in range(n_docs)
+        }
+        total = sum(len(t) for t in docs.values())
+        avgdl = total / n_docs if n_docs else 0.0
+        # per-term postings
+        rows = []
+        df_by_term = {}
+        for t in vocab:
+            ids, tfs, dls, pos = [], [], [], []
+            for d in sorted(docs):
+                p = [i for i, w in enumerate(docs[d]) if w == t]
+                if p:
+                    ids.append(d)
+                    tfs.append(len(p))
+                    dls.append(len(docs[d]))
+                    pos.append(np.asarray(p, dtype=np.int64))
+            if not ids:
+                continue
+            df_by_term[t] = len(ids)
+            row = _encode_term(
+                t, 0, 0,
+                np.asarray(ids, dtype=np.int64),
+                np.asarray(tfs, dtype=np.int64),
+                np.asarray(dls, dtype=np.int64),
+                pos, avgdl,
+            )
+            row["field"] = "text"
+            rows.append(row)
+        if not rows:
+            continue
+        pdf = pd.DataFrame(rows)
+        data = build_term_data(pdf)
+
+        t1, t2 = rng.sample(vocab, 2) if rng.random() < 0.7 else ("aa", "aa")
+        phrase = [t1, t2]
+        idfs = {
+            ("text", t): math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+            for t, df in df_by_term.items()
+        }
+        out = eval_plan_on_data(data, ("phrase", phrase), idfs, avgdl, 100)
+        got = {int(d): round(float(s), 9) for d, s in zip(out["doc_id"], out["score"])}
+
+        want = {}
+        for d, toks in docs.items():
+            if any(
+                toks[i] == t1 and toks[i + 1] == t2 for i in range(len(toks) - 1)
+            ):
+                s = 0.0
+                for t in phrase:
+                    tf = float(toks.count(t))
+                    dl = float(len(toks))
+                    s += idfs[("text", t)] * tf * (K1 + 1.0) / (
+                        tf + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+                want[d] = round(s, 9)
+        assert got == want, f"case {case}: {got} != {want}"
