@@ -119,3 +119,51 @@ def test_rrf_randomized_isomorphism(spark):
         assert [d for d, _ in got] == [d for d, _ in want], f"case {case}"
         for (gd, gs), (_, ws) in zip(got, want):
             assert abs(gs - ws) < 1e-12, (case, gd, gs, ws)
+
+
+class TestIvfServing:
+    """XfIndex ann mode: IVF-pruned semantic serving."""
+
+    @pytest.fixture(scope="class")
+    def ann_ix(self, spark, tmp_path_factory):
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        path = str(tmp_path_factory.mktemp("annix") / "idx")
+        tr = load_transcripts(spark, 0.001)
+        return XfIndex.build(tr, path, ann_cells=8, slices=1)
+
+    def test_full_probe_equals_exact(self, ann_ix):
+        exact = [r["doc_id"] for r in
+                 ann_ix.search("stress", mode="semantic", limit=10).collect()]
+        full_probe = [r["doc_id"] for r in
+                      ann_ix.search("stress", mode="semantic", ann=True,
+                                    n_probe=8, limit=10).collect()]
+        assert full_probe == exact and len(exact) == 10
+
+    def test_narrow_probe_recall(self, ann_ix):
+        exact = [r["doc_id"] for r in
+                 ann_ix.search("stress", mode="semantic", limit=10).collect()]
+        approx = [r["doc_id"] for r in
+                  ann_ix.search("stress", mode="semantic", ann=True,
+                                n_probe=2, limit=10).collect()]
+        # hash-embed space: nearest cell holds most true neighbors
+        assert len(set(approx) & set(exact)) >= 5
+
+    def test_filters_fall_back_to_exact(self, ann_ix):
+        rows = ann_ix.search("stress", mode="semantic", ann=True,
+                             roles=["user"], limit=10).collect()
+        assert rows and all(r["role"] == "user" for r in rows)
+
+    def test_append_preserves_cell_layout(self, spark, ann_ix, tmp_path):
+        from pyspark.sql import functions as F
+
+        extra = ann_ix.docs.select(
+            F.concat(F.lit("zz_"), "conv_id").alias("conv_id"), "turn_idx",
+            "role", "text", "tool", "ts",
+        ).limit(40)
+        before = ann_ix.embeddings.count()
+        ix2 = ann_ix.append(extra)
+        assert "cell" in ix2.embeddings.columns
+        assert ix2.embeddings.count() == before + 40
+        assert ix2.search("stress", mode="semantic", ann=True, limit=5).count() == 5

@@ -36,11 +36,21 @@ class XfIndex:
         transcripts: DataFrame,
         path: str,
         with_embeddings: bool = True,
+        ann_cells: int = 0,
         **build_kw,
     ) -> "XfIndex":
         """Full build (cmd_index analog, main.rs:766-1079): segment
         index + docs parquet + embeddings parquet, all under ``path``.
-        Resumable per slice via the manifest."""
+        Resumable per slice via the manifest.
+
+        ``ann_cells > 0`` additionally trains an IVF coarse quantizer
+        and stores per-doc cell assignments (embeddings parquet is
+        written partitionBy(cell) so a probe prunes partitions) plus
+        ``centroids.json`` — the scale path for semantic serving:
+        a query scans n_probe/n_cells of the corpus instead of all of
+        it. Exact brute force stays the default query mode."""
+        import json as _json
+
         spark = transcripts.sparkSession
         docs, stats, _metrics = build_index(transcripts, path, **build_kw)
         docs_path = os.path.join(path, "docs")
@@ -50,13 +60,41 @@ class XfIndex:
         if with_embeddings:
             emb_path = os.path.join(path, "embeddings")
             if not os.path.isdir(emb_path):
-                build_embeddings(docs).write.mode("overwrite").parquet(emb_path)
+                emb_df = build_embeddings(docs)
+                if ann_cells > 0:
+                    from xf_spark.ops.similarity import assign_cells, train_centroids
+
+                    emb_df = emb_df.cache()
+                    cent = train_centroids(
+                        emb_df, n_cells=ann_cells, vec_col="vec"
+                    )
+                    emb_df = assign_cells(emb_df, cent, vec_col="vec")
+                    tmp = os.path.join(path, "centroids.json.tmp")
+                    with open(tmp, "w") as f:
+                        _json.dump(cent.tolist(), f)
+                    emb_df.write.partitionBy("cell").mode("overwrite").parquet(
+                        emb_path
+                    )
+                    os.replace(tmp, os.path.join(path, "centroids.json"))
+                else:
+                    emb_df.write.mode("overwrite").parquet(emb_path)
             emb = spark.read.parquet(emb_path)
         docs_df = spark.read.parquet(docs_path)
         seg = SegmentIndex.load(spark, path, docs=docs_df)
         return cls(
             spark=spark, path=path, segment_index=seg, docs=docs_df, embeddings=emb
         )
+
+    def _centroids(self):
+        import json as _json
+
+        p = os.path.join(self.path, "centroids.json")
+        if not os.path.exists(p):
+            return None
+        import numpy as np
+
+        with open(p) as f:
+            return np.asarray(_json.load(f), dtype=np.float64)
 
     def append(self, new_transcripts: DataFrame, dedup: bool = True) -> "XfIndex":
         """INCREMENTAL append: tokenizes/encodes ONLY the new turns into
@@ -72,7 +110,19 @@ class XfIndex:
         if n_added and self.embeddings is not None:
             emb_path = os.path.join(self.path, "embeddings")
             new_docs = docs.where(F.col("doc_id") >= old_n)
-            build_embeddings(new_docs).write.mode("append").parquet(emb_path)
+            emb_new = build_embeddings(new_docs)
+            cent = self._centroids()
+            if cent is not None:
+                # IVF layout: new docs get cells from the EXISTING
+                # quantizer (centroids are append-stable; retrain is a
+                # rebuild-level decision)
+                from xf_spark.ops.similarity import assign_cells
+
+                assign_cells(emb_new, cent, vec_col="vec").write.partitionBy(
+                    "cell"
+                ).mode("append").parquet(emb_path)
+            else:
+                emb_new.write.mode("append").parquet(emb_path)
             self.embeddings = self.spark.read.parquet(emb_path)
         self.docs = docs
         self.segment_index = SegmentIndex.load(self.spark, self.path, docs=docs)
@@ -109,10 +159,17 @@ class XfIndex:
         sort: str = "relevance",
         snippets: bool = False,
         context: bool = False,
+        ann: bool = False,
+        n_probe: int = 4,
     ) -> DataFrame:
         """Mode dispatch lexical | semantic | hybrid (aliases bm25 |
         vector | rrf, hybrid.rs:51-85); natural-language since/until;
-        post sort; optional snippets / conversation context."""
+        post sort; optional snippets / conversation context.
+
+        ``ann=True`` (semantic mode, index built with ``ann_cells``)
+        probes the ``n_probe`` nearest IVF cells instead of scanning
+        every vector — approximate, partition-pruned; filters fall
+        back to the exact path."""
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
         mode = {"bm25": "lexical", "vector": "semantic", "rrf": "hybrid"}.get(
@@ -127,9 +184,24 @@ class XfIndex:
             if self.embeddings is None:
                 raise ValueError("index built without embeddings")
             flt = self._doc_filter(**common)
-            hits = semantic_topk(
-                self.embeddings, query, limit=limit + offset, doc_filter=flt
-            )
+            cent = self._centroids() if ann else None
+            if cent is not None and flt is None:
+                from xf_spark.ops.similarity import ivf_topk
+                from xf_spark.query.semantic import embed_query
+
+                hits = ivf_topk(
+                    self.embeddings,
+                    cent,
+                    [float(x) for x in embed_query(query)],
+                    k=limit + offset,
+                    n_probe=n_probe,
+                    id_col="doc_id",
+                    vec_col="vec",
+                ).withColumnRenamed("cosine", "score")
+            else:
+                hits = semantic_topk(
+                    self.embeddings, query, limit=limit + offset, doc_filter=flt
+                )
             if offset:
                 hits = hits.offset(offset).limit(limit)
         elif mode == "hybrid":
