@@ -136,12 +136,15 @@ class XfIndex:
         emb = spark.read.parquet(emb_path) if os.path.isdir(emb_path) else None
         return cls(spark=spark, path=path, segment_index=seg, docs=docs, embeddings=emb)
 
-    def cache(self) -> "XfIndex":
+    def cache(self, coalesce_to: int = 16) -> "XfIndex":
         self.segment_index.cache()
         self.docs = self.docs.cache()
         self.docs.count()
         if self.embeddings is not None:
-            self.embeddings = self.embeddings.cache()
+            # coalesce before caching: the cell-partitioned layout is
+            # hundreds of small files, and a cached scan visits every
+            # cached partition (~5 ms scheduling each)
+            self.embeddings = self.embeddings.coalesce(coalesce_to).cache()
             self.embeddings.count()
         return self
 
