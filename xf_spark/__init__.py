@@ -19,8 +19,17 @@ Subpackages
 - ``analytics`` — the stats/aggregation surface (daily/hourly
   histograms, engagement analogs, gaps) as Spark SQL.
 - ``ops`` — large-scale training-data operators: dedup (exact, MinHash
-  LSH, SimHash, n-gram Jaccard, embedding cosine), similarity search,
-  text analysis, multimodal column plumbing.
+  LSH, SimHash, n-gram Jaccard, embedding cosine), similarity search
+  (brute force + IVF), text analysis, thread-graph reconstruction,
+  multimodal column plumbing.
+- ``streaming`` — Structured Streaming ingestion: incremental
+  versioned index appends via foreachBatch, watermarked windowed
+  stats, stateful per-conversation totals.
+- ``sources`` — archive readers and the Iceberg-identifier/parquet
+  table seam.
+
+Entry points: ``xf_spark.engine.XfIndex`` (build / open / append /
+search / msearch / stats), ``python -m xf_spark`` (CLI).
 """
 
 __version__ = "0.1.0"

@@ -7,13 +7,19 @@ same hash -> embed only genuinely new content. Spark shape: two
 anti/semi joins on 32-byte digests + a distinct-by-hash embed of the
 novel remainder — the classic dedup-compute-fanout.
 
-Index-side incremental: the reference re-indexes fully
-(README.md:1315); here a partial rebuild is the manifest-resume path
-(segments.build_index(resume=True)), and ``append_transcripts``
-supports the bulk-append case by building a NEW index version dir
-from the unioned corpus — global BM25 stats (N, avgdl, df) change on
-append, so per-posting tf_part and block maxima must be recomputed;
-an in-place segment append would silently serve stale scores.
+Index-side incremental, three tiers:
+
+1. ``segments.build_index(resume=True)`` — manifest-resume of a
+   crashed/partial BUILD (re-runs only missing slices).
+2. ``segments.append_index`` / ``XfIndex.append`` — TRUE incremental
+   append: only the delta is tokenized/encoded (new slice, offset
+   shards); global stats update in meta and the block-max WAND bounds
+   of old slices are avgdl-ratio-corrected at load (provable upper
+   bound, so WAND stays exact). O(delta) per append.
+3. ``append_transcripts`` (below) — the conservative full-rebuild
+   version cutover (union -> new version dir), matching the
+   reference's re-index-on-change behavior (README.md:1315). Use it
+   when a clean re-layout is wanted; use tier 2 for routine appends.
 """
 
 from __future__ import annotations
