@@ -84,4 +84,56 @@ def hybrid_search(
     n = candidate_count(limit, offset)
     lex = lexical_engine.search(query, limit=n, **search_kw)
     sem = semantic_topk(embeddings, query, limit=n, doc_filter=doc_filter)
-    return rrf_fuse(lex, sem, limit=limit, offset=offset)
+    # fusion inputs are k-sized (<= 3*(limit+offset) rows/side): fuse
+    # driver-side — the window/join/orderBy DataFrame plan costs 3-4
+    # Spark jobs of pure scheduling on ~hundreds of rows. This is the
+    # search-coordinator shape at any scale: rank lists are small BY
+    # CONSTRUCTION. (rrf_fuse stays as the distributed form and as the
+    # independent implementation the differential tests compare.)
+    lex_rows = [(r["doc_id"], r["score"]) for r in lex.collect()]
+    sem_rows = [(r["doc_id"], r["score"]) for r in sem.collect()]
+    fused = _rrf_fuse_local(lex_rows, sem_rows, limit=limit, offset=offset)
+    spark = embeddings.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(fused, schema=schema)
+
+
+def _rrf_fuse_local(
+    lex: list, sem: list, limit: int, offset: int = 0
+) -> list[tuple[int, float]]:
+    """NumPy RRF over rank-ordered (doc_id, score) lists — same pinned
+    semantics as rrf_fuse (rank by (score desc, doc_id asc), K=60,
+    tiebreak score desc / in-both / doc_id asc). Implemented
+    independently of xf_spark.oracle so the oracle differentials stay
+    meaningful."""
+    import numpy as np
+
+    def ranks(rows):
+        order = sorted(rows, key=lambda kv: (-kv[1], kv[0]))
+        return {d: i for i, (d, _s) in enumerate(order)}
+
+    rl, rs = ranks(lex), ranks(sem)
+    docs = sorted(set(rl) | set(rs))
+    if not docs:
+        return []
+    score = np.zeros(len(docs))
+    in_both = np.zeros(len(docs), dtype=np.int64)
+    for i, d in enumerate(docs):
+        s = 0.0
+        if d in rl:
+            s += 1.0 / (RRF_K + rl[d] + 1)
+        if d in rs:
+            s += 1.0 / (RRF_K + rs[d] + 1)
+        score[i] = s
+        in_both[i] = 1 if (d in rl and d in rs) else 0
+    ids = np.asarray(docs, dtype=np.int64)
+    order = np.lexsort((ids, -in_both, -score))
+    sel = order[offset : offset + limit]
+    return [(int(ids[i]), float(score[i])) for i in sel]

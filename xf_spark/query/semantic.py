@@ -66,22 +66,35 @@ def semantic_topk(
     qb = spark.sparkContext.broadcast(q.astype(np.float64))
     k = limit
 
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partial(batches) -> Iterator:
+        """mapInArrow body: the vec list-column flattens ZERO-COPY to a
+        contiguous float buffer -> one reshape + one matmul per batch.
+        (The pandas route materialized 155k python-object rows of
+        np arrays and re-stacked them per query — measured as the
+        dominant cost of a semantic query, not the matmul.)"""
+        import pyarrow as pa
+
         qv = qb.value
         best_ids = np.empty(0, dtype=np.int64)
         best_sc = np.empty(0, dtype=np.float64)
-        for pdf in batches:
-            if not len(pdf):
+        for b in batches:
+            if b.num_rows == 0:
                 continue
-            mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            vec_col = b.column(b.schema.get_field_index("vec"))
+            flat = vec_col.flatten()
+            mat = np.asarray(flat, dtype=np.float64).reshape(b.num_rows, -1)
             sc = mat @ qv  # vectors are L2-normalized: dot == cosine
-            ids = pdf["doc_id"].to_numpy(np.int64)
+            ids = np.asarray(
+                b.column(b.schema.get_field_index("doc_id")), dtype=np.int64
+            )
             all_ids = np.concatenate([best_ids, ids])
             all_sc = np.concatenate([best_sc, sc])
             order = np.lexsort((all_ids, -all_sc))[:k]
             best_ids, best_sc = all_ids[order], all_sc[order]
         if len(best_ids):
-            yield pd.DataFrame({"doc_id": best_ids, "score": best_sc})
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": best_ids, "score": best_sc}
+            )
 
-    partials = src.mapInPandas(partial, schema=TOPK_SCHEMA)
+    partials = src.select("doc_id", "vec").mapInArrow(partial, schema=TOPK_SCHEMA)
     return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
