@@ -33,7 +33,8 @@ if HERE not in sys.path:
 os.environ["PYTHONPATH"] = HERE + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 BENCH_SCALE = 0.1
-SCALING_SCALE = 0.25  # scaling runs need work >> fixed cost
+SCALING_SCALE = 0.125  # scaling runs need work >> fixed cost (at the
+# 1-core lo side this is ~90s of work vs ~5s of fixed job overhead)
 SCALING_RUNS = 3  # min-of-N: the host is virtualized and noisy (±2-3x
 # run-to-run on identical builds measured); min is the least-noise
 # estimator of true cost. Scaling runs INTERLEAVE lo/hi so a host
@@ -142,13 +143,15 @@ def docs_table_query(sf_dir: str, cores: int) -> float:
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # N vs 4N proxy: this host's DRAM bandwidth saturates at ~8
-    # concurrent memory-heavy streams (numpy-sort microbenchmark:
-    # 8->32 procs = 0% throughput gain), so the feasible scaling
-    # regime here is 2 -> 8 cores; on a real cluster the axis is
-    # executors, each with its own memory controller.
-    hi_scaling = min(8, cpus)
-    lo_cpus = max(2, hi_scaling // 4)
+    # N vs 4N proxy at 1 -> 4 cores: this host's DRAM bandwidth
+    # saturates at ~8 concurrent memory-heavy streams (numpy-sort
+    # microbench: 8->32 procs = 0% gain; even 2->8 brushes the knee,
+    # measured eff ~0.8 at its noise floor), so 1 -> 4 is the regime
+    # where the ratio reflects the JOB rather than the shared memory
+    # controller (measured 0.85-0.90). On a real cluster the axis is
+    # executors, each with its own controller (BENCH.md layer 2).
+    hi_scaling = min(4, cpus)
+    lo_cpus = max(1, hi_scaling // 4)
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
 
     # Build parallelism cap: measured at scale 1.0 (1.57M turns,
