@@ -255,3 +255,41 @@ class TestCliAppend:
         assert r.returncode == 0, r.stderr[-2000:]
         payload = json.loads(r.stdout.strip().splitlines()[-1])
         assert len(payload) == 3
+
+
+class TestRepl:
+    def test_repl_session(self, tmp_path):
+        """Scripted REPL session: search -> refine -> show -> set ->
+        more -> export -> stats -> quit (repl.rs command-set analog)."""
+        fixture = ensure_transcripts_parquet(SCALE)
+        idx = str(tmp_path / "idx")
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "index",
+             "--input", fixture, "--out", idx, "--shards", "4",
+             "--slices", "1", "--no-embeddings"],
+            capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        script = "\n".join([
+            "set limit 3",
+            "machine",
+            "refine learning",
+            "show 0",
+            "more",
+            "export json",
+            "stats",
+            "quit",
+        ]) + "\n"
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "repl",
+             "--index", idx],
+            input=script, capture_output=True, text=True, env=env,
+            cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = r.stdout
+        assert "limit = 3" in out
+        assert "[" in out and "score=" in out        # results + show
+        assert '"conv_id"' in out                    # export json
+        assert "n_turns" in out                      # stats

@@ -44,6 +44,88 @@ def cmd_index(args) -> int:
     return 0
 
 
+def cmd_repl(args) -> int:
+    """Interactive session (repl.rs analog): plain text searches; slash
+    -free commands: more / show N / refine <terms> / stats /
+    set <mode|limit|roles> <v> / export <fmt> / help / quit."""
+    import sys as _sys
+
+    from xf_spark.engine import XfIndex
+
+    spark = _spark(args)
+    ix = XfIndex.open(spark, args.index).cache()
+    state = {"mode": "lexical", "limit": 10, "roles": None,
+             "query": None, "offset": 0, "rows": []}
+    cols = ["conv_id", "turn_idx", "role", "text", "score"]
+
+    def run_search():
+        kw = {}
+        if state["roles"]:
+            kw["roles"] = state["roles"]
+        df = ix.search(state["query"], mode=state["mode"],
+                       limit=state["limit"], offset=state["offset"], **kw)
+        state["rows"] = df.select(*cols).collect()
+        _format_rows(state["rows"], "text", cols)
+        if not state["rows"]:
+            print("(no results)")
+
+    print("xf_spark repl — type a query, 'help', or 'quit'")
+    for line in _sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        word, _, rest = line.partition(" ")
+        w = word.lower()
+        if w in ("quit", "exit", "q"):
+            break
+        elif w in ("help", "h", "?"):
+            print("commands: <query> | more | show N | refine <terms> | "
+                  "stats | set mode|limit|roles <v> | export json|csv | quit")
+        elif w in ("more", "m"):
+            if state["query"] is None:
+                print("no active query")
+                continue
+            state["offset"] += state["limit"]
+            run_search()
+        elif w == "show":
+            try:
+                r = state["rows"][int(rest)]
+            except (ValueError, IndexError):
+                print("show: bad index")
+                continue
+            print(f"({r['conv_id']}, {r['turn_idx']}) <{r['role']}> "
+                  f"score={r['score']:.4f}\n{r['text']}")
+        elif w == "refine":
+            if state["query"] is None:
+                print("no active query")
+                continue
+            state["query"] = f"{state['query']} AND {rest}"
+            state["offset"] = 0
+            run_search()
+        elif w == "stats":
+            print(json.dumps({k: str(v) for k, v in ix.stats().items()}))
+        elif w == "set":
+            name, _, value = rest.partition(" ")
+            if name == "mode":
+                state["mode"] = value
+            elif name == "limit":
+                state["limit"] = int(value)
+            elif name == "roles":
+                state["roles"] = value.split(",") if value else None
+            else:
+                print(f"set: unknown setting {name!r}")
+                continue
+            print(f"{name} = {value}")
+        elif w == "export":
+            fmt = rest.strip() or "json"
+            _format_rows(state["rows"], fmt, cols)
+        else:
+            state["query"] = line
+            state["offset"] = 0
+            run_search()
+    return 0
+
+
 def cmd_append(args) -> int:
     from xf_spark.engine import XfIndex
     from xf_spark.sources.tables import load_transcript_table
@@ -163,6 +245,10 @@ def main(argv=None) -> int:
         help="skip the known-rows anti-join (bulk loads of known-new data)",
     )
     pa.set_defaults(fn=cmd_append)
+
+    pr = sub.add_parser("repl", help="interactive search session")
+    pr.add_argument("--index", required=True)
+    pr.set_defaults(fn=cmd_repl)
 
     ps = sub.add_parser("search")
     ps.add_argument("query")
