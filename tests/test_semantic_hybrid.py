@@ -171,3 +171,63 @@ class TestIvfServing:
         assert "cell" in ix2.embeddings.columns
         assert ix2.embeddings.count() == before + 40
         assert ix2.search("stress", mode="semantic", ann=True, limit=5).count() == 5
+
+
+class TestPinnedVectors:
+    def test_pinned_equals_distributed(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(tr, str(tmp_path / "i"), slices=1)
+        dist = [(r["doc_id"], round(r["score"], 9)) for r in
+                ix.search("stress", mode="semantic", limit=20).collect()]
+        ix.cache(pin_vectors_mb=512)
+        assert ix._pinned_vecs is not None
+        pinned = [(r["doc_id"], round(r["score"], 9)) for r in
+                  ix.search("stress", mode="semantic", limit=20).collect()]
+        assert pinned == dist
+        # filters bypass the pinned path but stay correct
+        rows = ix.search("stress", mode="semantic", roles=["user"], limit=10).collect()
+        assert rows and all(r["role"] == "user" for r in rows)
+
+    def test_budget_exceeded_stays_distributed(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(tr, str(tmp_path / "j"), slices=1)
+        ix.cache(pin_vectors_mb=1)  # 1512 docs * 384 * 4B > 1 MB
+        assert ix._pinned_vecs is None
+        assert ix.search("stress", mode="semantic", limit=5).count() == 5
+
+    def test_append_invalidates_pinned_matrix(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(tr, str(tmp_path / "k"), slices=1)
+        ix.cache(pin_vectors_mb=512)
+        assert ix._pinned_vecs is not None
+        extra = ix.docs.select(
+            F.concat(F.lit("zz_"), "conv_id").alias("conv_id"), "turn_idx",
+            "role", "text", "tool", "ts",
+        ).limit(10)
+        ix = ix.append(extra)
+        assert ix._pinned_vecs is None  # stale matrix must not serve
+        assert ix.search("stress", mode="semantic", limit=5).count() == 5
+
+    def test_pinned_hybrid_equals_distributed(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(tr, str(tmp_path / "m"), slices=1)
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                ix.search("rust", mode="hybrid", limit=20).collect()]
+        ix.cache(pin_vectors_mb=512)
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               ix.search("rust", mode="hybrid", limit=20).collect()]
+        assert got == want and len(want) == 20

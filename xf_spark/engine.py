@@ -126,6 +126,10 @@ class XfIndex:
             self.embeddings = self.spark.read.parquet(emb_path)
         self.docs = docs
         self.segment_index = SegmentIndex.load(self.spark, self.path, docs=docs)
+        # a pinned vector matrix predates the append — drop it (serving
+        # a stale matrix would silently miss the appended docs); the
+        # caller re-pins via cache(pin_vectors_mb=...) if wanted
+        self._pinned_vecs = None
         return self
 
     @classmethod
@@ -136,7 +140,14 @@ class XfIndex:
         emb = spark.read.parquet(emb_path) if os.path.isdir(emb_path) else None
         return cls(spark=spark, path=path, segment_index=seg, docs=docs, embeddings=emb)
 
-    def cache(self, coalesce_to: int = 16) -> "XfIndex":
+    def cache(self, coalesce_to: int = 16, pin_vectors_mb: int = 0) -> "XfIndex":
+        """Cache the serving state. ``pin_vectors_mb`` > 0 additionally
+        pins the embedding matrix coordinator-side as ONE NumPy array
+        when it fits the budget — the analog of the reference holding
+        vector.idx fully in RAM (vector.rs:267-393): an exact semantic
+        query becomes a single local matmul instead of a cluster scan.
+        At 10^12 turns the budget is exceeded and the distributed /
+        IVF paths serve instead (results identical, tested)."""
         self.segment_index.cache()
         self.docs = self.docs.cache()
         self.docs.count()
@@ -145,8 +156,45 @@ class XfIndex:
             # hundreds of small files, and a cached scan visits every
             # cached partition (~5 ms scheduling each)
             self.embeddings = self.embeddings.coalesce(coalesce_to).cache()
-            self.embeddings.count()
+            n_vec = self.embeddings.count()
+            if pin_vectors_mb:
+                import numpy as np
+
+                from xf_spark.functions.hash_embed import DIM
+
+                est_mb = n_vec * DIM * 4 / 1e6
+                if est_mb <= pin_vectors_mb:
+                    rows = self.embeddings.select("doc_id", "vec").collect()
+                    ids = np.fromiter(
+                        (r["doc_id"] for r in rows), dtype=np.int64, count=len(rows)
+                    )
+                    mat = np.array([r["vec"] for r in rows], dtype=np.float64)
+                    order = np.argsort(ids)
+                    self._pinned_vecs = (ids[order], mat[order])
         return self
+
+    _pinned_vecs = None
+
+    def _pinned_semantic(self, query: str, k: int):
+        """Exact top-k over the coordinator-pinned matrix; returns a
+        local-relation DataFrame or None when not pinned."""
+        if self._pinned_vecs is None:
+            return None
+        import numpy as np
+
+        from xf_spark.query.semantic import embed_query
+
+        ids, mat = self._pinned_vecs
+        sc = mat @ embed_query(query).astype(np.float64)
+        order = np.lexsort((ids, -sc))[:k]
+        import pandas as pd
+
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                {"doc_id": ids[order], "score": sc[order]}
+            ),
+            schema="doc_id long, score double",
+        )
 
     # -- search (cmd_search analog, main.rs:1082-1490) ----------------------
 
@@ -187,8 +235,15 @@ class XfIndex:
             if self.embeddings is None:
                 raise ValueError("index built without embeddings")
             flt = self._doc_filter(**common)
+            pinned = (
+                self._pinned_semantic(query, limit + offset)
+                if (flt is None and not ann)
+                else None
+            )
             cent = self._centroids() if ann else None
-            if cent is not None and flt is None:
+            if pinned is not None:
+                hits = pinned
+            elif cent is not None and flt is None:
                 from xf_spark.ops.similarity import ivf_topk
                 from xf_spark.query.semantic import embed_query
 
@@ -210,13 +265,22 @@ class XfIndex:
         elif mode == "hybrid":
             if self.embeddings is None:
                 raise ValueError("index built without embeddings")
+            from xf_spark.query.hybrid import candidate_count
+
+            flt = self._doc_filter(**common)
+            sem_override = (
+                self._pinned_semantic(query, candidate_count(limit, offset))
+                if flt is None
+                else None
+            )
             hits = hybrid_search(
                 self.segment_index,
                 self.embeddings,
                 query,
                 limit=limit,
                 offset=offset,
-                doc_filter=self._doc_filter(**common),
+                doc_filter=flt,
+                semantic_override=sem_override,
                 **common,
             )
         else:

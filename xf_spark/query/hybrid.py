@@ -73,17 +73,25 @@ def hybrid_search(
     limit: int = 20,
     offset: int = 0,
     doc_filter: DataFrame | None = None,
+    semantic_override: DataFrame | None = None,
     **search_kw,
 ) -> DataFrame:
     """Full hybrid flow (main.rs:1302-1380): both sources fetch
     3x(limit+offset) candidates, RRF-fuse, paginate. ``doc_filter``
     (doc_id DataFrame) constrains the semantic branch to the same
-    filtered doc set as the lexical filters in ``search_kw``."""
+    filtered doc set as the lexical filters in ``search_kw``.
+    ``semantic_override`` replaces the distributed semantic fetch
+    (e.g. the coordinator-pinned matrix path) — must already be the
+    top-3x(limit+offset) (doc_id, score) candidates."""
     from xf_spark.query.semantic import semantic_topk
 
     n = candidate_count(limit, offset)
     lex = lexical_engine.search(query, limit=n, **search_kw)
-    sem = semantic_topk(embeddings, query, limit=n, doc_filter=doc_filter)
+    sem = (
+        semantic_override
+        if semantic_override is not None
+        else semantic_topk(embeddings, query, limit=n, doc_filter=doc_filter)
+    )
     # fusion inputs are k-sized (<= 3*(limit+offset) rows/side): fuse
     # driver-side — the window/join/orderBy DataFrame plan costs 3-4
     # Spark jobs of pure scheduling on ~hundreds of rows. This is the
