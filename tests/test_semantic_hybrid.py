@@ -231,3 +231,32 @@ class TestPinnedVectors:
         got = [(r["doc_id"], round(r["score"], 9)) for r in
                ix.search("rust", mode="hybrid", limit=20).collect()]
         assert got == want and len(want) == 20
+
+    def test_hybrid_msearch_equals_per_query(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(tr, str(tmp_path / "n"), slices=1).cache(
+            pin_vectors_mb=512
+        )
+        queries = ["rust", "machine", '"machine learning"']
+        batch = ix.msearch(queries, limit=15, mode="hybrid")
+        for q in queries:
+            single = [(r["doc_id"], round(r["score"], 9)) for r in
+                      ix.search(q, mode="hybrid", limit=15)
+                      .select("doc_id", "score").collect()]
+            got = [(d, round(s, 9)) for d, s in batch[q]]
+            # engine.search returns hydrated rows ordered by score/doc
+            single.sort(key=lambda t: (-t[1], t[0]))
+            got.sort(key=lambda t: (-t[1], t[0]))
+            assert got == single, q
+
+    def test_hybrid_msearch_requires_pinned(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(tr, str(tmp_path / "o"), slices=1)
+        with pytest.raises(ValueError, match="pinned"):
+            ix.msearch(["rust"], mode="hybrid")

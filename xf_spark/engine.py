@@ -295,12 +295,43 @@ class XfIndex:
         return out
 
     def msearch(
-        self, queries: list[str], limit: int = 20
+        self, queries: list[str], limit: int = 20, mode: str = "lexical"
     ) -> dict[str, list[tuple[int, float]]]:
-        """Batched lexical multi-search (segment_search.search_many):
-        one pruned scan + one decode for the whole batch — the serving
-        path for query streams."""
-        return self.segment_index.search_many(queries, limit=limit)
+        """Batched multi-search — the serving path for query streams.
+
+        lexical: one pruned segment scan + one decode for the batch
+        (segment_search.search_many).
+        hybrid: additionally ONE matmul of the whole query-vector
+        block against the coordinator-pinned embedding matrix
+        (requires ``cache(pin_vectors_mb=...)``), then per-query
+        k-sized RRF fusion — B hybrid queries cost one lexical batch
+        plus one (n_docs x dim) @ (dim x B) product."""
+        if mode == "lexical":
+            return self.segment_index.search_many(queries, limit=limit)
+        if mode != "hybrid":
+            raise ValueError(f"msearch mode must be lexical|hybrid, got {mode!r}")
+        if self._pinned_vecs is None:
+            raise ValueError(
+                "hybrid msearch serves from the pinned vector matrix — "
+                "call cache(pin_vectors_mb=...) first"
+            )
+        import numpy as np
+
+        from xf_spark.query.hybrid import _rrf_fuse_local, candidate_count
+        from xf_spark.query.semantic import embed_query
+
+        n = candidate_count(limit)
+        lex_all = self.segment_index.search_many(queries, limit=n)
+        ids, mat = self._pinned_vecs
+        Q = np.stack([embed_query(q).astype(np.float64) for q in queries])
+        scores = mat @ Q.T  # (n_docs, B): one BLAS call for the batch
+        out: dict[str, list[tuple[int, float]]] = {}
+        for j, q in enumerate(queries):
+            sc = scores[:, j]
+            order = np.lexsort((ids, -sc))[:n]
+            sem = [(int(ids[i]), float(sc[i])) for i in order]
+            out[q] = _rrf_fuse_local(lex_all[q], sem, limit=limit)
+        return out
 
     def _doc_filter(self, roles=None, since=None, until=None):
         if not roles and since is None and until is None:
