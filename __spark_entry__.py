@@ -127,11 +127,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_docs_filtered": eq.transcripts_docs_filtered,
         "transcripts_docs_prefix": eq.transcripts_docs_prefix,
         "transcripts_docs_context": eq.transcripts_docs_context,
-        # transcripts flagship engine (rows-only: no DuckDB view for
-        # the in-repo synthesized table; pytest oracles cover these)
-        "transcripts_bm25_machine": eq.transcripts_bm25_machine,
-        "transcripts_phrase_ml": eq.transcripts_phrase_ml,
-        "transcripts_hybrid_rust": eq.transcripts_hybrid_rust,
+        # transcripts flagship engine (reference query-set analogs:
+        # 'machine' lexical / '"machine learning"' phrase / 'rust'
+        # hybrid / context expansion — routed over the documents-
+        # derived table so each has a full DuckDB differential; the
+        # in-repo synthesized transcripts keep their pytest oracles)
+        "transcripts_bm25_merge": eq.transcripts_bm25_merge,
+        "transcripts_phrase_hash_join": eq.transcripts_phrase_hash_join,
+        "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,
         "transcripts_context_expansion": eq.transcripts_context_expansion,
     }.items()}
 

@@ -49,11 +49,8 @@ ORACLES = entry_mod.oracle_sql()
 
 
 def test_every_query_has_oracle():
-    # transcripts_* entries are rows-only by design: the transcripts
-    # table is synthesized in-repo (no DuckDB view); pytest covers them
-    missing = {
-        q for q in set(QUERIES) - set(ORACLES) if not q.startswith("transcripts_")
-    }
+    # round 2: every driver entry must carry a DuckDB differential
+    missing = set(QUERIES) - set(ORACLES)
     assert not missing, f"queries without oracle SQL: {missing}"
 
 

@@ -76,6 +76,40 @@ class TestMinHash:
                 assert abs(got[(i, j)] - round(jac, 6)) < 1e-9
 
 
+class TestLshHotBucketCap:
+    """Round-2 guard: a boilerplate-heavy bucket must not go quadratic.
+    500 copies of one doc = ~125k candidate pairs uncapped; with the
+    cap the hot bucket is excluded and only the distinct near-dups
+    survive candidate generation."""
+
+    def _df(self, spark):
+        boiler = "standard disclaimer text repeated across every document body"
+        rows = [(i, boiler) for i in range(500)]
+        rows += [
+            (1000, "one two three four five six seven eight nine ten"),
+            (1001, "one two three four five six seven eight nine eleven"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hot_bucket_dropped_distinct_pairs_kept(self, spark):
+        df = self._df(spark)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_candidates(df, max_bucket=50).collect()
+        }
+        assert (1000, 1001) in pairs
+        # no pair from the capped boilerplate bucket survives
+        assert not any(a < 500 and b < 500 for a, b in pairs)
+        # and the candidate set is tiny, not ~125k
+        assert len(pairs) < 100
+
+    def test_uncapped_is_quadratic_baseline(self, spark):
+        # sanity: the cap is what prevents the blowup
+        df = self._df(spark)
+        n = D.minhash_lsh_candidates(df, max_bucket=None).count()
+        assert n >= 500 * 499 / 2
+
+
 class TestSimHash:
     def test_identical_zero_hamming(self, spark):
         # one differing token out of 40: tiny simhash perturbation ->

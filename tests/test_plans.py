@@ -66,12 +66,31 @@ class TestSegmentScanPushdown:
         assert "PartitionFilters" in plan
         assert "(field" in plan and "= text)" in plan
 
-    def test_filtered_search_join_shape(self, seg_ix):
-        # role/ts-filtered search: k-row hits broadcast LEFT SEMI
-        # against doc attrs, then TakeOrdered — never a shuffle join
+    def test_filtered_search_driver_resolved(self, seg_ix):
+        # role/ts-filtered search on the driver fast path: the filter
+        # resolves candidate-bounded BEFORE top-k and the final page is
+        # a local relation — zero serve-time shuffles or joins
         hits = seg_ix.search("machine", limit=10, since="2023-01-01 00:00:00")
         plan = plan_of(hits)
-        assert "BroadcastHashJoin LeftSemi" in plan
+        assert "LocalTableScan" in plan
+        assert "SortMergeJoin" not in plan
+        assert "Exchange" not in plan
+
+    def test_filtered_search_distributed_cogroup_shape(self, seg_ix):
+        # distributed filtered path: segments COGROUPed with the
+        # shard-aligned doc attrs (filter evaluated inside the shard,
+        # k rows out per shard), then a k-sized TakeOrdered merge —
+        # never a post-hoc semi-join over full match sets
+        old = seg_ix.driver_topk_threshold
+        seg_ix.driver_topk_threshold = 0
+        try:
+            hits = seg_ix.search(
+                "machine", limit=10, since="2023-01-01 00:00:00"
+            )
+            plan = plan_of(hits)
+        finally:
+            seg_ix.driver_topk_threshold = old
+        assert "FlatMapCoGroupsInPandas" in plan
         assert "TakeOrderedAndProject" in plan
         assert "SortMergeJoin" not in plan
 

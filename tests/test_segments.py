@@ -166,6 +166,108 @@ class TestFusedBuild:
                 assert int(dl) == len(tokenize(texts[int(doc_id)])), int(doc_id)
 
 
+class TestFilteredShardLocal:
+    """Round-2 filtered-search fix: role/ts predicates resolve INSIDE
+    the shard (cogroup with the docs shard column), so per-shard output
+    stays k-bounded — the round-1 full-match-set scatter is gone."""
+
+    FILTER_QUERIES = [
+        ("machine", dict(roles=["assistant"])),
+        ("rust async patterns", dict(since="2023-06-01 00:00:00")),
+        ('"machine learning"', dict(roles=["user"], since="2023-03-01 00:00:00")),
+        ("the", dict(roles=["assistant"])),  # head term + filter (the killer case)
+    ]
+
+    @pytest.fixture(scope="class")
+    def fx(self, spark, tmp_path_factory):
+        from xf_spark.index.segments import build_index
+
+        path = str(tmp_path_factory.mktemp("filtidx"))
+        tr = load_transcripts(spark, SCALE)
+        docs, stats, _ = build_index(tr, path, n_shards=4, n_buckets=16, slices=2)
+        docs = docs.cache()
+        ix = SegmentIndex.load(spark, path, docs=docs)
+        rows = docs.select("doc_id", "text", "role", "ts").collect()
+        oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in rows])
+        attrs = {r["doc_id"]: (r["role"], r["ts"]) for r in rows}
+        return ix, oracle, attrs
+
+    def _allowed(self, attrs, roles=None, since=None, until=None):
+        import pandas as pd  # noqa: F401
+
+        def ok(role, ts):
+            if roles and role not in roles:
+                return False
+            if since is not None and str(ts) < since:
+                return False
+            if until is not None and str(ts) > until:
+                return False
+            return True
+
+        return {d for d, (role, ts) in attrs.items() if ok(role, ts)}
+
+    def test_docs_carry_shard_matching_segments(self, fx):
+        ix, _, _ = fx
+        assert "shard" in ix.docs.columns
+        seg_shards = {
+            r["shard"] for r in ix._segments.select("shard").distinct().collect()
+        }
+        doc_shards = {
+            r["shard"] for r in ix.docs.select("shard").distinct().collect()
+        }
+        assert seg_shards <= doc_shards
+
+    @pytest.mark.parametrize(
+        "query,kw", FILTER_QUERIES, ids=[q for q, _ in FILTER_QUERIES]
+    )
+    def test_filtered_matches_oracle_both_paths(self, fx, query, kw):
+        ix, oracle, attrs = fx
+        allowed = self._allowed(attrs, **kw)
+        full = oracle.search(query, limit=10**6)
+        want = [d for d, _ in full if d in allowed][:10]
+        # driver fast path (default threshold covers this corpus)
+        got_driver = [
+            r["doc_id"] for r in ix.search(query, limit=10, **kw).collect()
+        ]
+        assert got_driver == want, f"driver path: {query}"
+        # distributed cogroup path (threshold 0 forces it)
+        old = ix.driver_topk_threshold
+        ix.driver_topk_threshold = 0
+        try:
+            got_dist = [
+                r["doc_id"] for r in ix.search(query, limit=10, **kw).collect()
+            ]
+        finally:
+            ix.driver_topk_threshold = old
+        assert got_dist == want, f"distributed path: {query}"
+
+    def test_per_shard_output_is_k_bounded(self, fx):
+        """The pre-merge cogroup output must hold <= k rows PER SHARD
+        even for a head term + filter — the scatter this fix removes."""
+        from pyspark.sql import functions as F
+
+        from xf_spark.query.parser import parse_query
+        from xf_spark.query.segment_search import idf_for
+
+        ix, _, _ = fx
+        term = "the"
+        k_page = 10
+        n = ix.meta["n_docs"]
+        idfs = {
+            ("text", t): idf_for(n, df)
+            for t, df in ix.term_dfs({term}, "text").items()
+        }
+        seg = ix._segments.where(
+            (F.col("field") == "text") & (F.col("term") == term)
+        )
+        scored = ix._scored_filtered_distributed(
+            seg, parse_query(term), idfs, ix.meta["avgdl"], k_page, False,
+            ["assistant"], None, None,
+        )
+        n_shards = ix._segments.select("shard").distinct().count()
+        assert scored.count() <= k_page * n_shards
+
+
 class TestWandUnit:
     def _mk_term(self, rng, n_docs, df, max_tf):
         ids = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)

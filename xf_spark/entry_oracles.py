@@ -297,7 +297,13 @@ def _minhash_oracle_sql() -> str:
     same md5-derived shingle ints, same affine coefficients (< 2^31,
     int64-safe), same mersenne modulus, same comma-joined band
     digests, same exact-Jaccard verification."""
-    from xf_spark.ops.dedup import MINHASH_A, MINHASH_B, N_BANDS, N_HASHES
+    from xf_spark.ops.dedup import (
+        LSH_MAX_BUCKET,
+        MINHASH_A,
+        MINHASH_B,
+        N_BANDS,
+        N_HASHES,
+    )
 
     coef_rows = ", ".join(
         f"({i}, {int(a)}, {int(b)})"
@@ -336,9 +342,15 @@ bands AS (
          string_agg(sig::VARCHAR, ',' ORDER BY i) AS digest
   FROM mh GROUP BY doc_id, i // {rpb}
 ),
+kept AS (
+  SELECT band, digest FROM bands
+  GROUP BY band, digest HAVING count(*) <= {LSH_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b
+  FROM bands a
+  JOIN kept k ON k.band = a.band AND k.digest = a.digest
+  JOIN bands b
     ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -440,10 +452,11 @@ tstats AS (
 )
 """
 
-# single-term scored CTE (term = 'spark'), BM25 k1=1.2 b=0.75
-_TR_SCORED_SPARK = """
+# single-term scored CTE, BM25 k1=1.2 b=0.75
+def _tr_scored(term: str) -> str:
+    return f"""
 ttf AS (SELECT did, count(*)::DOUBLE AS tf FROM ttok
-        WHERE term = 'spark' GROUP BY did),
+        WHERE term = '{term}' GROUP BY did),
 tdf AS (SELECT count(*)::DOUBLE AS df FROM ttf),
 tscored AS (
   SELECT ttf.did,
@@ -455,6 +468,9 @@ tscored AS (
   CROSS JOIN tstats s
 )
 """
+
+
+_TR_SCORED_SPARK = _tr_scored("spark")
 
 ORACLES["transcripts_docs_bm25"] = f"""
 WITH {_TR_BASE}, {_TR_SCORED_SPARK}
@@ -473,7 +489,11 @@ ORDER BY t.score DESC, t.did
 LIMIT 20
 """
 
-ORACLES["transcripts_docs_phrase"] = f"""
+def _tr_phrase_sql(first: str, second: str) -> str:
+    """Two-term positional-adjacency phrase oracle: candidate docs via
+    list_filter adjacency, score = summed per-term BM25 (engine
+    semantics, search.rs phrase scoring)."""
+    return f"""
 WITH {_TR_BASE},
 ptoks AS (
   SELECT did,
@@ -486,12 +506,12 @@ ptoks AS (
 pcand AS (
   SELECT did FROM ptoks
   WHERE len(list_filter(range(1, len(t)),
-                        i -> t[i] = 'spark' AND t[i + 1] = 'join')) > 0
+                        i -> t[i] = '{first}' AND t[i + 1] = '{second}')) > 0
 ),
 ptf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
-        WHERE term IN ('spark', 'join') GROUP BY did, term),
+        WHERE term IN ('{first}', '{second}') GROUP BY did, term),
 pdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
-        WHERE term IN ('spark', 'join') GROUP BY term),
+        WHERE term IN ('{first}', '{second}') GROUP BY term),
 pscored AS (
   SELECT ptf.did,
          sum( ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))
@@ -507,6 +527,71 @@ pscored AS (
 SELECT b.conv_id, b.turn_idx, round(p.score, 4) AS score
 FROM pscored p JOIN base b ON b.did = p.did
 ORDER BY p.score DESC, p.did
+LIMIT 20
+"""
+
+
+ORACLES["transcripts_docs_phrase"] = _tr_phrase_sql("spark", "join")
+ORACLES["transcripts_phrase_hash_join"] = _tr_phrase_sql("hash", "join")
+
+# Flagship lexical ('machine'@20 analog): hydrated single-term BM25.
+ORACLES["transcripts_bm25_merge"] = f"""
+WITH {_TR_BASE}, {_tr_scored("merge")}
+SELECT b.conv_id, b.turn_idx, round(t.score, 4) AS score, b.text
+FROM tscored t JOIN base b ON b.did = t.did
+ORDER BY t.score DESC, t.did
+LIMIT 20
+"""
+
+# Flagship context expansion ('machine' top-5 -> conversations analog).
+ORACLES["transcripts_context_expansion"] = f"""
+WITH {_TR_BASE}, {_tr_scored("merge")},
+hits AS (SELECT did FROM tscored ORDER BY score DESC, did LIMIT 5),
+convs AS (SELECT DISTINCT b.conv_id FROM base b JOIN hits h ON b.did = h.did)
+SELECT b.conv_id, b.turn_idx, b.role, b.text,
+       (h.did IS NOT NULL) AS is_match
+FROM base b
+JOIN convs USING (conv_id)
+LEFT JOIN hits h ON h.did = b.did
+ORDER BY b.conv_id, b.turn_idx
+"""
+
+# Flagship hybrid ('rust' hybrid@20 analog): RRF(K=60) fusion of the
+# lexical BM25 'filter' top-60 list and the cosine top-60 list vs the
+# vec_id=0 embedding (vec_id is doc_id-aligned; cosine rounded to 5 dp
+# BEFORE ranking on both sides so rank order is engine-independent).
+# Tiebreaks pinned to hybrid.rs:136-213: score desc, in-both, doc_id.
+ORACLES["transcripts_hybrid_rrf"] = f"""
+WITH {_TR_BASE}, {_tr_scored("filter")},
+lex AS (
+  SELECT did, row_number() OVER (ORDER BY score DESC, did) - 1 AS r
+  FROM tscored ORDER BY score DESC, did LIMIT 60
+),
+e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+               5) AS c
+  FROM e CROSS JOIN q
+),
+sem AS (
+  SELECT vec_id AS did, row_number() OVER (ORDER BY c DESC, vec_id) - 1 AS r
+  FROM cos ORDER BY c DESC, vec_id LIMIT 60
+),
+fused AS (
+  SELECT coalesce(l.did, s.did) AS doc_id,
+         coalesce(1.0 / (60 + l.r + 1), 0.0)
+           + coalesce(1.0 / (60 + s.r + 1), 0.0) AS score,
+         CASE WHEN l.did IS NOT NULL AND s.did IS NOT NULL
+              THEN 1 ELSE 0 END AS in_both
+  FROM lex l FULL OUTER JOIN sem s ON l.did = s.did
+)
+SELECT doc_id, round(score, 6) AS score
+FROM fused
+ORDER BY fused.score DESC, in_both DESC, doc_id
 LIMIT 20
 """
 

@@ -637,34 +637,80 @@ def transcripts_docs_context(spark, sf_dir):
     )
 
 
-def transcripts_bm25_machine(spark, sf_dir):
-    eng, _ = _transcripts_engine(spark, sf_dir)
-    return eng.search_hydrated("machine", limit=20).select(
+def transcripts_bm25_merge(spark, sf_dir):
+    """Flagship lexical path (reference 'machine' lexical@20 analog,
+    scripts/verify_isomorphism.sh:149-155) over the documents-derived
+    transcripts engine so it gets a full DuckDB differential."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated("merge", limit=20).select(
         "conv_id", "turn_idx", F.round("score", 4).alias("score"), "text"
     )
 
 
-def transcripts_phrase_ml(spark, sf_dir):
-    eng, _ = _transcripts_engine(spark, sf_dir)
-    return eng.search_hydrated('"machine learning"', limit=20).select(
+def transcripts_phrase_hash_join(spark, sf_dir):
+    """Flagship phrase path ('"machine learning"' analog) — positional
+    adjacency + summed BM25, DuckDB list_filter adjacency oracle."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated('"hash join"', limit=20).select(
         "conv_id", "turn_idx", F.round("score", 4).alias("score")
     )
 
 
-def transcripts_hybrid_rust(spark, sf_dir):
-    from xf_spark.query.hybrid import hybrid_search
+def _embeddings_semantic_candidates(spark, sf_dir, n):
+    """Semantic candidate list for the hybrid differential: cosine
+    top-n vs the vec_id=0 embedding from the driver's embeddings table
+    (vec_id is doc_id-aligned). Rounded to 5 dp BEFORE ranking so the
+    rank order is bit-identical to the DuckDB oracle's."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = emb.where(F.col("doc_id") == 0).select(F.col("v").alias("qv"))
 
-    eng, emb = _transcripts_engine(spark, sf_dir)
-    return hybrid_search(eng, emb, "rust", limit=20).select(
-        "doc_id", F.round("score", 6).alias("score")
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(
+                dot(F.col("v"), F.col("qv"))
+                / (
+                    F.sqrt(dot(F.col("v"), F.col("v")))
+                    * F.sqrt(dot(F.col("qv"), F.col("qv")))
+                ),
+                5,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(n)
     )
 
 
+def transcripts_hybrid_rrf(spark, sf_dir):
+    """Flagship hybrid path (reference 'rust' hybrid@20 analog,
+    hybrid.rs:136-213): lexical BM25 'filter'@3k over the engine +
+    cosine top-3k from the driver's embeddings table, RRF-fused (K=60,
+    in-both tiebreak) — the fusion semantics get a DuckDB oracle."""
+    from xf_spark.query.hybrid import candidate_count, hybrid_search
+
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    sem = _embeddings_semantic_candidates(spark, sf_dir, candidate_count(20))
+    return hybrid_search(
+        eng, sem, "filter", limit=20, semantic_override=sem
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
 def transcripts_context_expansion(spark, sf_dir):
+    """Top-5 'merge' hits expanded to full conversations (DM-context
+    analog) over the documents-derived engine, DuckDB-oracled."""
     from xf_spark.query.results import conversation_context
 
-    eng, _ = _transcripts_engine(spark, sf_dir)
-    hits = eng.search("machine", limit=5)
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    hits = eng.search("merge", limit=5)
     return conversation_context(eng.docs, hits).select(
         "conv_id", "turn_idx", "role", "text", "is_match"
     )

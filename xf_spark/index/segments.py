@@ -531,7 +531,13 @@ def build_index(
     spark = transcripts.sparkSession
     # ONE pass: docID assignment + tokenization fused (docs.py)
     full = prepare_docs_tokenized(transcripts, num_partitions=n_shards).cache()
-    docs = full.drop(
+    # persist the doc->shard map (shard == partition id of the cached
+    # doc-range partitioning, the same id _encode_partition_batches
+    # uses): filtered queries evaluate role/ts predicates SHARD-LOCALLY
+    # by cogrouping segments with this column, keeping per-shard top-k
+    # output at k instead of the full match set (the round-1
+    # filtered-search scale-killer).
+    docs = full.withColumn("shard", F.spark_partition_id()).drop(
         "terms", "tfs", "pos_lens", "pos_flat", "p_terms", "p_tfs", "dl"
     )
     per_doc = full.select(
@@ -742,6 +748,13 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
     # docs first, meta last (tmp+rename): doctor's meta/docs count
     # check detects a crash between the two
     docs_delta = full.select("doc_id", *cols)
+    # shard column (see build_index): appended docs live in shards
+    # shard_base + partition id — only written when the existing store
+    # already carries the column (mixed parquet schemas don't merge)
+    if "shard" in spark.read.parquet(docs_path).columns:
+        docs_delta = full.withColumn(
+            "shard", (F.lit(shard_base) + F.spark_partition_id()).cast("int")
+        ).select("doc_id", "shard", *cols)
     docs_delta.write.mode("append").parquet(docs_path)
 
     slice_avgdl = {str(k): v for k, v in (meta.get("slice_avgdl") or {}).items()}

@@ -76,16 +76,29 @@ def minhash_udf(texts: pd.Series) -> pd.Series:
     return texts.map(minhash_signature)
 
 
+# A band-bucket larger than this is excluded from the self-join: an
+# m-doc bucket yields ~m^2/2 join rows, and boilerplate-heavy corpora
+# (the norm in training data) put millions of near-identical docs in
+# one digest — quadratic without the cap. Docs above the cap are
+# better handled by exact_dedup first (identical text ==> identical
+# digest); the cap is mirrored verbatim in the DuckDB oracle.
+LSH_MAX_BUCKET = 2000
+
+
 def minhash_lsh_candidates(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = LSH_MAX_BUCKET,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH.
 
     shingle -> minhash (vectorized UDF) -> band digests -> explode ->
-    self-join on (band, digest) -> distinct pairs (id_a < id_b).
-    The join key is a 1-band digest: Zipf-ish hot buckets (boilerplate
-    docs) are bounded by banding; at extreme scale add a bucket-size
-    cap before the join."""
+    hot-bucket cap -> self-join on (band, digest) -> distinct pairs
+    (id_a < id_b). Buckets above ``max_bucket`` are dropped before the
+    join (quadratic blowup guard); ``log_dropped=True`` additionally
+    counts the dropped rows (one small agg job) and logs them."""
     rows_per_band = N_HASHES // N_BANDS
     sig = docs.select(id_col, minhash_udf(F.col(text_col)).alias("sig"))
     # band digest = comma-joined signature slice (engine-portable: the
@@ -112,6 +125,30 @@ def minhash_lsh_candidates(
             )
         ).alias("bd"),
     ).select(id_col, "bd.band", "bd.digest")
+    if max_bucket:
+        hot = (
+            bands.groupBy("band", "digest")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket)
+        )
+        if log_dropped:
+            import logging
+
+            row = hot.agg(
+                F.count("*").alias("buckets"), F.sum("_n").alias("rows")
+            ).first()
+            if row["buckets"]:
+                logging.getLogger(__name__).warning(
+                    "minhash_lsh: dropping %d hot buckets (%d rows > cap %d)",
+                    row["buckets"], row["rows"], max_bucket,
+                )
+        # hot buckets are FEW by construction (each holds > max_bucket
+        # rows) — broadcast anti-join, no extra shuffle of `bands`
+        bands = bands.join(
+            F.broadcast(hot.select("band", "digest")),
+            ["band", "digest"],
+            "left_anti",
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

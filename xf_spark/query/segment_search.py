@@ -61,6 +61,19 @@ def idf_for(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _attr_cond(roles, since, until):
+    """Role/ts predicate over the docs attribute columns (pushed down
+    to the docs parquet scan wherever it is applied)."""
+    cond = F.lit(True)
+    if roles:
+        cond = cond & F.col("role").isin(list(roles))
+    if since is not None:
+        cond = cond & (F.col("ts") >= F.lit(since))
+    if until is not None:
+        cond = cond & (F.col("ts") <= F.lit(until))
+    return cond
+
+
 # ---------------------------------------------------------------------------
 # NumPy shard-local evaluation
 # ---------------------------------------------------------------------------
@@ -211,6 +224,7 @@ def eval_shard(
     avgdl: float,
     k: int,
     exhaustive: bool = False,
+    allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Evaluate the query AST over segment rows.
 
@@ -219,7 +233,9 @@ def eval_shard(
     with shard id, so per-term rows sorted by shard concatenate into
     one valid posting list (ids stay sorted, block boundaries stay
     monotone) — one evaluation instead of a per-shard loop."""
-    return eval_plan_on_data(build_term_data(pdf), plan, idfs, avgdl, k, exhaustive)
+    return eval_plan_on_data(
+        build_term_data(pdf), plan, idfs, avgdl, k, exhaustive, allowed
+    )
 
 
 def eval_plan_on_data(
@@ -229,13 +245,37 @@ def eval_plan_on_data(
     avgdl: float,
     k: int,
     exhaustive: bool = False,
+    allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
+    """``allowed``: optional SORTED doc_id array — the pre-resolved
+    role/ts filter. Applied at the posting leaves (before top-k /
+    WAND), so a filtered doc never consumes a top-k slot and per-call
+    output stays k-bounded. Block-max bounds stay valid upper bounds
+    under masking (masking only removes candidates)."""
+
+    def _allowed_mask(ids: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(allowed, ids)
+        np.clip(idx, 0, len(allowed) - 1, out=idx)
+        return allowed[idx] == ids
+
+    if allowed is not None and len(allowed) == 0:
+        return pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "score": np.empty(0, dtype=np.float64),
+            }
+        )
+
     def term_entry(fld: str, t: str):
         d = data.get((fld, t))
         if d is None:
             return None
+        ids = d["ids"]
         sc = idfs.get((fld, t), 0.0) * _tf_part(d["tfs"], d["dls"], avgdl)
-        return (d["ids"], sc, d["block_last"], d["block_max"] * idfs.get((fld, t), 0.0))
+        if allowed is not None:
+            m = _allowed_mask(ids)
+            ids, sc = ids[m], sc[m]
+        return (ids, sc, d["block_last"], d["block_max"] * idfs.get((fld, t), 0.0))
 
     def ev(node) -> tuple[np.ndarray, np.ndarray]:
         """FULL (untruncated) evaluation — required for composition
@@ -361,6 +401,11 @@ def eval_plan_on_data(
                 ):
                     out.append(int(doc))
             matched = np.asarray(out, dtype=np.int64)
+        if allowed is not None and matched.size:
+            # mask the MATCHED set, not the posting arrays — the
+            # positions stream is per-posting framed and must stay
+            # aligned with the unmasked ids during adjacency
+            matched = matched[_allowed_mask(matched)]
         if matched.size == 0:
             return empty
         sc = np.zeros(matched.shape, dtype=np.float64)
@@ -546,11 +591,9 @@ class SegmentIndex:
             )
         seg = self._segments.where(F.col("bucket").isin(buckets) & cond)
 
-        filtered = roles or since is not None or until is not None
+        filtered = bool(roles) or since is not None or until is not None
         avgdl = self.meta["avgdl"]
-        # with post-filters, shards must return ALL matches (a filtered
-        # doc must not consume a top-k slot)
-        k_shard = 1 << 62 if filtered else max(limit + offset, limit)
+        k_page = max(limit + offset, limit)
         plan_b, idfs_b = plan, idfs
 
         total_postings = sum(
@@ -558,38 +601,111 @@ class SegmentIndex:
         ) + sum(self._df_memo.get(("prefix", t), 0) for t in pterms)
         if total_postings <= self.driver_topk_threshold:
             # driver fast path: collect pruned rows, merge shards per
-            # term (doc ranges are disjoint/ordered), evaluate ONCE
+            # term (doc ranges are disjoint/ordered), evaluate ONCE.
+            # Filters resolve to an `allowed` id set BEFORE top-k —
+            # bounded by the candidate universe (<= total_postings,
+            # itself <= driver_topk_threshold), never by the corpus.
             pdf = seg.toPandas()
-            if len(pdf):
-                out = eval_shard(
-                    pdf, plan_b, idfs_b, avgdl,
-                    k_shard if filtered else max(limit + offset, limit),
-                    exhaustive,
+            data = build_term_data(pdf) if len(pdf) else {}
+            allowed = None
+            if filtered and data and self.docs is not None:
+                allowed = self._allowed_ids(data, roles, since, until)
+            if data:
+                out = eval_plan_on_data(
+                    data, plan_b, idfs_b, avgdl, k_page, exhaustive, allowed
                 )
-                ids = out["doc_id"].to_numpy(np.int64)
-                sc = out["score"].to_numpy(np.float64)
+                ids = out["doc_id"].to_numpy(np.int64)[offset : offset + limit]
+                sc = out["score"].to_numpy(np.float64)[offset : offset + limit]
             else:
                 ids = np.empty(0, dtype=np.int64)
                 sc = np.empty(0, dtype=np.float64)
-            if not filtered:
-                # rank fully resolved in-driver: emit the final page as a
-                # local relation (a 20-row Spark orderBy costs ~250 ms of
-                # pure scheduling — measured, not guessed)
-                ids = ids[offset : offset + limit]
-                sc = sc[offset : offset + limit]
-                return self.spark.createDataFrame(
-                    pd.DataFrame({"doc_id": ids, "score": sc}), schema=TOPK_SCHEMA
-                )
-            scored = self.spark.createDataFrame(
+            # rank fully resolved in-driver: emit the final page as a
+            # local relation (a 20-row Spark orderBy costs ~250 ms of
+            # pure scheduling — measured, not guessed)
+            return self.spark.createDataFrame(
                 pd.DataFrame({"doc_id": ids, "score": sc}), schema=TOPK_SCHEMA
             )
-        else:
+        if filtered and self.docs is not None and "shard" in self.docs.columns:
+            # distributed filtered path: cogroup segments with the
+            # SHARD-ALIGNED doc attributes (role/ts predicates pushed
+            # to the docs parquet scan), resolve the filter inside the
+            # shard, and emit k rows per shard — the round-1
+            # full-match-set scatter is gone (per-shard output is
+            # k-bounded regardless of term frequency or filter width).
+            scored = self._scored_filtered_distributed(
+                seg, plan_b, idfs_b, avgdl, k_page, exhaustive,
+                roles, since, until,
+            )
+            return self._rank_page(scored, limit, offset)
+        if filtered:
+            # legacy index without the docs shard column: per-shard
+            # output must include every match for the post semi-join
+            def run_all(pdf: pd.DataFrame) -> pd.DataFrame:
+                return eval_shard(pdf, plan_b, idfs_b, avgdl, 1 << 62, exhaustive)
 
-            def run(pdf: pd.DataFrame) -> pd.DataFrame:
-                return eval_shard(pdf, plan_b, idfs_b, avgdl, k_shard, exhaustive)
+            scored = seg.groupBy("shard").applyInPandas(run_all, schema=TOPK_SCHEMA)
+            return self._finish(scored, limit, offset, roles, since, until)
 
-            scored = seg.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
-        return self._finish(scored, limit, offset, roles, since, until)
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            return eval_shard(pdf, plan_b, idfs_b, avgdl, k_page, exhaustive)
+
+        scored = seg.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
+        return self._rank_page(scored, limit, offset)
+
+    def _scored_filtered_distributed(
+        self, seg, plan_b, idfs_b, avgdl, k_page, exhaustive,
+        roles, since, until,
+    ) -> DataFrame:
+        """Cogroup (segments x filtered doc attrs) by shard; evaluate
+        with the shard-local allowed set; k rows out per shard."""
+        cond = _attr_cond(roles, since, until)
+        attrs = self.docs.where(cond).select("shard", "doc_id")
+
+        def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(seg_pdf) or not len(attr_pdf):
+                return pd.DataFrame(
+                    {
+                        "doc_id": np.empty(0, dtype=np.int64),
+                        "score": np.empty(0, dtype=np.float64),
+                    }
+                )
+            allowed = np.sort(attr_pdf["doc_id"].to_numpy(np.int64))
+            return eval_shard(
+                seg_pdf, plan_b, idfs_b, avgdl, k_page, exhaustive, allowed
+            )
+
+        return (
+            seg.groupBy("shard")
+            .cogroup(attrs.groupBy("shard"))
+            .applyInPandas(run_cg, schema=TOPK_SCHEMA)
+        )
+
+    def _allowed_ids(self, data: dict, roles, since, until) -> np.ndarray:
+        """Driver-path filter resolution, candidate-bounded: the only
+        ids that can appear in results are the query terms' posting
+        ids, so ship THOSE (<= driver_topk_threshold) through a
+        broadcast semi-join against the predicate-pushed docs scan —
+        never collect the full filtered corpus."""
+        cand = np.unique(np.concatenate([d["ids"] for d in data.values()]))
+        cdf = self.spark.createDataFrame(
+            pd.DataFrame({"doc_id": cand}), schema="doc_id long"
+        )
+        cond = _attr_cond(roles, since, until)
+        rows = (
+            self.docs.where(cond)
+            .select("doc_id")
+            .join(F.broadcast(cdf), "doc_id", "left_semi")
+            .collect()
+        )
+        return np.sort(
+            np.fromiter((r["doc_id"] for r in rows), dtype=np.int64, count=len(rows))
+        )
+
+    def _rank_page(self, scored: DataFrame, limit: int, offset: int) -> DataFrame:
+        ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            ranked = ranked.offset(offset)
+        return ranked.limit(limit)
 
     def search_many(
         self, queries: list[str], limit: int = 20, exhaustive: bool = False
