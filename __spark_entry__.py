@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_longest_gap": eq.events_longest_gap,
         "events_value_percentiles": eq.events_value_percentiles,
         "events_user_activity": eq.events_user_activity,
+        "events_activity_summary": eq.events_activity_summary,
         # general engine sanity
         "tpch_q1": eq.tpch_q1,
         # recursive-CTE analog (thread reconstruction)
@@ -132,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hybrid / context expansion — routed over the documents-
         # derived table so each has a full DuckDB differential; the
         # in-repo synthesized transcripts keep their pytest oracles)
+        "transcripts_field_query": eq.transcripts_field_query,
         "transcripts_bm25_merge": eq.transcripts_bm25_merge,
         "transcripts_phrase_hash_join": eq.transcripts_phrase_hash_join,
         "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,

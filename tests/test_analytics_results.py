@@ -137,6 +137,33 @@ class TestDates:
         lo, hi = parse_date_range("2 months ago", now=NOW)
         assert lo.date() == dt.date(2026, 6, 16)
 
+    def test_weekend(self):
+        # NOW = 2026-08-16 (Sunday) -> most recent Saturday is 08-15
+        lo, hi = parse_date_range("weekend", now=NOW)
+        assert lo.date() == dt.date(2026, 8, 15) and lo.date().weekday() == 5
+        assert hi.date() == dt.date(2026, 8, 16)
+        # from a Wednesday the previous weekend is returned
+        wed = dt.datetime(2026, 8, 12)
+        lo, hi = parse_date_range("weekend", now=wed)
+        assert (lo.date(), hi.date()) == (dt.date(2026, 8, 8), dt.date(2026, 8, 9))
+
+    def test_weekdays(self):
+        # Sunday -> full Mon..Fri of this week (date_parser.rs:328-337)
+        lo, hi = parse_date_range("weekdays", now=NOW)
+        assert (lo.date(), hi.date()) == (dt.date(2026, 8, 10), dt.date(2026, 8, 14))
+        # Wednesday -> Mon..today
+        wed = dt.datetime(2026, 8, 12)
+        lo, hi = parse_date_range("weekday", now=wed)
+        assert (lo.date(), hi.date()) == (dt.date(2026, 8, 10), dt.date(2026, 8, 12))
+
+    def test_past_synonym(self):
+        assert parse_date_range("past week", now=NOW) == parse_date_range(
+            "last week", now=NOW
+        )
+        assert parse_date_range("past 3 days", now=NOW) == parse_date_range(
+            "last 3 days", now=NOW
+        )
+
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             parse_date_flexible("next fortnight-ish")
@@ -168,15 +195,19 @@ class TestResults:
         got = get_by_id(engine.docs, r0["conv_id"], r0["turn_idx"]).collect()
         assert len(got) == 1 and got[0]["text"] == r0["text"]
 
-    def test_get_by_ids_order_preserved(self, built):
+    def test_get_by_ids_order_preserved_with_none_rows(self, built):
+        # search.rs:683-746 returns Vec<Option<_>>: one slot per
+        # request, None (null doc columns) for misses, input order
         engine, _, rows = built
         ids = [(rows[5]["conv_id"], rows[5]["turn_idx"]),
-               (rows[0]["conv_id"], rows[0]["turn_idx"]),
-               ("convNOPE", 0)]
+               ("convNOPE", 0),
+               (rows[0]["conv_id"], rows[0]["turn_idx"])]
         got = get_by_ids(engine.docs, ids).collect()
-        assert len(got) == 2  # missing id absent
+        assert len(got) == 3
         assert got[0]["text"] == rows[5]["text"]
-        assert got[1]["text"] == rows[0]["text"]
+        assert got[1]["text"] is None and got[1]["conv_id"] == "convNOPE"
+        assert got[2]["text"] == rows[0]["text"]
+        assert [g["req_order"] for g in got] == [0, 1, 2]
 
     def test_snippets_highlight(self, built):
         engine, _, _ = built

@@ -112,6 +112,61 @@ class TestIncrementalAppend:
             }
 
 
+class TestTornAppendRepair:
+    """Round-2 fix (ADVICE): a crash between the docs-delta write and
+    the meta replace must not leave stale global stats forever — a
+    rerun (or doctor --repair) reconciles meta from the orphan rows."""
+
+    def _torn(self, spark, tmp_path, name):
+        tr = load_transcripts(spark, 0.001)
+        part1, part2 = _split(tr)
+        path = str(tmp_path / name)
+        ix = XfIndex.build(part1, path, with_embeddings=False, slices=1)
+        meta_path = os.path.join(path, "meta.json")
+        with open(meta_path) as f:
+            stale = f.read()
+        ix.append(part2)
+        with open(meta_path) as f:
+            committed = json.load(f)
+        # simulate the crash: segments + docs committed, meta rolled back
+        with open(meta_path, "w") as f:
+            f.write(stale)
+        return path, part2, committed, meta_path
+
+    def test_rerun_repairs_meta_and_serves_exact(self, spark, tmp_path):
+        from xf_spark.index.segments import append_index
+
+        path, part2, committed, meta_path = self._torn(spark, tmp_path, "torn1")
+        n, stats = append_index(part2, path)
+        assert n == 0  # the delta is already on disk — no re-encode
+        with open(meta_path) as f:
+            repaired = json.load(f)
+        assert repaired["n_docs"] == committed["n_docs"]
+        assert abs(repaired["avgdl"] - committed["avgdl"]) < 1e-9
+        assert repaired["total_tokens"] == committed["total_tokens"]
+        assert repaired["next_slice"] == committed["next_slice"]
+        assert repaired["next_shard"] == committed["next_shard"]
+        assert repaired["slice_avgdl"] == committed["slice_avgdl"]
+        assert stats.n_docs == committed["n_docs"]
+        ix = XfIndex.open(spark, path)
+        fast = [(r["doc_id"], round(r["score"], 9)) for r in
+                ix.segment_index.search("machine", limit=20).collect()]
+        slow = [(r["doc_id"], round(r["score"], 9)) for r in
+                ix.segment_index.search("machine", limit=20, exhaustive=True).collect()]
+        assert fast == slow and fast
+
+    def test_doctor_repair_flag_heals(self, spark, tmp_path):
+        from xf_spark.doctor import run_doctor
+
+        path, _, committed, meta_path = self._torn(spark, tmp_path, "torn2")
+        checks = run_doctor(spark, path, sample_query="machine", repair=True)
+        bad = [c.name for c in checks if not c.ok]
+        assert not bad, bad
+        with open(meta_path) as f:
+            repaired = json.load(f)
+        assert repaired["n_docs"] == committed["n_docs"]
+
+
 class TestAppendOperational:
     def test_doctor_passes_on_appended_index(self, spark, pair):
         from xf_spark.doctor import run_doctor

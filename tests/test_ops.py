@@ -110,6 +110,16 @@ class TestLshHotBucketCap:
         assert n >= 500 * 499 / 2
 
 
+class TestSimHashBatch:
+    def test_batch_equals_scalar(self):
+        texts = [
+            "the quick brown fox", "", "a",
+            "machine learning rocks rocks rocks",
+            "unicode 机器 学习 text", "the the the",
+        ]
+        assert list(D.simhash_batch(texts)) == [D.simhash(t) for t in texts]
+
+
 class TestSimHash:
     def test_identical_zero_hamming(self, spark):
         # one differing token out of 40: tiny simhash perturbation ->
@@ -178,6 +188,32 @@ class TestSimilarity:
         exact = set(r["vec_id"] for r in SIM.brute_force_topk(embeddings, q, k=10).collect())
         # recall@10 with half the cells probed should be high
         assert len(approx & exact) >= 6
+
+    def test_ivf_recall_at_100_probe_4_of_32_sf01(self, spark):
+        """Distributed quantizer (round-2): recall@100 with 4/32 probes
+        at sf0.1. The driver's synthetic embeddings are nearly
+        unclustered (within-label mean cosine ~0.07), so absolute
+        recall is data-capped ~0.3 for ANY quantizer (measured: the
+        round-1 first-partitions quantizer scored the same); the pin is
+        >= 2x the random-probe baseline (4/32 = 0.125) and stability
+        across queries."""
+        emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        cent = SIM.train_centroids(emb, n_cells=32, sample=4096)
+        assert cent.shape == (32, 64)
+        celled = SIM.assign_cells(emb, cent).cache()
+        recalls = []
+        for qid in (3, 123, 999):
+            q = emb.where(f"vec_id = {qid}").first()["embedding"]
+            approx = {
+                r["vec_id"]
+                for r in SIM.ivf_topk(celled, cent, q, k=100, n_probe=4).collect()
+            }
+            exact = {
+                r["vec_id"]
+                for r in SIM.brute_force_topk(emb, q, k=100).collect()
+            }
+            recalls.append(len(approx & exact) / 100)
+        assert min(recalls) >= 0.25, recalls  # 2x the 0.125 random baseline
 
     def test_ivf_full_probe_equals_brute(self, embeddings):
         rows = embeddings.collect()

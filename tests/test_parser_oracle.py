@@ -62,6 +62,29 @@ class TestParser:
     def test_leading_operator_skipped(self):
         assert parse_query("AND rust") == ("term", "rust")
 
+    def test_field_type_becomes_role_filter(self):
+        from xf_spark.query.parser import parse_query_extract
+
+        ast, roles = parse_query_extract("type:assistant rust")
+        assert ast == ("term", "rust") and roles == ["assistant"]
+        ast, roles = parse_query_extract("role:User")
+        assert ast == ("all",) and roles == ["user"]  # filter-only => match-all
+        ast, roles = parse_query_extract('type:"assistant" text:"machine learning"')
+        assert ast == ("phrase", ["machine", "learning"])
+        assert roles == ["assistant"]
+
+    def test_field_text_is_default_field(self):
+        from xf_spark.query.parser import parse_query_extract
+
+        ast, roles = parse_query_extract("text:rust* AND spark")
+        assert ast == ("and", [("prefix", "rust"), ("term", "spark")])
+        assert roles is None
+
+    def test_unknown_field_tokenizes_as_before(self):
+        # no such field -> colon splits into a tokenized phrase (the
+        # pre-field-syntax behavior, kept for unknown prefixes)
+        assert parse_query("foo:bar") == ("phrase", ["foo", "bar"])
+
     def test_term_extraction(self):
         node = parse_query('rust AND "machine learning" NOT progr*')
         assert query_terms(node) == {"rust", "machine", "learning"}

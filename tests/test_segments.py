@@ -241,6 +241,26 @@ class TestFilteredShardLocal:
             ix.driver_topk_threshold = old
         assert got_dist == want, f"distributed path: {query}"
 
+    def test_query_embedded_type_filter_equals_roles_kwarg(self, fx):
+        ix, _, _ = fx
+        via_kwarg = [
+            r["doc_id"]
+            for r in ix.search("machine", limit=10, roles=["assistant"]).collect()
+        ]
+        via_query = [
+            r["doc_id"]
+            for r in ix.search("type:assistant machine", limit=10).collect()
+        ]
+        assert via_query == via_kwarg and via_kwarg
+        # contradictory intersection matches nothing
+        assert (
+            ix.search("type:assistant machine", limit=10, roles=["user"]).count()
+            == 0
+        )
+        # filter-only query = match-all within the type
+        n_assist = ix.docs.where("role = 'assistant'").count()
+        assert ix.search("type:assistant", limit=10**6).count() == n_assist
+
     def test_per_shard_output_is_k_bounded(self, fx):
         """The pre-merge cogroup output must hold <= k rows PER SHARD
         even for a head term + filter — the scatter this fix removes."""

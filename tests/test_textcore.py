@@ -144,6 +144,11 @@ class TestHashEmbedder:
     def test_embed_tokens_min_len_2(self):
         assert embed_tokens("a bc d ef") == ["bc", "ef"]
 
+    def test_embed_tokens_byte_length_keeps_cjk_singles(self):
+        # reference filters on UTF-8 BYTE length: a single CJK char is
+        # 3 bytes and embeds; a single ASCII char (1 byte) drops
+        assert embed_tokens("机 x 器") == ["机", "器"]
+
     def test_unicode(self):
         v = hash_embed("日本語 テキスト")
         assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5

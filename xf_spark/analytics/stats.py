@@ -67,6 +67,35 @@ def longest_gap_days(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def activity_summary(transcripts: DataFrame) -> DataFrame:
+    """Derived activity metrics in ONE row (stats_analytics.rs:74-99):
+    most-active day + count, most-active hour + count, active-day
+    count, avg turns per active day, total days in range. One pass
+    over the daily/hourly aggregates (themselves single shuffles);
+    ties broken to the EARLIEST day/hour (max_by_key keeps the first
+    max in iteration order, which is date/hour order here)."""
+    daily = daily_counts(transcripts)
+    hourly = hourly_distribution(transcripts)
+    top_day = daily.orderBy(F.desc("n"), F.asc("day")).limit(1).select(
+        F.col("day").alias("most_active_day"),
+        F.col("n").alias("most_active_day_count"),
+    )
+    top_hour = hourly.orderBy(F.desc("n"), F.asc("hour")).limit(1).select(
+        F.col("hour").alias("most_active_hour"),
+        F.col("n").alias("most_active_hour_count"),
+    )
+    summary = daily.agg(
+        F.count("*").alias("active_days"),
+        F.round(F.sum("n") / F.count("*"), 6).alias("avg_per_active_day"),
+        (F.datediff(F.max("day"), F.min("day")) + 1)
+        .cast("long")
+        .alias("days_in_range"),
+    )
+    return summary.crossJoin(F.broadcast(top_day)).crossJoin(
+        F.broadcast(top_hour)
+    )
+
+
 def monthly_trend(transcripts: DataFrame) -> DataFrame:
     """GROUP BY yyyy-MM with avg engagement analog = avg turn length
     (query_monthly_trend, stats_analytics.rs:488-518)."""

@@ -22,7 +22,15 @@ class Check:
     detail: str
 
 
-def run_doctor(spark: SparkSession, path: str, sample_query: str = "the") -> list[Check]:
+def run_doctor(
+    spark: SparkSession,
+    path: str,
+    sample_query: str = "the",
+    repair: bool = False,
+) -> list[Check]:
+    """``repair=True`` additionally heals what it safely can: a docs
+    store ahead of meta (torn append commit window) is reconciled via
+    segments.reconcile_meta instead of only being reported."""
     checks: list[Check] = []
 
     # 1. meta present + well-formed (index dir/version check analog)
@@ -61,6 +69,19 @@ def run_doctor(spark: SparkSession, path: str, sample_query: str = "the") -> lis
     try:
         docs = spark.read.parquet(os.path.join(path, "docs"))
         n = docs.count()
+        if n > meta["n_docs"] and repair:
+            from xf_spark.index.segments import reconcile_meta
+
+            if reconcile_meta(spark, path):
+                with open(meta_path) as f:
+                    meta = json.load(f)
+                checks.append(
+                    Check(
+                        "doc_count_repaired",
+                        n == meta["n_docs"],
+                        f"torn append healed: meta.n_docs -> {meta['n_docs']}",
+                    )
+                )
         checks.append(
             Check("doc_count", n == meta["n_docs"], f"docs={n} meta={meta['n_docs']}")
         )

@@ -162,13 +162,18 @@ class XfIndex:
 
                 from xf_spark.functions.hash_embed import DIM
 
-                est_mb = n_vec * DIM * 4 / 1e6
+                # the matrix is materialized as float64 (bit-identical
+                # scores vs the distributed float64 scoring path), so
+                # budget against 8 bytes/dim — estimating at 4 B/dim
+                # understated resident memory 2x (round-1 ADVICE)
+                est_mb = n_vec * DIM * 8 / 1e6
                 if est_mb <= pin_vectors_mb:
-                    rows = self.embeddings.select("doc_id", "vec").collect()
-                    ids = np.fromiter(
-                        (r["doc_id"] for r in rows), dtype=np.int64, count=len(rows)
-                    )
-                    mat = np.array([r["vec"] for r in rows], dtype=np.float64)
+                    # Arrow transfer (toPandas), not Row collect: the
+                    # transient driver copy is ~the matrix itself, not
+                    # a per-Row python object per vector
+                    pdf = self.embeddings.select("doc_id", "vec").toPandas()
+                    ids = pdf["doc_id"].to_numpy(np.int64)
+                    mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
                     order = np.argsort(ids)
                     self._pinned_vecs = (ids[order], mat[order])
         return self
@@ -358,6 +363,7 @@ class XfIndex:
         ).first()
         out = {k: basic[k] for k in basic.asDict()}
         if detailed:
+            out["activity"] = S.activity_summary(self.docs).first().asDict()
             out["daily"] = [r.asDict() for r in S.daily_counts(self.docs).collect()]
             out["hourly"] = [
                 r.asDict() for r in S.hourly_distribution(self.docs).collect()

@@ -265,6 +265,21 @@ SELECT event_type,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+ORACLES["events_activity_summary"] = """
+WITH daily AS (SELECT ts::DATE AS day, count(*) AS n FROM events GROUP BY 1),
+hourly AS (SELECT extract(hour FROM ts) AS hour, count(*) AS n
+           FROM events GROUP BY 1),
+td AS (SELECT day AS most_active_day, n AS most_active_day_count
+       FROM daily ORDER BY n DESC, day LIMIT 1),
+th AS (SELECT hour::BIGINT AS most_active_hour, n AS most_active_hour_count
+       FROM hourly ORDER BY n DESC, hour LIMIT 1),
+s AS (SELECT count(*)::BIGINT AS active_days,
+             round(sum(n)::DOUBLE / count(*), 6) AS avg_per_active_day,
+             (date_diff('day', min(day), max(day)) + 1)::BIGINT AS days_in_range
+      FROM daily)
+SELECT * FROM s CROSS JOIN td CROSS JOIN th
+"""
+
 ORACLES["events_user_activity"] = """
 SELECT user_id, count(*) AS n_events,
        count(DISTINCT ts::DATE) AS active_days,
@@ -533,6 +548,16 @@ LIMIT 20
 
 ORACLES["transcripts_docs_phrase"] = _tr_phrase_sql("spark", "join")
 ORACLES["transcripts_phrase_hash_join"] = _tr_phrase_sql("hash", "join")
+
+# Query-embedded field filter: role:assistant + scored term.
+ORACLES["transcripts_field_query"] = f"""
+WITH {_TR_BASE}, {_tr_scored("spark")}
+SELECT b.conv_id, b.turn_idx, round(t.score, 4) AS score
+FROM tscored t JOIN base b ON b.did = t.did
+WHERE b.role = 'assistant'
+ORDER BY t.score DESC, t.did
+LIMIT 20
+"""
 
 # Flagship lexical ('machine'@20 analog): hydrated single-term BM25.
 ORACLES["transcripts_bm25_merge"] = f"""

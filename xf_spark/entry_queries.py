@@ -409,6 +409,16 @@ def events_value_percentiles(spark, sf_dir):
     )
 
 
+def events_activity_summary(spark, sf_dir):
+    """Derived activity metrics (stats_analytics.rs:74-99): most-active
+    day/hour + counts, active days, avg/active-day, days-in-range —
+    one row from two single-shuffle aggregates."""
+    from xf_spark.analytics.stats import activity_summary
+
+    ev = _read(spark, sf_dir, "events")
+    return activity_summary(ev)
+
+
 def events_user_activity(spark, sf_dir):
     """Top-20 users by events (count desc, user_id asc) with active-day
     count — the DM-conversation-summary analog (collect_set/count/
@@ -634,6 +644,16 @@ def transcripts_docs_context(spark, sf_dir):
     hits = eng.search("spark", limit=5)
     return conversation_context(eng.docs, hits).select(
         "conv_id", "turn_idx", "role", "text", "is_match"
+    )
+
+
+def transcripts_field_query(spark, sf_dir):
+    """Query-embedded field filter (search.rs:534-551, README.md:1384-
+    1390): 'role:assistant spark' == BM25 'spark' AND-filtered to
+    assistant turns, filter applied pre-top-k with global stats."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated("role:assistant spark", limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
     )
 
 

@@ -2,15 +2,15 @@
 
 Parity with the reference's hash_embedder.rs:69-131 (pinned in
 FIXTURES.md §4): per token, ``h = fnv1a64(token_utf8)``; dimension
-index ``h % 384``; sign from bit 63 (+1 if set... reference uses the
-MSB as sign bit: set -> +1.0 else -1.0 is an arbitrary but pinned
-choice — we pin MSB set => -1.0, cleared => +1.0, and the oracle and
-engine share THIS implementation so they cannot diverge); accumulate
-over tokens; L2-normalize. Empty token list -> uniform normalized
-vector (every component 1/sqrt(384)).
+index ``h % 384``; sign from bit 63 — MSB set => -1.0, cleared =>
++1.0, matching the reference; accumulate over tokens; L2-normalize.
+Empty token list -> uniform normalized vector (every component
+1/sqrt(384)).
 
 Embedding tokenizer (hash_embedder.rs:79-85): lowercase, split on
-non-alphanumeric, keep tokens of length >= 2.
+non-alphanumeric, keep tokens whose UTF-8 encoding is >= 2 BYTES
+(byte length, not characters: a single 3-byte CJK character is kept,
+matching the reference's ``token.len() >= 2`` over &str bytes).
 """
 
 from __future__ import annotations
@@ -26,10 +26,16 @@ _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def embed_tokens(text: str) -> list[str]:
-    """Embedding tokenizer: lowercase, split non-alnum, len >= 2."""
+    """Embedding tokenizer: lowercase, split non-alnum, UTF-8 byte
+    length >= 2 (Rust ``str::len`` counts bytes — a 1-char CJK token
+    is 3 bytes and must be embedded; only 1-byte ASCII singles drop)."""
     if not text:
         return []
-    return [t for t in _SPLIT_RE.split(text.lower()) if len(t) >= 2]
+    return [
+        t
+        for t in _SPLIT_RE.split(text.lower())
+        if len(t) >= 2 or (t and len(t.encode("utf-8")) >= 2)
+    ]
 
 
 def fnv1a64(data: bytes) -> int:

@@ -647,6 +647,73 @@ def build_index(
     return docs, CorpusStats(n_docs, avgdl), all_metrics
 
 
+def reconcile_meta(spark, path: str) -> bool:
+    """Repair meta.json after a crash in append_index's commit window
+    (segments + docs delta written, meta replace never ran).
+
+    Without this, re-running the append is a silent no-op: the dedup
+    anti-join matches the already-written docs, m == 0, and the index
+    permanently serves STALE global stats (n_docs/avgdl/df shift BM25
+    scores corpus-wide). The orphan rows are identifiable as
+    doc_id >= meta.n_docs; their dl is recomputed with the same
+    tokenizer the encode used, so the repaired stats equal what the
+    crashed append would have committed. Returns True if repaired."""
+    from xf_spark.functions.textcore import tokenize
+
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    docs_path = os.path.join(path, "docs")
+    if not os.path.isdir(docs_path):
+        return False
+    docs = spark.read.parquet(docs_path)
+
+    @F.pandas_udf("int")
+    def _dl(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(tokenize(t or "")))
+
+    row = (
+        docs.where(F.col("doc_id") >= int(meta["n_docs"]))
+        .agg(F.count("*").alias("m"), F.sum(_dl(F.col("text"))).alias("tok"))
+        .first()
+    )
+    m = int(row["m"] or 0)
+    if m == 0:
+        return False
+    new_tokens = int(row["tok"] or 0)
+    old_total = int(meta.get("total_tokens", round(meta["avgdl"] * meta["n_docs"])))
+    n_docs_new = meta["n_docs"] + m
+    avgdl_new = (old_total + new_tokens) / n_docs_new
+
+    slice_id = int(meta.get("next_slice", 10**6))
+    shard_base = int(meta.get("next_shard", meta["n_shards"]))
+    slice_avgdl = {str(k): v for k, v in (meta.get("slice_avgdl") or {}).items()}
+    seg_root = os.path.join(path, "segments")
+    orphan_exists = os.path.isdir(os.path.join(seg_root, f"slice={slice_id}"))
+    if orphan_exists:
+        # replicate the crashed append's bookkeeping: pre-existing
+        # slices were encoded at the PRE-append avgdl; the orphan slice
+        # at avgdl_new (== post-repair meta.avgdl, scale 1 on load)
+        for entry in os.listdir(seg_root):
+            if entry.startswith("slice="):
+                s = entry.split("=", 1)[1]
+                if s != str(slice_id) and s not in slice_avgdl:
+                    slice_avgdl[s] = meta["avgdl"]
+    meta.update(
+        n_docs=n_docs_new,
+        avgdl=avgdl_new,
+        total_tokens=old_total + new_tokens,
+        slice_avgdl=slice_avgdl,
+    )
+    if orphan_exists:
+        meta.update(next_shard=shard_base + meta["n_shards"], next_slice=slice_id + 1)
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, meta_path)
+    return True
+
+
 def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
     """INCREMENTAL append: index only the new turns; existing segments
     are never rewritten.
@@ -683,6 +750,10 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
 
     spark = new_transcripts.sparkSession
     meta_path = os.path.join(path, "meta.json")
+    # heal a torn previous append first (docs/segments ahead of meta):
+    # otherwise this run's dedup anti-join silently no-ops against the
+    # orphan rows and stale global stats serve forever
+    reconcile_meta(spark, path)
     with open(meta_path) as f:
         meta = json.load(f)
     docs_path = os.path.join(path, "docs")

@@ -211,7 +211,9 @@ SIMHASH_BITS = 64
 
 
 def simhash(text: str) -> int:
-    """64-bit SimHash over tokens (md5-derived token hashes)."""
+    """64-bit SimHash over tokens (md5-derived token hashes) — the
+    scalar reference implementation (differential twin of
+    simhash_batch; the batch path serves the UDF)."""
     import hashlib
 
     toks = tokenize(text or "")
@@ -229,9 +231,50 @@ def simhash(text: str) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out  # signed int64
 
 
+_BIT_RANGE = np.arange(SIMHASH_BITS, dtype=np.uint64)
+_BIT_POW = (np.uint64(1) << _BIT_RANGE).astype(np.uint64)
+
+
+def _token_pm(token: str, _cache: dict = {}) -> np.ndarray:
+    """Memoized token -> ±1 int64[64] contribution (one md5 per UNIQUE
+    token process-wide; the vocabulary is Zipfian, so the hot path is
+    a dict hit — same memoization as hash_embed._token_idx_sign)."""
+    hit = _cache.get(token)
+    if hit is None:
+        import hashlib
+
+        h = np.uint64(int(hashlib.md5(token.encode("utf-8")).hexdigest()[:16], 16))
+        hit = np.where((h >> _BIT_RANGE) & np.uint64(1), 1, -1).astype(np.int64)
+        if len(_cache) < 2_000_000:
+            _cache[token] = hit
+    return hit
+
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized SimHash -> int64[n]; identical output to simhash()
+    per row (tested). Per doc: Counter-weighted sum of memoized ±1
+    bit vectors, then one packbits-style reduction — no per-token
+    64-element work beyond a cached lookup and one fused add."""
+    from collections import Counter
+
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = tokenize(t or "")
+        if not toks:
+            out[i] = 0
+            continue
+        counts = Counter(toks)
+        mat = np.stack([_token_pm(tok) for tok in counts])
+        w = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        acc = w @ mat
+        val = np.uint64(np.sum(_BIT_POW[acc > 0], dtype=np.uint64))
+        out[i] = np.int64(val.astype(np.int64))
+    return out
+
+
 @F.pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(simhash)
+    return pd.Series(simhash_batch(texts.tolist()))
 
 
 def simhash_candidates(

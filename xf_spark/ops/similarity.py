@@ -4,11 +4,12 @@ Two paths, same results where they overlap:
 - ``brute_force_topk`` — exact cosine top-k: broadcast query vector,
   JVM-side zip_with/aggregate arithmetic, TakeOrdered top-k. The
   baseline and the verifier.
-- ``ivf_topk`` — IVF-style approximate path for scale: k-means-lite
-  centroids (one sampled driver-side Lloyd pass, deterministic seed),
-  vectors partitioned by nearest centroid; a query probes only the
-  ``n_probe`` nearest cells. At 100 TB the cell assignment is the
-  partition key, so a probe reads a bounded slice of the corpus.
+- ``ivf_topk`` — IVF-style approximate path for scale: distributed
+  Lloyd k-means over a uniform deterministic sample (partial-aggregate
+  iterations, no row collect), vectors partitioned by nearest
+  centroid; a query probes only the ``n_probe`` nearest cells. At
+  100 TB the cell assignment is the partition key, so a probe reads a
+  bounded slice of the corpus.
 """
 
 from __future__ import annotations
@@ -51,26 +52,97 @@ def brute_force_topk(
 def train_centroids(
     embeddings: DataFrame,
     n_cells: int = 16,
-    sample: int = 2048,
+    sample: int = 65536,
     iters: int = 5,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Driver-side Lloyd iterations on a deterministic sample — the
-    coarse quantizer. At real scale swap the sample for a distributed
-    k-means; the cell-assignment/probe machinery below is unchanged."""
-    rows = embeddings.select(vec_col).limit(sample).collect()
-    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
-    for _ in range(iters):
-        assign = np.argmax(X @ cent.T, axis=1)
-        for c in range(len(cent)):
-            m = assign == c
-            if m.any():
-                v = X[m].mean(axis=0)
-                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    """Distributed Lloyd k-means — the coarse quantizer.
+
+    Round-2 rewrite (round-1 trained on ``limit(2048).collect()``: a
+    first-partitions sample, unrepresentative at scale):
+
+    - UNIFORM deterministic sample: ``sample(fraction, seed)`` sized to
+      ~``sample`` rows (cached for the iteration loop) — every
+      partition contributes, not the first few;
+    - init: the ``n_cells`` rows with the smallest content hash
+      (bottom-k sampling — deterministic, order-independent, one
+      TakeOrdered job);
+    - Lloyd steps: per-partition partial (cell -> count, vec sum)
+      aggregates via mapInPandas; the driver combines the tiny
+      (#partitions x n_cells x dim) partials. No row ever collects —
+      the driver sees only aggregate matrices, so the same code path
+      holds at 10^12 vectors (where each pass is one scan of the
+      cached sample)."""
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    if n == 0:
+        raise ValueError("cannot train centroids on an empty table")
+    frac = min(1.0, (sample * 1.2) / n)  # 1.2x: sample() is binomial
+    S = embeddings.select(F.col(vec_col).alias("v"))
+    if frac < 1.0:
+        S = S.sample(fraction=frac, seed=seed)
+    S = S.cache()
+    try:
+        k = min(n_cells, S.count())
+        init_rows = (
+            S.withColumn("_h", F.sha2(F.to_json(F.col("v")), 256))
+            .orderBy("_h")
+            .limit(k)
+            .collect()
+        )
+        cent = np.array([r["v"] for r in init_rows], dtype=np.float64)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+        dim = cent.shape[1]
+        part_schema = T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("cnt", T.LongType()),
+                T.StructField("vsum", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        for _ in range(iters):
+            cb = spark.sparkContext.broadcast(cent)
+
+            def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                C = cb.value
+                acc_cnt = np.zeros(len(C), dtype=np.int64)
+                acc_sum = np.zeros((len(C), C.shape[1]), dtype=np.float64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                    X /= np.maximum(
+                        np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                    )
+                    assign = np.argmax(X @ C.T, axis=1)
+                    np.add.at(acc_cnt, assign, 1)
+                    np.add.at(acc_sum, assign, X)
+                hit = np.nonzero(acc_cnt)[0]
+                if len(hit):
+                    yield pd.DataFrame(
+                        {
+                            "cell": hit.astype(np.int32),
+                            "cnt": acc_cnt[hit],
+                            "vsum": list(acc_sum[hit]),
+                        }
+                    )
+
+            parts = S.mapInPandas(partial, schema=part_schema).toPandas()
+            cnt = np.zeros(len(cent), dtype=np.int64)
+            vsum = np.zeros((len(cent), dim), dtype=np.float64)
+            for _, r in parts.iterrows():
+                cnt[int(r["cell"])] += int(r["cnt"])
+                vsum[int(r["cell"])] += np.asarray(r["vsum"], dtype=np.float64)
+            nz = cnt > 0
+            means = vsum[nz] / cnt[nz, None]
+            cent[nz] = means / np.maximum(
+                np.linalg.norm(means, axis=1, keepdims=True), 1e-12
+            )
+            # empty cells keep their previous centroid (standard Lloyd)
+    finally:
+        S.unpersist()
     return cent
 
 

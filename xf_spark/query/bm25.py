@@ -85,8 +85,20 @@ class BM25Engine:
         until=None,
     ) -> DataFrame:
         """-> (doc_id, score) top-k, pinned order (score desc, doc_id
-        asc). Filters applied pre-top-k; scores stay global."""
-        plan = parse_query(query)
+        asc). Filters applied pre-top-k; scores stay global. Query-
+        embedded ``type:``/``role:`` filters AND with the roles kwarg."""
+        from xf_spark.query.parser import parse_query_extract
+
+        plan, qroles = parse_query_extract(query)
+        if qroles:
+            if roles:
+                roles = sorted(set(roles) & set(qroles))
+                if not roles:
+                    return self._eval(("none",)).orderBy(
+                        F.desc("score"), F.asc("doc_id")
+                    ).limit(limit)
+            else:
+                roles = qroles
         scored = self._eval(plan)
         if roles or since is not None or until is not None:
             attrs = self.docs.select("doc_id", "role", "ts")

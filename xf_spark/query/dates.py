@@ -9,9 +9,11 @@ date_parser.rs grammar (846 lines; SURVEY.md §2.5):
 - quarters: "q1 2024" .. "q4 2024" (date_parser.rs:406-442);
 - seasons: "spring/summer/fall/autumn/winter 2023" — winter spans the
   year boundary: Dec 1 year -> Feb end year+1 (date_parser.rs:444-478);
-- relative: today, yesterday, "this month/year", "last week/month/
-  year", "last N days/weeks/months/years", "N days/... ago"
-  (date_parser.rs:199-228).
+- relative: today, yesterday, weekend (most recent Sat-Sun),
+  weekday/weekdays (this week's Mon..min(today, Fri)), "this
+  month/year", "last/past week/month/year", "last/past N
+  days/weeks/months/years", "N days/... ago"
+  (date_parser.rs:199-228,320-337).
 
 Returns naive UTC datetimes (the engine pins session TZ = UTC).
 ``now`` is injectable for deterministic tests.
@@ -110,13 +112,25 @@ def parse_date_range(
     if m and m[1] in MONTHS:
         return _month_range(int(m[2]), MONTHS[m[1]])
 
-    # relative (date_parser.rs:199-228)
+    # relative (date_parser.rs:199-228); "past X" == "last X"
+    s = re.sub(r"^past\b", "last", s)
     today = now.date()
     if s == "today":
         return _start_of_day(today), _end_of_day(today)
     if s == "yesterday":
         d = today - dt.timedelta(days=1)
         return _start_of_day(d), _end_of_day(d)
+    if s == "weekend":
+        # most recent Sat-Sun on or before today (date_parser.rs:320-326)
+        saturday = today - dt.timedelta(days=(today.weekday() + 2) % 7)
+        return _start_of_day(saturday), _end_of_day(
+            saturday + dt.timedelta(days=1)
+        )
+    if s in ("weekday", "weekdays"):
+        # this week's Mon..min(today, Fri) (date_parser.rs:328-337)
+        monday = today - dt.timedelta(days=today.weekday())
+        end = today if today.weekday() <= 4 else monday + dt.timedelta(days=4)
+        return _start_of_day(monday), _end_of_day(end)
     if s == "this month":
         return _month_range(today.year, today.month)
     if s == "this year":

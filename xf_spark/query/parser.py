@@ -17,6 +17,14 @@ README.md:1384-1390 and search.rs:534-576):
   >=40-byte token removed by the RemoveLongFilter) matches NOTHING —
   Tantivy yields an empty boolean query there, and xf's match-all
   special case fires only on the empty *string* before parsing.
+- field-specific: ``type:assistant text:rust`` (README.md:1384-1390).
+  ``text:`` is the default field (the prefix is stripped);
+  ``type:``/``role:`` become a doc-type FILTER AND-ed with the scored
+  query — pinned divergence from Tantivy's should-clause scoring of
+  the type field (the engine stores role as a doc attribute, not an
+  indexed field; the reference's own doc_types path is likewise a
+  Must filter, search.rs:554-576). A query that is ONLY field filters
+  (``type:assistant``) matches all docs of that type.
 
 Pinned divergence from Tantivy (documented per SURVEY.md §7.0): bare
 terms search the ``text`` field only; the prefix field is reached only
@@ -37,7 +45,7 @@ import re
 
 from xf_spark.functions.textcore import tokenize
 
-_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+_TOKEN_RE = re.compile(r'\w+:"[^"]*"|"[^"]*"|\S+')
 
 
 def _atom(raw: str):
@@ -65,14 +73,27 @@ def _atom(raw: str):
     return ("phrase", terms)
 
 
+_FIELD_RE = re.compile(r"^(\w+):(.+)$", re.DOTALL)
+_TYPE_FIELDS = ("type", "role")
+
+
 def parse_query(query: str):
-    """Parse a query string into the AST; "" -> ("all",)."""
+    """Parse a query string into the AST; "" -> ("all",). Field
+    filters (type:/role:) are extracted and dropped — use
+    parse_query_extract when the caller can apply them."""
+    return parse_query_extract(query)[0]
+
+
+def parse_query_extract(query: str):
+    """Parse into (AST, roles|None): type:/role: atoms become the
+    returned doc-type filter list; text: prefixes are stripped."""
     query = (query or "").strip()
     if not query:
-        return ("all",)
+        return ("all",), None
 
     raws = _TOKEN_RE.findall(query)
     acc = None
+    qroles: list[str] = []
     pending_op = None  # "AND" | "OR" | "NOT" | None (None => implicit OR)
     for raw in raws:
         if raw in ("AND", "OR", "NOT"):
@@ -80,6 +101,14 @@ def parse_query(query: str):
             if acc is not None:
                 pending_op = raw
             continue
+        fm = _FIELD_RE.match(raw)
+        if fm and fm[1].lower() in _TYPE_FIELDS:
+            val = fm[2].strip('"')
+            if val:
+                qroles.append(val.lower())
+            continue
+        if fm and fm[1].lower() == "text":
+            raw = fm[2]
         node = _atom(raw)
         if node is None:
             continue
@@ -98,8 +127,11 @@ def parse_query(query: str):
             else:
                 acc = ("or", [acc, node])
         pending_op = None
-    # non-empty input, no usable atoms -> empty boolean query
-    return acc if acc is not None else ("none",)
+    if acc is None:
+        # only field filters -> match-all within the filter;
+        # otherwise non-empty input with no usable atoms -> empty query
+        acc = ("all",) if qroles else ("none",)
+    return acc, (qroles or None)
 
 
 def query_terms(node) -> set[str]:

@@ -46,17 +46,19 @@ def get_by_id(docs: DataFrame, conv_id: str, turn_idx: int) -> DataFrame:
 
 def get_by_ids(docs: DataFrame, ids: list[tuple[str, int]]) -> DataFrame:
     """Batch lookup aligned to input order (get_by_ids,
-    search.rs:683-746: result preserves request order; missing ids are
-    absent rather than None rows). Broadcast-joins the tiny id list."""
+    search.rs:683-746: Vec<Option<...>> — one row PER REQUEST in
+    request order, doc columns null for missing ids). The tiny request
+    list drives a broadcast-able left join against the doc store."""
     spark = docs.sparkSession
     req = spark.createDataFrame(
         [(c, t, i) for i, (c, t) in enumerate(ids)],
-        "conv_id string, turn_idx int, _req_order long",
+        "conv_id string, turn_idx int, req_order long",
     )
+    # request side left-joins docs so misses SURVIVE as null rows; the
+    # docs side is the big one — Spark broadcasts `req`, never docs
     return (
-        docs.join(F.broadcast(req), ["conv_id", "turn_idx"])
-        .orderBy("_req_order")
-        .drop("_req_order")
+        req.join(docs, ["conv_id", "turn_idx"], "left")
+        .orderBy("req_order")
     )
 
 

@@ -38,7 +38,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from xf_spark.index.codec import varint_decode
 from xf_spark.index.postings import CorpusStats
 from xf_spark.index.segments import K1, B, term_bucket
-from xf_spark.query.parser import parse_query, prefix_terms, query_terms
+from xf_spark.query.parser import (
+    parse_query,
+    parse_query_extract,
+    prefix_terms,
+    query_terms,
+)
 
 # vectorized-phrase key base: keys are doc*B + (pos + k - i) and must
 # fit int64 with 10^12 docs (2^40 * 2^22 = 2^62): B = 2^22 allows ~4M
@@ -555,7 +560,19 @@ class SegmentIndex:
         until=None,
         exhaustive: bool = False,
     ) -> DataFrame:
-        plan = parse_query(query)
+        plan, qroles = parse_query_extract(query)
+        if qroles:
+            # query-embedded type:/role: filters AND with the roles
+            # kwarg; a contradictory intersection matches nothing
+            if roles:
+                roles = sorted(set(roles) & set(qroles))
+                if not roles:
+                    return self.spark.createDataFrame(
+                        pd.DataFrame({"doc_id": [], "score": []}),
+                        schema=TOPK_SCHEMA,
+                    )
+            else:
+                roles = qroles
         if plan == ("all",):
             if self.docs is None:
                 raise ValueError("match-all requires a docs table")
@@ -716,7 +733,11 @@ class SegmentIndex:
         serving workload this amortizes the per-job scheduling floor
         and the decode across the batch — sustained QPS scales with
         batch size instead of paying ~100ms per query."""
-        plans = {q: parse_query(q) for q in queries}
+        extracted = {q: parse_query_extract(q) for q in queries}
+        # queries carrying type:/role: filters take the filtered
+        # single-query path (batch serving is the unfiltered hot path)
+        plans = {q: pl for q, (pl, qr) in extracted.items() if not qr}
+        filtered_qs = [q for q, (_pl, qr) in extracted.items() if qr]
         all_t: set[str] = set()
         all_p: set[str] = set()
         for pl in plans.values():
@@ -753,6 +774,11 @@ class SegmentIndex:
             ).toPandas()
             data = build_term_data(pdf)
         out: dict[str, list[tuple[int, float]]] = {}
+        for q in filtered_qs:
+            out[q] = [
+                (r["doc_id"], r["score"])
+                for r in self.search(q, limit=limit).collect()
+            ]
         for q, pl in plans.items():
             if pl == ("all",):
                 out[q] = [

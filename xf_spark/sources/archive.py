@@ -84,6 +84,134 @@ def read_transcript_archive(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Reference-format archive readers -> the unified doc space
+# (search.rs:213-247: one searchable doc per record, doc-type in role)
+# ---------------------------------------------------------------------------
+
+GROK_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "grokChatItem",
+            T.StructType(
+                [
+                    T.StructField("chatId", T.StringType()),
+                    T.StructField("message", T.StringType()),
+                    T.StructField("sender", T.StringType()),
+                    T.StructField("createdAt", T.StringType()),
+                    T.StructField("grokMode", T.StringType()),
+                ]
+            ),
+        )
+    ]
+)
+
+LIKE_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "like",
+            T.StructType(
+                [
+                    T.StructField("tweetId", T.StringType()),
+                    T.StructField("fullText", T.StringType()),
+                    T.StructField("expandedUrl", T.StringType()),
+                ]
+            ),
+        )
+    ]
+)
+
+DM_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "dmConversation",
+            T.StructType(
+                [
+                    T.StructField("conversationId", T.StringType()),
+                    T.StructField(
+                        "messages",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "messageCreate",
+                                        T.StructType(
+                                            [
+                                                T.StructField("id", T.StringType()),
+                                                T.StructField("senderId", T.StringType()),
+                                                T.StructField("recipientId", T.StringType()),
+                                                T.StructField("text", T.StringType()),
+                                                T.StructField("createdAt", T.StringType()),
+                                            ]
+                                        ),
+                                    )
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def read_grok_archive(spark: SparkSession, path: str) -> DataFrame:
+    """grok-chat-item.js -> transcript rows: conv = chatId, turns
+    ordered by createdAt, role = sender (parser.rs grok path)."""
+    from pyspark.sql.window import Window
+
+    items = read_js_archive(spark, path, GROK_ITEM_SCHEMA, dedup_key=None)
+    g = items.select("grokChatItem.*")
+    w = Window.partitionBy("chatId").orderBy("createdAt", "message")
+    return g.select(
+        F.concat(F.lit("grok_"), "chatId").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("sender").alias("role"),
+        F.col("message").alias("text"),
+        F.lit("").alias("tool"),
+        parse_ts_flexible(F.col("createdAt")).alias("ts"),
+    )
+
+
+def read_like_archive(spark: SparkSession, path: str) -> DataFrame:
+    """like.js -> one standalone doc per like with fullText (likes
+    without text are unindexable, parser.rs like path)."""
+    items = read_js_archive(spark, path, LIKE_ITEM_SCHEMA, dedup_key=None)
+    lk = items.select("like.*").where(F.col("fullText").isNotNull())
+    return lk.select(
+        F.concat(F.lit("like_"), "tweetId").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("like").alias("role"),
+        F.col("fullText").alias("text"),
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def read_dm_archive(spark: SparkSession, path: str) -> DataFrame:
+    """direct-messages.js -> transcript rows: conv = conversationId,
+    turns ordered by (createdAt, id), role = senderId
+    (parse_direct_messages, parser.rs:327-435)."""
+    from pyspark.sql.window import Window
+
+    items = read_js_archive(spark, path, DM_ITEM_SCHEMA, dedup_key=None)
+    d = items.select("dmConversation.*").select(
+        "conversationId", F.explode("messages").alias("m")
+    )
+    w = Window.partitionBy("conversationId").orderBy(
+        "m.messageCreate.createdAt", "m.messageCreate.id"
+    )
+    return d.select(
+        F.concat(F.lit("dm_"), "conversationId").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.col("m.messageCreate.senderId").alias("role"),
+        F.col("m.messageCreate.text").alias("text"),
+        F.lit("").alias("tool"),
+        parse_ts_flexible(F.col("m.messageCreate.createdAt")).alias("ts"),
+    )
+
+
 def conversations_grouped(transcripts: DataFrame) -> DataFrame:
     """Conversation view: sorted struct array per conv_id — the
     DmConversation{conversation_id, messages} shape (model.rs:63-67),
