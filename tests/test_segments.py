@@ -364,6 +364,51 @@ class TestHeadTermSkew:
         assert shard_sizes[-1] <= 2 * mean
 
 
+class TestTermCache:
+    """Round-2 serving floor: warm repeat queries run ZERO Spark jobs —
+    decoded postings live in a bounded driver LRU (the analog of the
+    reference's in-process mmap'd index)."""
+
+    def test_warm_query_never_touches_segments(self, built):
+        ix, oracle, _, _ = built
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search("machine", limit=10).collect()
+        ]
+        want_ph = [
+            r["doc_id"]
+            for r in ix.search('"machine learning"', limit=10).collect()
+        ]
+        orig = ix._segments
+        ix._segments = None  # any scan would blow up
+        try:
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in ix.search("machine", limit=10).collect()
+            ]
+            got_ph = [
+                r["doc_id"]
+                for r in ix.search('"machine learning"', limit=10).collect()
+            ]
+        finally:
+            ix._segments = orig
+        assert got == want and got
+        assert got_ph == want_ph and got_ph
+
+    def test_cache_capacity_zero_still_correct(self, spark, tmp_path):
+        from xf_spark.index.segments import build_index
+
+        path = str(tmp_path / "nocache")
+        tr = load_transcripts(spark, SCALE)
+        docs, _s, _m = build_index(tr, path, n_shards=4, n_buckets=16, slices=1)
+        ix = SegmentIndex.load(spark, path, docs=docs)
+        ix.term_cache_mb = 0  # every entry oversized: serve uncached
+        a = [r["doc_id"] for r in ix.search("machine", limit=10).collect()]
+        b = [r["doc_id"] for r in ix.search("machine", limit=10).collect()]
+        assert a == b and a
+        assert ix._term_cache == {} and ix._term_cache_bytes == 0
+
+
 def test_phrase_vectorized_equals_scalar_fallback(spark, built, monkeypatch):
     """The int64-key vectorized adjacency and the scalar per-doc
     fallback must be rank- and score-identical; force the fallback by

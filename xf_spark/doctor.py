@@ -127,6 +127,21 @@ def run_doctor(
         checks.append(
             Check("sample_query", True, f"{sample_query!r}: {len(hits)} hits in {ms:.0f}ms")
         )
+        # perf-budget grade (perf.rs:131-178 analog): WARM repeat —
+        # the serving-path number the budgets are calibrated against
+        from xf_spark import perf as _perf
+
+        t1 = time.time()
+        ix.search(sample_query, limit=5).collect()
+        grade = _perf.record("search_simple", time.time() - t1)
+        checks.append(
+            Check(
+                "perf_budget",
+                grade != "critical",
+                f"warm search_simple: {_perf.LAST['search_simple'][0]:.0f}ms "
+                f"grade={grade}",
+            )
+        )
     except Exception as e:  # noqa: BLE001
         checks.append(Check("sample_query", False, str(e)))
 
@@ -136,7 +151,10 @@ def run_doctor(
         try:
             emb = spark.read.parquet(emb_path)
             n_emb = emb.count()
-            dim = len(emb.select("vec").first()["vec"])
+            if "vec16" in emb.columns:
+                dim = len(emb.select("vec16").first()["vec16"]) // 2
+            else:
+                dim = len(emb.select("vec").first()["vec"])
             checks.append(
                 Check(
                     "embeddings",

@@ -37,6 +37,7 @@ class XfIndex:
         path: str,
         with_embeddings: bool = True,
         ann_cells: int = 0,
+        vec_format: str = "f32",
         **build_kw,
     ) -> "XfIndex":
         """Full build (cmd_index analog, main.rs:766-1079): segment
@@ -48,9 +49,17 @@ class XfIndex:
         written partitionBy(cell) so a probe prunes partitions) plus
         ``centroids.json`` — the scale path for semantic serving:
         a query scans n_probe/n_cells of the corpus instead of all of
-        it. Exact brute force stays the default query mode."""
+        it. Exact brute force stays the default query mode.
+
+        ``vec_format="f16"`` stores vectors as binary float16 — the
+        reference's at-rest layout (vector.rs:312), ~2x smaller on disk
+        and on the scan path; scores are computed from the QUANTIZED
+        values (as the reference does), so ranks may differ from f32 at
+        ~1e-3 relative score precision."""
         import json as _json
 
+        if vec_format not in ("f32", "f16"):
+            raise ValueError(f"vec_format must be f32|f16, got {vec_format!r}")
         spark = transcripts.sparkSession
         docs, stats, _metrics = build_index(transcripts, path, **build_kw)
         docs_path = os.path.join(path, "docs")
@@ -58,9 +67,12 @@ class XfIndex:
             docs.write.mode("overwrite").parquet(docs_path)
         emb = None
         if with_embeddings:
+            from xf_spark.query.semantic import encode_f16_udf
+
             emb_path = os.path.join(path, "embeddings")
             if not os.path.isdir(emb_path):
                 emb_df = build_embeddings(docs)
+                part_cols = []
                 if ann_cells > 0:
                     from xf_spark.ops.similarity import assign_cells, train_centroids
 
@@ -69,15 +81,22 @@ class XfIndex:
                         emb_df, n_cells=ann_cells, vec_col="vec"
                     )
                     emb_df = assign_cells(emb_df, cent, vec_col="vec")
+                    part_cols = ["cell"]
                     tmp = os.path.join(path, "centroids.json.tmp")
                     with open(tmp, "w") as f:
                         _json.dump(cent.tolist(), f)
-                    emb_df.write.partitionBy("cell").mode("overwrite").parquet(
-                        emb_path
+                if vec_format == "f16":
+                    emb_df = emb_df.select(
+                        "doc_id",
+                        encode_f16_udf(F.col("vec")).alias("vec16"),
+                        *part_cols,
                     )
+                w = emb_df.write.mode("overwrite")
+                if part_cols:
+                    w = w.partitionBy(*part_cols)
+                w.parquet(emb_path)
+                if ann_cells > 0:
                     os.replace(tmp, os.path.join(path, "centroids.json"))
-                else:
-                    emb_df.write.mode("overwrite").parquet(emb_path)
             emb = spark.read.parquet(emb_path)
         docs_df = spark.read.parquet(docs_path)
         seg = SegmentIndex.load(spark, path, docs=docs_df)
@@ -112,17 +131,25 @@ class XfIndex:
             new_docs = docs.where(F.col("doc_id") >= old_n)
             emb_new = build_embeddings(new_docs)
             cent = self._centroids()
+            part_cols = []
             if cent is not None:
                 # IVF layout: new docs get cells from the EXISTING
                 # quantizer (centroids are append-stable; retrain is a
                 # rebuild-level decision)
                 from xf_spark.ops.similarity import assign_cells
 
-                assign_cells(emb_new, cent, vec_col="vec").write.partitionBy(
-                    "cell"
-                ).mode("append").parquet(emb_path)
-            else:
-                emb_new.write.mode("append").parquet(emb_path)
+                emb_new = assign_cells(emb_new, cent, vec_col="vec")
+                part_cols = ["cell"]
+            if "vec16" in self.embeddings.columns:
+                from xf_spark.query.semantic import encode_f16_udf
+
+                emb_new = emb_new.select(
+                    "doc_id", encode_f16_udf(F.col("vec")).alias("vec16"), *part_cols
+                )
+            w = emb_new.write.mode("append")
+            if part_cols:
+                w = w.partitionBy(*part_cols)
+            w.parquet(emb_path)
             self.embeddings = self.spark.read.parquet(emb_path)
         self.docs = docs
         self.segment_index = SegmentIndex.load(self.spark, self.path, docs=docs)
@@ -171,9 +198,20 @@ class XfIndex:
                     # Arrow transfer (toPandas), not Row collect: the
                     # transient driver copy is ~the matrix itself, not
                     # a per-Row python object per vector
-                    pdf = self.embeddings.select("doc_id", "vec").toPandas()
-                    ids = pdf["doc_id"].to_numpy(np.int64)
-                    mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+                    if "vec16" in self.embeddings.columns:
+                        pdf = self.embeddings.select("doc_id", "vec16").toPandas()
+                        ids = pdf["doc_id"].to_numpy(np.int64)
+                        mat = (
+                            np.frombuffer(
+                                b"".join(pdf["vec16"]), dtype=np.float16
+                            )
+                            .astype(np.float64)
+                            .reshape(len(ids), -1)
+                        )
+                    else:
+                        pdf = self.embeddings.select("doc_id", "vec").toPandas()
+                        ids = pdf["doc_id"].to_numpy(np.int64)
+                        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
                     order = np.argsort(ids)
                     self._pinned_vecs = (ids[order], mat[order])
         return self
@@ -259,7 +297,11 @@ class XfIndex:
                     k=limit + offset,
                     n_probe=n_probe,
                     id_col="doc_id",
-                    vec_col="vec",
+                    vec_col=(
+                        "vec16"
+                        if "vec16" in self.embeddings.columns
+                        else "vec"
+                    ),
                 ).withColumnRenamed("cosine", "score")
             else:
                 hits = semantic_topk(

@@ -199,7 +199,16 @@ def ivf_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            col = pdf[vec_col].to_numpy()
+            if isinstance(col[0], (bytes, bytearray)):
+                # f16-at-rest layout (vec16 binary column)
+                mat = (
+                    np.frombuffer(b"".join(col), dtype=np.float16)
+                    .astype(np.float64)
+                    .reshape(len(col), -1)
+                )
+            else:
+                mat = np.stack(col).astype(np.float64)
             norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
             sc = (mat @ qv) / norms
             ids = pdf[id_col].to_numpy(np.int64)

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -343,10 +344,14 @@ def eval_plan_on_data(
             return empty
         from xf_spark.index.codec import decode_positions
 
-        pos = {
-            t: decode_positions(datas[t]["positions_bin"], len(datas[t]["ids"]))
-            for t in uniq
-        }
+        pos = {}
+        for t in uniq:
+            d = datas[t]
+            # memoized on the term-data dict: a cached warm term decodes
+            # its positions stream once, not once per phrase query
+            if "_pos" not in d:
+                d["_pos"] = decode_positions(d["positions_bin"], len(d["ids"]))
+            pos[t] = d["_pos"]
         tfp = {
             t: idfs.get(("text", t), 0.0)
             * _tf_part(datas[t]["tfs"], datas[t]["dls"], avgdl)
@@ -467,8 +472,17 @@ class SegmentIndex:
     # terms. Head terms at 100 TB exceed it and take the distributed
     # path (identical results, tested).
     driver_topk_threshold: int = 2_000_000
+    # Bounded decoded-postings LRU (bytes): the serving-coordinator
+    # analog of the reference's mmap'd warm index (Tantivy keeps hot
+    # posting bytes in the page cache; we keep hot DECODED term arrays
+    # on the coordinator). A warm repeat query runs ZERO Spark jobs —
+    # pure NumPy WAND. Head terms above driver_topk_threshold never
+    # reach this path, so entries are bounded individually too.
+    term_cache_mb: int = 512
     _segments: DataFrame = field(default=None, repr=False)
     _df_memo: dict = field(default_factory=dict, repr=False)
+    _term_cache: dict = field(default_factory=dict, repr=False)
+    _term_cache_bytes: int = 0
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
@@ -550,6 +564,60 @@ class SegmentIndex:
                     out[t] = found[t]
         return out
 
+    @staticmethod
+    def _entry_bytes(d: dict) -> int:
+        n = len(d.get("positions_bin") or b"")
+        for k in ("ids", "tfs", "dls", "block_last", "block_max"):
+            n += d[k].nbytes
+        return n
+
+    def _term_data_for(self, tterms: set[str], pterms: set[str]) -> dict:
+        """Decoded posting arrays for the query's terms, served from
+        the driver LRU; misses fetch ONE pruned scan for just the
+        missing terms. Eviction keeps the cache under term_cache_mb;
+        oversized single terms are returned uncached."""
+        need = [("text", t) for t in sorted(tterms)] + [
+            ("prefix", t) for t in sorted(pterms)
+        ]
+        out: dict = {}
+        missing: list[tuple[str, str]] = []
+        for key in need:
+            if key in self._term_cache:
+                # LRU touch
+                out[key] = self._term_cache.pop(key)
+                self._term_cache[key] = out[key]
+            elif self._df_memo.get(key, 0) > 0:
+                missing.append(key)
+        if missing:
+            nb = self.meta["n_buckets"]
+            mt = sorted({t for f, t in missing if f == "text"})
+            mp = sorted({t for f, t in missing if f == "prefix"})
+            buckets = sorted(
+                {term_bucket(t, nb) for t in mt} | {term_bucket(t, nb) for t in mp}
+            )
+            cond = F.lit(False)
+            if mt:
+                cond = cond | ((F.col("field") == "text") & F.col("term").isin(mt))
+            if mp:
+                cond = cond | ((F.col("field") == "prefix") & F.col("term").isin(mp))
+            pdf = self._segments.where(
+                F.col("bucket").isin(buckets) & cond
+            ).toPandas()
+            fresh = build_term_data(pdf)
+            cap = self.term_cache_mb * 1_000_000
+            for key, d in fresh.items():
+                out[key] = d
+                b = self._entry_bytes(d)
+                if b > cap:
+                    continue  # oversized: serve once, don't cache
+                while self._term_cache_bytes + b > cap and self._term_cache:
+                    old_k = next(iter(self._term_cache))
+                    old = self._term_cache.pop(old_k)
+                    self._term_cache_bytes -= self._entry_bytes(old)
+                self._term_cache[key] = d
+                self._term_cache_bytes += b
+        return out
+
     def search(
         self,
         query: str,
@@ -560,6 +628,7 @@ class SegmentIndex:
         until=None,
         exhaustive: bool = False,
     ) -> DataFrame:
+        _t0 = time.time()  # perf-budget clock (driver-resolved paths)
         plan, qroles = parse_query_extract(query)
         if qroles:
             # query-embedded type:/role: filters AND with the roles
@@ -593,20 +662,25 @@ class SegmentIndex:
             }
         )
 
-        nb = self.meta["n_buckets"]
-        buckets = sorted(
-            {term_bucket(t, nb) for t in tterms} | {term_bucket(t, nb) for t in pterms}
-        )
-        cond = F.lit(False)
-        if tterms:
-            cond = cond | (
-                (F.col("field") == "text") & F.col("term").isin(sorted(tterms))
+        def pruned_seg() -> DataFrame:
+            # built lazily: the warm driver fast path serves from the
+            # term LRU and must not touch the segments DataFrame
+            nb = self.meta["n_buckets"]
+            buckets = sorted(
+                {term_bucket(t, nb) for t in tterms}
+                | {term_bucket(t, nb) for t in pterms}
             )
-        if pterms:
-            cond = cond | (
-                (F.col("field") == "prefix") & F.col("term").isin(sorted(pterms))
-            )
-        seg = self._segments.where(F.col("bucket").isin(buckets) & cond)
+            cond = F.lit(False)
+            if tterms:
+                cond = cond | (
+                    (F.col("field") == "text") & F.col("term").isin(sorted(tterms))
+                )
+            if pterms:
+                cond = cond | (
+                    (F.col("field") == "prefix")
+                    & F.col("term").isin(sorted(pterms))
+                )
+            return self._segments.where(F.col("bucket").isin(buckets) & cond)
 
         filtered = bool(roles) or since is not None or until is not None
         avgdl = self.meta["avgdl"]
@@ -617,13 +691,14 @@ class SegmentIndex:
             self._df_memo.get(("text", t), 0) for t in tterms
         ) + sum(self._df_memo.get(("prefix", t), 0) for t in pterms)
         if total_postings <= self.driver_topk_threshold:
-            # driver fast path: collect pruned rows, merge shards per
-            # term (doc ranges are disjoint/ordered), evaluate ONCE.
-            # Filters resolve to an `allowed` id set BEFORE top-k —
-            # bounded by the candidate universe (<= total_postings,
-            # itself <= driver_topk_threshold), never by the corpus.
-            pdf = seg.toPandas()
-            data = build_term_data(pdf) if len(pdf) else {}
+            # driver fast path: decoded postings from the term LRU
+            # (warm repeat = zero Spark jobs), misses via one pruned
+            # scan; shards merge per term (doc ranges disjoint/ordered)
+            # and the whole plan evaluates ONCE. Filters resolve to an
+            # `allowed` id set BEFORE top-k — bounded by the candidate
+            # universe (<= total_postings <= driver_topk_threshold),
+            # never by the corpus.
+            data = self._term_data_for(tterms, pterms)
             allowed = None
             if filtered and data and self.docs is not None:
                 allowed = self._allowed_ids(data, roles, since, until)
@@ -639,6 +714,11 @@ class SegmentIndex:
             # rank fully resolved in-driver: emit the final page as a
             # local relation (a 20-row Spark orderBy costs ~250 ms of
             # pure scheduling — measured, not guessed)
+            from xf_spark import perf
+
+            perf.record(
+                perf.budget_for_plan(plan, filtered), time.time() - _t0
+            )
             return self.spark.createDataFrame(
                 pd.DataFrame({"doc_id": ids, "score": sc}), schema=TOPK_SCHEMA
             )
@@ -650,7 +730,7 @@ class SegmentIndex:
             # full-match-set scatter is gone (per-shard output is
             # k-bounded regardless of term frequency or filter width).
             scored = self._scored_filtered_distributed(
-                seg, plan_b, idfs_b, avgdl, k_page, exhaustive,
+                pruned_seg(), plan_b, idfs_b, avgdl, k_page, exhaustive,
                 roles, since, until,
             )
             return self._rank_page(scored, limit, offset)
@@ -660,13 +740,15 @@ class SegmentIndex:
             def run_all(pdf: pd.DataFrame) -> pd.DataFrame:
                 return eval_shard(pdf, plan_b, idfs_b, avgdl, 1 << 62, exhaustive)
 
-            scored = seg.groupBy("shard").applyInPandas(run_all, schema=TOPK_SCHEMA)
+            scored = pruned_seg().groupBy("shard").applyInPandas(
+                run_all, schema=TOPK_SCHEMA
+            )
             return self._finish(scored, limit, offset, roles, since, until)
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             return eval_shard(pdf, plan_b, idfs_b, avgdl, k_page, exhaustive)
 
-        scored = seg.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
+        scored = pruned_seg().groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
         return self._rank_page(scored, limit, offset)
 
     def _scored_filtered_distributed(
@@ -733,6 +815,7 @@ class SegmentIndex:
         serving workload this amortizes the per-job scheduling floor
         and the decode across the batch — sustained QPS scales with
         batch size instead of paying ~100ms per query."""
+        _t0 = time.time()
         extracted = {q: parse_query_extract(q) for q in queries}
         # queries carrying type:/role: filters take the filtered
         # single-query path (batch serving is the unfiltered hot path)
@@ -754,25 +837,7 @@ class SegmentIndex:
                 for t, df in self.term_dfs(all_p, "prefix").items()
             }
         )
-        nb = self.meta["n_buckets"]
-        buckets = sorted(
-            {term_bucket(t, nb) for t in all_t} | {term_bucket(t, nb) for t in all_p}
-        )
-        cond = F.lit(False)
-        if all_t:
-            cond = cond | (
-                (F.col("field") == "text") & F.col("term").isin(sorted(all_t))
-            )
-        if all_p:
-            cond = cond | (
-                (F.col("field") == "prefix") & F.col("term").isin(sorted(all_p))
-            )
-        data: dict = {}
-        if buckets:
-            pdf = self._segments.where(
-                F.col("bucket").isin(buckets) & cond
-            ).toPandas()
-            data = build_term_data(pdf)
+        data = self._term_data_for(all_t, all_p)
         out: dict[str, list[tuple[int, float]]] = {}
         for q in filtered_qs:
             out[q] = [
@@ -795,6 +860,10 @@ class SegmentIndex:
                     res["score"].to_numpy(np.float64)[:limit].tolist(),
                 )
             )
+        if queries:
+            from xf_spark import perf
+
+            perf.record("msearch_per_query", (time.time() - _t0) / len(queries))
         return out
 
     def search_local(self, query: str, limit: int = 20, exhaustive: bool = False):

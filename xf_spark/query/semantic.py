@@ -34,6 +34,48 @@ def build_embeddings(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", hash_embed_udf(F.col("text")).alias("vec"))
 
 
+# -- f16-at-rest storage (vector.rs:312: the reference stores vectors
+#    as f16, 2 bytes/dim — half the bytes at rest AND on the wire).
+#    Opt-in via XfIndex.build(vec_format="f16"); scoring decodes the
+#    QUANTIZED values into float64, so all serving paths (distributed,
+#    pinned, IVF) agree bit-for-bit with each other.
+
+@F.pandas_udf(T.BinaryType())
+def encode_f16_udf(vecs: pd.Series) -> pd.Series:
+    return vecs.map(
+        lambda v: np.asarray(v, dtype=np.float32).astype(np.float16).tobytes()
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def decode_f16_udf(bufs: pd.Series) -> pd.Series:
+    return bufs.map(
+        lambda b: np.frombuffer(b, dtype=np.float16).astype(np.float32).tolist()
+    )
+
+
+def _binary_batch_to_matrix(arr, n_rows: int) -> np.ndarray:
+    """Arrow BinaryArray of f16 buffers -> float64 (n, dim) matrix.
+    Zero-copy view over the values buffer when the layout allows
+    (no nulls, uniform width); bytes-join fallback otherwise."""
+    bufs = arr.buffers()
+    try:
+        offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+            arr.offset : arr.offset + n_rows + 1
+        ]
+        widths = np.diff(offsets)
+        if bufs[0] is None and len(widths) and widths.min() == widths.max():
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            flat = data[offsets[0] : offsets[-1]].view(np.float16)
+            return flat.astype(np.float64).reshape(n_rows, -1)
+    except (TypeError, ValueError):
+        pass
+    joined = b"".join(arr.to_pylist())
+    return (
+        np.frombuffer(joined, dtype=np.float16).astype(np.float64).reshape(n_rows, -1)
+    )
+
+
 def embed_query(query: str) -> np.ndarray:
     return hash_embed(canonicalize_for_embedding(query or ""))
 
@@ -65,13 +107,17 @@ def semantic_topk(
     spark = embeddings.sparkSession
     qb = spark.sparkContext.broadcast(q.astype(np.float64))
     k = limit
+    f16 = "vec16" in embeddings.columns
+    vcol = "vec16" if f16 else "vec"
 
     def partial(batches) -> Iterator:
         """mapInArrow body: the vec list-column flattens ZERO-COPY to a
         contiguous float buffer -> one reshape + one matmul per batch.
         (The pandas route materialized 155k python-object rows of
         np arrays and re-stacked them per query — measured as the
-        dominant cost of a semantic query, not the matmul.)"""
+        dominant cost of a semantic query, not the matmul.)
+        f16-at-rest: the binary column views as float16 zero-copy and
+        upcasts once — half the scan bytes of the float32 layout."""
         import pyarrow as pa
 
         qv = qb.value
@@ -80,9 +126,12 @@ def semantic_topk(
         for b in batches:
             if b.num_rows == 0:
                 continue
-            vec_col = b.column(b.schema.get_field_index("vec"))
-            flat = vec_col.flatten()
-            mat = np.asarray(flat, dtype=np.float64).reshape(b.num_rows, -1)
+            vec_col = b.column(b.schema.get_field_index(vcol))
+            if f16:
+                mat = _binary_batch_to_matrix(vec_col, b.num_rows)
+            else:
+                flat = vec_col.flatten()
+                mat = np.asarray(flat, dtype=np.float64).reshape(b.num_rows, -1)
             sc = mat @ qv  # vectors are L2-normalized: dot == cosine
             ids = np.asarray(
                 b.column(b.schema.get_field_index("doc_id")), dtype=np.int64
@@ -96,5 +145,5 @@ def semantic_topk(
                 {"doc_id": best_ids, "score": best_sc}
             )
 
-    partials = src.select("doc_id", "vec").mapInArrow(partial, schema=TOPK_SCHEMA)
+    partials = src.select("doc_id", vcol).mapInArrow(partial, schema=TOPK_SCHEMA)
     return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
