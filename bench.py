@@ -35,7 +35,7 @@ os.environ["PYTHONPATH"] = HERE + os.pathsep + os.environ.get("PYTHONPATH", "")
 BENCH_SCALE = 0.1
 SCALING_SCALE = 0.125  # scaling runs need work >> fixed cost (at the
 # 1-core lo side this is ~90s of work vs ~5s of fixed job overhead)
-SCALING_RUNS = 3  # min-of-N: the host is virtualized and noisy (±2-3x
+SCALING_RUNS = 4  # min-of-N: the host is virtualized and noisy (±2-3x
 # run-to-run on identical builds measured); min is the least-noise
 # estimator of true cost. Scaling runs INTERLEAVE lo/hi so a host
 # contention window inflates both sides instead of silently tanking
@@ -118,6 +118,30 @@ def build_once(
             for _ in range(rounds):
                 ix.search_many(batch, limit=20)
             qps = round(rounds * len(batch) / (time.time() - t0), 1)
+            big = (batch * 8)[:64]
+            ix.search_many(big, limit=20)
+            t0 = time.time()
+            for _ in range(3):
+                ix.search_many(big, limit=20)
+            queries["qps_msearch_batch64"] = round(
+                3 * len(big) / (time.time() - t0), 1
+            )
+
+            # HYDRATED lexical p50 (full doc rows): pinned doc store,
+            # zero warm Spark jobs — the reference numbers include
+            # hydration, so this is the apples-to-apples figure
+            from xf_spark.engine import XfIndex
+
+            fx = XfIndex(
+                spark=spark, path=seg_path, segment_index=ix, docs=docs
+            ).cache(pin_docs_mb=1024)
+            fx.search("machine", mode="lexical", limit=20).collect()
+            ts = []
+            for _ in range(RUNS):
+                s = time.time()
+                fx.search("machine", mode="lexical", limit=20).collect()
+                ts.append(time.time() - s)
+            queries["lexical_hydrated_p50"] = round(sorted(ts)[RUNS // 2], 4)
         return n_turns, build_sec, queries, qps
     finally:
         spark.stop()

@@ -232,6 +232,41 @@ class TestPinnedVectors:
                ix.search("rust", mode="hybrid", limit=20).collect()]
         assert got == want and len(want) == 20
 
+    def test_pinned_docs_hydration_identical(self, spark, tmp_path):
+        """pin_docs_mb: hydration from the driver-pinned doc store must
+        match the broadcast-join path row-for-row; over-budget or
+        post-append the pin drops and the join path serves."""
+        from pyspark.sql import functions as F
+
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(tr, str(tmp_path / "pd"), slices=1)
+        want = [
+            (r["doc_id"], r["conv_id"], r["text"], round(r["score"], 9))
+            for r in ix.search("machine", mode="lexical", limit=20).collect()
+        ]
+        ix.cache(pin_docs_mb=512)
+        assert ix._pinned_docs is not None
+        got = [
+            (r["doc_id"], r["conv_id"], r["text"], round(r["score"], 9))
+            for r in ix.search("machine", mode="lexical", limit=20).collect()
+        ]
+        assert got == want and got
+        # over-budget: pin refused, results unchanged
+        ix._pinned_docs = None
+        ix.cache(pin_docs_mb=0)
+        assert ix._pinned_docs is None
+        # append invalidates the pinned store
+        ix.cache(pin_docs_mb=512)
+        extra = ix.docs.select(
+            F.concat(F.lit("zzpd_"), "conv_id").alias("conv_id"), "turn_idx",
+            "role", "text", "tool", "ts",
+        ).limit(5)
+        ix = ix.append(extra)
+        assert ix._pinned_docs is None
+
     def test_hybrid_msearch_equals_per_query(self, spark, tmp_path):
         from xf_spark.engine import XfIndex
         from xf_spark.transcripts import load_transcripts

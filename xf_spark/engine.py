@@ -153,10 +153,11 @@ class XfIndex:
             self.embeddings = self.spark.read.parquet(emb_path)
         self.docs = docs
         self.segment_index = SegmentIndex.load(self.spark, self.path, docs=docs)
-        # a pinned vector matrix predates the append — drop it (serving
-        # a stale matrix would silently miss the appended docs); the
-        # caller re-pins via cache(pin_vectors_mb=...) if wanted
+        # pinned serving state predates the append — drop it (a stale
+        # matrix/doc store would silently miss the appended docs); the
+        # caller re-pins via cache(pin_vectors_mb=/pin_docs_mb=)
         self._pinned_vecs = None
+        self._pinned_docs = None
         return self
 
     @classmethod
@@ -167,14 +168,22 @@ class XfIndex:
         emb = spark.read.parquet(emb_path) if os.path.isdir(emb_path) else None
         return cls(spark=spark, path=path, segment_index=seg, docs=docs, embeddings=emb)
 
-    def cache(self, coalesce_to: int = 16, pin_vectors_mb: int = 0) -> "XfIndex":
+    def cache(
+        self,
+        coalesce_to: int = 16,
+        pin_vectors_mb: int = 0,
+        pin_docs_mb: int = 0,
+    ) -> "XfIndex":
         """Cache the serving state. ``pin_vectors_mb`` > 0 additionally
         pins the embedding matrix coordinator-side as ONE NumPy array
         when it fits the budget — the analog of the reference holding
         vector.idx fully in RAM (vector.rs:267-393): an exact semantic
         query becomes a single local matmul instead of a cluster scan.
-        At 10^12 turns the budget is exceeded and the distributed /
-        IVF paths serve instead (results identical, tested)."""
+        ``pin_docs_mb`` > 0 likewise pins the doc store driver-side
+        (the reference's in-process SQLite analog): hydration becomes a
+        dict lookup and a warm query runs ZERO Spark jobs end-to-end.
+        At 10^12 turns both budgets are exceeded and the distributed
+        paths serve instead (results identical, tested)."""
         self.segment_index.cache()
         self.docs = self.docs.cache()
         self.docs.count()
@@ -214,9 +223,28 @@ class XfIndex:
                         mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
                     order = np.argsort(ids)
                     self._pinned_vecs = (ids[order], mat[order])
+        if pin_docs_mb:
+            est = self.docs.agg(
+                F.count("*").alias("n"),
+                F.sum(F.length("text")).alias("chars"),
+            ).first()
+            # text bytes + ~96 B/row for the fixed columns
+            est_mb = (int(est["chars"] or 0) + int(est["n"]) * 96) / 1e6
+            if est_mb <= pin_docs_mb:
+                cols = ["doc_id"] + [
+                    c for c in self.docs.columns if c != "doc_id"
+                ]
+                self._pinned_docs = (
+                    cols,
+                    {
+                        r["doc_id"]: tuple(r[c] for c in cols)
+                        for r in self.docs.collect()
+                    },
+                )
         return self
 
     _pinned_vecs = None
+    _pinned_docs = None
 
     def _pinned_semantic(self, query: str, k: int):
         """Exact top-k over the coordinator-pinned matrix; returns a
@@ -333,13 +361,72 @@ class XfIndex:
         else:
             raise ValueError(f"unknown mode {mode}")
 
-        hydrated = self.docs.join(F.broadcast(hits), "doc_id")
-        out = apply_sort(hydrated, sort)
+        hydrated, presorted = self._hydrate(hits, sort)
+        out = hydrated if presorted else apply_sort(hydrated, sort)
         if snippets:
             out = add_snippets(out, query)
         if context:
             out = conversation_context(self.docs, hits)
         return out
+
+    def _hydrate(self, hits: DataFrame, sort: str = "relevance"):
+        """k-row hits -> (full doc rows + score, presorted flag).
+
+        When the hits are already a LOCAL relation (the warm serving
+        paths: term-LRU lexical, pinned semantic, hybrid fusion) AND
+        the requested sort is relevance, the doc texts are fetched with
+        ONE bounded job (`doc_id IN (...)` over the cached docs) and
+        assembled driver-side IN HITS ORDER — hits are already ranked
+        (score desc, doc_id asc), so no DataFrame orderBy runs at all
+        (an orderBy over even a 100-row local relation costs ~0.7 s of
+        shuffle scheduling, measured). Non-relevance sorts and
+        distributed hits keep the broadcast-join + orderBy shape (the
+        k-row side broadcasts, never docs)."""
+        try:
+            is_local = hits.isLocal()
+        except Exception:  # noqa: BLE001 — streaming/unsupported plans
+            is_local = False
+        if not is_local or sort != "relevance":
+            return self.docs.join(F.broadcast(hits), "doc_id"), False
+        rows = hits.collect()  # local relation: no cluster job
+        if not rows:
+            return self.docs.join(F.broadcast(hits), "doc_id"), False
+        from pyspark.sql import types as T
+
+        cols = ["doc_id"] + [c for c in self.docs.columns if c != "doc_id"]
+        if self._pinned_docs is not None:
+            # pinned doc store: pure dict lookups, zero Spark jobs
+            pcols, store = self._pinned_docs
+            data = [
+                store[r["doc_id"]] + (float(r["score"]),)
+                for r in rows
+                if r["doc_id"] in store
+            ]
+            cols = pcols
+        else:
+            score_ids = [r["doc_id"] for r in rows]
+            got = {
+                r["doc_id"]: r
+                for r in self.docs.where(
+                    F.col("doc_id").isin(score_ids)
+                ).collect()
+            }
+            data = [
+                tuple(got[r["doc_id"]][c] for c in cols) + (float(r["score"]),)
+                for r in rows
+                if r["doc_id"] in got
+            ]
+        schema = T.StructType(
+            [self.docs.schema[c] for c in cols]
+            + [T.StructField("score", T.DoubleType())]
+        )
+        import pandas as pd
+
+        # pandas (Arrow) local relation: ~30 ms round trip vs ~250 ms
+        # for the list-backed one (measured; the Arrow path skips the
+        # per-row pickle plan evaluation on collect)
+        pdf = pd.DataFrame(data, columns=cols + ["score"])
+        return self.spark.createDataFrame(pdf, schema=schema), True
 
     def msearch(
         self, queries: list[str], limit: int = 20, mode: str = "lexical"
