@@ -232,6 +232,28 @@ class TestPinnedVectors:
                ix.search("rust", mode="hybrid", limit=20).collect()]
         assert got == want and len(want) == 20
 
+    def test_topk_ids_scores_exact(self):
+        """Partition-based top-k must equal the full lexsort exactly,
+        including tie plateaus (the pinned/msearch fast path)."""
+        import numpy as np
+
+        from xf_spark.query.semantic import topk_ids_scores
+
+        rng = np.random.default_rng(7)
+        for n, k in [(5000, 60), (100, 20), (50, 100)]:
+            ids = rng.permutation(n).astype(np.int64)
+            sc = rng.standard_normal(n)
+            got = topk_ids_scores(ids, sc, k)
+            order = np.lexsort((ids, -sc))[:k]
+            assert np.array_equal(got[0], ids[order])
+            assert np.allclose(got[1], sc[order])
+        ids = np.arange(10000, dtype=np.int64)
+        sc = np.zeros(10000)
+        sc[:5] = 1.0  # massive plateau -> exact fallback
+        got = topk_ids_scores(ids, sc, 50)
+        order = np.lexsort((ids, -sc))[:50]
+        assert np.array_equal(got[0], ids[order])
+
     def test_pinned_docs_hydration_identical(self, spark, tmp_path):
         """pin_docs_mb: hydration from the driver-pinned doc store must
         match the broadcast-join path row-for-row; over-budget or

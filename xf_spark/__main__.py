@@ -53,7 +53,12 @@ def cmd_repl(args) -> int:
     from xf_spark.engine import XfIndex
 
     spark = _spark(args)
-    ix = XfIndex.open(spark, args.index).cache()
+    # interactive serving: pin vectors + docs under explicit budgets so
+    # warm queries run zero Spark jobs (over budget -> distributed
+    # paths serve identically)
+    ix = XfIndex.open(spark, args.index).cache(
+        pin_vectors_mb=args.pin_mb, pin_docs_mb=args.pin_mb
+    )
     state = {"mode": "lexical", "limit": 10, "roles": None,
              "query": None, "offset": 0, "rows": []}
     cols = ["conv_id", "turn_idx", "role", "text", "score"]
@@ -211,7 +216,7 @@ def cmd_doctor(args) -> int:
     from xf_spark.doctor import format_report, run_doctor
 
     spark = _spark(args)
-    checks = run_doctor(spark, args.index)
+    checks = run_doctor(spark, args.index, repair=args.repair)
     print(format_report(checks))
     return 0 if all(c.ok for c in checks) else 1
 
@@ -248,6 +253,11 @@ def main(argv=None) -> int:
 
     pr = sub.add_parser("repl", help="interactive search session")
     pr.add_argument("--index", required=True)
+    pr.add_argument(
+        "--pin-mb", dest="pin_mb", type=int, default=1024,
+        help="driver memory budget (MB) for pinned vectors AND docs; "
+        "0 disables pinning",
+    )
     pr.set_defaults(fn=cmd_repl)
 
     ps = sub.add_parser("search")
@@ -282,6 +292,10 @@ def main(argv=None) -> int:
 
     pd_ = sub.add_parser("doctor")
     pd_.add_argument("--index", required=True)
+    pd_.add_argument(
+        "--repair", action="store_true",
+        help="heal what is safely repairable (torn append commit window)",
+    )
     pd_.set_defaults(fn=cmd_doctor)
 
     args = p.parse_args(argv)

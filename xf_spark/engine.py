@@ -253,17 +253,15 @@ class XfIndex:
             return None
         import numpy as np
 
-        from xf_spark.query.semantic import embed_query
+        from xf_spark.query.semantic import embed_query, topk_ids_scores
 
         ids, mat = self._pinned_vecs
         sc = mat @ embed_query(query).astype(np.float64)
-        order = np.lexsort((ids, -sc))[:k]
+        top_ids, top_sc = topk_ids_scores(ids, sc, k)
         import pandas as pd
 
         return self.spark.createDataFrame(
-            pd.DataFrame(
-                {"doc_id": ids[order], "score": sc[order]}
-            ),
+            pd.DataFrame({"doc_id": top_ids, "score": top_sc}),
             schema="doc_id long, score double",
         )
 
@@ -452,7 +450,7 @@ class XfIndex:
         import numpy as np
 
         from xf_spark.query.hybrid import _rrf_fuse_local, candidate_count
-        from xf_spark.query.semantic import embed_query
+        from xf_spark.query.semantic import embed_query, topk_ids_scores
 
         n = candidate_count(limit)
         lex_all = self.segment_index.search_many(queries, limit=n)
@@ -461,9 +459,10 @@ class XfIndex:
         scores = mat @ Q.T  # (n_docs, B): one BLAS call for the batch
         out: dict[str, list[tuple[int, float]]] = {}
         for j, q in enumerate(queries):
-            sc = scores[:, j]
-            order = np.lexsort((ids, -sc))[:n]
-            sem = [(int(ids[i]), float(sc[i])) for i in order]
+            # exact partition-based top-n: O(n_docs) per query instead
+            # of a full 155k lexsort (the batch-32 hybrid bottleneck)
+            top_ids, top_sc = topk_ids_scores(ids, scores[:, j], n)
+            sem = list(zip(top_ids.tolist(), top_sc.tolist()))
             out[q] = _rrf_fuse_local(lex_all[q], sem, limit=limit)
         return out
 

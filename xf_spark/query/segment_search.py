@@ -478,6 +478,9 @@ class SegmentIndex:
     # on the coordinator). A warm repeat query runs ZERO Spark jobs —
     # pure NumPy WAND. Head terms above driver_topk_threshold never
     # reach this path, so entries are bounded individually too.
+    # Sizing note: phrase queries additionally memoize DECODED
+    # positions on the entry (~4-8x the at-rest positions bytes, not
+    # re-counted against the cap) — budget term_cache_mb accordingly.
     term_cache_mb: int = 512
     _segments: DataFrame = field(default=None, repr=False)
     _df_memo: dict = field(default_factory=dict, repr=False)

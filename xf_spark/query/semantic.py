@@ -80,6 +80,26 @@ def embed_query(query: str) -> np.ndarray:
     return hash_embed(canonicalize_for_embedding(query or ""))
 
 
+def topk_ids_scores(ids: np.ndarray, sc: np.ndarray, k: int):
+    """EXACT (score desc, doc_id asc) top-k without a full sort:
+    np.partition finds the k-th score, the candidate set (>= k-th,
+    including boundary ties) is lexsorted — O(n + c log c) instead of
+    O(n log n); a pathological tie plateau falls back to the full
+    lexsort so determinism never depends on the fast path."""
+    n = len(ids)
+    if k >= n:
+        order = np.lexsort((ids, -sc))
+        return ids[order], sc[order]
+    kth = np.partition(sc, n - k)[n - k]  # k-th largest score
+    cand = np.nonzero(sc >= kth)[0]
+    if len(cand) > 4 * k + 1024:  # massive tie plateau: exact fallback
+        order = np.lexsort((ids, -sc))[:k]
+        return ids[order], sc[order]
+    sub = np.lexsort((ids[cand], -sc[cand]))[:k]
+    pick = cand[sub]
+    return ids[pick], sc[pick]
+
+
 TOPK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
