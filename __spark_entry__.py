@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": eq.dedup_exact_groups,
         "ngram_jaccard_pairs": eq.ngram_jaccard_pairs,
         "minhash_dedup": eq.minhash_dedup,
+        "simhash_pairs": eq.simhash_pairs,
         # text ops
         "lang_id_distribution": eq.lang_id_distribution,
         "token_count_stats": eq.token_count_stats,

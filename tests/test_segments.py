@@ -395,6 +395,24 @@ class TestTermCache:
         assert got == want and got
         assert got_ph == want_ph and got_ph
 
+    def test_warm_top_terms_prefetch(self, spark, tmp_path):
+        from xf_spark.index.segments import build_index
+
+        path = str(tmp_path / "warmidx")
+        tr = load_transcripts(spark, SCALE)
+        docs, _s, _m = build_index(tr, path, n_shards=4, n_buckets=16, slices=1)
+        ix = SegmentIndex.load(spark, path, docs=docs).cache(warm_top_terms=10)
+        assert len(ix._term_cache) >= 10
+        # a FIRST query on a prefetched term must not scan segments
+        term = next(t for (f, t) in ix._term_cache if f == "text")
+        orig = ix._segments
+        ix._segments = None
+        try:
+            got = ix.search(term, limit=5).collect()
+        finally:
+            ix._segments = orig
+        assert got
+
     def test_cache_capacity_zero_still_correct(self, spark, tmp_path):
         from xf_spark.index.segments import build_index
 

@@ -57,7 +57,9 @@ def cmd_repl(args) -> int:
     # warm queries run zero Spark jobs (over budget -> distributed
     # paths serve identically)
     ix = XfIndex.open(spark, args.index).cache(
-        pin_vectors_mb=args.pin_mb, pin_docs_mb=args.pin_mb
+        pin_vectors_mb=args.pin_mb,
+        pin_docs_mb=args.pin_mb,
+        warm_top_terms=256,
     )
     state = {"mode": "lexical", "limit": 10, "roles": None,
              "query": None, "offset": 0, "rows": []}

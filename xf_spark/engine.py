@@ -173,6 +173,7 @@ class XfIndex:
         coalesce_to: int = 16,
         pin_vectors_mb: int = 0,
         pin_docs_mb: int = 0,
+        warm_top_terms: int = 0,
     ) -> "XfIndex":
         """Cache the serving state. ``pin_vectors_mb`` > 0 additionally
         pins the embedding matrix coordinator-side as ONE NumPy array
@@ -184,7 +185,7 @@ class XfIndex:
         dict lookup and a warm query runs ZERO Spark jobs end-to-end.
         At 10^12 turns both budgets are exceeded and the distributed
         paths serve instead (results identical, tested)."""
-        self.segment_index.cache()
+        self.segment_index.cache(warm_top_terms=warm_top_terms)
         self.docs = self.docs.cache()
         self.docs.count()
         if self.embeddings is not None:

@@ -390,6 +390,51 @@ ORDER BY c.id_a, c.id_b
 
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
 
+# SimHash exact replay: tf-weighted +-1 bit votes over md5-derived
+# 64-bit token hashes (UBIGINT bit math), 4x16-bit block candidate
+# join, bit_count hamming verify — mirrors ops/dedup.py simhash /
+# simhash_candidates bit-for-bit (validated against the scalar
+# reference implementation).
+ORACLES["simhash_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, lower(raw) AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(text, '[^0-9A-Za-z]+')) AS raw
+        FROM documents)
+  WHERE raw <> '' AND strlen(raw) < 40
+),
+th AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf,
+         ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h
+  FROM toks GROUP BY doc_id, term
+),
+bits AS (
+  SELECT doc_id, i,
+         sum(tf * (CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END)) AS acc
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS i)
+  GROUP BY doc_id, i
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0 END)::UBIGINT
+           AS v
+  FROM bits GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, i AS blk, (v >> (16 * i)) & 65535 AS val, v
+  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.v AS va, b.v AS vb
+  FROM blocks a
+  JOIN blocks b ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(va, vb))::INT AS hamming
+FROM cand
+WHERE bit_count(xor(va, vb)) <= 3
+ORDER BY id_a, id_b
+"""
+
 ORACLES["lang_id_distribution"] = """
 WITH g AS (
   SELECT CASE

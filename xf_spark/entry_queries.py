@@ -473,6 +473,19 @@ def minhash_dedup(spark, sf_dir):
     return minhash_dedup_pairs(docs, threshold=0.8)
 
 
+def simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3) via the 4-block exact-join
+    trick — the md5-derived 64-bit simhash is replayed verbatim in
+    DuckDB UBIGINT arithmetic (the family's first driver-level oracle;
+    round-1 coverage was pytest-only)."""
+    from xf_spark.ops.dedup import simhash_candidates
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_candidates(docs, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def lang_id_distribution(spark, sf_dir):
     from xf_spark.ops.textops import lang_id
 

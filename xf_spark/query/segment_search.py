@@ -521,15 +521,37 @@ class SegmentIndex:
     def stats(self) -> CorpusStats:
         return CorpusStats(self.meta["n_docs"], self.meta["avgdl"])
 
-    def cache(self, coalesce_to: int = 16):
+    def cache(self, coalesce_to: int = 16, warm_top_terms: int = 0):
         """Cache segments for repeated queries. Coalescing bounds the
         per-query task count (a cached scan visits every cached
         partition; tens of file-sized partitions = pure scheduling
-        overhead at ~5 ms/task)."""
+        overhead at ~5 ms/task).
+
+        ``warm_top_terms > 0`` additionally prefetches the N highest-df
+        text terms into the decoded-postings LRU (one vocab agg + one
+        pruned scan at startup) — the serving warmup that makes even a
+        FIRST query on a common term run zero Spark jobs. Terms above
+        driver_topk_threshold are skipped (they serve distributed)."""
         if coalesce_to:
             self._segments = self._segments.coalesce(coalesce_to)
         self._segments = self._segments.cache()
         self._segments.count()
+        if warm_top_terms:
+            top = (
+                self._segments.where(F.col("field") == "text")
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(warm_top_terms)
+                .collect()
+            )
+            warm = set()
+            for r in top:
+                self._df_memo[("text", r["term"])] = int(r["df"])
+                if int(r["df"]) <= self.driver_topk_threshold:
+                    warm.add(r["term"])
+            if warm:
+                self._term_data_for(warm, set())
         return self
 
     def term_dfs(self, terms: set[str], fld: str) -> dict:
