@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": eq.ngram_jaccard_pairs,
         "minhash_dedup": eq.minhash_dedup,
         "simhash_pairs": eq.simhash_pairs,
+        "fingerprint_stats": eq.fingerprint_stats,
+        "embedding_near_dup": eq.embedding_near_dup,
         # text ops
         "lang_id_distribution": eq.lang_id_distribution,
         "token_count_stats": eq.token_count_stats,

@@ -390,6 +390,108 @@ ORDER BY c.id_a, c.id_b
 
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
 
+def _fingerprint_oracle_sql() -> str:
+    """Exact replay of ops/textops.py rolling_fingerprints: md5 token
+    hashes, degree-8 polynomial window hash mod 2^61-1 (HUGEINT
+    intermediates — th*BASE overflows BIGINT), 4-window winnow minima,
+    per-doc distinct; validated row-for-row vs the python scalar."""
+    from xf_spark.ops.textops import FP_BASE, FP_MOD, FP_WINDOW
+
+    h = "th[i]"
+    for j in range(1, FP_WINDOW):
+        h = f"(({h})::HUGEINT * {FP_BASE} + th[i+{j}]) % {FP_MOD}"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                          x -> lower(x)),
+           x -> x <> '' AND strlen(x) < 40) AS t
+  FROM documents WHERE doc_id < 20
+),
+padded AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN t
+              WHEN len(t) < {FP_WINDOW} THEN
+                list_concat(t, list_transform(range(1, {FP_WINDOW + 1} - len(t)),
+                                              x -> ''))
+              ELSE t END AS t
+  FROM toks
+),
+th AS (
+  SELECT doc_id,
+         list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS th
+  FROM padded WHERE len(t) > 0
+),
+wh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(th) - {FP_WINDOW - 2}),
+                        i -> ({h})::BIGINT) AS hs
+  FROM th
+),
+mins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+                list_transform(range(1, len(hs) - 2),
+                               i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3]))
+              ELSE [list_min(hs)] END AS ms
+  FROM wh
+),
+fp AS (SELECT DISTINCT doc_id, unnest(ms) AS f FROM mins)
+SELECT doc_id, count(*)::BIGINT AS n_fp, min(f) AS min_fp, max(f) AS max_fp
+FROM fp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+ORACLES["fingerprint_stats"] = _fingerprint_oracle_sql()
+
+
+def _near_dup_oracle_sql() -> str:
+    """Exact replay of ops/dedup.embedding_near_dup_pairs: the seed-42
+    hyperplanes ship as SQL literals (same pattern as the MinHash
+    coefficients), sign-sketch bucket join, exact cosine (rounded 6dp
+    BEFORE the threshold, matching the Spark plan)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64))
+    sketch_terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        sketch_terms.append(
+            f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    sketch = "\n      + ".join(sketch_terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+sk AS (
+  SELECT vec_id, v,
+      {sketch} AS s
+  FROM e
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+  FROM sk a JOIN sk b ON a.s = b.s AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(list_dot_product(va, vb)
+               / (sqrt(list_dot_product(va, va))
+                  * sqrt(list_dot_product(vb, vb))), 6) AS cosine
+  FROM cand
+)
+SELECT id_a, id_b, cosine FROM scored
+WHERE cosine >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+ORACLES["embedding_near_dup"] = _near_dup_oracle_sql()
+
 # SimHash exact replay: tf-weighted +-1 bit votes over md5-derived
 # 64-bit token hashes (UBIGINT bit math), 4x16-bit block candidate
 # join, bit_count hamming verify — mirrors ops/dedup.py simhash /

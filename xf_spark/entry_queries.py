@@ -486,6 +486,38 @@ def simhash_pairs(spark, sf_dir):
     )
 
 
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets
+    (sign sketch vs 8 fixed seed-42 planes -> bucket self-join -> exact
+    cosine on candidates). Threshold 0.3 because the driver's synthetic
+    embeddings are near-orthogonal (max pair cosine 0.51); the DuckDB
+    oracle replays the planes as literals."""
+    from xf_spark.ops.dedup import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3)
+
+
+def fingerprint_stats(spark, sf_dir):
+    """Document fingerprinting (winnowed rolling-hash) — per-doc
+    fingerprint count + min/max VALUE for the first 20 docs, pinning
+    the whole hash chain (md5 token hashes -> polynomial window hash
+    mod 2^61-1 -> 4-window winnow) against a DuckDB HUGEINT replay."""
+    from xf_spark.ops.textops import fingerprint_docs
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+    )
+    return fingerprint_docs(docs).select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fp"),
+        F.array_min("fingerprints").alias("min_fp"),
+        F.array_max("fingerprints").alias("max_fp"),
+    )
+
+
 def lang_id_distribution(spark, sf_dir):
     from xf_spark.ops.textops import lang_id
 
