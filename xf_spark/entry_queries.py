@@ -587,24 +587,6 @@ def thread_reconstruction(spark, sf_dir):
 _ENGINE_MEMO: dict = {}
 
 
-def _transcripts_engine(spark, sf_dir):
-    """Memoized BM25 engine + embeddings over the deterministic
-    transcripts table at the scale matching sf_dir."""
-    scale = 0.01 if "0.01" in sf_dir else (0.1 if "0.1" in sf_dir else 0.001)
-    key = (id(spark), scale)
-    if key not in _ENGINE_MEMO:
-        from xf_spark.index.builder import build_engine
-        from xf_spark.query.semantic import build_embeddings
-        from xf_spark.transcripts import load_transcripts
-
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        tr = load_transcripts(spark, scale)
-        eng = build_engine(tr)
-        emb = build_embeddings(eng.docs).cache()
-        _ENGINE_MEMO[key] = (eng, emb)
-    return _ENGINE_MEMO[key]
-
-
 def _docs_transcripts_engine(spark, sf_dir):
     """Full engine (docID assignment -> postings -> BM25) over a
     transcripts-SHAPED table derived deterministically from the
