@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": eq.simhash_pairs,
         "fingerprint_stats": eq.fingerprint_stats,
         "embedding_near_dup": eq.embedding_near_dup,
+        "multimodal_features": eq.multimodal_features,
         # text ops
         "lang_id_distribution": eq.lang_id_distribution,
         "token_count_stats": eq.token_count_stats,

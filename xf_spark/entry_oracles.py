@@ -492,6 +492,32 @@ ORDER BY id_a, id_b
 
 ORACLES["embedding_near_dup"] = _near_dup_oracle_sql()
 
+# Multimodal metadata/feature differential: payload bytes == ascii
+# codes (corpus is pure ASCII, asserted by n_bytes == strlen matching);
+# np.resize tiles the payload to w*h*3, so its mean is
+# (full_cycles * sum + prefix(remainder)) / need — closed form in SQL.
+ORACLES["multimodal_features"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS kind, text,
+         (8 + (doc_id % 4) * 8) AS w, (8 + (doc_id % 3) * 8) AS h
+  FROM documents WHERE doc_id < 50
+),
+codes AS (
+  SELECT media_id, kind, strlen(text)::BIGINT AS n, w * h * 3 AS need,
+         list_transform(range(1, strlen(text) + 1), i -> ascii(text[i])) AS cs
+  FROM m
+),
+agg AS (
+  SELECT media_id, kind, n, need, cs, list_sum(cs)::BIGINT AS s
+  FROM codes
+)
+SELECT media_id, kind, n AS n_bytes,
+       ((need // n) * s
+        + coalesce(list_sum(cs[1 : (need % n)]), 0))::DOUBLE / need
+         AS mean_intensity
+FROM agg ORDER BY media_id
+"""
+
 # SimHash exact replay: tf-weighted +-1 bit votes over md5-derived
 # 64-bit token hashes (UBIGINT bit math), 4x16-bit block candidate
 # join, bit_count hamming verify — mirrors ops/dedup.py simhash /

@@ -486,6 +486,35 @@ def simhash_pairs(spark, sf_dir):
     )
 
 
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing with a driver-level differential: media
+    derived from documents (payload = UTF-8 text bytes — pure ASCII in
+    this corpus, so DuckDB replays byte values as ascii codes), dims
+    from doc_id; the mapInPandas decode->feature path's n_bytes +
+    mean_intensity (mean of the np.resize-tiled payload over w*h*3)
+    recomputed in SQL. Only the real media decode stays stubbed."""
+    from xf_spark.ops.multimodal import extract_features
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            (8 + (F.col("doc_id") % 4) * 8).cast("int").alias("width"),
+            (8 + (F.col("doc_id") % 3) * 8).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    # NO rounding on either side: the mean is an exact float64 quotient
+    # in both engines; the driver's comparator applies one (python)
+    # rounding to both, so half-up/banker's divergence cannot appear
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "mean_intensity"
+    )
+
+
 def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup via random-hyperplane LSH buckets
     (sign sketch vs 8 fixed seed-42 planes -> bucket self-join -> exact

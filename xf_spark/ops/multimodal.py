@@ -124,12 +124,17 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
                 feat = np.array([b.mean() if len(b) else 0.0 for b in blocks])
                 norm = np.linalg.norm(feat)
                 feat = (feat / norm if norm else feat).astype(np.float32)
+                # full-precision mean: the pixel sum is an exact
+                # integer < 2^53, so the float64 quotient is identical
+                # across engines (rounding is the caller's concern —
+                # python banker's vs SQL half-up diverge on the exact
+                # binary-fraction boundaries this mean lands on)
                 out.append(
                     (
                         row["media_id"],
                         row["kind"],
                         len(payload),
-                        round(mean, 6),
+                        mean,
                         feat.tolist(),
                     )
                 )
