@@ -131,10 +131,13 @@ def build_once(
             # zero warm Spark jobs — the reference numbers include
             # hydration, so this is the apples-to-apples figure
             from xf_spark.engine import XfIndex
+            from xf_spark.query.semantic import build_embeddings
 
+            emb = build_embeddings(docs)
             fx = XfIndex(
-                spark=spark, path=seg_path, segment_index=ix, docs=docs
-            ).cache(pin_docs_mb=1024)
+                spark=spark, path=seg_path, segment_index=ix, docs=docs,
+                embeddings=emb,
+            ).cache(pin_docs_mb=1024, pin_vectors_mb=1024)
             fx.search("machine", mode="lexical", limit=20).collect()
             ts = []
             for _ in range(RUNS):
@@ -142,6 +145,28 @@ def build_once(
                 fx.search("machine", mode="lexical", limit=20).collect()
                 ts.append(time.time() - s)
             queries["lexical_hydrated_p50"] = round(sorted(ts)[RUNS // 2], 4)
+
+            # pinned-matrix serving tier (vectors-in-RAM, the reference
+            # vector.rs shape): exact semantic + hybrid RRF, hydrated
+            for name, mode in [
+                ("semantic_pinned_p50", "semantic"),
+                ("hybrid_pinned_p50", "hybrid"),
+            ]:
+                fx.search("machine", mode=mode, limit=100).collect()
+                ts = []
+                for _ in range(RUNS):
+                    s = time.time()
+                    fx.search("machine", mode=mode, limit=100).collect()
+                    ts.append(time.time() - s)
+                queries[name] = round(sorted(ts)[RUNS // 2], 4)
+            hb = (batch * 4)[:32]
+            fx.msearch(hb, limit=20, mode="hybrid")  # warm
+            t0 = time.time()
+            for _ in range(3):
+                fx.msearch(hb, limit=20, mode="hybrid")
+            queries["qps_hybrid_msearch_batch32"] = round(
+                3 * len(hb) / (time.time() - t0), 1
+            )
         return n_turns, build_sec, queries, qps
     finally:
         spark.stop()

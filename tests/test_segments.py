@@ -446,7 +446,11 @@ def test_search_many_matches_single_queries(built):
     """Batched msearch == per-query search, rank- and score-identical."""
     ix, _oracle, _m, _p = built
     queries = ["machine", "rust async patterns", '"machine learning"',
-               "rust AND async", "python NOT snake", "progr*", "zzz_absent"]
+               "rust AND async", "python NOT snake", "progr*", "zzz_absent",
+               # field-filtered queries take the single-query fallback
+               # path inside search_many (segment_search.py) — must
+               # still be rank/score-identical to search()
+               "role:assistant machine", "type:user rust"]
     batch = ix.search_many(queries, limit=20)
     for q in queries:
         single = ix.search_local(q, limit=20)

@@ -254,6 +254,72 @@ class TestPinnedVectors:
         order = np.lexsort((ids, -sc))[:50]
         assert np.array_equal(got[0], ids[order])
 
+    def test_pinned_topk_f32_matches_full_f64(self):
+        """The f32-matmul + f64-candidate-rescore path must equal the
+        full float64 matmul: identical ranks, scores within BLAS
+        accumulation-order ULP noise (<1e-12 — same tolerance class as
+        the distributed path's per-Arrow-batch matmuls), including
+        near-tie clusters and a uniform-vector plateau (hash_embed's
+        empty-text fallback embeds many docs to the SAME vector)."""
+        import numpy as np
+
+        from xf_spark.query.semantic import pinned_topk, topk_ids_scores
+
+        rng = np.random.default_rng(11)
+        for n, k in [(5000, 100), (300, 20), (50, 80)]:
+            mat = rng.standard_normal((n, 384))
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            mat32 = mat.astype(np.float32)
+            # plateau: rows 0..24 share one vector (uniform fallback)
+            mat32[: min(25, n)] = mat32[0]
+            ids = rng.permutation(n).astype(np.int64)
+            q = rng.standard_normal(384)
+            q = (q / np.linalg.norm(q)).astype(np.float32)
+            want = topk_ids_scores(
+                ids, mat32.astype(np.float64) @ q.astype(np.float64), k
+            )
+            got = pinned_topk(ids, mat32, q, k)
+            assert np.array_equal(got[0], want[0])
+            assert np.allclose(got[1], want[1], rtol=0, atol=1e-12)
+
+    def test_pinned_vectors_dedup_topk_exact(self):
+        """PinnedVectors (unique-vector dedup + grouped-id expansion)
+        must reproduce the per-doc float64 row-wise-dot top-k exactly on
+        corpora with heavy duplicate-vector plateaus (the shape
+        templated/low-signal transcripts produce).  The reference uses
+        per-row np.dot rather than one big gemv: BLAS gemv is not
+        row-deterministic (bit-identical rows at different positions of
+        one call measured to differ by 1 ULP), while row-wise ddot is
+        content-deterministic — the same canonical semantics
+        PinnedVectors implements (identical vectors -> one score).
+        The batched score_block column path must agree with the
+        single-query path exactly."""
+        import numpy as np
+
+        from xf_spark.query.semantic import PinnedVectors, topk_ids_scores
+
+        rng = np.random.default_rng(23)
+        for n, n_uniq, k in [(4000, 37, 100), (500, 500, 20), (900, 3, 50)]:
+            base = rng.standard_normal((n_uniq, 384))
+            base /= np.linalg.norm(base, axis=1, keepdims=True)
+            assign = rng.integers(0, n_uniq, n)
+            mat32 = base[assign].astype(np.float32)
+            ids = rng.permutation(n).astype(np.int64) * 7  # sparse ids
+            pv = PinnedVectors(ids, mat32)
+            assert len(pv.uniq) <= n_uniq + 1
+            for _ in range(3):
+                q = rng.standard_normal(384)
+                q = (q / np.linalg.norm(q)).astype(np.float32)
+                A64, q64 = mat32.astype(np.float64), q.astype(np.float64)
+                ref = np.array([np.dot(r, q64) for r in A64])
+                want = topk_ids_scores(ids, ref, k)
+                got = pv.topk(q, k)
+                assert np.array_equal(got[0], want[0])
+                assert np.allclose(got[1], want[1], rtol=0, atol=1e-12)
+                col = pv.score_block(q[None, :])[:, 0]
+                got2 = pv.topk(q, k, sc32=col)
+                assert np.array_equal(got2[0], got[0])
+
     def test_pinned_docs_hydration_identical(self, spark, tmp_path):
         """pin_docs_mb: hydration from the driver-pinned doc store must
         match the broadcast-join path row-for-row; over-budget or

@@ -199,11 +199,16 @@ class XfIndex:
 
                 from xf_spark.functions.hash_embed import DIM
 
-                # the matrix is materialized as float64 (bit-identical
-                # scores vs the distributed float64 scoring path), so
-                # budget against 8 bytes/dim — estimating at 4 B/dim
-                # understated resident memory 2x (round-1 ADVICE)
-                est_mb = n_vec * DIM * 8 / 1e6
+                # the matrix pins as float32 — the at-rest vectors ARE
+                # f32 (f16 under vec_format="f16"), so nothing is lost;
+                # scoring runs the matmul in f32 and rescores a provably
+                # sufficient candidate set in f64 (semantic.pinned_topk),
+                # rank-identical to the distributed f64 path (scores
+                # within ULP-level accumulation noise) at half the
+                # resident bytes and half the per-query DRAM traffic.
+                # Budget against 4 B/dim resident + ~equal transient
+                # during the Arrow collect.
+                est_mb = n_vec * DIM * 4 / 1e6
                 if est_mb <= pin_vectors_mb:
                     # Arrow transfer (toPandas), not Row collect: the
                     # transient driver copy is ~the matrix itself, not
@@ -215,15 +220,20 @@ class XfIndex:
                             np.frombuffer(
                                 b"".join(pdf["vec16"]), dtype=np.float16
                             )
-                            .astype(np.float64)
+                            .astype(np.float32)
                             .reshape(len(ids), -1)
                         )
                     else:
                         pdf = self.embeddings.select("doc_id", "vec").toPandas()
                         ids = pdf["doc_id"].to_numpy(np.int64)
-                        mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
-                    order = np.argsort(ids)
-                    self._pinned_vecs = (ids[order], mat[order])
+                        mat = np.array(pdf["vec"].tolist(), dtype=np.float32)
+                    from xf_spark.query.semantic import PinnedVectors
+
+                    # dedupe identical vectors at pin time: scoring runs
+                    # over the unique matrix, tie plateaus (templated /
+                    # low-signal turns sharing one embedding) expand by
+                    # doc_id order instead of being rescored row-by-row
+                    self._pinned_vecs = PinnedVectors(ids, mat)
         if pin_docs_mb:
             est = self.docs.agg(
                 F.count("*").alias("n"),
@@ -254,11 +264,9 @@ class XfIndex:
             return None
         import numpy as np
 
-        from xf_spark.query.semantic import embed_query, topk_ids_scores
+        from xf_spark.query.semantic import embed_query
 
-        ids, mat = self._pinned_vecs
-        sc = mat @ embed_query(query).astype(np.float64)
-        top_ids, top_sc = topk_ids_scores(ids, sc, k)
+        top_ids, top_sc = self._pinned_vecs.topk(embed_query(query), k)
         import pandas as pd
 
         return self.spark.createDataFrame(
@@ -451,18 +459,16 @@ class XfIndex:
         import numpy as np
 
         from xf_spark.query.hybrid import _rrf_fuse_local, candidate_count
-        from xf_spark.query.semantic import embed_query, topk_ids_scores
+        from xf_spark.query.semantic import embed_query
 
         n = candidate_count(limit)
         lex_all = self.segment_index.search_many(queries, limit=n)
-        ids, mat = self._pinned_vecs
-        Q = np.stack([embed_query(q).astype(np.float64) for q in queries])
-        scores = mat @ Q.T  # (n_docs, B): one BLAS call for the batch
+        pv = self._pinned_vecs
+        Q = np.stack([embed_query(q) for q in queries])
+        scores = pv.score_block(Q)  # (u, B): one sgemm for the batch
         out: dict[str, list[tuple[int, float]]] = {}
         for j, q in enumerate(queries):
-            # exact partition-based top-n: O(n_docs) per query instead
-            # of a full 155k lexsort (the batch-32 hybrid bottleneck)
-            top_ids, top_sc = topk_ids_scores(ids, scores[:, j], n)
+            top_ids, top_sc = pv.topk(Q[j], n, sc32=scores[:, j])
             sem = list(zip(top_ids.tolist(), top_sc.tolist()))
             out[q] = _rrf_fuse_local(lex_all[q], sem, limit=limit)
         return out

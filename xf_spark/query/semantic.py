@@ -100,6 +100,122 @@ def topk_ids_scores(ids: np.ndarray, sc: np.ndarray, k: int):
     return ids[pick], sc[pick]
 
 
+def pinned_topk(ids: np.ndarray, mat: np.ndarray, q: np.ndarray, k: int):
+    """Exact (float64-semantics) top-k over a coordinator-pinned matrix.
+
+    When ``mat`` is float32 — the memory-efficient pin; the at-rest
+    vectors ARE float32 (f16 under ``vec_format="f16"``), so an f32 pin
+    loses no information — the full matmul runs in f32 (HALF the DRAM
+    traffic, which is the dominant cost of a pinned query), then a
+    provably sufficient candidate set is rescored in f64.
+
+    Exactness argument: with unit vectors, the f32-accumulated dot
+    differs from the f64 dot of the same values by at most
+    ``dim * eps32 * sum|q_i v_i| <= 384 * 1.2e-7`` (Cauchy-Schwarz)
+    ~= 4.6e-5.  Order statistics are 1-Lipschitz under sup-norm
+    perturbation, so every true f64 top-k member has f32 score
+    >= (f32 k-th largest) - 2*4.6e-5.  Margin 1e-3 (>10x) keeps them
+    all in the candidate set; the f64 rescore + lexsorted tiebreak then
+    returns the same ranks as the full-f64 matmul, with scores equal up
+    to BLAS accumulation-order ULP noise (<1e-12, the same tolerance
+    class as the distributed path's per-Arrow-batch matmuls)."""
+    q = np.asarray(q, dtype=np.float64)
+    if mat.dtype != np.float32:
+        return topk_ids_scores(ids, mat @ q, k)
+    sc32 = mat @ q.astype(np.float32)
+    n = len(ids)
+    if k < n:
+        kth = np.partition(sc32, n - k)[n - k]
+        cand = np.nonzero(sc32 >= kth - np.float32(1e-3))[0]
+    else:
+        cand = np.arange(n)
+    sc = mat[cand].astype(np.float64) @ q
+    return topk_ids_scores(ids[cand], sc, k)
+
+
+class PinnedVectors:
+    """Coordinator-pinned embedding store, deduplicated by exact vector.
+
+    Real transcript corpora (and the reference's own archives) contain
+    large classes of turns whose canonicalized text embeds to the SAME
+    vector — templated turns, and every low-signal/empty text that hits
+    hash_embed's uniform fallback (measured: 93% of the synthetic sf0.1
+    corpus collapses into one vector).  Scoring per doc then wastes a
+    full-matrix matmul on duplicates AND turns the top-k boundary into
+    a plateau of exact score ties whose provably-exact resolution must
+    touch every tied row.
+
+    Pinning the UNIQUE vectors once (u x dim f32) with doc_ids grouped
+    per unique (sorted ascending — the global tiebreak order) fixes
+    both: a query scores u rows instead of n_docs, and a tie plateau is
+    ONE unique whose top-k expansion takes its k smallest doc_ids by
+    construction.  Results are exactly the distributed float64 path's:
+    identical f32 vectors have identical f64 dots, and the candidate
+    uniques are rescored in f64 per ``pinned_topk``'s margin argument
+    (doc-count-weighted order statistics, same Lipschitz bound).
+    """
+
+    __slots__ = ("uniq", "doc_ids", "offsets", "counts", "n_docs")
+
+    def __init__(self, ids: np.ndarray, mat: np.ndarray):
+        mat = np.ascontiguousarray(mat, dtype=np.float32)
+        ids = np.asarray(ids, dtype=np.int64)
+        void = mat.view(np.dtype((np.void, mat.shape[1] * 4))).ravel()
+        uniq_void, inv = np.unique(void, return_inverse=True)
+        self.uniq = (
+            uniq_void.view(np.float32)
+            .reshape(len(uniq_void), mat.shape[1])
+            .copy()
+        )
+        order = np.lexsort((ids, inv))  # group by unique, ids asc within
+        self.doc_ids = ids[order]
+        self.offsets = np.searchsorted(
+            inv[order], np.arange(len(uniq_void) + 1)
+        )
+        self.counts = np.diff(self.offsets)
+        self.n_docs = len(ids)
+
+    def topk(self, q: np.ndarray, k: int, sc32: np.ndarray | None = None):
+        """Exact (f64-semantics, (score desc, doc_id asc)) top-k.
+        ``sc32`` optionally supplies this query's precomputed f32
+        unique-score column (the batched-msearch path runs ONE gemm
+        for the whole query block and feeds columns here)."""
+        q64 = np.asarray(q, dtype=np.float64)
+        if sc32 is None:
+            sc32 = self.uniq @ q64.astype(np.float32)
+        u = len(sc32)
+        k = min(k, self.n_docs)
+        if k <= 0 or u == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        # doc-count-weighted k-th largest f32 score: the k-th best DOC
+        # lies within the top-k uniques (each unique holds >=1 doc)
+        if k < u:
+            top_u = np.argpartition(-sc32, k - 1)[:k]
+            top_u = top_u[np.argsort(-sc32[top_u], kind="stable")]
+        else:
+            top_u = np.argsort(-sc32, kind="stable")
+        csum = np.cumsum(self.counts[top_u])
+        pos = int(np.searchsorted(csum, k))
+        kth32 = sc32[top_u[min(pos, len(top_u) - 1)]]
+        cand = np.nonzero(sc32 >= kth32 - np.float32(1e-3))[0]
+        # f64 rescore of candidate uniques (pinned_topk margin bound)
+        sc64 = self.uniq[cand].astype(np.float64) @ q64
+        # expand: per candidate unique, at most its k smallest doc_ids
+        # can reach the global top-k (ids ascend within a group)
+        take = np.minimum(self.counts[cand], k)
+        tot = int(take.sum())
+        starts = self.offsets[cand]
+        base = np.repeat(starts, take)
+        local = np.arange(tot) - np.repeat(np.cumsum(take) - take, take)
+        exp_ids = self.doc_ids[base + local]
+        exp_sc = np.repeat(sc64, take)
+        return topk_ids_scores(exp_ids, exp_sc, k)
+
+    def score_block(self, Q: np.ndarray) -> np.ndarray:
+        """(B, dim) query block -> (u, B) f32 scores: one sgemm."""
+        return self.uniq @ np.asarray(Q, dtype=np.float32).T
+
+
 TOPK_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
