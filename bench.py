@@ -105,6 +105,20 @@ def build_once(
                     ix.search(q, limit=k).collect()
                     ts.append(time.time() - s)
                 queries[name] = round(sorted(ts)[RUNS // 2], 4)
+            # pure engine latency (warm postings + WAND, returning
+            # (doc_id, score) pairs with no DataFrame materialization:
+            # a size-1 search_many batch) — the direct apples-to-apples
+            # against the reference's in-process CLI, which never
+            # crosses a session boundary either
+            ix.search_many(["machine"], limit=20)  # warm
+            ts = []
+            for _ in range(RUNS):
+                s = time.time()
+                ix.search_many(["machine"], limit=20)
+                ts.append(time.time() - s)
+            queries["lexical_machine_engine_p50"] = round(
+                sorted(ts)[RUNS // 2], 4
+            )
 
             # sustained serving throughput: batched multi-search
             # (msearch pattern — one pruned scan + one decode per
