@@ -459,6 +459,49 @@ def test_search_many_matches_single_queries(built):
         assert got == want, q
 
 
+def test_filtered_driver_path_pinned_attrs(built):
+    """With pinned doc attributes, a warm filtered query resolves its
+    allowed-id set in NumPy: results identical to the Spark semi-join
+    resolution, and the docs DataFrame is never touched (zero Spark
+    jobs — asserted by poisoning the docs handle)."""
+    ix, _oracle, _m, _p = built
+    rows = ix.docs.select("doc_id", "role", "ts").collect()
+    ts_mid = sorted(r["ts"] for r in rows)[len(rows) // 2]
+    cases = [
+        dict(roles=["user"]),
+        dict(roles=["assistant"], since=ts_mid),
+        dict(until=ts_mid),
+    ]
+    want = [
+        [(r["doc_id"], round(r["score"], 9)) for r in
+         ix.search("machine", limit=20, **c).collect()]
+        for c in cases
+    ]
+    assert all(want) and ix._pinned_attrs is None
+    ix.pin_doc_attrs(
+        [r["doc_id"] for r in rows],
+        [r["role"] for r in rows],
+        [r["ts"] for r in rows],
+    )
+    saved = ix.docs
+
+    class _Poison:
+        def __getattr__(self, name):
+            raise AssertionError(f"pinned filtered path touched docs.{name}")
+
+    ix.docs = _Poison()
+    try:
+        got = [
+            [(r["doc_id"], round(r["score"], 9)) for r in
+             ix.search("machine", limit=20, **c).collect()]
+            for c in cases
+        ]
+    finally:
+        ix.docs = saved
+        ix._pinned_attrs = None
+    assert got == want
+
+
 def test_phrase_randomized_encode_decode_isomorphism():
     """20 seeded random mini-corpora, pure in-process: postings encoded
     with the real codec (_encode_term), decoded + phrase-evaluated by

@@ -245,13 +245,24 @@ class XfIndex:
                 cols = ["doc_id"] + [
                     c for c in self.docs.columns if c != "doc_id"
                 ]
+                rows = self.docs.collect()
                 self._pinned_docs = (
                     cols,
                     {
                         r["doc_id"]: tuple(r[c] for c in cols)
-                        for r in self.docs.collect()
+                        for r in rows
                     },
                 )
+                if {"role", "ts"} <= set(cols):
+                    # same collected rows also pin (doc_id -> role, ts)
+                    # on the segment index: warm FILTERED queries then
+                    # resolve the allowed-id set in NumPy — zero Spark
+                    # jobs, like the unfiltered fast path
+                    self.segment_index.pin_doc_attrs(
+                        [r["doc_id"] for r in rows],
+                        [r["role"] for r in rows],
+                        [r["ts"] for r in rows],
+                    )
         return self
 
     _pinned_vecs = None

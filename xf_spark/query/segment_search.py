@@ -486,6 +486,11 @@ class SegmentIndex:
     _df_memo: dict = field(default_factory=dict, repr=False)
     _term_cache: dict = field(default_factory=dict, repr=False)
     _term_cache_bytes: int = 0
+    # driver-pinned (doc_id -> role, ts) arrays, sorted by doc_id —
+    # set via pin_doc_attrs (XfIndex.cache wires it when the doc store
+    # fits pin_docs_mb); lets the driver fast path resolve role/date
+    # filters in NumPy with zero Spark jobs
+    _pinned_attrs: tuple | None = field(default=None, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
@@ -804,13 +809,46 @@ class SegmentIndex:
             .applyInPandas(run_cg, schema=TOPK_SCHEMA)
         )
 
+    def pin_doc_attrs(self, ids, roles, ts) -> None:
+        """Pin (doc_id -> role, ts) attribute arrays on the coordinator
+        (the in-process analog of the reference's SQLite attribute
+        lookups): a warm FILTERED query then resolves its allowed-id
+        set in NumPy and runs zero Spark jobs end-to-end.  Arrays are
+        re-sorted by doc_id here; ``ts`` converts to datetime64[us]
+        (None -> NaT, which fails every comparison — SQL null
+        semantics)."""
+        ids = np.asarray(ids, dtype=np.int64)
+        order = np.argsort(ids)
+        self._pinned_attrs = (
+            ids[order],
+            np.asarray(roles, dtype=object)[order],
+            np.asarray(ts, dtype="datetime64[us]")[order],
+        )
+
     def _allowed_ids(self, data: dict, roles, since, until) -> np.ndarray:
         """Driver-path filter resolution, candidate-bounded: the only
         ids that can appear in results are the query terms' posting
         ids, so ship THOSE (<= driver_topk_threshold) through a
         broadcast semi-join against the predicate-pushed docs scan —
-        never collect the full filtered corpus."""
+        never collect the full filtered corpus.  With pinned doc
+        attributes the whole resolution happens driver-side (zero
+        Spark jobs)."""
         cand = np.unique(np.concatenate([d["ids"] for d in data.values()]))
+        if (
+            self._pinned_attrs is not None
+            and len(cand)
+            and len(self._pinned_attrs[0])
+        ):
+            aid, arole, ats = self._pinned_attrs
+            pos = np.minimum(np.searchsorted(aid, cand), len(aid) - 1)
+            mask = aid[pos] == cand
+            if roles:
+                mask &= np.isin(arole[pos], list(roles))
+            if since is not None:
+                mask &= ats[pos] >= np.datetime64(since)
+            if until is not None:
+                mask &= ats[pos] <= np.datetime64(until)
+            return cand[mask]  # cand is sorted; masking preserves it
         cdf = self.spark.createDataFrame(
             pd.DataFrame({"doc_id": cand}), schema="doc_id long"
         )
