@@ -375,11 +375,24 @@ class TestPinnedVectors:
             got.sort(key=lambda t: (-t[1], t[0]))
             assert got == single, q
 
-    def test_hybrid_msearch_requires_pinned(self, spark, tmp_path):
+    def test_hybrid_msearch_unpinned_falls_back_distributed(
+        self, spark, tmp_path
+    ):
+        """Without the vector pin (the guaranteed state once the corpus
+        exceeds pin_vectors_mb) hybrid msearch must still serve —
+        per-query distributed hybrid, identical results to search()."""
         from xf_spark.engine import XfIndex
         from xf_spark.transcripts import load_transcripts
 
         tr = load_transcripts(spark, 0.001)
         ix = XfIndex.build(tr, str(tmp_path / "o"), slices=1)
-        with pytest.raises(ValueError, match="pinned"):
-            ix.msearch(["rust"], mode="hybrid")
+        assert ix._pinned_vecs is None
+        batch = ix.msearch(["rust", "machine"], limit=10, mode="hybrid")
+        for q in ("rust", "machine"):
+            single = [(r["doc_id"], round(r["score"], 9)) for r in
+                      ix.search(q, mode="hybrid", limit=10)
+                      .select("doc_id", "score").collect()]
+            got = [(d, round(s, 9)) for d, s in batch[q]]
+            single.sort(key=lambda t: (-t[1], t[0]))
+            got.sort(key=lambda t: (-t[1], t[0]))
+            assert got == single and len(got) == 10, q

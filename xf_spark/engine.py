@@ -463,10 +463,20 @@ class XfIndex:
         if mode != "hybrid":
             raise ValueError(f"msearch mode must be lexical|hybrid, got {mode!r}")
         if self._pinned_vecs is None:
-            raise ValueError(
-                "hybrid msearch serves from the pinned vector matrix — "
-                "call cache(pin_vectors_mb=...) first"
-            )
+            # pin absent (uncached, or over pin_vectors_mb budget — the
+            # guaranteed state at 10^12 turns): serve the batch through
+            # the per-query distributed hybrid path instead of
+            # refusing.  Slower (cluster scan per query) but identical
+            # results; batched serving has no scale cliff.
+            return {
+                q: [
+                    (r["doc_id"], r["score"])
+                    for r in self.search(q, mode="hybrid", limit=limit)
+                    .select("doc_id", "score")
+                    .collect()
+                ]
+                for q in queries
+            }
         import numpy as np
 
         from xf_spark.query.hybrid import _rrf_fuse_local, candidate_count
