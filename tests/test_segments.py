@@ -459,6 +459,31 @@ def test_search_many_matches_single_queries(built):
         assert got == want, q
 
 
+def test_search_many_respects_driver_topk_threshold(built):
+    """A batch member whose terms exceed driver_topk_threshold must NOT
+    be decoded on the coordinator — it serves through the distributed
+    single-query path, rank/score-identical to the default route."""
+    ix, _oracle, _m, _p = built
+    queries = ["machine", "rust async patterns", '"machine learning"']
+    want = {q: ix.search_many([q], limit=20)[q] for q in queries}
+    dfs = ix.term_dfs({"machine", "rust", "async", "patterns"}, "text")
+    saved = ix.driver_topk_threshold
+    try:
+        # threshold below 'machine': it must fall back; the others'
+        # routing depends on their own totals — results identical
+        ix.driver_topk_threshold = dfs["machine"] - 1
+        mixed = ix.search_many(queries, limit=20)
+        assert {q: [(d, round(s, 9)) for d, s in mixed[q]] for q in queries} \
+            == {q: [(d, round(s, 9)) for d, s in want[q]] for q in queries}
+        # threshold 0: every member distributed
+        ix.driver_topk_threshold = 0
+        alldist = ix.search_many(queries, limit=20)
+        assert {q: [(d, round(s, 9)) for d, s in alldist[q]] for q in queries} \
+            == {q: [(d, round(s, 9)) for d, s in want[q]] for q in queries}
+    finally:
+        ix.driver_topk_threshold = saved
+
+
 def test_filtered_driver_path_pinned_attrs(built):
     """With pinned doc attributes, a warm filtered query resolves its
     allowed-id set in NumPy: results identical to the Spark semi-join

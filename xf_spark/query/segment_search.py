@@ -882,22 +882,43 @@ class SegmentIndex:
         extracted = {q: parse_query_extract(q) for q in queries}
         # queries carrying type:/role: filters take the filtered
         # single-query path (batch serving is the unfiltered hot path)
-        plans = {q: pl for q, (pl, qr) in extracted.items() if not qr}
+        cand_plans = {q: pl for q, (pl, qr) in extracted.items() if not qr}
         filtered_qs = [q for q, (_pl, qr) in extracted.items() if qr]
+        union_t: set[str] = set()
+        union_p: set[str] = set()
+        for pl in cand_plans.values():
+            union_t |= query_terms(pl)
+            union_p |= prefix_terms(pl)
+        n = self.meta["n_docs"]
+        dfs_t = self.term_dfs(union_t, "text")
+        dfs_p = self.term_dfs(union_p, "prefix")
+        # the same postings bound the single-query path enforces: a
+        # batch member whose terms exceed driver_topk_threshold must
+        # NOT be decoded on the coordinator (a head term at 10^12 turns
+        # is an unbounded driver materialization) — it serves through
+        # the distributed single-query path instead
+        plans = {}
+        for q, pl in cand_plans.items():
+            total = sum(dfs_t.get(t, 0) for t in query_terms(pl)) + sum(
+                dfs_p.get(t, 0) for t in prefix_terms(pl)
+            )
+            if total > self.driver_topk_threshold:
+                filtered_qs.append(q)
+            else:
+                plans[q] = pl
         all_t: set[str] = set()
         all_p: set[str] = set()
         for pl in plans.values():
             all_t |= query_terms(pl)
             all_p |= prefix_terms(pl)
-        n = self.meta["n_docs"]
         idfs = {
-            ("text", t): idf_for(n, df)
-            for t, df in self.term_dfs(all_t, "text").items()
+            ("text", t): idf_for(n, dfs_t[t]) for t in all_t if t in dfs_t
         }
         idfs.update(
             {
-                ("prefix", t): idf_for(n, df)
-                for t, df in self.term_dfs(all_p, "prefix").items()
+                ("prefix", t): idf_for(n, dfs_p[t])
+                for t in all_p
+                if t in dfs_p
             }
         )
         data = self._term_data_for(all_t, all_p)
