@@ -180,3 +180,44 @@ class TestOracle:
         sem = [(3, 0.9), (1, 0.8)]
         fused = OracleIndex.rrf_fuse(lex, sem, limit=10)
         assert fused[0][0] == 1  # 1/61 + 1/62 beats single-list scores
+
+
+class TestParserFuzz:
+    """Hypothesis fuzz: the parser must be total and deterministic on
+    arbitrary input (the reference CLI accepts any argv string), and
+    every plan it emits must be walkable by query_terms/prefix_terms
+    and evaluable as a match-nothing/match-all/scored query without
+    raising."""
+
+    def test_parser_total_and_deterministic(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from xf_spark.query.parser import parse_query_extract
+
+        alphabet = st.characters(
+            codec="utf-8", exclude_categories=("Cs",)  # no lone surrogates
+        )
+
+        @given(st.text(alphabet=alphabet, max_size=80))
+        @settings(max_examples=500, deadline=None)
+        def run(q):
+            plan, roles = parse_query_extract(q)
+            assert parse_query_extract(q) == (plan, roles)
+            if plan is not None:
+                terms = query_terms(plan)
+                prefixes = prefix_terms(plan)
+                assert all(isinstance(t, str) and t for t in terms)
+                assert all(isinstance(t, str) and t for t in prefixes)
+            if roles is not None:
+                assert roles and all(isinstance(r, str) for r in roles)
+
+        run()
+
+    def test_operator_soup_matches_nothing_or_parses(self):
+        from xf_spark.query.parser import parse_query_extract
+
+        for q in ["AND AND OR", "NOT", '"" ""', "***", "role:", 'a:"b',
+                  "AND rust", "rust AND", "NOT NOT rust", '"unterminated']:
+            plan, roles = parse_query_extract(q)  # must not raise
+            assert plan is None or isinstance(plan, tuple)
