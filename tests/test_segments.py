@@ -459,6 +459,46 @@ def test_search_many_matches_single_queries(built):
         assert got == want, q
 
 
+def test_randomized_query_sweep_vs_oracle(built):
+    """40 seeded random queries assembled from the real corpus
+    vocabulary — bare terms, implicit OR, AND, NOT, random phrases
+    (mostly non-adjacent: empty results must agree too), prefixes, and
+    absent terms — the segment engine must be rank- and score-identical
+    to the NumPy oracle through every routing tier (term LRU, bucket
+    pruning, driver/distributed threshold)."""
+    import random
+
+    ix, oracle, _m, _p = built
+    rng = random.Random(1234)
+    vocab = sorted(t for t in oracle.postings if t.isalnum() and len(t) > 1)
+    common = sorted(vocab, key=lambda t: (-len(oracle.postings[t]), t))[:50]
+    queries = []
+    for _ in range(38):
+        kind = rng.randrange(6)
+        if kind == 0:
+            queries.append(rng.choice(vocab))
+        elif kind == 1:
+            queries.append(" ".join(rng.sample(vocab, rng.randint(2, 4))))
+        elif kind == 2:
+            queries.append(" AND ".join(rng.sample(common, 2)))
+        elif kind == 3:
+            a, b = rng.sample(common, 2)
+            queries.append(f"{a} NOT {b}")
+        elif kind == 4:
+            queries.append(f'"{rng.choice(common)} {rng.choice(vocab)}"')
+        else:
+            t = rng.choice(vocab)
+            queries.append(t[: max(2, len(t) // 2)] + "*")
+    queries += ["zzzz_nope", f"zzzz_nope AND {common[0]}"]
+    for q in queries:
+        got = [(r["doc_id"], r["score"]) for r in
+               ix.search(q, limit=20).collect()]
+        want = oracle.search(q, limit=20)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_wd, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-9 * max(1.0, abs(ws)), (q, gd, gs, ws)
+
+
 def test_search_many_respects_driver_topk_threshold(built):
     """A batch member whose terms exceed driver_topk_threshold must NOT
     be decoded on the coordinator — it serves through the distributed
