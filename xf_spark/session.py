@@ -48,6 +48,16 @@ def get_spark(
         # 8g + 32 task threads + cached corpus = GC thrash (measured:
         # 32-core build 1.7x SLOWER than 8-core at 1.5M turns on 8g)
         .config("spark.driver.memory", os.environ.get("XF_SPARK_DRIVER_MEM", "48g"))
+        # serving pins (pin_docs_mb / pin_vectors_mb) collect the doc
+        # store / embedding matrix to the coordinator under EXPLICIT
+        # byte budgets; the default 1g maxResultSize killed the scale-
+        # 1.0 doc pin (1.57M rows) mid-fetch. Budgets stay the real
+        # guard — this just stops Spark second-guessing them below the
+        # heap size.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("XF_SPARK_MAX_RESULT", "16g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # split single parquet files across cores: the default 128 MB
