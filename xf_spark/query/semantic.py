@@ -210,6 +210,19 @@ class PinnedVectors:
         cand = np.nonzero(sc32 >= kth32 - _F32_MARGIN)[0]
         # f64 rescore of candidate uniques (pinned_topk margin bound)
         sc64 = self.uniq[cand].astype(np.float64) @ q64
+        # with exact f64 scores in hand, shrink to the minimal score-
+        # descending prefix of uniques whose doc counts cover k, plus
+        # every unique EXACTLY tied with the boundary score (the doc_id
+        # tiebreak crosses uniques only at exact equality) — a dense
+        # candidate band then expands ~k rows instead of cand*k
+        if len(cand) > 1:
+            ordu = np.argsort(-sc64, kind="stable")
+            csum64 = np.cumsum(np.minimum(self.counts[cand][ordu], k))
+            cut = int(np.searchsorted(csum64, k))
+            cut = min(cut, len(ordu) - 1)
+            boundary = sc64[ordu[cut]]
+            keep = np.union1d(ordu[: cut + 1], np.nonzero(sc64 == boundary)[0])
+            cand, sc64 = cand[keep], sc64[keep]
         # expand: per candidate unique, at most its k smallest doc_ids
         # can reach the global top-k (ids ascend within a group)
         take = np.minimum(self.counts[cand], k)
