@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": eq.dedup_exact_groups,
         "ngram_jaccard_pairs": eq.ngram_jaccard_pairs,
         "minhash_dedup": eq.minhash_dedup,
+        "near_dup_groups": eq.near_dup_groups,
         "simhash_pairs": eq.simhash_pairs,
         "fingerprint_stats": eq.fingerprint_stats,
         "embedding_near_dup": eq.embedding_near_dup,

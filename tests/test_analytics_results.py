@@ -209,6 +209,17 @@ class TestResults:
         assert got[2]["text"] == rows[0]["text"]
         assert [g["req_order"] for g in got] == [0, 1, 2]
 
+    def test_get_by_ids_plan_never_shuffles_docs(self, built):
+        # the preserved side of a LEFT join can't broadcast, so the
+        # old req.join(docs, "left") planned a SortMergeJoin over the
+        # FULL doc store; the rewrite (pruned scan + broadcast inner +
+        # unioned miss rows) must keep the plan shuffle-free
+        engine, _, rows = built
+        ids = [(rows[5]["conv_id"], rows[5]["turn_idx"]), ("convNOPE", 0)]
+        plan = get_by_ids(engine.docs, ids)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
     def test_snippets_highlight(self, built):
         engine, _, _ = built
         hyd = engine.search_hydrated("machine", limit=5)

@@ -110,6 +110,110 @@ class TestLshHotBucketCap:
         assert n >= 500 * 499 / 2
 
 
+class TestSimHashHotBucketCap:
+    """Round-3: the quadratic guard minhash got in round 2, applied to
+    the simhash 4-block join — one boilerplate class sharing a simhash
+    value must not generate ~m^2/2 candidate pairs."""
+
+    def _df(self, spark):
+        boiler = "standard disclaimer text repeated across every document body"
+        rows = [(i, boiler) for i in range(500)]
+        rows += [
+            (1000, "one two three four five six seven eight nine ten"),
+            (1001, "one two three four five six seven eight nine ten"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hot_bucket_dropped_distinct_pairs_kept(self, spark):
+        df = self._df(spark)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.simhash_candidates(df, max_bucket=50).collect()
+        }
+        assert (1000, 1001) in pairs  # 2-doc bucket survives
+        assert not any(a < 500 and b < 500 for a, b in pairs)
+        assert len(pairs) < 100
+
+    def test_uncapped_is_quadratic_baseline(self, spark):
+        df = self._df(spark)
+        n = D.simhash_candidates(df, max_bucket=None).count()
+        assert n >= 500 * 499 / 2
+
+
+class TestHyperplaneHotBucketCap:
+    """Round-3: same guard for the hyperplane-LSH sketch join — the
+    repo's own measurement (93% of sf0.1 docs canonicalize to ONE
+    fallback embedding) makes this the worst skew of the three
+    families."""
+
+    def _df(self, spark):
+        rng = np.random.default_rng(7)
+        v = [float(x) for x in rng.standard_normal(16)]
+        neg = [-x for x in v]  # complementary sketch: never in v's bucket
+        near = [x * 1.001 for x in neg]
+        rows = [(i, v) for i in range(500)]
+        rows += [(1000, neg), (1001, near)]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    def test_hot_bucket_dropped_distinct_pairs_kept(self, spark):
+        df = self._df(spark)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.embedding_near_dup_pairs(
+                df, threshold=0.99, n_planes=4, max_bucket=50
+            ).collect()
+        }
+        assert (1000, 1001) in pairs
+        assert not any(a < 500 and b < 500 for a, b in pairs)
+        assert len(pairs) < 100
+
+    def test_uncapped_is_quadratic_baseline(self, spark):
+        df = self._df(spark)
+        n = D.embedding_near_dup_pairs(
+            df, threshold=0.99, n_planes=4, max_bucket=None
+        ).count()
+        assert n >= 500 * 499 / 2
+
+
+class TestNearDupGroups:
+    def test_chain_components_and_singletons(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+        )
+        docs = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 5, 7, 8]], "doc_id long"
+        )
+        got = {
+            r["doc_id"]: r["keep_id"]
+            for r in D.near_dup_groups(docs, pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
+
+    def test_long_path_converges(self, spark):
+        # path graph 0-1-...-19: pointer jumping must converge well
+        # inside max_rounds (O(log n), not O(diameter))
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(19)], "id_a long, id_b long"
+        )
+        comp = {
+            r["node"]: r["comp"]
+            for r in D.connected_components(pairs, max_rounds=8).collect()
+        }
+        assert set(comp.values()) == {0}
+        assert len(comp) == 20
+
+    def test_empty_pairs_all_self(self, spark):
+        docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        got = {
+            r["doc_id"]: r["keep_id"]
+            for r in D.near_dup_groups(docs, pairs).collect()
+        }
+        assert got == {1: 1, 2: 2}
+
+
 class TestSimHashBatch:
     def test_batch_equals_scalar(self):
         texts = [

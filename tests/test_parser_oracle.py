@@ -80,6 +80,30 @@ class TestParser:
         assert ast == ("and", [("prefix", "rust"), ("term", "spark")])
         assert roles is None
 
+    def test_not_before_field_filter_rejected(self):
+        # `rust NOT type:assistant` used to restrict TO assistant AND
+        # leak the dangling NOT onto the next atom — reject instead
+        import pytest
+
+        from xf_spark.query.parser import parse_query_extract
+
+        with pytest.raises(ValueError, match="negated field filters"):
+            parse_query_extract("rust NOT type:assistant")
+        with pytest.raises(ValueError, match="negated field filters"):
+            parse_query_extract("rust NOT type:assistant spark")
+
+    def test_field_filter_absorbs_pending_and_or(self):
+        # the filter ANDs with the scored query by construction, so a
+        # pending AND/OR is consumed — it must NOT bind the next atom
+        from xf_spark.query.parser import parse_query_extract
+
+        ast, roles = parse_query_extract("rust AND type:assistant spark")
+        assert ast == ("or", [("term", "rust"), ("term", "spark")])
+        assert roles == ["assistant"]
+        ast, roles = parse_query_extract("rust OR role:user spark")
+        assert ast == ("or", [("term", "rust"), ("term", "spark")])
+        assert roles == ["user"]
+
     def test_unknown_field_tokenizes_as_before(self):
         # no such field -> colon splits into a tokenized phrase (the
         # pre-field-syntax behavior, kept for unknown prefixes)

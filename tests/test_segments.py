@@ -8,6 +8,7 @@ import os
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from xf_spark.index.builder import build_engine
 from xf_spark.index.segments import build_segment_index
@@ -260,6 +261,45 @@ class TestFilteredShardLocal:
         # filter-only query = match-all within the type
         n_assist = ix.docs.where("role = 'assistant'").count()
         assert ix.search("type:assistant", limit=10**6).count() == n_assist
+
+    def test_legacy_docs_without_shard_column(self, fx):
+        """A docs parquet predating the shard column takes the SAME
+        k-bounded cogroup path: the doc_id->shard map derives from the
+        segments' block metadata (the old fallback scattered EVERY
+        match per shard via k = 1<<62 — retired in round 3)."""
+        ix, oracle, attrs = fx
+        legacy = SegmentIndex.load(
+            ix.spark, ix.path, docs=ix.docs.drop("shard")
+        )
+        legacy.driver_topk_threshold = 0  # force the distributed path
+        allowed = self._allowed(attrs, roles=["assistant"])
+        want = [d for d, _ in oracle.search("the", limit=10**6) if d in allowed][:10]
+        got = [
+            r["doc_id"]
+            for r in legacy.search("the", limit=10, roles=["assistant"]).collect()
+        ]
+        assert got == want
+        # derived bounds must reproduce the build's own shard mapping
+        # for every doc that has postings (drop dl=0 docs: blank text)
+        derived = ix.docs.drop("shard").select(
+            "doc_id", legacy._shard_for_docs().alias("shard")
+        )
+        mismatch = (
+            ix.docs.select("doc_id", "shard")
+            .where(F.length("text") > 0)
+            .join(derived.withColumnRenamed("shard", "shard2"), "doc_id")
+            .where(F.col("shard") != F.col("shard2"))
+            .count()
+        )
+        assert mismatch == 0
+
+    def test_filtered_requires_docs(self, fx):
+        ix, _, _ = fx
+        import pytest
+
+        bare = SegmentIndex.load(ix.spark, ix.path, docs=None)
+        with pytest.raises(ValueError, match="docs table"):
+            bare.search("machine", limit=10, roles=["assistant"]).collect()
 
     def test_per_shard_output_is_k_bounded(self, fx):
         """The pre-merge cogroup output must hold <= k rows PER SHARD

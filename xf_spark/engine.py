@@ -8,7 +8,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from xf_spark.index.segments import build_index
 from xf_spark.query.dates import parse_date_flexible
@@ -235,12 +235,28 @@ class XfIndex:
                     # doc_id order instead of being rescored row-by-row
                     self._pinned_vecs = PinnedVectors(ids, mat)
         if pin_docs_mb:
+            # admission estimate for the driver dict-of-tuples store:
+            # UTF-8 bytes of EVERY string column (octet_length, not
+            # character length — multibyte text is the norm) plus a
+            # measured per-row constant for the Python objects (tuple +
+            # dict entry + str/int/datetime headers ≈ 450 B/row; a
+            # char-count + 96 B estimate under-counted several-fold on
+            # short-text corpora)
+            str_cols = [
+                f.name
+                for f in self.docs.schema.fields
+                if isinstance(f.dataType, T.StringType)
+            ]
             est = self.docs.agg(
                 F.count("*").alias("n"),
-                F.sum(F.length("text")).alias("chars"),
+                F.sum(
+                    sum(
+                        (F.coalesce(F.octet_length(c), F.lit(0)) for c in str_cols),
+                        F.lit(0),
+                    )
+                ).alias("sbytes"),
             ).first()
-            # text bytes + ~96 B/row for the fixed columns
-            est_mb = (int(est["chars"] or 0) + int(est["n"]) * 96) / 1e6
+            est_mb = (int(est["sbytes"] or 0) + int(est["n"]) * 450) / 1e6
             if est_mb <= pin_docs_mb:
                 cols = ["doc_id"] + [
                     c for c in self.docs.columns if c != "doc_id"

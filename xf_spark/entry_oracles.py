@@ -390,6 +390,39 @@ ORDER BY c.id_a, c.id_b
 
 ORACLES["minhash_dedup"] = _minhash_oracle_sql()
 
+
+def _near_dup_groups_oracle_sql() -> str:
+    """Cluster-level dedup differential: the minhash pair replay above
+    feeds a WITH RECURSIVE transitive closure; keep_id = min reachable
+    id (== connected-component min, what the Spark min-label
+    propagation converges to); docs in no pair keep themselves."""
+    pairs_sql = _minhash_oracle_sql()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pairs_sql})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS keep_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id, coalesce(c.keep_id, d.doc_id) AS keep_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+ORACLES["near_dup_groups"] = _near_dup_groups_oracle_sql()
+
 def _fingerprint_oracle_sql() -> str:
     """Exact replay of ops/textops.py rolling_fingerprints: md5 token
     hashes, degree-8 polynomial window hash mod 2^61-1 (HUGEINT
@@ -449,9 +482,12 @@ ORACLES["fingerprint_stats"] = _fingerprint_oracle_sql()
 def _near_dup_oracle_sql() -> str:
     """Exact replay of ops/dedup.embedding_near_dup_pairs: the seed-42
     hyperplanes ship as SQL literals (same pattern as the MinHash
-    coefficients), sign-sketch bucket join, exact cosine (rounded 6dp
-    BEFORE the threshold, matching the Spark plan)."""
+    coefficients), sign-sketch bucket join WITH the LSH_MAX_BUCKET
+    hot-bucket cap (round 3 — mirrors _cap_hot_buckets), exact cosine
+    (rounded 6dp BEFORE the threshold, matching the Spark plan)."""
     import numpy as np
+
+    from xf_spark.ops.dedup import LSH_MAX_BUCKET
 
     rng = np.random.default_rng(42)
     planes = rng.standard_normal((8, 64))
@@ -473,9 +509,14 @@ sk AS (
       {sketch} AS s
   FROM e
 ),
+kept AS (
+  SELECT s FROM sk GROUP BY s HAVING count(*) <= {LSH_MAX_BUCKET}
+),
 cand AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
-  FROM sk a JOIN sk b ON a.s = b.s AND a.vec_id < b.vec_id
+  FROM sk a
+  JOIN kept k ON k.s = a.s
+  JOIN sk b ON a.s = b.s AND a.vec_id < b.vec_id
 ),
 scored AS (
   SELECT id_a, id_b,
@@ -520,10 +561,13 @@ FROM agg ORDER BY media_id
 
 # SimHash exact replay: tf-weighted +-1 bit votes over md5-derived
 # 64-bit token hashes (UBIGINT bit math), 4x16-bit block candidate
-# join, bit_count hamming verify — mirrors ops/dedup.py simhash /
-# simhash_candidates bit-for-bit (validated against the scalar
-# reference implementation).
-ORACLES["simhash_pairs"] = """
+# join WITH the LSH_MAX_BUCKET hot-bucket cap (round 3 — mirrors
+# _cap_hot_buckets), bit_count hamming verify — mirrors ops/dedup.py
+# simhash / simhash_candidates bit-for-bit (validated against the
+# scalar reference implementation).
+from xf_spark.ops.dedup import LSH_MAX_BUCKET as _LSH_CAP
+
+ORACLES["simhash_pairs"] = f"""
 WITH toks AS (
   SELECT doc_id, lower(raw) AS term
   FROM (SELECT doc_id,
@@ -552,9 +596,13 @@ blocks AS (
   SELECT doc_id, i AS blk, (v >> (16 * i)) & 65535 AS val, v
   FROM sh CROSS JOIN (SELECT unnest(range(4)) AS i)
 ),
+kept AS (
+  SELECT blk, val FROM blocks GROUP BY blk, val HAVING count(*) <= {_LSH_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.v AS va, b.v AS vb
   FROM blocks a
+  JOIN kept k ON k.blk = a.blk AND k.val = a.val
   JOIN blocks b ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, bit_count(xor(va, vb))::INT AS hamming

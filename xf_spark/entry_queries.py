@@ -473,6 +473,22 @@ def minhash_dedup(spark, sf_dir):
     return minhash_dedup_pairs(docs, threshold=0.8)
 
 
+def near_dup_groups(spark, sf_dir):
+    """Cluster-level dedup output (round 3): connected components over
+    the verified minhash pairs -> one (doc_id, keep_id) row per doc,
+    keep_id = min id in the near-dup component. The DuckDB oracle
+    computes the same components via a WITH RECURSIVE transitive
+    closure over the identically-replayed pair set. Reference analog:
+    the embed-dedup reuse chain (lib.rs:290-425) keeps one
+    representative per duplicate group."""
+    from xf_spark.ops.dedup import minhash_dedup_pairs
+    from xf_spark.ops.dedup import near_dup_groups as groups_op
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    return groups_op(docs, pairs)
+
+
 def simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 3) via the 4-block exact-join
     trick — the md5-derived 64-bit simhash is replayed verbatim in

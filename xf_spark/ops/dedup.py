@@ -76,13 +76,51 @@ def minhash_udf(texts: pd.Series) -> pd.Series:
     return texts.map(minhash_signature)
 
 
-# A band-bucket larger than this is excluded from the self-join: an
+# A bucket larger than this is excluded from ANY LSH self-join: an
 # m-doc bucket yields ~m^2/2 join rows, and boilerplate-heavy corpora
 # (the norm in training data) put millions of near-identical docs in
 # one digest — quadratic without the cap. Docs above the cap are
 # better handled by exact_dedup first (identical text ==> identical
-# digest); the cap is mirrored verbatim in the DuckDB oracle.
+# digest); the cap is mirrored verbatim in the DuckDB oracles of all
+# three LSH families (minhash bands, simhash blocks, hyperplane
+# sketches).
 LSH_MAX_BUCKET = 2000
+
+
+def _cap_hot_buckets(
+    df: DataFrame,
+    keys: list[str],
+    max_bucket: int | None,
+    log_dropped: bool,
+    family: str,
+) -> DataFrame:
+    """Drop rows in buckets with > ``max_bucket`` members before a
+    bucket self-join — the shared quadratic-blowup guard for every LSH
+    candidate generator. Hot buckets are FEW by construction (each
+    holds > max_bucket rows), so the exclusion is a broadcast
+    anti-join: no extra shuffle of ``df``. ``log_dropped`` counts the
+    dropped mass (one small agg job) and warns — recall loss must be
+    visible, not silent."""
+    if not max_bucket:
+        return df
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > max_bucket)
+    )
+    if log_dropped:
+        import logging
+
+        row = hot.agg(
+            F.count("*").alias("buckets"), F.sum("_n").alias("rows")
+        ).first()
+        if row["buckets"]:
+            logging.getLogger(__name__).warning(
+                "%s: dropping %d hot buckets (%d rows > cap %d) — "
+                "run exact_dedup first to collapse identical texts",
+                family, row["buckets"], row["rows"], max_bucket,
+            )
+    return df.join(F.broadcast(hot.select(*keys)), keys, "left_anti")
 
 
 def minhash_lsh_candidates(
@@ -90,17 +128,25 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int | None = LSH_MAX_BUCKET,
-    log_dropped: bool = False,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH.
 
     shingle -> minhash (vectorized UDF) -> band digests -> explode ->
     hot-bucket cap -> self-join on (band, digest) -> distinct pairs
     (id_a < id_b). Buckets above ``max_bucket`` are dropped before the
-    join (quadratic blowup guard); ``log_dropped=True`` additionally
-    counts the dropped rows (one small agg job) and logs them."""
+    join (quadratic blowup guard) and the dropped mass is LOGGED by
+    default — candidates inside dropped buckets are not exhaustive;
+    pass max_bucket=None for exact (quadratic-risk) behavior."""
     rows_per_band = N_HASHES // N_BANDS
-    sig = docs.select(id_col, minhash_udf(F.col(text_col)).alias("sig"))
+    # docs with NO shingles (< n tokens) carry the sentinel signature
+    # [mersenne]*k — they cannot be near-dups by Jaccard (undefined /
+    # 0-denominator) and would otherwise all collide into one bucket;
+    # the DuckDB oracle excludes them structurally (no shingle rows),
+    # so the engine must too. Any real shingle makes sig[0] < mersenne.
+    sig = docs.select(id_col, minhash_udf(F.col(text_col)).alias("sig")).where(
+        F.element_at("sig", 1) != F.lit(int(_MERSENNE))
+    )
     # band digest = comma-joined signature slice (engine-portable: the
     # DuckDB oracle reproduces it with string_agg ORDER BY i)
     bands = sig.select(
@@ -125,30 +171,9 @@ def minhash_lsh_candidates(
             )
         ).alias("bd"),
     ).select(id_col, "bd.band", "bd.digest")
-    if max_bucket:
-        hot = (
-            bands.groupBy("band", "digest")
-            .agg(F.count("*").alias("_n"))
-            .where(F.col("_n") > max_bucket)
-        )
-        if log_dropped:
-            import logging
-
-            row = hot.agg(
-                F.count("*").alias("buckets"), F.sum("_n").alias("rows")
-            ).first()
-            if row["buckets"]:
-                logging.getLogger(__name__).warning(
-                    "minhash_lsh: dropping %d hot buckets (%d rows > cap %d)",
-                    row["buckets"], row["rows"], max_bucket,
-                )
-        # hot buckets are FEW by construction (each holds > max_bucket
-        # rows) — broadcast anti-join, no extra shuffle of `bands`
-        bands = bands.join(
-            F.broadcast(hot.select("band", "digest")),
-            ["band", "digest"],
-            "left_anti",
-        )
+    bands = _cap_hot_buckets(
+        bands, ["band", "digest"], max_bucket, log_dropped, "minhash_lsh"
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -173,7 +198,12 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard (computed on
     the candidate pairs only — the expensive step touches candidates,
-    not the corpus)."""
+    not the corpus).
+
+    Inherits the LSH_MAX_BUCKET hot-bucket cap: pairs inside dropped
+    hyper-popular buckets are NOT emitted (logged by the candidate
+    stage); run exact_dedup first so identical texts never reach
+    near-dup detection."""
     cand = minhash_lsh_candidates(docs, text_col, id_col)
     sh = docs.select(
         F.col(id_col),
@@ -201,6 +231,113 @@ def minhash_dedup_pairs(
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def shingles_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: sorted(_shingles(t)))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-level dedup: connected components -> keep/drop decision
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Undirected edge list -> (node, comp) where comp is the MIN node
+    id in the node's connected component.
+
+    Iterative min-label propagation with pointer jumping: each round
+    (1) every node takes the min label over itself and its neighbors,
+    (2) labels compress through themselves (comp <- comp[comp]), so
+    convergence is O(log n) rounds, not O(diameter). Per round only
+    (node, comp) long pairs shuffle — never document bodies — and the
+    lineage is truncated with localCheckpoint so the plan stays flat
+    across iterations. Terminates at fixpoint (checked with one count
+    per round) or ``max_rounds``.
+
+    This is the scale-safe contract for near-dup output: "pairs" are
+    inherently quadratic inside a duplicate class, while components
+    are linear (reference analog: the embed-dedup reuse chain,
+    lib.rs:290-425, which reuses ONE representative per duplicate
+    group)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(
+        F.col("src").alias("node"), F.col("src").alias("comp")
+    ).distinct()
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("dcomp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("nbr"))
+            .withColumnRenamed("src", "node")
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr", F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # pointer jumping: comp <- comp[comp] (labels are node ids, so
+        # the label table doubles as the pointer table)
+        jumped = (
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("comp"), F.col("comp").alias("cc")
+                ),
+                "comp",
+                "left",
+            )
+            .select(
+                "node", F.coalesce("cc", F.col("comp")).alias("comp")
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The keep/drop decision a training-data pipeline actually needs:
+    one row per doc, (doc_id, keep_id) with keep_id = min doc id of
+    the doc's near-dup component (docs in no pair keep themselves).
+    ``pairs`` is any verified candidate-pair frame (minhash_dedup_pairs
+    / simhash_candidates / embedding_near_dup_pairs) — all of them are
+    hot-bucket capped, so the component graph is linear in the corpus.
+    Drop policy: keep rows WHERE doc_id == keep_id."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("comp", F.col(id_col)).alias("keep_id"),
+        )
+        .orderBy(id_col)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -278,14 +415,29 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 
 
 def simhash_candidates(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket: int | None = LSH_MAX_BUCKET,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming distance <= max_hamming.
 
     Standard 4-block trick: split the 64-bit simhash into 4 16-bit
     blocks; any pair within hamming<=3 shares at least one exact
-    block -> self-join per block, verify hamming via bit_count."""
-    sh = docs.select(id_col, simhash_udf(F.col(text_col)).alias("sh"))
+    block -> self-join per block, verify hamming via bit_count.
+
+    A (block, value) bucket above ``max_bucket`` is dropped before the
+    join (the same quadratic guard as minhash LSH: one boilerplate
+    class sharing a simhash value makes the 4-block join O(m^2));
+    dropped mass is logged. Mirrored in the DuckDB oracle."""
+    # sh == 0 means "no tokens" (the scalar's empty sentinel): such
+    # docs are not comparable and the DuckDB oracle has no simhash row
+    # for them — exclude, mirroring the minhash sentinel filter
+    sh = docs.select(id_col, simhash_udf(F.col(text_col)).alias("sh")).where(
+        F.col("sh") != 0
+    )
     blocks = sh.select(
         id_col,
         "sh",
@@ -303,6 +455,9 @@ def simhash_candidates(
             )
         ).alias("b"),
     ).select(id_col, "sh", "b.blk", "b.val")
+    blocks = _cap_hot_buckets(
+        blocks, ["blk", "val"], max_bucket, log_dropped, "simhash"
+    )
     a = blocks.alias("a")
     b = blocks.alias("b")
     pairs = (
@@ -334,6 +489,22 @@ def simhash_candidates(
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+@F.pandas_udf(T.DoubleType())
+def _cosine_pairs_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Batched exact cosine over candidate pairs: ONE float64 einsum
+    per Arrow batch instead of a per-element SQL aggregate (~10x
+    cheaper when candidate sets grow — round-3 change, identical
+    output: float64 math, rounded to 6 like the SQL/DuckDB replay)."""
+    A = np.array(va.tolist(), dtype=np.float64)
+    B = np.array(vb.tolist(), dtype=np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+        np.einsum("ij,ij->i", B, B)
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return pd.Series(np.round(num / den, 6))
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -341,13 +512,22 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Cosine near-dup pairs via random-hyperplane LSH buckets.
 
     sign-sketch each vector against ``n_planes`` fixed random planes ->
     bucket join -> exact cosine on candidates only. Near-identical
     vectors share the full sketch w.h.p.; recall is tunable via
-    n_planes (fewer planes = bigger buckets = higher recall/cost)."""
+    n_planes (fewer planes = bigger buckets = higher recall/cost).
+
+    A sketch bucket above ``max_bucket`` is dropped before the join
+    (quadratic guard: a corpus where most embeddings collapse to one
+    canonical vector puts the whole duplicate class in ONE bucket —
+    O(m^2) without the cap); dropped mass is logged. Mirrored in the
+    DuckDB oracle. The exact-cosine verify runs as a batched NumPy
+    einsum (_cosine_pairs_udf), not a per-element SQL aggregate."""
     first = embeddings.select(vec_col).first()
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
@@ -368,16 +548,9 @@ def embedding_near_dup_pairs(
     sk = embeddings.select(
         F.col(id_col), F.col(vec_col).alias("v"), sketch(F.col(vec_col)).alias("sk")
     )
+    sk = _cap_hot_buckets(sk, ["sk"], max_bucket, log_dropped, "hyperplane_lsh")
     a = sk.alias("a")
     b = sk.alias("b")
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
-
     cand = a.join(
         b,
         (F.col("a.sk") == F.col("b.sk"))
@@ -385,15 +558,7 @@ def embedding_near_dup_pairs(
     )
     return (
         cand.withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("a.v"), F.col("b.v"))
-                / (
-                    F.sqrt(dot(F.col("a.v"), F.col("a.v")))
-                    * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
-                ),
-                6,
-            ),
+            "cosine", _cosine_pairs_udf(F.col("a.v"), F.col("b.v"))
         )
         .where(F.col("cosine") >= threshold)
         .select(

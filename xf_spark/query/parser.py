@@ -24,7 +24,11 @@ README.md:1384-1390 and search.rs:534-576):
   the type field (the engine stores role as a doc attribute, not an
   indexed field; the reference's own doc_types path is likewise a
   Must filter, search.rs:554-576). A query that is ONLY field filters
-  (``type:assistant``) matches all docs of that type.
+  (``type:assistant``) matches all docs of that type. A field filter
+  absorbs a pending AND/OR (the filter ANDs with the scored query by
+  construction); ``NOT type:...`` is rejected with ValueError — the
+  filter model has no negated-role representation, and silently
+  restricting TO the role would invert intent.
 
 Pinned divergence from Tantivy (documented per SURVEY.md §7.0): bare
 terms search the ``text`` field only; the prefix field is reached only
@@ -103,6 +107,17 @@ def parse_query_extract(query: str):
             continue
         fm = _FIELD_RE.match(raw)
         if fm and fm[1].lower() in _TYPE_FIELDS:
+            # the filter consumes any pending operator: a NOT would
+            # silently invert intent (restrict TO the role AND leak the
+            # dangling NOT onto the next atom) -> reject; AND/OR are
+            # absorbed by the filter's implicit AND semantics.
+            if pending_op == "NOT":
+                raise ValueError(
+                    f"negated field filters are not supported: NOT {raw!r} "
+                    "(role filters AND with the query; use --roles to "
+                    "select the roles you want instead)"
+                )
+            pending_op = None
             val = fm[2].strip('"')
             if val:
                 qroles.append(val.lower())

@@ -47,19 +47,40 @@ def get_by_id(docs: DataFrame, conv_id: str, turn_idx: int) -> DataFrame:
 def get_by_ids(docs: DataFrame, ids: list[tuple[str, int]]) -> DataFrame:
     """Batch lookup aligned to input order (get_by_ids,
     search.rs:683-746: Vec<Option<...>> — one row PER REQUEST in
-    request order, doc columns null for missing ids). The tiny request
-    list drives a broadcast-able left join against the doc store."""
+    request order, doc columns null for missing ids).
+
+    Plan note: a LEFT join preserving the tiny request side cannot
+    broadcast it (the preserved side is never the build side), so
+    ``req.join(docs, ..., "left")`` degrades to a SortMergeJoin that
+    shuffles the whole doc store. Instead: prune docs by the known
+    conv_ids (pushed to the parquet scan), inner-join with
+    broadcast(req), and union request-order null rows for the ids the
+    inner join missed — every frame past the pruned scan is k-sized."""
     spark = docs.sparkSession
     req = spark.createDataFrame(
         [(c, t, i) for i, (c, t) in enumerate(ids)],
         "conv_id string, turn_idx int, req_order long",
     )
-    # request side left-joins docs so misses SURVIVE as null rows; the
-    # docs side is the big one — Spark broadcasts `req`, never docs
-    return (
-        req.join(docs, ["conv_id", "turn_idx"], "left")
-        .orderBy("req_order")
+    convs = sorted({c for c, _ in ids})
+    pruned = docs.where(F.col("conv_id").isin(convs))
+    doc_extra = [c for c in docs.columns if c not in ("conv_id", "turn_idx")]
+    hit = pruned.join(F.broadcast(req), ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "req_order", *doc_extra
     )
+    miss = req.join(
+        F.broadcast(hit.select("conv_id", "turn_idx")),
+        ["conv_id", "turn_idx"],
+        "left_anti",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "req_order",
+        *[
+            F.lit(None).cast(docs.schema[c].dataType).alias(c)
+            for c in doc_extra
+        ],
+    )
+    return hit.unionByName(miss).orderBy("req_order")
 
 
 # ---------------------------------------------------------------------------

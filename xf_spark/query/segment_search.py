@@ -491,6 +491,10 @@ class SegmentIndex:
     # fits pin_docs_mb); lets the driver fast path resolve role/date
     # filters in NumPy with zero Spark jobs
     _pinned_attrs: tuple | None = field(default=None, repr=False)
+    # legacy-index shard derivation: sorted (upper_doc_id, shard_id)
+    # pairs computed once from the segments' block metadata (see
+    # _shard_for_docs); None until first needed
+    _shard_bounds: list | None = field(default=None, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
@@ -730,7 +734,11 @@ class SegmentIndex:
             # never by the corpus.
             data = self._term_data_for(tterms, pterms)
             allowed = None
-            if filtered and data and self.docs is not None:
+            if filtered and data:
+                if self.docs is None and self._pinned_attrs is None:
+                    # mirror the match-all guard: silently returning
+                    # UNFILTERED rows as if filtered is a wrong answer
+                    raise ValueError("filters require a docs table")
                 allowed = self._allowed_ids(data, roles, since, until)
             if data:
                 out = eval_plan_on_data(
@@ -752,28 +760,23 @@ class SegmentIndex:
             return self.spark.createDataFrame(
                 pd.DataFrame({"doc_id": ids, "score": sc}), schema=TOPK_SCHEMA
             )
-        if filtered and self.docs is not None and "shard" in self.docs.columns:
+        if filtered:
             # distributed filtered path: cogroup segments with the
             # SHARD-ALIGNED doc attributes (role/ts predicates pushed
             # to the docs parquet scan), resolve the filter inside the
             # shard, and emit k rows per shard — the round-1
             # full-match-set scatter is gone (per-shard output is
             # k-bounded regardless of term frequency or filter width).
+            # A legacy docs parquet without the shard column derives it
+            # from the segments' block metadata (see _shard_for_docs) —
+            # no unbounded per-shard output survives on any path.
+            if self.docs is None:
+                raise ValueError("filters require a docs table")
             scored = self._scored_filtered_distributed(
                 pruned_seg(), plan_b, idfs_b, avgdl, k_page, exhaustive,
                 roles, since, until,
             )
             return self._rank_page(scored, limit, offset)
-        if filtered:
-            # legacy index without the docs shard column: per-shard
-            # output must include every match for the post semi-join
-            def run_all(pdf: pd.DataFrame) -> pd.DataFrame:
-                return eval_shard(pdf, plan_b, idfs_b, avgdl, 1 << 62, exhaustive)
-
-            scored = pruned_seg().groupBy("shard").applyInPandas(
-                run_all, schema=TOPK_SCHEMA
-            )
-            return self._finish(scored, limit, offset, roles, since, until)
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             return eval_shard(pdf, plan_b, idfs_b, avgdl, k_page, exhaustive)
@@ -788,7 +791,13 @@ class SegmentIndex:
         """Cogroup (segments x filtered doc attrs) by shard; evaluate
         with the shard-local allowed set; k rows out per shard."""
         cond = _attr_cond(roles, since, until)
-        attrs = self.docs.where(cond).select("shard", "doc_id")
+        filtered_docs = self.docs.where(cond)
+        if "shard" in self.docs.columns:
+            attrs = filtered_docs.select("shard", "doc_id")
+        else:
+            attrs = filtered_docs.select(
+                self._shard_for_docs().alias("shard"), "doc_id"
+            )
 
         def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
             if not len(seg_pdf) or not len(attr_pdf):
@@ -807,6 +816,41 @@ class SegmentIndex:
             seg.groupBy("shard")
             .cogroup(attrs.groupBy("shard"))
             .applyInPandas(run_cg, schema=TOPK_SCHEMA)
+        )
+
+    def _shard_for_docs(self):
+        """doc_id -> shard expression for a LEGACY docs parquet that
+        predates the ``shard`` column — derived from the index itself.
+
+        Shards hold contiguous, disjoint docID ranges by construction
+        (the build range-partitions by doc_id), so the max doc id seen
+        in each shard's postings (last element of the last block's
+        ``block_last_doc``) is an ordered set of range upper bounds.
+        Any doc WITH postings satisfies prev_shard_hi < doc_id <=
+        own_shard_hi, so "count bounds strictly below doc_id" indexes
+        its shard exactly; docs with no postings can never be hits, so
+        their (clamped) assignment is harmless. One tiny agg over the
+        segment metadata, computed once per index."""
+        if self._shard_bounds is None:
+            rows = (
+                self._segments.groupBy("shard")
+                .agg(F.max(F.element_at("block_last_doc", -1)).alias("hi"))
+                .collect()
+            )
+            self._shard_bounds = sorted(
+                (int(r["hi"]), int(r["shard"])) for r in rows
+            )
+        his = [h for h, _ in self._shard_bounds]
+        shards = [s for _, s in self._shard_bounds]
+        idx = F.size(
+            F.filter(
+                F.array(*[F.lit(h) for h in his]),
+                lambda h: h < F.col("doc_id"),
+            )
+        )
+        return F.element_at(
+            F.array(*[F.lit(s) for s in shards]),
+            F.least(idx + F.lit(1), F.lit(len(shards))),
         )
 
     def pin_doc_attrs(self, ids, roles, ts) -> None:
@@ -834,11 +878,9 @@ class SegmentIndex:
         attributes the whole resolution happens driver-side (zero
         Spark jobs)."""
         cand = np.unique(np.concatenate([d["ids"] for d in data.values()]))
-        if (
-            self._pinned_attrs is not None
-            and len(cand)
-            and len(self._pinned_attrs[0])
-        ):
+        if not len(cand):
+            return cand
+        if self._pinned_attrs is not None and len(self._pinned_attrs[0]):
             aid, arole, ats = self._pinned_attrs
             pos = np.minimum(np.searchsorted(aid, cand), len(aid) - 1)
             mask = aid[pos] == cand
@@ -849,6 +891,8 @@ class SegmentIndex:
             if until is not None:
                 mask &= ats[pos] <= np.datetime64(until)
             return cand[mask]  # cand is sorted; masking preserves it
+        if self.docs is None:
+            raise ValueError("filters require a docs table")
         cdf = self.spark.createDataFrame(
             pd.DataFrame({"doc_id": cand}), schema="doc_id long"
         )
@@ -959,7 +1003,10 @@ class SegmentIndex:
         return [(r["doc_id"], r["score"]) for r in df.collect()]
 
     def _finish(self, scored, limit, offset, roles, since, until) -> DataFrame:
-        if (roles or since is not None or until is not None) and self.docs is not None:
+        filtered = roles or since is not None or until is not None
+        if filtered and self.docs is None:
+            raise ValueError("filters require a docs table")
+        if filtered:
             attrs = self.docs.select("doc_id", "role", "ts")
             cond = F.lit(True)
             if roles:
