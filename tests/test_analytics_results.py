@@ -164,9 +164,49 @@ class TestDates:
             "last 3 days", now=NOW
         )
 
+    def test_named_weekdays(self):
+        # NOW = 2026-08-16 (Sunday). chrono-english orientation
+        # (date_parser.rs:130-136): bare/next = strictly after today,
+        # last = strictly before, this = current Mon-based week.
+        lo, _ = parse_date_range("tuesday", now=NOW)
+        assert lo.date() == dt.date(2026, 8, 18)
+        lo, _ = parse_date_range("next sunday", now=NOW)
+        assert lo.date() == dt.date(2026, 8, 23)  # strictly after
+        lo, _ = parse_date_range("last tuesday", now=NOW)
+        assert lo.date() == dt.date(2026, 8, 11)
+        lo, _ = parse_date_range("last sunday", now=NOW)
+        assert lo.date() == dt.date(2026, 8, 9)  # strictly before
+        lo, _ = parse_date_range("this tuesday", now=NOW)
+        assert lo.date() == dt.date(2026, 8, 11)
+        lo, _ = parse_date_range("fri", now=NOW)
+        assert lo.date() == dt.date(2026, 8, 21)
+
+    def test_next_units(self):
+        lo, hi = parse_date_range("next week", now=NOW)
+        assert (lo.date(), hi.date()) == (dt.date(2026, 8, 17), dt.date(2026, 8, 23))
+        lo, hi = parse_date_range("next month", now=NOW)
+        assert (lo.date(), hi.date()) == (dt.date(2026, 9, 1), dt.date(2026, 9, 30))
+        lo, hi = parse_date_range("next year", now=NOW)
+        assert lo.year == 2027 and hi == dt.datetime(2027, 12, 31, 23, 59, 59, 999999)
+
+    def test_bare_month_and_month_day(self):
+        lo, hi = parse_date_range("june", now=NOW)
+        assert (lo.date(), hi.date()) == (dt.date(2026, 6, 1), dt.date(2026, 6, 30))
+        lo, hi = parse_date_range("june 3", now=NOW)
+        assert lo.date() == hi.date() == dt.date(2026, 6, 3)
+        lo, _ = parse_date_range("june 3, 2024", now=NOW)
+        assert lo.date() == dt.date(2024, 6, 3)
+        lo, _ = parse_date_range("3 june 2024", now=NOW)
+        assert lo.date() == dt.date(2024, 6, 3)
+        assert parse_date_flexible("june 3 2024", end=True) == dt.datetime(
+            2024, 6, 3, 23, 59, 59, 999999
+        )
+
     def test_unknown_raises(self):
         with pytest.raises(ValueError):
             parse_date_flexible("next fortnight-ish")
+        with pytest.raises(ValueError):
+            parse_date_flexible("two weeks ago tuesday")
 
 
 class TestResults:

@@ -374,8 +374,10 @@ class TestTextOps:
 
 class TestMultimodal:
     def test_feature_extraction_shapes(self, spark):
+        # decode="fake" pinned: synth payloads are random bytes, not
+        # image files (the real Pillow path is tested separately)
         media = synth_media(spark, n=12)
-        feats = extract_features(media, feature_dim=16).collect()
+        feats = extract_features(media, feature_dim=16, decode="fake").collect()
         assert len(feats) == 12
         for r in feats:
             assert len(r["feature"]) == 16
@@ -385,9 +387,32 @@ class TestMultimodal:
 
     def test_deterministic(self, spark):
         media = synth_media(spark, n=6)
-        a = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
-        b = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+        a = {r["media_id"]: r["feature"]
+             for r in extract_features(media, decode="fake").collect()}
+        b = {r["media_id"]: r["feature"]
+             for r in extract_features(media, decode="fake").collect()}
         assert a == b
+
+    def test_real_decode_with_pillow(self, spark):
+        # extras-gated: runs wherever Pillow is installed; the decode
+        # must round-trip a real PNG's pixel values
+        PIL = pytest.importorskip("PIL.Image")
+        import io
+
+        from xf_spark.ops.multimodal import _decode_image
+
+        arr = (np.arange(8 * 8 * 3, dtype=np.uint8)).reshape(8, 8, 3)
+        buf = io.BytesIO()
+        PIL.fromarray(arr).save(buf, format="PNG")
+        got = _decode_image(buf.getvalue(), 8, 8, mode="real")
+        assert np.array_equal(got, arr)
+
+    def test_real_decode_requires_pillow(self):
+        from xf_spark.ops import multimodal
+
+        if multimodal._PILImage is None:
+            with pytest.raises(NotImplementedError):
+                multimodal._decode_image(b"xx", 4, 4, mode="real")
 
     def test_frame_sample_plan(self, spark):
         media = synth_media(spark, n=9)

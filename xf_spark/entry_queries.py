@@ -508,7 +508,10 @@ def multimodal_features(spark, sf_dir):
     this corpus, so DuckDB replays byte values as ascii codes), dims
     from doc_id; the mapInPandas decode->feature path's n_bytes +
     mean_intensity (mean of the np.resize-tiled payload over w*h*3)
-    recomputed in SQL. Only the real media decode stays stubbed."""
+    recomputed in SQL. decode="fake" is pinned: these payloads are
+    text bytes, not image files — the REAL Pillow decode (round 3,
+    extras-gated in ops/multimodal.py) activates via decode="auto"
+    wherever Pillow is installed."""
     from xf_spark.ops.multimodal import extract_features
 
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
@@ -526,7 +529,7 @@ def multimodal_features(spark, sf_dir):
     # NO rounding on either side: the mean is an exact float64 quotient
     # in both engines; the driver's comparator applies one (python)
     # rounding to both, so half-up/banker's divergence cannot appear
-    return extract_features(media).select(
+    return extract_features(media, decode="fake").select(
         "media_id", "kind", "n_bytes", "mean_intensity"
     )
 

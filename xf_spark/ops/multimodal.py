@@ -63,14 +63,42 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB: decode an image payload to an HxWx3 uint8 array.
+try:  # extras gate: real decode lights up wherever Pillow exists
+    from PIL import Image as _PILImage
+except ImportError:  # container has no media libs — deterministic fake
+    _PILImage = None
 
-    Real implementation requires Pillow/opencv (not in this
-    container). The deterministic fake derives pixels from the payload
-    bytes so downstream feature math is testable end-to-end."""
-    if os.environ.get("XF_SPARK_REAL_DECODE"):
-        raise NotImplementedError("install Pillow and implement real decode")
+
+def _decode_image(
+    payload: bytes, width: int, height: int, mode: str = "auto"
+) -> np.ndarray:
+    """Decode an image payload to an HxWx3 uint8 array.
+
+    ``mode``:
+    - "auto" (default): real Pillow decode when importable, else the
+      deterministic fake; ``XF_SPARK_REAL_DECODE=1`` turns the silent
+      fallback into a hard error for deployments that require real
+      decode.
+    - "real": require Pillow (raises without it).
+    - "fake": always the deterministic fake (payload bytes tiled to
+      HxWx3) — what synthetic differentials pin, since their payloads
+      are not actual image files.
+
+    Real decode: any PIL-supported format -> RGB, resized to
+    (width, height) when the metadata gives target dims."""
+    if mode == "real" or (mode == "auto" and _PILImage is not None):
+        if _PILImage is None:
+            raise NotImplementedError("real decode requires Pillow")
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        if width and height and img.size != (width, height):
+            img = img.resize((width, height))
+        return np.asarray(img, dtype=np.uint8)
+    if mode == "auto" and os.environ.get("XF_SPARK_REAL_DECODE"):
+        raise NotImplementedError(
+            "XF_SPARK_REAL_DECODE is set but Pillow is not installed"
+        )
     flat = np.frombuffer(payload, dtype=np.uint8)
     need = max(1, (width or 8)) * max(1, (height or 8)) * 3
     rep = np.resize(flat, need)
@@ -88,11 +116,16 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
+def extract_features(
+    media: DataFrame, feature_dim: int = 16, decode: str = "auto"
+) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches of
     binary payloads -> numpy -> fixed-dim feature vectors). The batch
     shape and partitioning are exactly what a real CV/audio featurizer
-    needs; only _decode_image is fake."""
+    needs; ``decode`` selects the _decode_image mode ("auto" = real
+    Pillow decode where installed, deterministic fake otherwise;
+    "fake" pins the fake for synthetic differentials whose payloads
+    are not image files)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -116,6 +149,7 @@ def extract_features(media: DataFrame, feature_dim: int = 16) -> DataFrame:
                     payload,
                     _dim(meta["width"] if meta is not None else None),
                     _dim(meta["height"] if meta is not None else None),
+                    mode=decode,
                 )
                 mean = float(img.mean())
                 # fake embedding: block means over the flattened pixels

@@ -13,7 +13,15 @@ date_parser.rs grammar (846 lines; SURVEY.md §2.5):
   weekday/weekdays (this week's Mon..min(today, Fri)), "this
   month/year", "last/past week/month/year", "last/past N
   days/weeks/months/years", "N days/... ago"
-  (date_parser.rs:199-228,320-337).
+  (date_parser.rs:199-228,320-337);
+- chrono-english-style free-form fallback (the reference delegates to
+  the chrono-english crate, Dialect::Us, date_parser.rs:130-136; this
+  is the useful subset with the same orientation): bare/next weekday
+  ("tuesday", "next tuesday") = next occurrence strictly after today;
+  "last tuesday" = most recent strictly before today; "this tuesday" =
+  that weekday of the current Mon-based week; "next week/month/year";
+  bare month name = that month of the current year; "june 3",
+  "june 3, 2024", "3 june", "3 june 2024" day-month forms.
 
 Returns naive UTC datetimes (the engine pins session TZ = UTC).
 ``now`` is injectable for deterministic tests.
@@ -27,6 +35,8 @@ import re
 
 MONTHS = {m.lower(): i for i, m in enumerate(calendar.month_name) if m}
 MONTHS.update({m.lower(): i for i, m in enumerate(calendar.month_abbr) if m})
+WEEKDAYS = {d.lower(): i for i, d in enumerate(calendar.day_name)}
+WEEKDAYS.update({d.lower(): i for i, d in enumerate(calendar.day_abbr)})
 
 _UNITS = {"day": 1, "week": 7}
 
@@ -177,6 +187,56 @@ def parse_date_range(
             d = dt.date(y, mth, min(today.day, calendar.monthrange(y, mth)[1]))
         else:
             d = dt.date(today.year - n, today.month, today.day)
+        return _start_of_day(d), _end_of_day(d)
+
+    # --- chrono-english-style free-form fallback (date_parser.rs:130-
+    # 136 delegates to the chrono-english crate; subset re-expressed
+    # with the same next/last orientation, Dialect::Us month-day order
+    # preferred but day-month accepted) -------------------------------
+
+    # [last|next|this] <weekday>
+    m = re.fullmatch(r"(?:(last|next|this)\s+)?([a-z]+)", s)
+    if m and m[2] in WEEKDAYS:
+        wd = WEEKDAYS[m[2]]
+        qual = m[1]
+        if qual == "last":
+            # most recent strictly before today
+            d = today - dt.timedelta(days=(today.weekday() - wd) % 7 or 7)
+        elif qual == "this":
+            # that weekday of the current Mon-based week
+            d = today + dt.timedelta(days=wd - today.weekday())
+        else:  # bare or "next": next occurrence strictly after today
+            d = today + dt.timedelta(days=(wd - today.weekday()) % 7 or 7)
+        return _start_of_day(d), _end_of_day(d)
+
+    if s == "next week":
+        start = today + dt.timedelta(days=7 - today.weekday())
+        return _start_of_day(start), _end_of_day(start + dt.timedelta(days=6))
+    if s == "next month":
+        y, mth = (today.year, today.month + 1) if today.month < 12 else (
+            today.year + 1,
+            1,
+        )
+        return _month_range(y, mth)
+    if s == "next year":
+        return _start_of_day(dt.date(today.year + 1, 1, 1)), _end_of_day(
+            dt.date(today.year + 1, 12, 31)
+        )
+
+    # bare month name -> that month of the current year
+    if s in MONTHS:
+        return _month_range(today.year, MONTHS[s])
+
+    # "june 3" / "june 3, 2024" / "3 june" / "3 june 2024"
+    m = re.fullmatch(r"([a-z]+)\s+(\d{1,2})(?:,?\s+(\d{4}))?", s)
+    if m and m[1] in MONTHS and 1 <= int(m[2]) <= 31:
+        y = int(m[3]) if m[3] else today.year
+        d = dt.date(y, MONTHS[m[1]], int(m[2]))
+        return _start_of_day(d), _end_of_day(d)
+    m = re.fullmatch(r"(\d{1,2})\s+([a-z]+)(?:,?\s+(\d{4}))?", s)
+    if m and m[2] in MONTHS and 1 <= int(m[1]) <= 31:
+        y = int(m[3]) if m[3] else today.year
+        d = dt.date(y, MONTHS[m[2]], int(m[1]))
         return _start_of_day(d), _end_of_day(d)
 
     raise ValueError(f"unrecognized date expression: {text!r}")
