@@ -499,13 +499,20 @@ class XfIndex:
         from xf_spark.query.semantic import embed_query
 
         n = candidate_count(limit)
-        lex_all = self.segment_index.search_many(queries, limit=n)
+        # the result is keyed by query string, so duplicates in the
+        # batch collapse anyway — evaluate each DISTINCT query once
+        # (serving streams repeat hot queries; search_many dedupes the
+        # same way via its per-query dicts)
+        distinct = list(dict.fromkeys(queries))
+        lex_all = self.segment_index.search_many(distinct, limit=n)
         pv = self._pinned_vecs
-        Q = np.stack([embed_query(q) for q in queries])
-        scores = pv.score_block(Q)  # (u, B): one sgemm for the batch
+        Q = np.stack([embed_query(q) for q in distinct])
+        # one sgemm for the batch; transpose to C-contiguous per-query
+        # rows before the per-query top-k
+        scores = np.ascontiguousarray(pv.score_block(Q).T)
         out: dict[str, list[tuple[int, float]]] = {}
-        for j, q in enumerate(queries):
-            top_ids, top_sc = pv.topk(Q[j], n, sc32=scores[:, j])
+        for j, q in enumerate(distinct):
+            top_ids, top_sc = pv.topk(Q[j], n, sc32=scores[j])
             sem = list(zip(top_ids.tolist(), top_sc.tolist()))
             out[q] = _rrf_fuse_local(lex_all[q], sem, limit=limit)
         return out

@@ -119,13 +119,46 @@ def _tf_part(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
     return t * (K1 + 1.0) / (t + K1 * (1.0 - B + B * dls / avgdl))
 
 
+def _tf_part_memo(d: dict, avgdl: float) -> np.ndarray:
+    """tf_part is query-independent (idf multiplies later), so a warm
+    cached term memoizes it once instead of recomputing several
+    array passes per query (measured 7.7 -> ~2 ms single-head-term
+    eval at 1.57M docs). Keyed by avgdl: an index append changes it,
+    and stale bm25 components must never survive the reload."""
+    if d.get("_tfp_avgdl") != avgdl:
+        d["_tfp"] = _tf_part(d["tfs"], d["dls"], avgdl)
+        d["_tfp_avgdl"] = avgdl
+    return d["_tfp"]
+
+
 def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
-    """(score desc, doc_id asc) top-k, fully deterministic."""
-    if len(ids) > k:
-        order = np.lexsort((ids, -scores))[:k]
-    else:
+    """(score desc, doc_id asc) top-k, fully deterministic.
+
+    Selection, not sort: np.partition finds the k-th largest score,
+    ties at the boundary resolve by smallest doc_id (ids are unique
+    within one plan evaluation), and only the ~k survivors pay the
+    final lexsort (a full lexsort at head-term sizes was ~half the
+    per-query eval cost — measured)."""
+    n = len(ids)
+    if n <= k:
         order = np.lexsort((ids, -scores))
-    return ids[order], scores[order]
+        return ids[order], scores[order]
+    kth = np.partition(scores, n - k)[n - k]
+    above = scores > kth
+    need = k - int(above.sum())
+    tied = scores == kth
+    tid = ids[tied]
+    if need > 0 and len(tid) > need:
+        # smallest `need` doc_ids among boundary ties
+        cut = np.partition(tid, need - 1)[need - 1]
+        keep = above | (tied & (ids <= cut))
+    elif need > 0:
+        keep = above | tied
+    else:
+        keep = above
+    kids, ksc = ids[keep], scores[keep]
+    order = np.lexsort((kids, -ksc))[:k]
+    return kids[order], ksc[order]
 
 
 def _or_exhaustive(parts: list) -> tuple[np.ndarray, np.ndarray]:
@@ -146,6 +179,11 @@ def wand_or_topk(term_entries: list, k: int) -> tuple[np.ndarray, np.ndarray]:
     as exhaustive evaluation — block bounds only skip work, never
     change results."""
     total = sum(len(t[0]) for t in term_entries)
+    if len(term_entries) == 1:
+        # single posting list: scores are final — exact top-k directly
+        # (the window machinery would re-touch every posting per chunk)
+        ids, sc, _bl, _bu = term_entries[0]
+        return _topk(ids, sc, k)
     if total <= 4 * k or total < 4096:
         return _topk(*_or_exhaustive([(t[0], t[1]) for t in term_entries]), k)
 
@@ -153,8 +191,8 @@ def wand_or_topk(term_entries: list, k: int) -> tuple[np.ndarray, np.ndarray]:
     bounds = np.unique(np.concatenate([t[2] for t in term_entries]))
     n_w = len(bounds)
     ub = np.zeros(n_w, dtype=np.float64)
-    wids = []  # per term: window index of each posting
-    for ids, _sc, block_last, block_ub in term_entries:
+    packs = []  # per term: postings grouped by window (one argsort)
+    for ids, sc, block_last, block_ub in term_entries:
         # block covering window w = first block with last >= bounds[w];
         # windows never straddle a term's own block boundary
         bi = np.searchsorted(block_last, bounds)
@@ -162,7 +200,9 @@ def wand_or_topk(term_entries: list, k: int) -> tuple[np.ndarray, np.ndarray]:
         contrib = np.zeros(n_w, dtype=np.float64)
         contrib[valid] = block_ub[bi[valid]]
         ub += contrib
-        wids.append(np.searchsorted(bounds, ids))
+        wid = np.searchsorted(bounds, ids)
+        o = np.argsort(wid, kind="stable")
+        packs.append((ids, sc, wid[o], o))
 
     order = np.argsort(-ub, kind="stable")
     best_ids = np.empty(0, dtype=np.int64)
@@ -175,13 +215,19 @@ def wand_or_topk(term_entries: list, k: int) -> tuple[np.ndarray, np.ndarray]:
         # must still be able to displace it (pinned tiebreak)
         if len(best_ids) >= k and ub[chunk[0]] < theta:
             break  # no remaining window can beat the k-th score
-        sel = np.zeros(n_w, dtype=bool)
-        sel[chunk] = True
+        # gather ONLY this chunk's postings per term via the window-
+        # grouped order (the previous full-length boolean mask made
+        # every chunk O(total postings) — the whole point of block-max
+        # skipping is to NOT touch pruned windows)
+        chunk_sorted = np.sort(chunk)
         parts = []
-        for (ids, sc, _bl, _bu), wid in zip(term_entries, wids):
-            m = sel[wid]
-            if m.any():
-                parts.append((ids[m], sc[m]))
+        for ids, sc, swid, o in packs:
+            lo = np.searchsorted(swid, chunk_sorted, side="left")
+            hi = np.searchsorted(swid, chunk_sorted, side="right")
+            spans = [o[a:b] for a, b in zip(lo, hi) if b > a]
+            if spans:
+                take = np.concatenate(spans)
+                parts.append((ids[take], sc[take]))
         if not parts:
             continue
         cids, csc = _or_exhaustive(parts)
@@ -277,7 +323,7 @@ def eval_plan_on_data(
         if d is None:
             return None
         ids = d["ids"]
-        sc = idfs.get((fld, t), 0.0) * _tf_part(d["tfs"], d["dls"], avgdl)
+        sc = idfs.get((fld, t), 0.0) * _tf_part_memo(d, avgdl)
         if allowed is not None:
             m = _allowed_mask(ids)
             ids, sc = ids[m], sc[m]
@@ -353,8 +399,7 @@ def eval_plan_on_data(
                 d["_pos"] = decode_positions(d["positions_bin"], len(d["ids"]))
             pos[t] = d["_pos"]
         tfp = {
-            t: idfs.get(("text", t), 0.0)
-            * _tf_part(datas[t]["tfs"], datas[t]["dls"], avgdl)
+            t: idfs.get(("text", t), 0.0) * _tf_part_memo(datas[t], avgdl)
             for t in uniq
         }
         # vectorized adjacency: occurrence i of the phrase contributes
@@ -478,9 +523,10 @@ class SegmentIndex:
     # on the coordinator). A warm repeat query runs ZERO Spark jobs —
     # pure NumPy WAND. Head terms above driver_topk_threshold never
     # reach this path, so entries are bounded individually too.
-    # Sizing note: phrase queries additionally memoize DECODED
-    # positions on the entry (~4-8x the at-rest positions bytes, not
-    # re-counted against the cap) — budget term_cache_mb accordingly.
+    # Sizing note: warm entries additionally memoize DECODED positions
+    # for phrase queries (~4-8x the at-rest positions bytes) and the
+    # query-independent tf_part array (8 B/posting); neither is
+    # re-counted against the cap — budget term_cache_mb accordingly.
     term_cache_mb: int = 512
     _segments: DataFrame = field(default=None, repr=False)
     _df_memo: dict = field(default_factory=dict, repr=False)

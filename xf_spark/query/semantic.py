@@ -165,9 +165,10 @@ class PinnedVectors:
     (doc-count-weighted order statistics, same Lipschitz bound).
     """
 
-    __slots__ = ("uniq", "doc_ids", "offsets", "counts", "n_docs")
+    __slots__ = ("uniq", "doc_ids", "offsets", "counts", "n_docs", "_uniq64")
 
     def __init__(self, ids: np.ndarray, mat: np.ndarray):
+        self._uniq64 = None
         mat = np.ascontiguousarray(mat, dtype=np.float32)
         ids = np.asarray(ids, dtype=np.int64)
         void = mat.view(np.dtype((np.void, mat.shape[1] * 4))).ravel()
@@ -208,8 +209,20 @@ class PinnedVectors:
         pos = int(np.searchsorted(csum, k))
         kth32 = sc32[top_u[min(pos, len(top_u) - 1)]]
         cand = np.nonzero(sc32 >= kth32 - _F32_MARGIN)[0]
-        # f64 rescore of candidate uniques (pinned_topk margin bound)
-        sc64 = self.uniq[cand].astype(np.float64) @ q64
+        # f64 rescore of candidate uniques (pinned_topk margin bound).
+        # Degenerate embedding geometry (a query vector near the
+        # corpus's dominant direction — e.g. the hash-embed fallback)
+        # can put MOST uniques inside the margin band; fancy-indexing +
+        # astype then copies ~u*dim*12 bytes per query (measured 128 ms
+        # at u=66k). Above u/4 candidates, rescore through a lazily
+        # cached f64 shadow of the unique matrix instead: one dgemv,
+        # zero copies (+2x pin RAM, built only when first needed).
+        if len(cand) > len(sc32) // 4:
+            if self._uniq64 is None:
+                self._uniq64 = self.uniq.astype(np.float64)
+            sc64 = (self._uniq64 @ q64)[cand]
+        else:
+            sc64 = self.uniq[cand].astype(np.float64) @ q64
         # with exact f64 scores in hand, shrink to the minimal score-
         # descending prefix of uniques whose doc counts cover k, plus
         # every unique EXACTLY tied with the boundary score (the doc_id
