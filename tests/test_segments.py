@@ -541,12 +541,14 @@ def test_randomized_query_sweep_vs_oracle(built):
 
 def test_search_many_respects_driver_topk_threshold(built):
     """A batch member whose terms exceed driver_topk_threshold must NOT
-    be decoded on the coordinator — it serves through the distributed
-    single-query path, rank/score-identical to the default route."""
+    be decoded on the coordinator — heavy members batch through ONE
+    distributed job (_search_many_distributed, round 3),
+    rank/score-identical to the default route."""
     ix, _oracle, _m, _p = built
-    queries = ["machine", "rust async patterns", '"machine learning"']
+    queries = ["machine", "rust async patterns", '"machine learning"',
+               "python NOT snake", "progr*", "zzz_absent"]
     want = {q: ix.search_many([q], limit=20)[q] for q in queries}
-    dfs = ix.term_dfs({"machine", "rust", "async", "patterns"}, "text")
+    dfs = ix.term_dfs({"machine", "rust", "async", "patterns", "python", "snake"}, "text")
     saved = ix.driver_topk_threshold
     try:
         # threshold below 'machine': it must fall back; the others'

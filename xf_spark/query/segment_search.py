@@ -745,22 +745,7 @@ class SegmentIndex:
         def pruned_seg() -> DataFrame:
             # built lazily: the warm driver fast path serves from the
             # term LRU and must not touch the segments DataFrame
-            nb = self.meta["n_buckets"]
-            buckets = sorted(
-                {term_bucket(t, nb) for t in tterms}
-                | {term_bucket(t, nb) for t in pterms}
-            )
-            cond = F.lit(False)
-            if tterms:
-                cond = cond | (
-                    (F.col("field") == "text") & F.col("term").isin(sorted(tterms))
-                )
-            if pterms:
-                cond = cond | (
-                    (F.col("field") == "prefix")
-                    & F.col("term").isin(sorted(pterms))
-                )
-            return self._segments.where(F.col("bucket").isin(buckets) & cond)
+            return self._pruned_scan(tterms, pterms)
 
         filtered = bool(roles) or since is not None or until is not None
         avgdl = self.meta["avgdl"]
@@ -864,6 +849,26 @@ class SegmentIndex:
             .applyInPandas(run_cg, schema=TOPK_SCHEMA)
         )
 
+    def _pruned_scan(self, tterms: set[str], pterms: set[str]) -> DataFrame:
+        """Bucket- and term-pruned segment scan for a term set (both
+        predicates reach the parquet row-group filters)."""
+        nb = self.meta["n_buckets"]
+        buckets = sorted(
+            {term_bucket(t, nb) for t in tterms}
+            | {term_bucket(t, nb) for t in pterms}
+        )
+        cond = F.lit(False)
+        if tterms:
+            cond = cond | (
+                (F.col("field") == "text") & F.col("term").isin(sorted(tterms))
+            )
+        if pterms:
+            cond = cond | (
+                (F.col("field") == "prefix")
+                & F.col("term").isin(sorted(pterms))
+            )
+        return self._segments.where(F.col("bucket").isin(buckets) & cond)
+
     def _shard_for_docs(self):
         """doc_id -> shard expression for a LEGACY docs parquet that
         predates the ``shard`` column — derived from the index itself.
@@ -959,6 +964,78 @@ class SegmentIndex:
             ranked = ranked.offset(offset)
         return ranked.limit(limit)
 
+    def _search_many_distributed(
+        self, plans: dict[str, tuple], limit: int, exhaustive: bool
+    ) -> dict[str, list[tuple[int, float]]]:
+        """ONE Spark job for a batch of heavy (over-threshold) queries:
+        one pruned scan for the union of terms, per-shard evaluation of
+        EVERY query's plan against the decoded shard data, k rows out
+        per (query, shard), k-sized driver merge per query.
+
+        This is the 10^12-turn msearch path: a head-term batch costs
+        one cluster pass instead of a job per query, per-task output
+        stays k-bounded, and nothing head-term-sized ever reaches the
+        coordinator."""
+        qlist = list(plans)
+        union_t: set[str] = set()
+        union_p: set[str] = set()
+        for pl in plans.values():
+            union_t |= query_terms(pl)
+            union_p |= prefix_terms(pl)
+        n = self.meta["n_docs"]
+        idfs = {
+            ("text", t): idf_for(n, df)
+            for t, df in self.term_dfs(union_t, "text").items()
+        }
+        idfs.update(
+            {
+                ("prefix", t): idf_for(n, df)
+                for t, df in self.term_dfs(union_p, "prefix").items()
+            }
+        )
+        avgdl = self.meta["avgdl"]
+        plan_list = [plans[q] for q in qlist]
+        k = limit
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            data = build_term_data(pdf)
+            outs = []
+            for qi, pl in enumerate(plan_list):
+                res = eval_plan_on_data(data, pl, idfs, avgdl, k, exhaustive)
+                if len(res):
+                    res.insert(0, "qid", np.int32(qi))
+                    outs.append(res)
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        "qid": np.empty(0, dtype=np.int32),
+                        "doc_id": np.empty(0, dtype=np.int64),
+                        "score": np.empty(0, dtype=np.float64),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        scored = (
+            self._pruned_scan(union_t, union_p)
+            .groupBy("shard")
+            .applyInPandas(run, schema="qid int, doc_id long, score double")
+        )
+        rows = scored.collect()  # <= B * n_shards * k rows by construction
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+        out: dict[str, list[tuple[int, float]]] = {}
+        for qi, q in enumerate(qlist):
+            hits = by_q.get(qi, [])
+            if hits:
+                ids = np.fromiter((h[0] for h in hits), np.int64, len(hits))
+                sc = np.fromiter((h[1] for h in hits), np.float64, len(hits))
+                tids, tsc = _topk(ids, sc, k)
+                out[q] = list(zip(tids.tolist(), tsc.tolist()))
+            else:
+                out[q] = []
+        return out
+
     def search_many(
         self, queries: list[str], limit: int = 20, exhaustive: bool = False
     ) -> dict[str, list[tuple[int, float]]]:
@@ -985,15 +1062,17 @@ class SegmentIndex:
         # the same postings bound the single-query path enforces: a
         # batch member whose terms exceed driver_topk_threshold must
         # NOT be decoded on the coordinator (a head term at 10^12 turns
-        # is an unbounded driver materialization) — it serves through
-        # the distributed single-query path instead
+        # is an unbounded driver materialization) — heavy members batch
+        # through ONE distributed job (_search_many_distributed)
+        # instead of a cluster job per query
         plans = {}
+        heavy: dict[str, tuple] = {}
         for q, pl in cand_plans.items():
             total = sum(dfs_t.get(t, 0) for t in query_terms(pl)) + sum(
                 dfs_p.get(t, 0) for t in prefix_terms(pl)
             )
-            if total > self.driver_topk_threshold:
-                filtered_qs.append(q)
+            if total > self.driver_topk_threshold and pl != ("all",):
+                heavy[q] = pl  # match-all (total 0) never lands here
             else:
                 plans[q] = pl
         all_t: set[str] = set()
@@ -1018,6 +1097,8 @@ class SegmentIndex:
                 (r["doc_id"], r["score"])
                 for r in self.search(q, limit=limit).collect()
             ]
+        if heavy:
+            out.update(self._search_many_distributed(heavy, limit, exhaustive))
         for q, pl in plans.items():
             if pl == ("all",):
                 out[q] = [
