@@ -375,6 +375,34 @@ class TestPinnedVectors:
             got.sort(key=lambda t: (-t[1], t[0]))
             assert got == single, q
 
+    def test_semantic_msearch_both_tiers(self, spark, tmp_path):
+        """msearch(mode="semantic"): the unpinned tier scores the whole
+        query block in ONE distributed scan (semantic_topk_many, round
+        3), the pinned tier in one sgemm — both rank/score-identical to
+        per-query search(mode="semantic")."""
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(tr, str(tmp_path / "sm"), slices=1)
+        queries = ["rust", "machine", "learning", "rust"]  # dup collapses
+        want = {}
+        for q in set(queries):
+            rows = [(r["doc_id"], round(r["score"], 9)) for r in
+                    ix.search(q, mode="semantic", limit=10)
+                    .select("doc_id", "score").collect()]
+            want[q] = rows
+        assert ix._pinned_vecs is None
+        unpinned = ix.msearch(queries, limit=10, mode="semantic")
+        assert set(unpinned) == set(want)
+        for q in want:
+            assert [(d, round(s, 9)) for d, s in unpinned[q]] == want[q], q
+        ix.cache(pin_vectors_mb=512)
+        assert ix._pinned_vecs is not None
+        pinned = ix.msearch(queries, limit=10, mode="semantic")
+        for q in want:
+            assert [(d, round(s, 9)) for d, s in pinned[q]] == want[q], q
+
     def test_hybrid_msearch_unpinned_falls_back_distributed(
         self, spark, tmp_path
     ):

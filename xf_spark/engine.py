@@ -462,60 +462,71 @@ class XfIndex:
         pdf = pd.DataFrame(data, columns=cols + ["score"])
         return self.spark.createDataFrame(pdf, schema=schema), True
 
+    def _pinned_topk_block(
+        self, queries: list[str], k: int
+    ) -> dict[str, list[tuple[int, float]]]:
+        """Semantic top-k for a query block against the pinned matrix:
+        ONE sgemm for the batch, per-query exact top-k."""
+        import numpy as np
+
+        from xf_spark.query.semantic import embed_query
+
+        pv = self._pinned_vecs
+        Q = np.stack([embed_query(q) for q in queries])
+        # one sgemm for the batch; transpose to C-contiguous per-query
+        # rows before the per-query top-k
+        scores = np.ascontiguousarray(pv.score_block(Q).T)
+        out = {}
+        for j, q in enumerate(queries):
+            ids, sc = pv.topk(Q[j], k, sc32=scores[j])
+            out[q] = list(zip(ids.tolist(), sc.tolist()))
+        return out
+
     def msearch(
         self, queries: list[str], limit: int = 20, mode: str = "lexical"
     ) -> dict[str, list[tuple[int, float]]]:
         """Batched multi-search — the serving path for query streams.
+        The result is keyed by query string, so duplicate batch
+        members collapse and each DISTINCT query is evaluated once.
 
         lexical: one pruned segment scan + one decode for the batch
-        (segment_search.search_many).
-        hybrid: additionally ONE matmul of the whole query-vector
-        block against the coordinator-pinned embedding matrix
-        (requires ``cache(pin_vectors_mb=...)``), then per-query
-        k-sized RRF fusion — B hybrid queries cost one lexical batch
-        plus one (n_docs x dim) @ (dim x B) product."""
+        (segment_search.search_many; heavy members batch through one
+        distributed job).
+        semantic: ONE matmul of the whole query-vector block against
+        the coordinator-pinned embedding matrix when pinned, else ONE
+        distributed scan scoring the whole block (semantic_topk_many —
+        the 10^12-turn regime, where vectors exceed pin_vectors_mb).
+        hybrid: lexical batch + semantic batch (as above) + per-query
+        k-sized RRF fusion."""
+        distinct = list(dict.fromkeys(queries))
         if mode == "lexical":
-            return self.segment_index.search_many(queries, limit=limit)
-        if mode != "hybrid":
-            raise ValueError(f"msearch mode must be lexical|hybrid, got {mode!r}")
-        if self._pinned_vecs is None:
-            # pin absent (uncached, or over pin_vectors_mb budget — the
-            # guaranteed state at 10^12 turns): serve the batch through
-            # the per-query distributed hybrid path instead of
-            # refusing.  Slower (cluster scan per query) but identical
-            # results; batched serving has no scale cliff.
-            return {
-                q: [
-                    (r["doc_id"], r["score"])
-                    for r in self.search(q, mode="hybrid", limit=limit)
-                    .select("doc_id", "score")
-                    .collect()
-                ]
-                for q in queries
-            }
-        import numpy as np
-
+            return self.segment_index.search_many(distinct, limit=limit)
+        if mode not in ("semantic", "hybrid"):
+            raise ValueError(
+                f"msearch mode must be lexical|semantic|hybrid, got {mode!r}"
+            )
         from xf_spark.query.hybrid import _rrf_fuse_local, candidate_count
-        from xf_spark.query.semantic import embed_query
+        from xf_spark.query.semantic import semantic_topk_many
+
+        if mode == "semantic":
+            if self._pinned_vecs is not None:
+                return self._pinned_topk_block(distinct, limit)
+            return semantic_topk_many(self.embeddings, distinct, limit=limit)
 
         n = candidate_count(limit)
-        # the result is keyed by query string, so duplicates in the
-        # batch collapse anyway — evaluate each DISTINCT query once
-        # (serving streams repeat hot queries; search_many dedupes the
-        # same way via its per-query dicts)
-        distinct = list(dict.fromkeys(queries))
         lex_all = self.segment_index.search_many(distinct, limit=n)
-        pv = self._pinned_vecs
-        Q = np.stack([embed_query(q) for q in distinct])
-        # one sgemm for the batch; transpose to C-contiguous per-query
-        # rows before the per-query top-k
-        scores = np.ascontiguousarray(pv.score_block(Q).T)
-        out: dict[str, list[tuple[int, float]]] = {}
-        for j, q in enumerate(distinct):
-            top_ids, top_sc = pv.topk(Q[j], n, sc32=scores[j])
-            sem = list(zip(top_ids.tolist(), top_sc.tolist()))
-            out[q] = _rrf_fuse_local(lex_all[q], sem, limit=limit)
-        return out
+        if self._pinned_vecs is not None:
+            sem_all = self._pinned_topk_block(distinct, n)
+        else:
+            # pin absent (uncached, or over pin_vectors_mb budget — the
+            # guaranteed state at 10^12 turns): ONE distributed scan
+            # scores the whole block. Identical results, no per-query
+            # cluster pass (round 3; was a job per query).
+            sem_all = semantic_topk_many(self.embeddings, distinct, limit=n)
+        return {
+            q: _rrf_fuse_local(lex_all[q], sem_all[q], limit=limit)
+            for q in distinct
+        }
 
     def _doc_filter(self, roles=None, since=None, until=None):
         if not roles and since is None and until is None:

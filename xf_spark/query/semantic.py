@@ -319,3 +319,96 @@ def semantic_topk(
 
     partials = src.select("doc_id", vcol).mapInArrow(partial, schema=TOPK_SCHEMA)
     return partials.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+
+MTOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("qid", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def semantic_topk_many(
+    embeddings: DataFrame, queries: list[str], limit: int = 20
+) -> dict[str, list[tuple[int, float]]]:
+    """Batched distributed semantic top-k: ONE scan of the embedding
+    table scores the whole query block ((rows x dim) @ (dim x B) per
+    Arrow batch), partial top-k per (partition, query), k-sized merge
+    on the driver. This is the msearch path for the UNPINNED regime
+    (vectors over pin_vectors_mb — the guaranteed state at 10^12
+    turns): B queries cost one cluster pass instead of B.
+
+    Results are identical to per-query ``semantic_topk`` (same f64
+    math, same (score desc, doc_id asc) order)."""
+    distinct = list(dict.fromkeys(queries))
+    if not distinct:
+        return {}
+    Q = np.stack([embed_query(q) for q in distinct]).astype(np.float64)
+    spark = embeddings.sparkSession
+    qb = spark.sparkContext.broadcast(Q)
+    k = limit
+    f16 = "vec16" in embeddings.columns
+    vcol = "vec16" if f16 else "vec"
+    nq = len(distinct)
+
+    def partial(batches) -> Iterator:
+        import pyarrow as pa
+
+        QT = qb.value.T  # (dim, B)
+        best = [
+            (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+            for _ in range(nq)
+        ]
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vec_col = b.column(b.schema.get_field_index(vcol))
+            if f16:
+                mat = _binary_batch_to_matrix(vec_col, b.num_rows)
+            else:
+                flat = vec_col.flatten()
+                mat = np.asarray(flat, dtype=np.float64).reshape(b.num_rows, -1)
+            sc = mat @ QT  # (rows, B)
+            ids = np.asarray(
+                b.column(b.schema.get_field_index("doc_id")), dtype=np.int64
+            )
+            for j in range(nq):
+                bi, bs = best[j]
+                all_ids = np.concatenate([bi, ids])
+                all_sc = np.concatenate([bs, sc[:, j]])
+                order = np.lexsort((all_ids, -all_sc))[:k]
+                best[j] = (all_ids[order], all_sc[order])
+        out_q = []
+        out_i = []
+        out_s = []
+        for j in range(nq):
+            bi, bs = best[j]
+            if len(bi):
+                out_q.append(np.full(len(bi), j, dtype=np.int32))
+                out_i.append(bi)
+                out_s.append(bs)
+        if out_q:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "qid": np.concatenate(out_q),
+                    "doc_id": np.concatenate(out_i),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    rows = (
+        embeddings.select("doc_id", vcol)
+        .mapInArrow(partial, schema=MTOPK_SCHEMA)
+        .collect()
+    )  # <= B * n_partitions * k rows by construction
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    out: dict[str, list[tuple[int, float]]] = {}
+    for j, q in enumerate(distinct):
+        hits = by_q.get(j, [])
+        hits.sort(key=lambda t: (-t[1], t[0]))
+        out[q] = hits[:k]
+    return out
