@@ -542,11 +542,13 @@ def test_randomized_query_sweep_vs_oracle(built):
 def test_search_many_respects_driver_topk_threshold(built):
     """A batch member whose terms exceed driver_topk_threshold must NOT
     be decoded on the coordinator — heavy members batch through ONE
-    distributed job (_search_many_distributed, round 3),
+    distributed job (_search_many_distributed; role-filtered heavy
+    members through the filtered cogroup batch, round 3),
     rank/score-identical to the default route."""
     ix, _oracle, _m, _p = built
     queries = ["machine", "rust async patterns", '"machine learning"',
-               "python NOT snake", "progr*", "zzz_absent"]
+               "python NOT snake", "progr*", "zzz_absent",
+               "role:assistant machine", "type:user the"]
     want = {q: ix.search_many([q], limit=20)[q] for q in queries}
     dfs = ix.term_dfs({"machine", "rust", "async", "patterns", "python", "snake"}, "text")
     saved = ix.driver_topk_threshold

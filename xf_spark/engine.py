@@ -508,6 +508,11 @@ class XfIndex:
         from xf_spark.query.hybrid import _rrf_fuse_local, candidate_count
         from xf_spark.query.semantic import semantic_topk_many
 
+        if self._pinned_vecs is None and self.embeddings is None:
+            raise ValueError(
+                f"msearch mode={mode!r} requires embeddings "
+                "(build with with_embeddings=True)"
+            )
         if mode == "semantic":
             if self._pinned_vecs is not None:
                 return self._pinned_topk_block(distinct, limit)

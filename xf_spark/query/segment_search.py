@@ -1036,6 +1036,92 @@ class SegmentIndex:
                 out[q] = []
         return out
 
+    def _search_many_filtered_distributed(
+        self, items: dict[str, tuple], limit: int, exhaustive: bool
+    ) -> dict[str, list[tuple[int, float]]]:
+        """ONE Spark job for a batch of heavy role-filtered queries:
+        cogroup the union-pruned segments with the shard-aligned doc
+        attributes (coarse role predicate pushed to the docs scan),
+        resolve each member's allowed-id set inside the shard, k rows
+        out per (query, shard). ``items``: {query: (plan, roles)}."""
+        if self.docs is None:
+            raise ValueError("filters require a docs table")
+        qlist = list(items)
+        union_t: set[str] = set()
+        union_p: set[str] = set()
+        all_roles: set[str] = set()
+        for pl, roles in items.values():
+            union_t |= query_terms(pl)
+            union_p |= prefix_terms(pl)
+            all_roles |= set(roles)
+        n = self.meta["n_docs"]
+        idfs = {
+            ("text", t): idf_for(n, df)
+            for t, df in self.term_dfs(union_t, "text").items()
+        }
+        idfs.update(
+            {
+                ("prefix", t): idf_for(n, df)
+                for t, df in self.term_dfs(union_p, "prefix").items()
+            }
+        )
+        avgdl = self.meta["avgdl"]
+        plan_list = [items[q] for q in qlist]
+        k = limit
+        coarse = self.docs.where(F.col("role").isin(sorted(all_roles)))
+        if "shard" in self.docs.columns:
+            attrs = coarse.select("shard", "doc_id", "role")
+        else:
+            attrs = coarse.select(
+                self._shard_for_docs().alias("shard"), "doc_id", "role"
+            )
+
+        def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "qid": np.empty(0, dtype=np.int32),
+                    "doc_id": np.empty(0, dtype=np.int64),
+                    "score": np.empty(0, dtype=np.float64),
+                }
+            )
+            if not len(seg_pdf) or not len(attr_pdf):
+                return empty
+            data = build_term_data(seg_pdf)
+            ids_arr = attr_pdf["doc_id"].to_numpy(np.int64)
+            roles_arr = attr_pdf["role"].to_numpy()
+            outs = []
+            for qi, (pl, roles) in enumerate(plan_list):
+                allowed = np.sort(ids_arr[np.isin(roles_arr, list(roles))])
+                res = eval_plan_on_data(
+                    data, pl, idfs, avgdl, k, exhaustive, allowed
+                )
+                if len(res):
+                    res.insert(0, "qid", np.int32(qi))
+                    outs.append(res)
+            return pd.concat(outs, ignore_index=True) if outs else empty
+
+        scored = (
+            self._pruned_scan(union_t, union_p)
+            .groupBy("shard")
+            .cogroup(attrs.groupBy("shard"))
+            .applyInPandas(run_cg, schema="qid int, doc_id long, score double")
+        )
+        rows = scored.collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+        out: dict[str, list[tuple[int, float]]] = {}
+        for qi, q in enumerate(qlist):
+            hits = by_q.get(qi, [])
+            if hits:
+                ids = np.fromiter((h[0] for h in hits), np.int64, len(hits))
+                sc = np.fromiter((h[1] for h in hits), np.float64, len(hits))
+                tids, tsc = _topk(ids, sc, k)
+                out[q] = list(zip(tids.tolist(), tsc.tolist()))
+            else:
+                out[q] = []
+        return out
+
     def search_many(
         self, queries: list[str], limit: int = 20, exhaustive: bool = False
     ) -> dict[str, list[tuple[int, float]]]:
@@ -1047,18 +1133,32 @@ class SegmentIndex:
         batch size instead of paying ~100ms per query."""
         _t0 = time.time()
         extracted = {q: parse_query_extract(q) for q in queries}
-        # queries carrying type:/role: filters take the filtered
-        # single-query path (batch serving is the unfiltered hot path)
+        # queries carrying type:/role: filters: light members take the
+        # filtered single-query path (driver-resolved when warm); heavy
+        # members batch through ONE filtered cogroup job below
         cand_plans = {q: pl for q, (pl, qr) in extracted.items() if not qr}
-        filtered_qs = [q for q, (_pl, qr) in extracted.items() if qr]
+        filt_items = {q: (pl, qr) for q, (pl, qr) in extracted.items() if qr}
+        filtered_qs: list[str] = []
         union_t: set[str] = set()
         union_p: set[str] = set()
         for pl in cand_plans.values():
             union_t |= query_terms(pl)
             union_p |= prefix_terms(pl)
+        for pl, _qr in filt_items.values():
+            union_t |= query_terms(pl)
+            union_p |= prefix_terms(pl)
         n = self.meta["n_docs"]
         dfs_t = self.term_dfs(union_t, "text")
         dfs_p = self.term_dfs(union_p, "prefix")
+        heavy_filtered: dict[str, tuple] = {}
+        for q, (pl, qr) in filt_items.items():
+            total = sum(dfs_t.get(t, 0) for t in query_terms(pl)) + sum(
+                dfs_p.get(t, 0) for t in prefix_terms(pl)
+            )
+            if total > self.driver_topk_threshold and pl != ("all",):
+                heavy_filtered[q] = (pl, qr)
+            else:
+                filtered_qs.append(q)
         # the same postings bound the single-query path enforces: a
         # batch member whose terms exceed driver_topk_threshold must
         # NOT be decoded on the coordinator (a head term at 10^12 turns
@@ -1099,6 +1199,12 @@ class SegmentIndex:
             ]
         if heavy:
             out.update(self._search_many_distributed(heavy, limit, exhaustive))
+        if heavy_filtered:
+            out.update(
+                self._search_many_filtered_distributed(
+                    heavy_filtered, limit, exhaustive
+                )
+            )
         for q, pl in plans.items():
             if pl == ("all",):
                 out[q] = [
