@@ -499,6 +499,18 @@ def test_search_many_matches_single_queries(built):
         assert got == want, q
 
 
+def test_limit_zero_returns_empty_everywhere(built):
+    """limit=0 -> 0 rows, never an error (np.partition kth bound —
+    regression: kth(=n) out of bounds when k=0 reached _topk)."""
+    ix, _oracle, _m, _p = built
+    for q in ["machine", '"machine learning"', "rust AND async", "progr*",
+              "rust async patterns"]:
+        assert ix.search_local(q, limit=0) == [], q
+        assert ix.search(q, limit=0).count() == 0, q
+    batch = ix.search_many(["machine", "rust async patterns"], limit=0)
+    assert all(v == [] for v in batch.values())
+
+
 def test_randomized_query_sweep_vs_oracle(built):
     """40 seeded random queries assembled from the real corpus
     vocabulary — bare terms, implicit OR, AND, NOT, random phrases

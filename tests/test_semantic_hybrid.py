@@ -45,6 +45,21 @@ def test_semantic_vs_oracle(built, query, limit):
         assert abs(gs - ws) <= 1e-5 * max(1.0, abs(ws)), (query, gd, gs, ws)
 
 
+def test_semantic_limit_zero(built):
+    """limit=0 -> 0 rows through both numpy topk kernels (regression:
+    np.partition kth(=n) out of bounds when k=0)."""
+    import numpy as np
+
+    from xf_spark.query.semantic import topk_ids_scores
+
+    _, embeddings, _, _ = built
+    assert semantic_topk(embeddings, "machine", limit=0).count() == 0
+    ids = np.arange(5, dtype=np.int64)
+    sc = np.linspace(0, 1, 5)
+    out_ids, out_sc = topk_ids_scores(ids, sc, 0)
+    assert len(out_ids) == 0 and len(out_sc) == 0
+
+
 @pytest.mark.parametrize("query,limit", [("rust", 20), ("machine", 10)])
 def test_hybrid_vs_oracle(built, query, limit):
     engine, embeddings, texts, oracle = built

@@ -139,6 +139,8 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
     within one plan evaluation), and only the ~k survivors pay the
     final lexsort (a full lexsort at head-term sizes was ~half the
     per-query eval cost — measured)."""
+    if k <= 0:
+        return ids[:0], scores[:0]
     n = len(ids)
     if n <= k:
         order = np.lexsort((ids, -scores))
@@ -310,7 +312,7 @@ def eval_plan_on_data(
         np.clip(idx, 0, len(allowed) - 1, out=idx)
         return allowed[idx] == ids
 
-    if allowed is not None and len(allowed) == 0:
+    if k <= 0 or (allowed is not None and len(allowed) == 0):
         return pd.DataFrame(
             {
                 "doc_id": np.empty(0, dtype=np.int64),

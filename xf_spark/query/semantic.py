@@ -86,6 +86,8 @@ def topk_ids_scores(ids: np.ndarray, sc: np.ndarray, k: int):
     including boundary ties) is lexsorted — O(n + c log c) instead of
     O(n log n); a pathological tie plateau falls back to the full
     lexsort so determinism never depends on the fast path."""
+    if k <= 0:
+        return ids[:0], sc[:0]
     n = len(ids)
     if k >= n:
         order = np.lexsort((ids, -sc))
@@ -130,6 +132,8 @@ def pinned_topk(ids: np.ndarray, mat: np.ndarray, q: np.ndarray, k: int):
     to BLAS accumulation-order ULP noise (<1e-12, the same tolerance
     class as the distributed path's per-Arrow-batch matmuls)."""
     q = np.asarray(q, dtype=np.float64)
+    if k <= 0:
+        return ids[:0], np.empty(0, np.float64)
     if mat.dtype != np.float32:
         return topk_ids_scores(ids, mat @ q, k)
     sc32 = mat @ q.astype(np.float32)
