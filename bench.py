@@ -212,6 +212,28 @@ def query_phase(cores: int, seg_path: str):
         queries["qps_hybrid_msearch_batch32"] = round(
             3 * len(hb) / (time.time() - t0), 1
         )
+        # DISTINCT-query batches: msearch dedupes repeated members
+        # (round 3), so the repeat-heavy batches above measure a
+        # hot-query stream; these measure the all-unique floor
+        W = ["machine", "rust", "async", "python", "learning", "data",
+             "code", "test", "error", "spark", "model", "train",
+             "query", "index", "build", "search"]
+        d64 = [f"{a} {b}" for a in W for b in W if a != b][:64]
+        ix.search_many(d64, limit=20)  # warm
+        t0 = time.time()
+        for _ in range(3):
+            ix.search_many(d64, limit=20)
+        queries["qps_msearch_batch64_distinct"] = round(
+            3 * len(d64) / (time.time() - t0), 1
+        )
+        d32 = d64[:32]
+        fx.msearch(d32, limit=20, mode="hybrid")  # warm
+        t0 = time.time()
+        for _ in range(3):
+            fx.msearch(d32, limit=20, mode="hybrid")
+        queries["qps_hybrid_msearch_batch32_distinct"] = round(
+            3 * len(d32) / (time.time() - t0), 1
+        )
         return queries, qps
     finally:
         spark.stop()
@@ -293,6 +315,7 @@ def main():
                 break
         thru_lo = ns / lo_sec_s
         thru_hi_s = ns / hi_sec_s
+        eff = (thru_hi_s / thru_lo) / (hi_scaling / lo_cpus)
         scaling = {
             "cpus_lo": lo_cpus,
             "cpus_hi": hi_scaling,
@@ -301,8 +324,19 @@ def main():
             "turns_per_sec_lo": round(thru_lo, 1),
             "turns_per_sec_hi": round(thru_hi_s, 1),
             "speedup": round(thru_hi_s / thru_lo, 3),
-            "efficiency": round((thru_hi_s / thru_lo) / (hi_scaling / lo_cpus), 3),
+            "efficiency": round(eff, 3),
         }
+        if eff > 1.0:
+            # superlinear thread scaling isn't physical: the 4x-longer
+            # 1-core build never caught a clean host window (one-sided
+            # contention noise, BENCH.md layer 1) and/or its JVM runs
+            # GC with less parallelism. Reported as measured; reads as
+            # ">= the true efficiency", which interleaved clean windows
+            # place at 0.85-0.95.
+            scaling["note"] = (
+                "efficiency > 1 = lo side noise-inflated (one-sided "
+                "host contention); true value ~0.85-0.95, see BENCH.md"
+            )
         queries["docs_bm25_build_and_query"] = docs_table_query(sf_dir, cpus)
 
         out = {
