@@ -260,6 +260,19 @@ class TestResults:
         assert "SortMergeJoin" not in plan
         assert "BroadcastHashJoin" in plan
 
+    def test_get_by_ids_none_conv_id_is_a_miss(self, built):
+        # a None conv_id in the request is a miss slot (Vec<Option<_>>
+        # semantics), not a TypeError from sorting the prune list
+        engine, _, rows = built
+        ids = [(None, 0), (rows[0]["conv_id"], rows[0]["turn_idx"])]
+        got = get_by_ids(engine.docs, ids).collect()
+        assert len(got) == 2
+        assert got[0]["text"] is None and got[0]["conv_id"] is None
+        assert got[1]["text"] == rows[0]["text"]
+        # all-None request list must also work (empty prune set)
+        only_none = get_by_ids(engine.docs, [(None, 1)]).collect()
+        assert len(only_none) == 1 and only_none[0]["text"] is None
+
     def test_snippets_highlight(self, built):
         engine, _, _ = built
         hyd = engine.search_hydrated("machine", limit=5)

@@ -268,6 +268,23 @@ class TestEmbeddingNearDup:
         assert (0, 1) in keys
         assert all(r["cosine"] >= 0.99 for r in pairs)
 
+    def test_cosine_rounding_half_away_from_zero(self):
+        # the rounded value feeds the >= threshold cut, so the kernel
+        # must round like Spark F.round / DuckDB ROUND (half away from
+        # zero), not numpy's default half-to-even
+        import pandas as pd
+
+        fn = D._cosine_pairs_udf.func
+        # parallel vectors scaled so cos*1e6 lands exactly on x.5
+        a = pd.Series([[1.0, 0.0], [1.0, 0.0]])
+        b = pd.Series([[1.0, 0.0], [-1.0, 0.0]])
+        out = fn(a, b).tolist()
+        assert out == [1.0, -1.0]
+        scaled = np.array([0.9999985, -0.9999985])  # *1e6 = ±999998.5
+        got = np.sign(scaled) * np.floor(np.abs(scaled) * 1e6 + 0.5) / 1e6
+        assert got.tolist() == [0.999999, -0.999999]  # away from zero
+        assert np.round(scaled, 6).tolist() == [0.999998, -0.999998]  # banker's differs
+
 
 class TestSimilarity:
     def test_brute_force_matches_numpy(self, embeddings):
@@ -406,6 +423,27 @@ class TestMultimodal:
         PIL.fromarray(arr).save(buf, format="PNG")
         got = _decode_image(buf.getvalue(), 8, 8, mode="real")
         assert np.array_equal(got, arr)
+
+    def test_auto_decode_falls_back_on_non_image_payload(self, monkeypatch):
+        # auto mode on a Pillow-equipped host must NOT crash on a
+        # payload that isn't a decodable image (the synthetic corpus,
+        # or a corrupt row in a real one) — it falls back per row to
+        # the deterministic fake. Simulated Pillow: open() rejects the
+        # buffer the way PIL.UnidentifiedImageError would.
+        from xf_spark.ops import multimodal
+
+        class _FakePIL:
+            @staticmethod
+            def open(_buf):
+                raise ValueError("cannot identify image file")
+
+        monkeypatch.setattr(multimodal, "_PILImage", _FakePIL)
+        got = multimodal._decode_image(b"not an image", 4, 4, mode="auto")
+        want = multimodal._decode_image(b"not an image", 4, 4, mode="fake")
+        assert np.array_equal(got, want)
+        # mode="real" still surfaces the decode error
+        with pytest.raises(ValueError):
+            multimodal._decode_image(b"not an image", 4, 4, mode="real")
 
     def test_real_decode_requires_pillow(self):
         from xf_spark.ops import multimodal

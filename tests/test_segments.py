@@ -499,6 +499,21 @@ def test_search_many_matches_single_queries(built):
         assert got == want, q
 
 
+def test_search_many_isolates_unparseable_member(built):
+    """A batch member the parser rejects (NOT on a field filter) gets
+    an empty result; the rest of the batch is served normally. The
+    single-query path still raises."""
+    ix, _oracle, _m, _p = built
+    batch = ix.search_many(
+        ["machine", "rust NOT type:assistant", "rust"], limit=10
+    )
+    assert batch["rust NOT type:assistant"] == []
+    assert batch["machine"] == ix.search_local("machine", limit=10)
+    assert batch["rust"] == ix.search_local("rust", limit=10)
+    with pytest.raises(ValueError):
+        ix.search_local("rust NOT type:assistant", limit=10)
+
+
 def test_limit_zero_returns_empty_everywhere(built):
     """limit=0 -> 0 rows, never an error (np.partition kth bound —
     regression: kth(=n) out of bounds when k=0 reached _topk)."""

@@ -111,6 +111,11 @@ def _cap_hot_buckets(
     if log_dropped:
         import logging
 
+        # persist the (tiny) hot set so the dropped-mass agg below does
+        # not re-evaluate `df` — whose lineage holds the expensive
+        # signature UDF — a second time; the anti-join broadcast then
+        # reuses the materialized rows
+        hot = hot.persist()
         row = hot.agg(
             F.count("*").alias("buckets"), F.sum("_n").alias("rows")
         ).first()
@@ -494,7 +499,12 @@ def _cosine_pairs_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
     """Batched exact cosine over candidate pairs: ONE float64 einsum
     per Arrow batch instead of a per-element SQL aggregate (~10x
     cheaper when candidate sets grow — round-3 change, identical
-    output: float64 math, rounded to 6 like the SQL/DuckDB replay)."""
+    output: float64 math, rounded to 6 like the SQL/DuckDB replay).
+
+    Rounding is half-AWAY-FROM-ZERO (what Spark's F.round and DuckDB's
+    ROUND both do), not numpy's default half-to-even — the rounded
+    value feeds the >= threshold cut, so a banker's-rounding boundary
+    would change the pair set itself."""
     A = np.array(va.tolist(), dtype=np.float64)
     B = np.array(vb.tolist(), dtype=np.float64)
     num = np.einsum("ij,ij->i", A, B)
@@ -502,7 +512,8 @@ def _cosine_pairs_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
         np.einsum("ij,ij->i", B, B)
     )
     with np.errstate(invalid="ignore", divide="ignore"):
-        return pd.Series(np.round(num / den, 6))
+        scaled = num / den * 1e6
+        return pd.Series(np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / 1e6)
 
 
 def embedding_near_dup_pairs(

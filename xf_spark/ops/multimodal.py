@@ -75,11 +75,14 @@ def _decode_image(
     """Decode an image payload to an HxWx3 uint8 array.
 
     ``mode``:
-    - "auto" (default): real Pillow decode when importable, else the
-      deterministic fake; ``XF_SPARK_REAL_DECODE=1`` turns the silent
-      fallback into a hard error for deployments that require real
-      decode.
-    - "real": require Pillow (raises without it).
+    - "auto" (default): real Pillow decode when importable AND the
+      payload is a decodable image; non-image payloads (e.g. the
+      synthetic corpus) fall back per row to the deterministic fake —
+      never a job-killing decode error. ``XF_SPARK_REAL_DECODE=1``
+      turns the no-Pillow fallback into a hard error for deployments
+      that require real decode.
+    - "real": require Pillow AND a decodable payload (raises
+      otherwise).
     - "fake": always the deterministic fake (payload bytes tiled to
       HxWx3) — what synthetic differentials pin, since their payloads
       are not actual image files.
@@ -91,10 +94,16 @@ def _decode_image(
             raise NotImplementedError("real decode requires Pillow")
         import io
 
-        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
-        if width and height and img.size != (width, height):
-            img = img.resize((width, height))
-        return np.asarray(img, dtype=np.uint8)
+        try:
+            img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        except Exception:
+            if mode == "real":
+                raise
+            img = None  # auto: not an image payload -> deterministic fake
+        if img is not None:
+            if width and height and img.size != (width, height):
+                img = img.resize((width, height))
+            return np.asarray(img, dtype=np.uint8)
     if mode == "auto" and os.environ.get("XF_SPARK_REAL_DECODE"):
         raise NotImplementedError(
             "XF_SPARK_REAL_DECODE is set but Pillow is not installed"

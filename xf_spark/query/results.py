@@ -49,38 +49,31 @@ def get_by_ids(docs: DataFrame, ids: list[tuple[str, int]]) -> DataFrame:
     search.rs:683-746: Vec<Option<...>> — one row PER REQUEST in
     request order, doc columns null for missing ids).
 
-    Plan note: a LEFT join preserving the tiny request side cannot
-    broadcast it (the preserved side is never the build side), so
-    ``req.join(docs, ..., "left")`` degrades to a SortMergeJoin that
-    shuffles the whole doc store. Instead: prune docs by the known
-    conv_ids (pushed to the parquet scan), inner-join with
-    broadcast(req), and union request-order null rows for the ids the
-    inner join missed — every frame past the pruned scan is k-sized."""
+    Plan note: the preserved (left) side of a left-outer join can
+    never be the broadcast build side, so broadcasting the tiny
+    request frame is impossible — but broadcasting the RIGHT side is
+    fine (BuildRight). Prune docs down to the requested conv_ids
+    (pushed to the parquet scan; bounded by the request, times the
+    turns-per-conversation bound the context expansion already
+    assumes) and left-join req against broadcast(pruned): one scan,
+    one narrow join, misses surface as null rows for free. A None
+    conv_id in the request simply never matches — a miss row, not an
+    error."""
     spark = docs.sparkSession
     req = spark.createDataFrame(
         [(c, t, i) for i, (c, t) in enumerate(ids)],
         "conv_id string, turn_idx int, req_order long",
     )
-    convs = sorted({c for c, _ in ids})
-    pruned = docs.where(F.col("conv_id").isin(convs))
+    convs = sorted({c for c, _ in ids if c is not None})
+    pruned = docs.where(F.col("conv_id").isin(convs)) if convs else docs.where(
+        F.lit(False)
+    )
     doc_extra = [c for c in docs.columns if c not in ("conv_id", "turn_idx")]
-    hit = pruned.join(F.broadcast(req), ["conv_id", "turn_idx"]).select(
-        "conv_id", "turn_idx", "req_order", *doc_extra
+    return (
+        req.join(F.broadcast(pruned), ["conv_id", "turn_idx"], "left")
+        .select("conv_id", "turn_idx", "req_order", *doc_extra)
+        .orderBy("req_order")
     )
-    miss = req.join(
-        F.broadcast(hit.select("conv_id", "turn_idx")),
-        ["conv_id", "turn_idx"],
-        "left_anti",
-    ).select(
-        "conv_id",
-        "turn_idx",
-        "req_order",
-        *[
-            F.lit(None).cast(docs.schema[c].dataType).alias(c)
-            for c in doc_extra
-        ],
-    )
-    return hit.unionByName(miss).orderBy("req_order")
 
 
 # ---------------------------------------------------------------------------

@@ -163,6 +163,41 @@ def _topk(ids: np.ndarray, scores: np.ndarray, k: int):
     return kids[order], ksc[order]
 
 
+def _QID_EMPTY() -> pd.DataFrame:
+    """Empty (qid, doc_id, score) frame — the zero-rows shape every
+    batched per-shard evaluator returns."""
+    return pd.DataFrame(
+        {
+            "qid": np.empty(0, dtype=np.int32),
+            "doc_id": np.empty(0, dtype=np.int64),
+            "score": np.empty(0, dtype=np.float64),
+        }
+    )
+
+
+def _merge_qid_rows(
+    rows, qlist: list[str], k: int
+) -> dict[str, list[tuple[int, float]]]:
+    """Driver-side merge of collected (qid, doc_id, score) rows from a
+    batched per-shard job: exact per-query top-k with the pinned
+    (score desc, doc_id asc) tiebreak. Input is <= B * n_shards * k
+    rows by construction — k-bounded, never corpus-sized."""
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
+    out: dict[str, list[tuple[int, float]]] = {}
+    for qi, q in enumerate(qlist):
+        hits = by_q.get(qi, [])
+        if hits:
+            ids = np.fromiter((h[0] for h in hits), np.int64, len(hits))
+            sc = np.fromiter((h[1] for h in hits), np.float64, len(hits))
+            tids, tsc = _topk(ids, sc, k)
+            out[q] = list(zip(tids.tolist(), tsc.tolist()))
+        else:
+            out[q] = []
+    return out
+
+
 def _or_exhaustive(parts: list) -> tuple[np.ndarray, np.ndarray]:
     """parts: [(sorted ids, scores)] -> union with score sums, sorted."""
     ids = np.concatenate([p[0] for p in parts])
@@ -588,11 +623,17 @@ class SegmentIndex:
         text terms into the decoded-postings LRU (one vocab agg + one
         pruned scan at startup) — the serving warmup that makes even a
         FIRST query on a common term run zero Spark jobs. Terms above
-        driver_topk_threshold are skipped (they serve distributed)."""
-        if coalesce_to:
-            self._segments = self._segments.coalesce(coalesce_to)
-        self._segments = self._segments.cache()
-        self._segments.count()
+        driver_topk_threshold are skipped (they serve distributed).
+
+        Idempotent on the cache itself: calling again (e.g. to add the
+        warm prefetch later) must NOT coalesce-and-cache a second copy
+        on top of the first — the old copy would stay pinned in the
+        block manager for the session's lifetime."""
+        if not self._segments.is_cached:
+            if coalesce_to:
+                self._segments = self._segments.coalesce(coalesce_to)
+            self._segments = self._segments.cache()
+            self._segments.count()
         if warm_top_terms:
             top = (
                 self._segments.where(F.col("field") == "text")
@@ -966,6 +1007,27 @@ class SegmentIndex:
             ranked = ranked.offset(offset)
         return ranked.limit(limit)
 
+    def _union_idfs(self, plans_iter) -> tuple[dict, set, set]:
+        """Union the term/prefix sets of a batch of plans and resolve
+        their idfs in ONE vocabulary pass -> (idfs, union_t, union_p)."""
+        union_t: set[str] = set()
+        union_p: set[str] = set()
+        for pl in plans_iter:
+            union_t |= query_terms(pl)
+            union_p |= prefix_terms(pl)
+        n = self.meta["n_docs"]
+        idfs = {
+            ("text", t): idf_for(n, df)
+            for t, df in self.term_dfs(union_t, "text").items()
+        }
+        idfs.update(
+            {
+                ("prefix", t): idf_for(n, df)
+                for t, df in self.term_dfs(union_p, "prefix").items()
+            }
+        )
+        return idfs, union_t, union_p
+
     def _search_many_distributed(
         self, plans: dict[str, tuple], limit: int, exhaustive: bool
     ) -> dict[str, list[tuple[int, float]]]:
@@ -979,22 +1041,7 @@ class SegmentIndex:
         stays k-bounded, and nothing head-term-sized ever reaches the
         coordinator."""
         qlist = list(plans)
-        union_t: set[str] = set()
-        union_p: set[str] = set()
-        for pl in plans.values():
-            union_t |= query_terms(pl)
-            union_p |= prefix_terms(pl)
-        n = self.meta["n_docs"]
-        idfs = {
-            ("text", t): idf_for(n, df)
-            for t, df in self.term_dfs(union_t, "text").items()
-        }
-        idfs.update(
-            {
-                ("prefix", t): idf_for(n, df)
-                for t, df in self.term_dfs(union_p, "prefix").items()
-            }
-        )
+        idfs, union_t, union_p = self._union_idfs(plans.values())
         avgdl = self.meta["avgdl"]
         plan_list = [plans[q] for q in qlist]
         k = limit
@@ -1007,36 +1054,15 @@ class SegmentIndex:
                 if len(res):
                     res.insert(0, "qid", np.int32(qi))
                     outs.append(res)
-            if not outs:
-                return pd.DataFrame(
-                    {
-                        "qid": np.empty(0, dtype=np.int32),
-                        "doc_id": np.empty(0, dtype=np.int64),
-                        "score": np.empty(0, dtype=np.float64),
-                    }
-                )
-            return pd.concat(outs, ignore_index=True)
+            return pd.concat(outs, ignore_index=True) if outs else _QID_EMPTY()
 
         scored = (
             self._pruned_scan(union_t, union_p)
             .groupBy("shard")
             .applyInPandas(run, schema="qid int, doc_id long, score double")
         )
-        rows = scored.collect()  # <= B * n_shards * k rows by construction
-        by_q: dict[int, list] = {}
-        for r in rows:
-            by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
-        out: dict[str, list[tuple[int, float]]] = {}
-        for qi, q in enumerate(qlist):
-            hits = by_q.get(qi, [])
-            if hits:
-                ids = np.fromiter((h[0] for h in hits), np.int64, len(hits))
-                sc = np.fromiter((h[1] for h in hits), np.float64, len(hits))
-                tids, tsc = _topk(ids, sc, k)
-                out[q] = list(zip(tids.tolist(), tsc.tolist()))
-            else:
-                out[q] = []
-        return out
+        # <= B * n_shards * k rows by construction
+        return _merge_qid_rows(scored.collect(), qlist, k)
 
     def _search_many_filtered_distributed(
         self, items: dict[str, tuple], limit: int, exhaustive: bool
@@ -1049,23 +1075,11 @@ class SegmentIndex:
         if self.docs is None:
             raise ValueError("filters require a docs table")
         qlist = list(items)
-        union_t: set[str] = set()
-        union_p: set[str] = set()
         all_roles: set[str] = set()
-        for pl, roles in items.values():
-            union_t |= query_terms(pl)
-            union_p |= prefix_terms(pl)
+        for _pl, roles in items.values():
             all_roles |= set(roles)
-        n = self.meta["n_docs"]
-        idfs = {
-            ("text", t): idf_for(n, df)
-            for t, df in self.term_dfs(union_t, "text").items()
-        }
-        idfs.update(
-            {
-                ("prefix", t): idf_for(n, df)
-                for t, df in self.term_dfs(union_p, "prefix").items()
-            }
+        idfs, union_t, union_p = self._union_idfs(
+            pl for pl, _roles in items.values()
         )
         avgdl = self.meta["avgdl"]
         plan_list = [items[q] for q in qlist]
@@ -1079,15 +1093,8 @@ class SegmentIndex:
             )
 
         def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {
-                    "qid": np.empty(0, dtype=np.int32),
-                    "doc_id": np.empty(0, dtype=np.int64),
-                    "score": np.empty(0, dtype=np.float64),
-                }
-            )
             if not len(seg_pdf) or not len(attr_pdf):
-                return empty
+                return _QID_EMPTY()
             data = build_term_data(seg_pdf)
             ids_arr = attr_pdf["doc_id"].to_numpy(np.int64)
             roles_arr = attr_pdf["role"].to_numpy()
@@ -1100,7 +1107,7 @@ class SegmentIndex:
                 if len(res):
                     res.insert(0, "qid", np.int32(qi))
                     outs.append(res)
-            return pd.concat(outs, ignore_index=True) if outs else empty
+            return pd.concat(outs, ignore_index=True) if outs else _QID_EMPTY()
 
         scored = (
             self._pruned_scan(union_t, union_p)
@@ -1108,21 +1115,7 @@ class SegmentIndex:
             .cogroup(attrs.groupBy("shard"))
             .applyInPandas(run_cg, schema="qid int, doc_id long, score double")
         )
-        rows = scored.collect()
-        by_q: dict[int, list] = {}
-        for r in rows:
-            by_q.setdefault(r["qid"], []).append((r["doc_id"], r["score"]))
-        out: dict[str, list[tuple[int, float]]] = {}
-        for qi, q in enumerate(qlist):
-            hits = by_q.get(qi, [])
-            if hits:
-                ids = np.fromiter((h[0] for h in hits), np.int64, len(hits))
-                sc = np.fromiter((h[1] for h in hits), np.float64, len(hits))
-                tids, tsc = _topk(ids, sc, k)
-                out[q] = list(zip(tids.tolist(), tsc.tolist()))
-            else:
-                out[q] = []
-        return out
+        return _merge_qid_rows(scored.collect(), qlist, k)
 
     def search_many(
         self, queries: list[str], limit: int = 20, exhaustive: bool = False
@@ -1134,7 +1127,24 @@ class SegmentIndex:
         and the decode across the batch — sustained QPS scales with
         batch size instead of paying ~100ms per query."""
         _t0 = time.time()
-        extracted = {q: parse_query_extract(q) for q in queries}
+        # per-member parse isolation: one malformed query (e.g.
+        # "NOT type:assistant", rejected by the parser) must not poison
+        # the batch — it gets an empty result + a warning, the other
+        # members are served normally
+        extracted: dict[str, tuple] = {}
+        rejected: list[str] = []
+        for q in queries:
+            try:
+                extracted[q] = parse_query_extract(q)
+            except ValueError:
+                rejected.append(q)
+        if rejected:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "search_many: %d unparseable batch member(s) served as "
+                "empty results: %s", len(rejected), rejected[:5],
+            )
         # queries carrying type:/role: filters: light members take the
         # filtered single-query path (driver-resolved when warm); heavy
         # members batch through ONE filtered cogroup job below
@@ -1193,7 +1203,7 @@ class SegmentIndex:
             }
         )
         data = self._term_data_for(all_t, all_p)
-        out: dict[str, list[tuple[int, float]]] = {}
+        out: dict[str, list[tuple[int, float]]] = {q: [] for q in rejected}
         for q in filtered_qs:
             out[q] = [
                 (r["doc_id"], r["score"])
