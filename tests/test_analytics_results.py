@@ -85,8 +85,25 @@ class TestStats:
         _, transcripts, rows = built
         lh = S.length_histogram(transcripts).collect()
         assert sum(r["n"] for r in lh) == len(rows)
+        # buckets come back in ascending LENGTH order, not
+        # lexicographic label order ('141-280' < '51-140' as strings)
+        order = {"0-50": 0, "51-140": 1, "141-280": 2, "280+": 3}
+        keys = [order[r["bucket"]] for r in lh]
+        assert keys == sorted(keys)
         th = S.turns_per_conversation_histogram(transcripts).collect()
         assert sum(r["n"] for r in th) == len({x["conv_id"] for x in rows})
+
+    def test_activity_summary_empty_input_keeps_one_row(self, spark, built):
+        # the reference always returns a stats struct; an empty corpus
+        # must yield one row of zero/null fields, not zero rows (the
+        # old crossJoin with the empty limit(1) top frames annihilated
+        # the aggregate row)
+        _, transcripts, _ = built
+        empty = transcripts.limit(0)
+        row = S.activity_summary(empty).collect()
+        assert len(row) == 1
+        assert row[0]["active_days"] == 0
+        assert row[0]["most_active_day"] is None
 
     def test_top_tools(self, built):
         _, transcripts, rows = built

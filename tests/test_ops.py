@@ -345,6 +345,13 @@ class TestSimilarity:
         exact = [r["vec_id"] for r in SIM.brute_force_topk(embeddings, q, k=10).collect()]
         assert approx == exact  # probing ALL cells == exact
 
+    def test_train_centroids_tiny_sample_never_empty(self, embeddings):
+        # sample=1 on a larger table: Bernoulli sampling returns 0 rows
+        # with high probability — the fallback slice must keep init
+        # non-empty instead of crashing on an empty centroid array
+        cent = SIM.train_centroids(embeddings, n_cells=4, sample=1)
+        assert cent.shape[0] >= 1 and np.isfinite(cent).all()
+
 
 class TestTextOps:
     def test_lang_id(self, spark):

@@ -103,6 +103,56 @@ def test_resume_skips_completed(built, spark):
     assert again == []  # every slice already in the manifest
 
 
+def test_resume_replays_slice_without_duplicating(spark, tmp_path):
+    """Crash between a slice's segment write and its manifest row ->
+    the re-run must REPLACE that slice's partitions (dynamic
+    overwrite), not append a second copy of every posting (which
+    silently doubled df/n_docs)."""
+    path = str(tmp_path / "rs")
+    transcripts = load_transcripts(spark, SCALE)
+    eng = build_engine(transcripts)
+    kw = dict(
+        n_docs=eng.stats.n_docs, avgdl=eng.stats.avgdl, path=path,
+        prefix_postings=eng.prefix_postings, n_shards=4, n_buckets=16,
+        slices=3,
+    )
+    build_segment_index(eng.postings, **kw)
+    ix = SegmentIndex.load(spark, path, docs=eng.docs)
+    want = ix.search_local("machine", limit=20)
+    df_want = ix.term_dfs({"machine"}, "text")
+
+    # simulate the crash: drop slice 1's manifest row (its segments
+    # stay on disk), then resume — slice 1 re-runs
+    man_path = f"{path}/manifest"
+    man = spark.read.parquet(man_path).where("slice_id <> 1").toPandas()
+    import shutil
+    shutil.rmtree(man_path)
+    spark.createDataFrame(man).write.parquet(man_path)
+    metrics = build_segment_index(eng.postings, **kw)
+    assert [m.slice_id for m in metrics] == [1]
+
+    ix2 = SegmentIndex.load(spark, path, docs=eng.docs)
+    assert ix2.term_dfs({"machine"}, "text") == df_want  # not doubled
+    assert ix2.search_local("machine", limit=20) == want
+
+
+def test_build_without_positions_column(spark, tmp_path):
+    """postings built with with_positions=False (no positions column)
+    must build cleanly — nothing to encode, not a len(None) crash."""
+    from xf_spark.index.postings import build_postings
+
+    path = str(tmp_path / "np")
+    transcripts = load_transcripts(spark, SCALE)
+    eng = build_engine(transcripts, with_positions=False, with_prefix=False)
+    assert "positions" not in eng.postings.columns
+    build_segment_index(
+        eng.postings, n_docs=eng.stats.n_docs, avgdl=eng.stats.avgdl,
+        path=path, n_shards=2, n_buckets=8, slices=1,
+    )
+    ix = SegmentIndex.load(spark, path, docs=eng.docs)
+    assert ix.search_local("machine", limit=5)
+
+
 def test_filters_pre_topk(built):
     ix, oracle, _, _ = built
     got = [r["doc_id"] for r in ix.search("rust", limit=10, roles=["assistant"]).collect()]

@@ -79,6 +79,36 @@ class TestStreamIndex:
         # old version still readable (snapshot-style cutover)
         assert XfIndex.open(spark, cur1).docs.count() == 6
 
+    def test_batch_replay_never_deletes_live_version(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a replay whose version id
+        collides with CURRENT (crash between cutover and checkpoint
+        commit, or a reset checkpoint) must NOT rmtree the live
+        version — it retries under a suffix and dedup makes the
+        replayed rows a no-op."""
+        import shutil
+
+        inp, root, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "idx"),
+            str(tmp_path / "ckpt"),
+        )
+        _write_batch(inp, "a.parquet", _rows("r1", 0, 4, 0))
+        stream_index(spark, inp, root, ckpt, slices=1).awaitTermination()
+        cur = current_index_path(root)
+        from xf_spark.engine import XfIndex
+
+        assert XfIndex.open(spark, cur).docs.count() == 4
+
+        # simulate the replay: reset the checkpoint so batch ids
+        # restart at 0 and the replayed batch's version id == CURRENT
+        shutil.rmtree(ckpt)
+        stream_index(spark, inp, root, ckpt, slices=1).awaitTermination()
+        cur2 = current_index_path(root)
+        assert cur2 and os.path.isdir(cur2)
+        ix = XfIndex.open(spark, cur2)
+        assert ix.docs.count() == 4  # dedup: replay adds nothing
+        assert ix.search("indexing", limit=10).count() > 0
+
     def test_no_new_files_is_noop(self, spark, tmp_path):
         inp, root, ckpt = (
             str(tmp_path / "in"),

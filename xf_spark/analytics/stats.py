@@ -91,8 +91,17 @@ def activity_summary(transcripts: DataFrame) -> DataFrame:
         .cast("long")
         .alias("days_in_range"),
     )
-    return summary.crossJoin(F.broadcast(top_day)).crossJoin(
-        F.broadcast(top_hour)
+    # join on a constant key, NOT crossJoin: on an empty input the
+    # limit(1) top frames have zero rows, and a crossJoin would
+    # annihilate the always-one-row aggregate summary — the reference
+    # always returns a stats struct (nulls for the top fields)
+    summary = summary.withColumn("_k", F.lit(1))
+    return (
+        summary.join(
+            F.broadcast(top_day.withColumn("_k", F.lit(1))), "_k", "left"
+        )
+        .join(F.broadcast(top_hour.withColumn("_k", F.lit(1))), "_k", "left")
+        .drop("_k")
     )
 
 
@@ -124,7 +133,14 @@ def length_histogram(transcripts: DataFrame) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
         .withColumn("pct", F.round(F.col("n") * 100.0 / F.lit(total), 4))
-        .orderBy("bucket")
+        # numeric sort key: lexicographic label order would interleave
+        # the buckets ('141-280' < '51-140' as strings)
+        .orderBy(
+            F.when(F.col("bucket") == "0-50", 0)
+            .when(F.col("bucket") == "51-140", 1)
+            .when(F.col("bucket") == "141-280", 2)
+            .otherwise(3)
+        )
     )
 
 

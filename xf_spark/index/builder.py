@@ -36,9 +36,17 @@ def build_engine(
 ) -> BM25Engine:
     """Build the in-session index over the input_hint-shaped table."""
     docs = prepare_docs(transcripts)
+    _ordered = getattr(docs, "_ordered_cache", None)
     if cache:
         docs = docs.cache()
     n_docs = docs.count()
+    if cache and _ordered is not None:
+        # docs is cached + materialized: the intermediate sorted-text
+        # cache (docID partition-stability anchor) is no longer needed.
+        # With cache=False it MUST stay — every downstream action
+        # re-plans, and only the cached range partitioning keeps
+        # doc_ids stable (AQE resampling hazard, see index/docs.py).
+        _ordered.unpersist()
 
     postings = build_postings(docs, with_positions=with_positions)
     if cache:

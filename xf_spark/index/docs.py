@@ -29,22 +29,28 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
-def assign_doc_ids(
-    df: DataFrame,
-    order_cols: list[str] | None = None,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Return ``df`` plus a dense int64 ``doc_id`` column ranking rows
-    by ``order_cols`` (default: conv_id, turn_idx). Deterministic for
-    any partition count as long as the ordering key is unique."""
-    order_cols = order_cols or ["conv_id", "turn_idx"]
+def _ordered_with_offsets(
+    df: DataFrame, order_cols: list[str], num_partitions: int | None
+):
+    """Shared core of the docID machinery: range-repartition + sort
+    within partitions, MATERIALIZE, count rows per partition, driver
+    prefix-sum -> (ordered_cached_df, broadcast{pid: offset}).
+
+    The cache is LOAD-BEARING for correctness, not a performance
+    tweak: the counts job and the assign job MUST see the same
+    partition boundaries, and a re-executed repartitionByRange
+    re-samples (AQE re-plans per action) — without materialization
+    the two jobs can disagree and silently shift doc_ids (observed:
+    off-by-one dl corruption at partition boundaries). Callers must
+    unpersist the returned frame (exposed as ``_ordered_cache`` on
+    their output) once downstream state is materialized."""
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
-    ordered = df.repartitionByRange(num_partitions, *order_cols).sortWithinPartitions(
-        *order_cols
+    ordered = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .cache()
     )
-    ordered = ordered.cache()
-
     # pass 1: per-partition row counts (count-only, no data movement)
     counts = (
         ordered.withColumn("_pid", F.spark_partition_id())
@@ -58,13 +64,26 @@ def assign_doc_ids(
     for pid in sorted(by_pid):
         offsets[pid] = acc
         acc += by_pid[pid]
+    bc = ordered.sparkSession.sparkContext.broadcast(offsets)
+    return ordered, bc
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    order_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Return ``df`` plus a dense int64 ``doc_id`` column ranking rows
+    by ``order_cols`` (default: conv_id, turn_idx). Deterministic for
+    any partition count as long as the ordering key is unique."""
+    order_cols = order_cols or ["conv_id", "turn_idx"]
+    ordered, bc = _ordered_with_offsets(df, order_cols, num_partitions)
 
     from pyspark.sql import types as T
 
     schema = T.StructType(
         list(ordered.schema.fields) + [T.StructField("doc_id", T.LongType())]
     )
-    bc = ordered.sparkSession.sparkContext.broadcast(offsets)
 
     def add_ids(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -78,7 +97,11 @@ def assign_doc_ids(
             local += n
             yield pdf
 
-    return ordered.mapInPandas(add_ids, schema=schema)
+    out = ordered.mapInPandas(add_ids, schema=schema)
+    # release handle for the intermediate sorted cache (see
+    # prepare_docs_tokenized) — consumers unpersist after materializing
+    out._ordered_cache = ordered
+    return out
 
 
 def prepare_docs_tokenized(
@@ -92,32 +115,9 @@ def prepare_docs_tokenized(
     from xf_spark.functions.hash_embed import DIM  # noqa: F401 (keep import graph warm)
     from xf_spark.functions.textcore import generate_prefixes, tokenize
 
-    order_cols = ["conv_id", "turn_idx"]
-    if num_partitions is None:
-        num_partitions = transcripts.sparkSession.sparkContext.defaultParallelism
-    # The cache is LOAD-BEARING for correctness, not a performance
-    # tweak: the counts job and the assign job MUST see the same
-    # partition boundaries, and a re-executed repartitionByRange
-    # re-samples (AQE re-plans per action) — without materialization
-    # the two jobs can disagree and silently shift doc_ids (observed:
-    # off-by-one dl corruption at partition boundaries).
-    ordered = transcripts.repartitionByRange(
-        num_partitions, *order_cols
-    ).sortWithinPartitions(*order_cols)
-    ordered = ordered.cache()
-
-    counts = (
-        ordered.withColumn("_pid", F.spark_partition_id())
-        .groupBy("_pid")
-        .count()
-        .collect()
+    ordered, bc = _ordered_with_offsets(
+        transcripts, ["conv_id", "turn_idx"], num_partitions
     )
-    by_pid = {r["_pid"]: r["count"] for r in counts}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in sorted(by_pid):
-        offsets[pid] = acc
-        acc += by_pid[pid]
 
     from pyspark.sql import types as T
 
@@ -134,7 +134,6 @@ def prepare_docs_tokenized(
             T.StructField("dl", T.IntegerType()),
         ]
     )
-    bc = ordered.sparkSession.sparkContext.broadcast(offsets)
 
     def assign_and_tokenize(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

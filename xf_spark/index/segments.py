@@ -239,6 +239,10 @@ def build_segment_index(
     on re-run."""
     src = postings.withColumn("field", F.lit("text"))
     if "positions" not in src.columns:
+        # postings built with with_positions=False carry no positions
+        # column: there is nothing to encode, and passing the null-cast
+        # placeholder into encode_positions would crash (len(None))
+        with_positions = False
         src = src.withColumn("positions", F.lit(None).cast("array<int>"))
     src = src.select("field", "term", "doc_id", "tf", "dl", "positions")
     if prefix_postings is not None:
@@ -322,11 +326,19 @@ def _build_from_tagged(
         seg = part.groupBy("field", "bucket", "shard").applyInPandas(
             _one_arg(encode), schema=SEGMENT_SCHEMA
         )
+        # dynamic partition overwrite: a slice owns a disjoint bucket
+        # range, so a crash between this write and the manifest row
+        # below re-runs the slice and REPLACES its own (field, bucket)
+        # partitions instead of appending a duplicate copy of every
+        # posting row (mode("append") silently doubled n_docs/df on
+        # resume — the same hazard build_index fixes with per-slice
+        # overwrite subdirs)
         (
             seg.repartition("field", "bucket")
             .sortWithinPartitions("term", "shard")
             .write.partitionBy("field", "bucket")
-            .mode("append")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
             .parquet(out)
         )
         # slice metrics from the written files (lineage)
@@ -773,10 +785,18 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
             "left_anti",
         )
 
-    full = prepare_docs_tokenized(fresh, num_partitions=meta["n_shards"]).withColumn(
+    tokenized = prepare_docs_tokenized(fresh, num_partitions=meta["n_shards"])
+    # grab the release handle BEFORE chaining (withColumn returns a new
+    # DataFrame without the attribute) — otherwise every append leaks
+    # one cached copy of the delta's text into the block manager, and
+    # under stream_index that compounds per micro-batch
+    _ordered = getattr(tokenized, "_ordered_cache", None)
+    full = tokenized.withColumn(
         "doc_id", F.col("doc_id") + F.lit(int(meta["n_docs"]))
     ).cache()
     row = full.agg(F.count("*").alias("n"), F.sum("dl").alias("total")).first()
+    if _ordered is not None:  # `full` materialized — drop the intermediate
+        _ordered.unpersist()
     m = int(row["n"] or 0)
     if m == 0:
         full.unpersist()

@@ -85,6 +85,15 @@ def train_centroids(
     S = S.cache()
     try:
         k = min(n_cells, S.count())
+        if k == 0:
+            # binomial sample() can return 0 rows when `sample` is tiny
+            # relative to n (P ~ e^-1.2*sample) — fall back to a bounded
+            # deterministic slice so init below never sees an empty set
+            S.unpersist()
+            S = embeddings.select(F.col(vec_col).alias("v")).limit(
+                max(n_cells, sample)
+            ).cache()
+            k = min(n_cells, S.count())
         init_rows = (
             S.withColumn("_h", F.sha2(F.to_json(F.col("v")), 256))
             .orderBy("_h")
@@ -156,14 +165,16 @@ def assign_cells(
 
     @F.pandas_udf(T.IntegerType())
     def cell_of(vecs: pd.Series) -> pd.Series:
+        # batched: one (rows x dim) @ (dim x n_cells) matmul per Arrow
+        # batch — cell assignment runs over EVERY embedding at
+        # build/append time, so a per-row Python loop here would be the
+        # dominant cost of the IVF layout build
         C = cb.value
-
-        def one(v):
-            x = np.asarray(v, dtype=np.float64)
-            x /= max(np.linalg.norm(x), 1e-12)
-            return int(np.argmax(C @ x))
-
-        return vecs.map(one)
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(X @ C.T, axis=1).astype(np.int32))
 
     return embeddings.withColumn("cell", cell_of(F.col(vec_col)))
 
@@ -210,10 +221,14 @@ def ivf_topk(
             else:
                 mat = np.stack(col).astype(np.float64)
             norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
-            sc = (mat @ qv) / norms
+            # round BEFORE the per-partition cut: the pinned tiebreak is
+            # (rounded score desc, id asc) — cutting on raw scores could
+            # evict a smaller id that ties after rounding, diverging
+            # from brute_force_topk inside the probed cells
+            sc = np.round((mat @ qv) / norms, 6)
             ids = pdf[id_col].to_numpy(np.int64)
             order = np.lexsort((ids, -sc))[:k]
-            yield pd.DataFrame({"_id": ids[order], "cosine": np.round(sc[order], 6)})
+            yield pd.DataFrame({"_id": ids[order], "cosine": sc[order]})
 
     partials = (
         celled.where(F.col("cell").isin(probe))

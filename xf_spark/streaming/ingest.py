@@ -115,6 +115,20 @@ def stream_index(
 
         cur = current_index_path(index_root)
         new_dir = os.path.join(index_root, f"v{batch_id}")
+        if cur == new_dir:
+            # foreachBatch is at-least-once: a crash between
+            # _set_current and the checkpoint commit replays this
+            # batch with CURRENT already pointing at v{batch_id} (the
+            # same collision happens when a reset checkpoint restarts
+            # batch ids over an existing root). NEVER rmtree the live
+            # version — retry under a fresh suffix; the append's
+            # dedup anti-join is the exactly-once backstop, so a pure
+            # replay adds zero rows and genuinely new data still
+            # lands.
+            r = 1
+            while os.path.join(index_root, f"v{batch_id}_r{r}") == cur:
+                r += 1
+            new_dir = os.path.join(index_root, f"v{batch_id}_r{r}")
         if cur is None:
             XfIndex.build(batch_df, new_dir, **build_kw)
         else:
