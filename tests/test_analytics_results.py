@@ -122,6 +122,25 @@ class TestStats:
 
 
 class TestDates:
+    def test_year_offsets_clamp_leap_day(self):
+        from xf_spark.query.dates import parse_date_range
+
+        lo, hi = parse_date_range("2 years ago", now=dt.datetime(2028, 2, 29))
+        assert lo.date() == dt.date(2026, 2, 28)
+        lo, hi = parse_date_range("last 1 year", now=dt.datetime(2028, 2, 29))
+        assert lo.date() == dt.date(2027, 2, 28)
+        assert hi.date() == dt.date(2028, 2, 29)
+        lo, _ = parse_date_range("3 months ago", now=dt.datetime(2024, 5, 31))
+        assert lo.date() == dt.date(2024, 2, 29)  # clamped to Feb length
+
+    def test_rfc3339_forms(self):
+        from xf_spark.query.dates import parse_date_range
+
+        lo, hi = parse_date_range("2024-03-05T12:00:00Z")
+        assert lo == dt.datetime(2024, 3, 5, 12, 0) and lo == hi
+        lo, _ = parse_date_range("2024-03-05T12:00:00.123+02:00")
+        assert lo == dt.datetime(2024, 3, 5, 10, 0, 0, 123000)  # UTC
+
     def test_iso_date(self):
         assert parse_date_flexible("2024-03-05") == dt.datetime(2024, 3, 5)
         assert parse_date_flexible("2024-03-05", end=True) == dt.datetime(

@@ -42,6 +42,24 @@ class TestXfIndex:
         ix, _, _ = xfindex
         for mode in ["lexical", "semantic", "hybrid", "bm25", "vector", "rrf"]:
             assert ix.search("rust", mode=mode, limit=3).count() == 3
+            # msearch accepts the SAME mode vocabulary as search()
+            assert len(ix.msearch(["rust"], limit=3, mode=mode)["rust"]) == 3
+
+    def test_context_view_shape(self, xfindex):
+        # context REPLACES hydration/snippets (different output shape:
+        # every turn of each matched conversation, turn order)
+        ix, _, _ = xfindex
+        out = ix.search("machine", mode="lexical", limit=3,
+                        snippets=True, context=True)
+        rows = out.collect()
+        assert rows and "is_match" in out.columns
+        assert "snippet" not in out.columns
+        by_conv = {}
+        for r in rows:
+            by_conv.setdefault(r["conv_id"], []).append(r["turn_idx"])
+        for idxs in by_conv.values():
+            assert idxs == sorted(idxs)
+        assert any(r["is_match"] for r in rows)
 
     def test_natural_language_dates(self, xfindex):
         ix, _, _ = xfindex
@@ -111,6 +129,29 @@ class TestArchiveSource:
         ]
         # both ts formats parsed
         assert all(r["ts"] is not None for r in out)
+
+    def test_dm_turn_order_follows_parsed_timestamp(self, spark, tmp_path):
+        """Legacy X timestamps ('Mon Jan 05 ...') sort by weekday name
+        as raw strings — turn_idx must follow the PARSED chronology."""
+        from xf_spark.sources.archive import read_dm_archive
+
+        msgs = [
+            {"messageCreate": {"id": "2", "senderId": "u1",
+             "recipientId": "u2", "text": "second (april)",
+             "createdAt": "Fri Apr 03 10:00:00 +0000 2026"}},
+            {"messageCreate": {"id": "1", "senderId": "u2",
+             "recipientId": "u1", "text": "first (january)",
+             "createdAt": "Mon Jan 05 10:00:00 +0000 2026"}},
+        ]
+        f = tmp_path / "direct-messages-part0.js"
+        f.write_text(
+            "window.YTD.direct_messages.part0 = "
+            + json.dumps([{"dmConversation": {"conversationId": "cA",
+                                              "messages": msgs}}]) + ";"
+        )
+        out = read_dm_archive(spark, str(f)).orderBy("turn_idx").collect()
+        assert [r["text"] for r in out] == ["first (january)", "second (april)"]
+        assert [r["ts"].month for r in out] == [1, 4]
 
     def test_conversations_grouped_order(self, spark):
         tr = load_transcripts(spark, SCALE)

@@ -395,12 +395,18 @@ class XfIndex:
         else:
             raise ValueError(f"unknown mode {mode}")
 
+        if context:
+            # conversation-context view: a different output SHAPE
+            # (every turn of each matched conversation, in
+            # (conv_id, turn_idx) order — the ordering-parity
+            # contract). It REPLACES hydration/sort/snippets, which
+            # only apply to flat hit rows — so skip that work rather
+            # than building and discarding it.
+            return conversation_context(self.docs, hits)
         hydrated, presorted = self._hydrate(hits, sort)
         out = hydrated if presorted else apply_sort(hydrated, sort)
         if snippets:
             out = add_snippets(out, query)
-        if context:
-            out = conversation_context(self.docs, hits)
         return out
 
     def _hydrate(self, hits: DataFrame, sort: str = "relevance"):
@@ -499,6 +505,11 @@ class XfIndex:
         hybrid: lexical batch + semantic batch (as above) + per-query
         k-sized RRF fusion."""
         distinct = list(dict.fromkeys(queries))
+        # same alias map as search(): the two facade entry points must
+        # agree on valid mode values
+        mode = {"bm25": "lexical", "vector": "semantic", "rrf": "hybrid"}.get(
+            mode, mode
+        )
         if mode == "lexical":
             return self.segment_index.search_many(distinct, limit=limit)
         if mode not in ("semantic", "hybrid"):

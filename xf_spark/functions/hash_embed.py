@@ -20,9 +20,6 @@ import numpy as np
 from xf_spark.functions.textcore import _SPLIT_RE
 
 DIM = 384
-FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-FNV_PRIME = np.uint64(0x100000001B3)
-_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def embed_tokens(text: str) -> list[str]:

@@ -111,7 +111,10 @@ def _collapse_code_block(match: re.Match) -> str:
     return "\n".join(lines[:CODE_HEAD_LINES] + ["..."] + lines[-CODE_TAIL_LINES:])
 
 
-_MD_CHARS = set("*_`#>[]!-0123456789")
+# every char that can TRIGGER one of _MD_PATTERNS must be here, or the
+# fast path and the full chain canonicalize the same structure
+# differently ('+' bullets were missing — embedding divergence)
+_MD_CHARS = set("*_`#>[]!-+0123456789")
 
 
 def canonicalize_for_embedding(text: str) -> str:

@@ -11,7 +11,6 @@ import pandas as pd
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from xf_spark.functions.hash_embed import hash_embed
 from xf_spark.functions.textcore import (
     canonicalize_for_embedding,
     generate_prefixes,

@@ -38,7 +38,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from xf_spark.index.postings import CorpusStats
-from xf_spark.query.parser import parse_query
 
 K1 = 1.2
 B = 0.75
@@ -101,15 +100,14 @@ class BM25Engine:
                 roles = qroles
         scored = self._eval(plan)
         if roles or since is not None or until is not None:
+            from xf_spark.query.segment_search import _attr_cond
+
             attrs = self.docs.select("doc_id", "role", "ts")
-            cond = F.lit(True)
-            if roles:
-                cond = cond & F.col("role").isin(list(roles))
-            if since is not None:
-                cond = cond & (F.col("ts") >= F.lit(since))
-            if until is not None:
-                cond = cond & (F.col("ts") <= F.lit(until))
-            scored = scored.join(attrs.where(cond), "doc_id", "left_semi")
+            scored = scored.join(
+                attrs.where(_attr_cond(roles, since, until)),
+                "doc_id",
+                "left_semi",
+            )
         ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             ranked = ranked.offset(offset)

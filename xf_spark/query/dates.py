@@ -41,6 +41,22 @@ WEEKDAYS.update({d.lower(): i for i, d in enumerate(calendar.day_abbr)})
 _UNITS = {"day": 1, "week": 7}
 
 
+def _offset_date(today: dt.date, n: int, unit: str) -> dt.date:
+    """``today`` minus ``n`` day/week/month/year units, day-of-month
+    clamped to the target month's length (so '1 year ago' on a leap
+    day or '1 month ago' on the 31st never raises)."""
+    if unit in _UNITS:
+        return today - dt.timedelta(days=n * _UNITS[unit])
+    if unit == "month":
+        y, mth = today.year, today.month - n
+        while mth <= 0:
+            mth += 12
+            y -= 1
+    else:  # year
+        y, mth = today.year - n, today.month
+    return dt.date(y, mth, min(today.day, calendar.monthrange(y, mth)[1]))
+
+
 def _start_of_day(d: dt.date) -> dt.datetime:
     return dt.datetime(d.year, d.month, d.day)
 
@@ -74,13 +90,20 @@ def parse_date_range(
     if not s:
         raise ValueError("empty date expression")
 
-    # ISO datetime / date
-    m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})[t ](\d{2}):(\d{2})(?::(\d{2}))?", s)
-    if m:
-        t = dt.datetime(
-            int(m[1]), int(m[2]), int(m[3]), int(m[4]), int(m[5]), int(m[6] or 0)
-        )
-        return t, t
+    # ISO / RFC3339 datetime: accept Z suffix, numeric offsets and
+    # fractional seconds (the reference's chrono parser does; machine-
+    # generated timestamps — e.g. copied from the indexed ts column —
+    # are the most common interchange form). Offset-bearing inputs are
+    # converted to UTC and compared naively, matching the stored ts.
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}[t ].+", s):
+        try:
+            t = dt.datetime.fromisoformat(s.upper().replace("Z", "+00:00"))
+        except ValueError:
+            pass
+        else:
+            if t.tzinfo is not None:
+                t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
+            return t, t
     m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", s)
     if m:
         d = dt.date(int(m[1]), int(m[2]), int(m[3]))
@@ -162,31 +185,11 @@ def parse_date_range(
         )
     m = re.fullmatch(r"last\s+(\d+)\s+(day|week|month|year)s?", s)
     if m:
-        n, unit = int(m[1]), m[2]
-        if unit in _UNITS:
-            start = today - dt.timedelta(days=n * _UNITS[unit])
-        elif unit == "month":
-            y, mth = today.year, today.month - n
-            while mth <= 0:
-                mth += 12
-                y -= 1
-            start = dt.date(y, mth, min(today.day, calendar.monthrange(y, mth)[1]))
-        else:
-            start = dt.date(today.year - n, today.month, today.day)
+        start = _offset_date(today, int(m[1]), m[2])
         return _start_of_day(start), _end_of_day(today)
     m = re.fullmatch(r"(\d+)\s+(day|week|month|year)s?\s+ago", s)
     if m:
-        n, unit = int(m[1]), m[2]
-        if unit in _UNITS:
-            d = today - dt.timedelta(days=n * _UNITS[unit])
-        elif unit == "month":
-            y, mth = today.year, today.month - n
-            while mth <= 0:
-                mth += 12
-                y -= 1
-            d = dt.date(y, mth, min(today.day, calendar.monthrange(y, mth)[1]))
-        else:
-            d = dt.date(today.year - n, today.month, today.day)
+        d = _offset_date(today, int(m[1]), m[2])
         return _start_of_day(d), _end_of_day(d)
 
     # --- chrono-english-style free-form fallback (date_parser.rs:130-

@@ -1253,14 +1253,11 @@ class SegmentIndex:
             raise ValueError("filters require a docs table")
         if filtered:
             attrs = self.docs.select("doc_id", "role", "ts")
-            cond = F.lit(True)
-            if roles:
-                cond = cond & F.col("role").isin(list(roles))
-            if since is not None:
-                cond = cond & (F.col("ts") >= F.lit(since))
-            if until is not None:
-                cond = cond & (F.col("ts") <= F.lit(until))
-            scored = scored.join(attrs.where(cond), "doc_id", "left_semi")
+            scored = scored.join(
+                attrs.where(_attr_cond(roles, since, until)),
+                "doc_id",
+                "left_semi",
+            )
         ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             ranked = ranked.offset(offset)

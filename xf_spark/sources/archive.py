@@ -163,7 +163,13 @@ def read_grok_archive(spark: SparkSession, path: str) -> DataFrame:
 
     items = read_js_archive(spark, path, GROK_ITEM_SCHEMA, dedup_key=None)
     g = items.select("grokChatItem.*")
-    w = Window.partitionBy("chatId").orderBy("createdAt", "message")
+    # order by the PARSED timestamp: the legacy X format ("Mon Jan 05
+    # 10:00:00 +0000 2026") sorts by weekday name as a raw string,
+    # scrambling turn order (parse_ts_flexible exists precisely
+    # because this column carries that format)
+    w = Window.partitionBy("chatId").orderBy(
+        parse_ts_flexible(F.col("createdAt")), "createdAt", "message"
+    )
     return g.select(
         F.concat(F.lit("grok_"), "chatId").alias("conv_id"),
         F.row_number().over(w).alias("turn_idx"),
@@ -199,8 +205,12 @@ def read_dm_archive(spark: SparkSession, path: str) -> DataFrame:
     d = items.select("dmConversation.*").select(
         "conversationId", F.explode("messages").alias("m")
     )
+    # parsed-timestamp ordering (same weekday-name string trap as the
+    # grok reader); the raw string + id stay as deterministic tiebreaks
     w = Window.partitionBy("conversationId").orderBy(
-        "m.messageCreate.createdAt", "m.messageCreate.id"
+        parse_ts_flexible(F.col("m.messageCreate.createdAt")),
+        "m.messageCreate.createdAt",
+        "m.messageCreate.id",
     )
     return d.select(
         F.concat(F.lit("dm_"), "conversationId").alias("conv_id"),
