@@ -72,6 +72,17 @@ class TestXfIndex:
         rows = ix.search("rust", mode="hybrid", limit=10, roles=["tool"]).collect()
         assert all(r["role"] == "tool" for r in rows)
 
+    def test_role_filter_case_insensitive(self, xfindex):
+        # roles are stored lowercase; caller input is normalized at the
+        # engine boundary so '--roles Tool' matches instead of silently
+        # returning nothing
+        ix, _, _ = xfindex
+        want = [r["doc_id"] for r in
+                ix.search("machine", mode="lexical", limit=10, roles=["user"]).collect()]
+        got = [r["doc_id"] for r in
+               ix.search("machine", mode="lexical", limit=10, roles=[" User "]).collect()]
+        assert want and got == want
+
     def test_reopen_from_disk(self, xfindex, spark):
         ix, oracle, path = xfindex
         reopened = XfIndex.open(spark, path)
@@ -319,6 +330,12 @@ class TestRepl:
             "show 0",
             "more",
             "export json",
+            # error resilience: each bad command prints and continues
+            "set limit ten",          # non-int
+            "set mode warp",          # invalid mode
+            "set mode semantic",      # valid set...
+            "machine",                # ...but engine raises (no embeddings)
+            "set mode lexical",
             "stats",
             "quit",
         ]) + "\n"
@@ -333,4 +350,55 @@ class TestRepl:
         assert "limit = 3" in out
         assert "[" in out and "score=" in out        # results + show
         assert '"conv_id"' in out                    # export json
-        assert "n_turns" in out                      # stats
+        assert "set limit: expected an integer" in out
+        assert "set mode: expected one of" in out
+        assert "error: index built without embeddings" in out
+        assert "n_turns" in out            # stats — session survived all errors
+
+
+class TestFormatters:
+    """_format_rows is the CLI's five-format output surface; rows are
+    dict-like (PySpark Row supports the same [col] access)."""
+
+    ROWS = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": 'line1\nline2, "quoted"', "score": 0.5},
+        {"conv_id": "c2", "turn_idx": 3, "role": "tool",
+         "text": None, "score": 1.25},
+    ]
+    COLS = ["conv_id", "turn_idx", "role", "text", "score"]
+
+    def test_json_preserves_types(self, capsys):
+        from xf_spark.__main__ import _format_rows
+
+        _format_rows(self.ROWS, "json", self.COLS)
+        payload = json.loads(capsys.readouterr().out)
+        assert payload[0]["turn_idx"] == 0          # int, not "0"
+        assert payload[0]["score"] == 0.5           # float, not "0.5"
+        assert payload[1]["text"] is None           # null, not "None"
+
+    def test_csv_quotes_embedded_newlines_and_commas(self, capsys):
+        import csv
+        import io
+
+        from xf_spark.__main__ import _format_rows
+
+        _format_rows(self.ROWS, "csv", self.COLS)
+        out = capsys.readouterr().out
+        parsed = list(csv.reader(io.StringIO(out)))
+        assert parsed[0] == self.COLS
+        assert len(parsed) == 3                     # header + 2 records
+        assert parsed[1][3] == 'line1\nline2, "quoted"'
+
+    def test_context_rows_without_score_column(self, capsys):
+        # --context output has no score column; text/compact must not
+        # crash reading r['score']
+        from xf_spark.__main__ import _format_rows
+
+        cols = ["conv_id", "turn_idx", "role", "text", "is_match"]
+        rows = [{"conv_id": "c1", "turn_idx": 0, "role": "user",
+                 "text": "hello", "is_match": True}]
+        _format_rows(rows, "text", cols)
+        _format_rows(rows, "compact", cols)
+        out = capsys.readouterr().out
+        assert "[-]" in out and "c1/0 -" in out

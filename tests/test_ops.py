@@ -384,6 +384,20 @@ class TestTextOps:
         assert got[1][0] == 3 and got[1][1] >= 4  # don|'t| stop| 123|!
         assert got[2][0] == 0
 
+    def test_quality_and_token_counts_compose(self, spark):
+        # both ops emit n_ws_tokens from the ONE shared definition; the
+        # second op must not add a duplicate (ambiguous) column
+        df = spark.createDataFrame(
+            [(0, "hello world"), (1, "")], "doc_id long, text string"
+        )
+        both = TX.token_counts(TX.quality_scores(df))
+        assert both.columns.count("n_ws_tokens") == 1
+        rows = {r["doc_id"]: r for r in both.collect()}
+        assert rows[0]["n_ws_tokens"] == 2 and rows[1]["n_ws_tokens"] == 0
+        rev = TX.quality_scores(TX.token_counts(df))
+        assert rev.columns.count("n_ws_tokens") == 1
+        rev.collect()  # no AnalysisException
+
     def test_fingerprints_deterministic_and_copy_detect(self, spark):
         base = "the quick brown fox jumps over the lazy dog again and again today"
         df = spark.createDataFrame(

@@ -114,6 +114,36 @@ class TestParser:
         assert query_terms(node) == {"rust", "machine", "learning"}
         assert prefix_terms(node) == {"progr"}
 
+    def test_dissolved_atom_dissolves_its_operator(self):
+        # 'rust NOT !!! tokio': the NOT operand tokenizes to nothing,
+        # so the operator must NOT leak onto the next atom (tokio was
+        # silently excluded before the fix)
+        assert parse_query("rust NOT !!! tokio") == (
+            "or",
+            [("term", "rust"), ("term", "tokio")],
+        )
+        assert parse_query("rust AND --- tokio") == (
+            "or",
+            [("term", "rust"), ("term", "tokio")],
+        )
+
+    def test_multi_token_prefix_keeps_leading_terms(self):
+        # 'foo-bar*' tokenizes to [foo, bar]: foo stays a required
+        # term, only the last token carries the prefix semantics
+        assert parse_query("foo-bar*") == (
+            "and",
+            [("term", "foo"), ("prefix", "bar")],
+        )
+        node = parse_query("foo-bar*")
+        assert query_terms(node) == {"foo"}
+        assert prefix_terms(node) == {"bar"}
+
+    def test_not_excluded_terms_survive_pruning(self):
+        # query_terms INCLUDES the NOT operand deliberately: the
+        # excluded side's postings must survive partition pruning
+        node = parse_query("rust NOT snake")
+        assert query_terms(node) == {"rust", "snake"}
+
 
 DOCS = [
     (0, "rust is a systems programming language"),

@@ -85,52 +85,75 @@ def cmd_repl(args) -> int:
         w = word.lower()
         if w in ("quit", "exit", "q"):
             break
-        elif w in ("help", "h", "?"):
-            print("commands: <query> | more | show N | refine <terms> | "
-                  "stats | set mode|limit|roles <v> | export json|csv | quit")
-        elif w in ("more", "m"):
-            if state["query"] is None:
-                print("no active query")
-                continue
-            state["offset"] += state["limit"]
-            run_search()
-        elif w == "show":
-            try:
-                r = state["rows"][int(rest)]
-            except (ValueError, IndexError):
-                print("show: bad index")
-                continue
-            print(f"({r['conv_id']}, {r['turn_idx']}) <{r['role']}> "
-                  f"score={r['score']:.4f}\n{r['text']}")
-        elif w == "refine":
-            if state["query"] is None:
-                print("no active query")
-                continue
-            state["query"] = f"{state['query']} AND {rest}"
-            state["offset"] = 0
-            run_search()
-        elif w == "stats":
-            print(json.dumps({k: str(v) for k, v in ix.stats().items()}))
-        elif w == "set":
-            name, _, value = rest.partition(" ")
-            if name == "mode":
-                state["mode"] = value
-            elif name == "limit":
-                state["limit"] = int(value)
-            elif name == "roles":
-                state["roles"] = value.split(",") if value else None
-            else:
-                print(f"set: unknown setting {name!r}")
-                continue
-            print(f"{name} = {value}")
-        elif w == "export":
-            fmt = rest.strip() or "json"
-            _format_rows(state["rows"], fmt, cols)
-        else:
-            state["query"] = line
-            state["offset"] = 0
-            run_search()
+        try:
+            _repl_dispatch(w, rest, line, state, cols, ix, run_search)
+        except Exception as exc:  # noqa: BLE001 — session must survive
+            # bad input / engine errors print and continue (repl.rs
+            # keeps the session alive on per-command errors)
+            print(f"error: {exc}")
     return 0
+
+
+_REPL_MODES = ("lexical", "semantic", "hybrid", "bm25", "vector", "rrf")
+
+
+def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
+    if w in ("help", "h", "?"):
+        print("commands: <query> | more | show N | refine <terms> | "
+              "stats | set mode|limit|roles <v> | export json|csv | quit")
+    elif w in ("more", "m"):
+        if state["query"] is None:
+            print("no active query")
+            return
+        state["offset"] += state["limit"]
+        run_search()
+    elif w == "show":
+        try:
+            r = state["rows"][int(rest)]
+        except (ValueError, IndexError):
+            print("show: bad index")
+            return
+        print(f"({r['conv_id']}, {r['turn_idx']}) <{r['role']}> "
+              f"score={r['score']:.4f}\n{r['text']}")
+    elif w == "refine":
+        if state["query"] is None:
+            print("no active query")
+            return
+        state["query"] = f"{state['query']} AND {rest}"
+        state["offset"] = 0
+        run_search()
+    elif w == "stats":
+        print(json.dumps({k: str(v) for k, v in ix.stats().items()}))
+    elif w == "set":
+        name, _, value = rest.partition(" ")
+        if name == "mode":
+            if value not in _REPL_MODES:
+                print(f"set mode: expected one of {'|'.join(_REPL_MODES)}")
+                return
+            state["mode"] = value
+        elif name == "limit":
+            try:
+                state["limit"] = int(value)
+            except ValueError:
+                print(f"set limit: expected an integer, got {value!r}")
+                return
+        elif name == "roles":
+            state["roles"] = (
+                [r.strip().lower() for r in value.split(",") if r.strip()]
+                if value
+                else None
+            )
+        else:
+            print(f"set: unknown setting {name!r}")
+            return
+        print(f"{name} = {value}")
+    elif w == "export":
+        fmt = rest.strip() or "json"
+        _format_rows(state["rows"], fmt, cols)
+    else:
+        state["query"] = line
+        state["offset"] = 0
+        run_search()
 
 
 def cmd_append(args) -> int:
@@ -148,24 +171,45 @@ def cmd_append(args) -> int:
     return 0
 
 
+def _json_val(v):
+    # native JSON types survive (numbers, bool, None); only
+    # non-JSON-serializable values (timestamps) stringify
+    return v if v is None or isinstance(v, (int, float, str, bool)) else str(v)
+
+
 def _format_rows(rows, fmt: str, columns: list[str]):
+    # context-view rows (every turn of matched conversations) carry no
+    # score column — formatters must not assume one
+    has_score = "score" in columns
+
+    def _score(r) -> str:
+        return f"{r['score']:.4f}" if has_score else "-"
+
     if fmt == "json":
-        print(json.dumps([{c: str(r[c]) for c in columns} for r in rows]))
+        print(json.dumps([{c: _json_val(r[c]) for c in columns} for r in rows]))
     elif fmt == "json-pretty":
-        print(json.dumps([{c: str(r[c]) for c in columns} for r in rows], indent=2))
+        print(
+            json.dumps(
+                [{c: _json_val(r[c]) for c in columns} for r in rows], indent=2
+            )
+        )
     elif fmt == "csv":
-        print(",".join(columns))
+        import csv as _csv
+        import sys as _sys
+
+        wr = _csv.writer(_sys.stdout)  # proper quoting: embedded
+        wr.writerow(columns)           # newlines/commas/quotes in text
         for r in rows:
-            print(",".join(str(r[c]).replace(",", " ") for c in columns))
+            wr.writerow(["" if r[c] is None else str(r[c]) for c in columns])
     elif fmt == "compact":
         for r in rows:
-            print(f"{r['conv_id']}/{r['turn_idx']} {r['score']:.4f}")
+            print(f"{r['conv_id']}/{r['turn_idx']} {_score(r)}")
     else:  # text
         for r in rows:
             text = (r["text"] or "").replace("\n", " ")
             snippet = r["snippet"] if "snippet" in columns else text[:100]
             print(
-                f"[{r['score']:.4f}] ({r['conv_id']}, {r['turn_idx']}) "
+                f"[{_score(r)}] ({r['conv_id']}, {r['turn_idx']}) "
                 f"<{r['role']}> {snippet}"
             )
 

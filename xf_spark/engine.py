@@ -328,6 +328,10 @@ class XfIndex:
         back to the exact path."""
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
+        # roles are stored lowercase (input_hint contract) and the query
+        # parser lowercases `role:` filters — normalize caller input the
+        # same way so `--roles Assistant` intersects, not silently-empty
+        roles = [r.strip().lower() for r in roles if r.strip()] if roles else None
         mode = {"bm25": "lexical", "vector": "semantic", "rrf": "hybrid"}.get(
             mode, mode
         )

@@ -42,13 +42,23 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _ws_token_count(text_col: str):
+    """Whitespace token count ('' -> 0) — the ONE definition shared by
+    quality_scores and token_counts so composing them cannot produce
+    two divergent n_ws_tokens columns."""
+    trimmed = F.trim(F.col(text_col))
+    return F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality features + composite score (all JVM-side):
     token count, mean token length, stopword ratio, punctuation
     ratio, uppercase ratio, digit ratio. Composite: heuristic blend
     in [0, 1], higher = more prose-like."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, 0).otherwise(F.size(toks))
+    n_tok = _ws_token_count(text_col)
     total = F.greatest(F.length(text_col), F.lit(1))
     punct_ratio = F.length(F.regexp_replace(text_col, r"[^!-/:-@\[-`{-~]", "")) / total
     upper_ratio = F.length(F.regexp_replace(text_col, r"[^A-Z]", "")) / total
@@ -64,9 +74,11 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
         + (F.lit(1.0) - F.least(digit_ratio * F.lit(4.0), F.lit(1.0))) * 0.1
     )
+    cols = ["*"]
+    if "n_ws_tokens" not in docs.columns:  # composable with token_counts
+        cols.append(n_tok.cast("long").alias("n_ws_tokens"))
     return docs.select(
-        "*",
-        n_tok.cast("long").alias("n_ws_tokens"),
+        *cols,
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(upper_ratio, 6).alias("upper_ratio"),
@@ -77,14 +89,12 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + BPE-ish token counts (JVM regexp, no UDF)."""
-    trimmed = F.trim(F.col(text_col))
-    ws = F.when(F.length(trimmed) == 0, 0).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    )
     bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+    cols = ["*"]
+    if "n_ws_tokens" not in docs.columns:  # composable with quality_scores
+        cols.append(_ws_token_count(text_col).cast("long").alias("n_ws_tokens"))
     return docs.select(
-        "*",
-        ws.cast("long").alias("n_ws_tokens"),
+        *cols,
         bpe.cast("long").alias("n_bpe_tokens"),
     )
 

@@ -162,12 +162,15 @@ class OracleIndex:
         cand = set(plists[0])
         for p in plists[1:]:
             cand &= set(p)
+        # hoisted: _term_scores walks the term's full posting list, so
+        # computing it per-candidate would be quadratic in hot phrases
+        per_term = {t: self._term_scores(t) for t in set(terms)}
         out = {}
         for d in cand:
             first = plists[0][d]
             rest = [set(p[d]) for p in plists[1:]]
             if any(all((pos + i + 1) in rest[i] for i in range(len(rest))) for pos in first):
-                out[d] = sum(self._term_scores(t).get(d, 0.0) for t in terms)
+                out[d] = sum(per_term[t].get(d, 0.0) for t in terms)
         return out
 
     # -- semantic / hybrid ------------------------------------------------

@@ -66,7 +66,13 @@ def _atom(raw: str):
         terms = tokenize(raw[:-1])
         if not terms:
             return None
-        return ("prefix", terms[-1])
+        if len(terms) == 1:
+            return ("prefix", terms[0])
+        # one input word splitting into several tokens ("foo-bar*"):
+        # the leading tokens stay required terms; only the last carries
+        # the trailing-* prefix semantics. Dropping the head would match
+        # every doc with a bar-prefixed word regardless of foo.
+        return ("and", [("term", t) for t in terms[:-1]] + [("prefix", terms[-1])])
     terms = tokenize(raw)
     if not terms:
         return None
@@ -126,6 +132,11 @@ def parse_query_extract(query: str):
             raw = fm[2]
         node = _atom(raw)
         if node is None:
+            # the operand dissolved (punctuation-only / over-long token):
+            # its operator dissolves with it — leaving pending_op set
+            # would misapply the NOT/AND to the NEXT unrelated atom
+            # ('rust NOT !!! tokio' must not exclude tokio)
+            pending_op = None
             continue
         if acc is None:
             acc = node
@@ -150,8 +161,11 @@ def parse_query_extract(query: str):
 
 
 def query_terms(node) -> set[str]:
-    """All positive text-field terms referenced by the AST (for postings
-    partition pruning); excludes prefix terms and NOT-excluded terms."""
+    """All text-field terms referenced by the AST (for postings
+    partition pruning); excludes prefix terms. NOT-excluded terms are
+    INCLUDED deliberately: the excluded operand's postings must survive
+    partition pruning or the NOT filter would see no postings to
+    subtract (segment_search relies on this — do not "fix" it)."""
     kind = node[0]
     if kind == "term":
         return {node[1]}
