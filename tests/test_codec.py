@@ -84,3 +84,49 @@ class TestTfsPositions:
     def test_positions_property(self, lists):
         got = decode_positions(encode_positions(lists), len(lists))
         assert [list(g) for g in got] == [list(l) for l in lists]
+
+
+class TestSplitPositionsBytes:
+    """Byte-level doc-boundary splitting used by index compaction:
+    fragments must concatenate back to the original stream AND each
+    fragment must decode to exactly its doc sub-range."""
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=100000), max_size=20, unique=True
+            ).map(sorted),
+            min_size=1,
+            max_size=25,
+        ),
+        st.data(),
+    )
+    def test_split_property(self, lists, data):
+        from xf_spark.index.codec import split_positions_bytes
+
+        enc = encode_positions(lists)
+        n = len(lists)
+        n_cuts = data.draw(st.integers(min_value=0, max_value=4))
+        inner = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=n),
+                    min_size=n_cuts,
+                    max_size=n_cuts,
+                )
+            )
+        )
+        cuts = [0] + inner + [n]
+        frags = split_positions_bytes(enc, n, cuts)
+        assert b"".join(frags) == enc
+        for i in range(len(cuts) - 1):
+            lo, hi = cuts[i], cuts[i + 1]
+            got = decode_positions(frags[i], hi - lo)
+            assert [list(g) for g in got] == [list(l) for l in lists[lo:hi]]
+
+    def test_empty_stream(self):
+        from xf_spark.index.codec import split_positions_bytes
+
+        assert split_positions_bytes(b"", 0, [0, 0]) == [b""]
+        assert split_positions_bytes(b"", 5, [0, 2, 5]) == [b"", b""]

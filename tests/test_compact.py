@@ -1,0 +1,247 @@
+"""Slice compaction (segments.compact_index): merging appended slices
+into one re-sharded slice must preserve every query result verbatim
+(doc_ids are preserved by design), keep WAND exact under the freshly
+re-encoded block bounds, serve filtered queries correctly despite the
+now-stale stored docs.shard column, compose with further appends, and
+survive a crash in any commit window via the marker protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from xf_spark.engine import XfIndex
+from xf_spark.index import segments as segmod
+from xf_spark.index.segments import compact_index, recover_compaction
+from xf_spark.transcripts import load_transcripts
+
+QUERIES = [
+    ("machine", 30),
+    ('"machine learning"', 20),
+    ("rust AND async", 20),
+    ("python NOT snake", 20),
+    ("progr*", 20),
+]
+
+
+def _thirds(tr):
+    convs = [r[0] for r in tr.select("conv_id").distinct().orderBy("conv_id").collect()]
+    c1, c2 = convs[len(convs) // 3], convs[2 * len(convs) // 3]
+    return (
+        tr.where(F.col("conv_id") < c1),
+        tr.where((F.col("conv_id") >= c1) & (F.col("conv_id") < c2)),
+        tr.where(F.col("conv_id") >= c2),
+    )
+
+
+def _topk(ix, query, limit, **kw):
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in ix.segment_index.search(query, limit=limit, **kw).collect()
+    ]
+
+
+@pytest.fixture(scope="module")
+def pair(spark, tmp_path_factory):
+    """(multi-slice appended index, byte-identical copy compacted):
+    the copy guarantees identical doc_ids, so results compare
+    verbatim. Two appends -> three slices, three shard ranges."""
+    tr = load_transcripts(spark, 0.001)
+    p1, p2, p3 = _thirds(tr)
+    root = tmp_path_factory.mktemp("cpx")
+    plain_path = str(root / "plain")
+    plain = XfIndex.build(p1, plain_path, with_embeddings=False, slices=1)
+    plain = plain.append(p2).append(p3)
+    comp_path = str(root / "comp")
+    shutil.copytree(plain_path, comp_path)
+    comp = XfIndex.open(spark, comp_path).compact()
+    return plain, comp
+
+
+class TestCompaction:
+    def test_single_slice_and_exact_bounds(self, pair):
+        plain, comp = pair
+        seg_root = os.path.join(comp.path, "segments")
+        assert sorted(
+            d for d in os.listdir(seg_root) if d.startswith("slice=")
+        ) == ["slice=0"]
+        meta = comp.segment_index.meta
+        assert meta["next_slice"] == 1
+        # compacted slice encoded at the current avgdl -> scale 1.0
+        assert meta["slice_avgdl"] == {"0": meta["avgdl"]}
+        assert meta["docs_shard_stale"] is True
+        # global stats untouched by compaction
+        pm = plain.segment_index.meta
+        assert meta["n_docs"] == pm["n_docs"]
+        assert abs(meta["avgdl"] - pm["avgdl"]) < 1e-12
+        # no tmp/marker litter after commit
+        assert not os.path.exists(os.path.join(comp.path, "compact.commit.json"))
+        assert not os.path.isdir(os.path.join(comp.path, "segments.pre-compact"))
+
+    @pytest.mark.parametrize("query,limit", QUERIES, ids=[q for q, _ in QUERIES])
+    def test_results_identical(self, pair, query, limit):
+        plain, comp = pair
+        got, want = _topk(comp, query, limit), _topk(plain, query, limit)
+        assert got == want and len(want) > 0
+
+    @pytest.mark.parametrize("query,limit", QUERIES, ids=[q for q, _ in QUERIES])
+    def test_wand_exact_post_compact(self, pair, query, limit):
+        _, comp = pair
+        assert _topk(comp, query, limit) == _topk(
+            comp, query, limit, exhaustive=True
+        )
+
+    def test_filtered_identical_despite_stale_docs_shard(self, pair):
+        """The copied docs parquet still carries the PRE-compaction
+        shard column; meta.docs_shard_stale must route the filtered
+        cogroup through the segment-derived shard expression. Force
+        the distributed path (the driver fast path never consults
+        shard at all)."""
+        plain, comp = pair
+        old_p, old_c = (
+            plain.segment_index.driver_topk_threshold,
+            comp.segment_index.driver_topk_threshold,
+        )
+        plain.segment_index.driver_topk_threshold = 0
+        comp.segment_index.driver_topk_threshold = 0
+        try:
+            for kw in (
+                {"roles": ["user"]},
+                {"roles": ["assistant"], "since": "2024-01-01"},
+            ):
+                got = _topk(comp, "machine", 25, **kw)
+                want = _topk(plain, "machine", 25, **kw)
+                assert got == want and len(want) > 0
+        finally:
+            plain.segment_index.driver_topk_threshold = old_p
+            comp.segment_index.driver_topk_threshold = old_c
+
+    def test_term_dfs_preserved(self, pair):
+        plain, comp = pair
+        terms = {"machine", "learning", "rust", "python"}
+        assert comp.segment_index.term_dfs(terms, "text") == plain.segment_index.term_dfs(
+            terms, "text"
+        )
+
+    def test_append_after_compact_matches_plain(self, spark, tmp_path):
+        """compact -> append must serve identically to append on the
+        never-compacted twin (doc_ids align by construction)."""
+        tr = load_transcripts(spark, 0.001)
+        p1, p2, p3 = _thirds(tr)
+        plain_path = str(tmp_path / "plain2")
+        plain = XfIndex.build(p1, plain_path, with_embeddings=False, slices=1)
+        plain = plain.append(p2)
+        comp_path = str(tmp_path / "comp2")
+        shutil.copytree(plain_path, comp_path)
+        comp = XfIndex.open(spark, comp_path).compact()
+        plain = plain.append(p3)
+        comp = comp.append(p3)
+        for query, limit in QUERIES:
+            got, want = _topk(comp, query, limit), _topk(plain, query, limit)
+            assert got == want and len(want) > 0
+            assert _topk(comp, query, limit, exhaustive=True) == got
+
+    def test_doctor_green_post_compact(self, spark, pair):
+        from xf_spark.doctor import run_doctor
+
+        _, comp = pair
+        checks = run_doctor(spark, comp.path)
+        bad = [c for c in checks if not c.ok]
+        assert not bad, bad
+
+    def test_noop_on_freshly_built_single_slice(self, spark, tmp_path):
+        tr = load_transcripts(spark, 0.001)
+        p1, _, _ = _thirds(tr)
+        path = str(tmp_path / "fresh")
+        XfIndex.build(p1, path, with_embeddings=False, slices=1)
+        n_before, m = compact_index(spark, path)
+        assert n_before == 1 and m is None
+
+
+class TestCompactionRecovery:
+    def _build_two_slice(self, spark, tmp_path, name):
+        tr = load_transcripts(spark, 0.001)
+        p1, p2, _ = _thirds(tr)
+        path = str(tmp_path / name)
+        ix = XfIndex.build(p1, path, with_embeddings=False, slices=1)
+        return ix.append(p2), path
+
+    def test_tmp_without_marker_is_rolled_back(self, spark, tmp_path):
+        """Crash BEFORE the marker write: old index stays authoritative
+        and the garbage tmp dirs are dropped at next load."""
+        ix, path = self._build_two_slice(spark, tmp_path, "rb")
+        want = _topk(ix, "machine", 20)
+        os.makedirs(os.path.join(path, "segments.compact-tmp", "slice=0"))
+        assert recover_compaction(path) is False
+        assert not os.path.isdir(os.path.join(path, "segments.compact-tmp"))
+        ix2 = XfIndex.open(spark, path)
+        assert _topk(ix2, "machine", 20) == want
+        # still two slices — nothing was committed
+        assert len(
+            [d for d in os.listdir(os.path.join(path, "segments")) if d.startswith("slice=")]
+        ) == 2
+
+    def test_marker_committed_compaction_rolls_forward(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Crash AFTER the marker write but before the dir swap: the
+        next load must finish the commit and serve the compacted
+        index with identical results."""
+        ix, path = self._build_two_slice(spark, tmp_path, "rf")
+        want = _topk(ix, "machine", 20)
+        want_f = _topk(ix, '"machine learning"', 20)
+        # let compact_index run fully but suppress its final commit
+        # (the internal recover_compaction call), leaving the exact
+        # pre-swap crash state: tmp dirs + marker + old segments/meta
+        real = segmod.recover_compaction
+        calls = {"n": 0}
+
+        def flaky(p):
+            calls["n"] += 1
+            if calls["n"] == 1:  # the entry-cleanup call
+                return real(p)
+            return False  # the commit call "crashes"
+
+        monkeypatch.setattr(segmod, "recover_compaction", flaky)
+        compact_index(spark, path)
+        monkeypatch.setattr(segmod, "recover_compaction", real)
+        assert os.path.exists(os.path.join(path, "compact.commit.json"))
+        assert os.path.isdir(os.path.join(path, "segments.compact-tmp"))
+        with open(os.path.join(path, "meta.json")) as f:
+            assert "docs_shard_stale" not in json.load(f)  # old meta intact
+        # next open finishes the commit
+        ix2 = XfIndex.open(spark, path)
+        meta = ix2.segment_index.meta
+        assert meta["docs_shard_stale"] is True and meta["next_slice"] == 1
+        assert not os.path.exists(os.path.join(path, "compact.commit.json"))
+        assert _topk(ix2, "machine", 20) == want
+        assert _topk(ix2, '"machine learning"', 20) == want_f
+
+    def test_mid_swap_crash_restores_then_commits(self, spark, tmp_path, monkeypatch):
+        """Crash BETWEEN the two renames (segments gone, pre-compact +
+        tmp both present, marker present): recovery must still land on
+        the committed state."""
+        ix, path = self._build_two_slice(spark, tmp_path, "ms")
+        want = _topk(ix, "machine", 20)
+        real = segmod.recover_compaction
+        calls = {"n": 0}
+
+        def flaky(p):
+            calls["n"] += 1
+            return real(p) if calls["n"] == 1 else False
+
+        monkeypatch.setattr(segmod, "recover_compaction", flaky)
+        compact_index(spark, path)
+        monkeypatch.setattr(segmod, "recover_compaction", real)
+        # manufacture the mid-swap window: first rename done, second not
+        os.rename(
+            os.path.join(path, "segments"),
+            os.path.join(path, "segments.pre-compact"),
+        )
+        ix2 = XfIndex.open(spark, path)
+        assert _topk(ix2, "machine", 20) == want
+        assert ix2.segment_index.meta["next_slice"] == 1

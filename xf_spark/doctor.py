@@ -33,6 +33,18 @@ def run_doctor(
     segments.reconcile_meta instead of only being reported."""
     checks: list[Check] = []
 
+    # 0. finish (or discard) a compaction interrupted mid-commit — the
+    # marker protocol is idempotent, so this is safe to run every time
+    try:
+        from xf_spark.index.segments import recover_compaction
+
+        if recover_compaction(path):
+            checks.append(
+                Check("compaction_recovered", True, "marker-committed compaction applied")
+            )
+    except Exception as e:  # noqa: BLE001
+        checks.append(Check("compaction_recovered", False, str(e)))
+
     # 1. meta present + well-formed (index dir/version check analog)
     meta_path = os.path.join(path, "meta.json")
     try:

@@ -160,6 +160,30 @@ class XfIndex:
         self._pinned_docs = None
         return self
 
+    def compact(self, target_shards: int | None = None) -> "XfIndex":
+        """Merge accumulated append slices into one re-sharded slice
+        (segments.compact_index): O(index bytes), never re-reads the
+        corpus text, and doc_ids are PRESERVED — so the docs store,
+        the embeddings/IVF layout, and any driver-pinned vectors stay
+        valid (a rebuild re-assigns doc_ids and invalidates all of
+        them). Query results are identical before/after (tested);
+        WAND block bounds come out EXACT at the current avgdl instead
+        of per-slice-scaled. Serving state tied to the segment layout
+        (term cache, warm prefetch, pinned doc attrs) is rebuilt —
+        call cache(...) again to re-warm."""
+        from xf_spark.index.segments import compact_index
+
+        old_seg = self.segment_index._segments
+        try:
+            if old_seg.is_cached:
+                old_seg.unpersist()
+        except Exception:  # noqa: BLE001 — best-effort cache release
+            pass
+        compact_index(self.spark, self.path, target_shards=target_shards)
+        self.docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
+        self.segment_index = SegmentIndex.load(self.spark, self.path, docs=self.docs)
+        return self
+
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "XfIndex":
         docs = spark.read.parquet(os.path.join(path, "docs"))

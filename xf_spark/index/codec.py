@@ -131,6 +131,40 @@ def encode_positions_flat(lens: np.ndarray, flat: np.ndarray) -> bytes:
     return varint_encode(out)
 
 
+def split_positions_bytes(data: bytes, n_docs: int, cuts) -> list[bytes]:
+    """Byte-split a positions stream at doc boundaries WITHOUT decoding
+    position values back into per-doc lists.
+
+    The stream is ``[count, first_pos, gaps...]`` per doc and every
+    per-doc group is self-contained (delta restarts at each doc), so a
+    contiguous doc range maps to a contiguous byte range. ``cuts`` is an
+    ascending list of doc-index boundaries ``[0, c1, ..., n_docs]``;
+    returns ``len(cuts) - 1`` byte fragments that concatenate back to
+    ``data``. Used by index compaction to re-shard posting rows in
+    O(bytes) instead of decode + re-encode."""
+    n_frags = len(cuts) - 1
+    if not data or n_docs == 0:
+        return [b""] * n_frags
+    b = np.frombuffer(data, dtype=np.uint8)
+    ends = np.flatnonzero(b < 128)  # last byte index of each varint value
+    vals = varint_decode(b)
+    # value index of each doc's count entry: vi_{d+1} = vi_d + 1 + count_d
+    vi = 0
+    doc_vi = np.empty(n_docs + 1, dtype=np.int64)
+    for d in range(n_docs):
+        doc_vi[d] = vi
+        vi += 1 + int(vals[vi])
+    doc_vi[n_docs] = vi
+    # byte offset of value index v: 0 for v == 0, else ends[v-1] + 1
+    byte_off = np.empty(n_docs + 1, dtype=np.int64)
+    byte_off[0] = 0
+    byte_off[1:] = ends[doc_vi[1:] - 1] + 1
+    return [
+        data[int(byte_off[cuts[i]]) : int(byte_off[cuts[i + 1]])]
+        for i in range(n_frags)
+    ]
+
+
 def encode_positions(pos_lists: list) -> bytes:
     """Per-doc position lists -> one interleaved varint stream:
     [count, first_pos, gaps...] per doc."""

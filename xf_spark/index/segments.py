@@ -45,6 +45,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 import time
 import zlib
 from dataclasses import dataclass
@@ -55,8 +56,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from xf_spark.index.codec import (
     BLOCK,
+    decode_doc_ids,
+    encode_doc_ids,
     encode_positions,
     encode_tfs,
+    split_positions_bytes,
+    varint_decode,
     varint_encode,
 )
 
@@ -762,9 +767,11 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
 
     spark = new_transcripts.sparkSession
     meta_path = os.path.join(path, "meta.json")
-    # heal a torn previous append first (docs/segments ahead of meta):
-    # otherwise this run's dedup anti-join silently no-ops against the
-    # orphan rows and stale global stats serve forever
+    # finish any compaction interrupted mid-commit, then heal a torn
+    # previous append (docs/segments ahead of meta): otherwise this
+    # run's dedup anti-join silently no-ops against the orphan rows and
+    # stale global stats serve forever
+    recover_compaction(path)
     reconcile_meta(spark, path)
     with open(meta_path) as f:
         meta = json.load(f)
@@ -884,3 +891,289 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
     ).write.mode("append").parquet(os.path.join(path, "manifest"))
     full.unpersist()
     return m, CorpusStats(n_docs_new, avgdl_new)
+
+
+# ---------------------------------------------------------------------------
+# Slice compaction
+# ---------------------------------------------------------------------------
+
+# Intermediate rows shuffled by compaction: one posting-list FRAGMENT
+# per (term, old slice/shard, new shard) intersection. Binary payloads
+# are plain varint streams (no block metadata — blocks are rebuilt at
+# merge time with the current avgdl).
+FRAG_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType()),
+        T.StructField("term", T.StringType()),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("first_doc", T.LongType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("ids_bin", T.BinaryType()),
+        T.StructField("tfs_bin", T.BinaryType()),
+        T.StructField("dls_bin", T.BinaryType()),
+        T.StructField("pos_bin", T.BinaryType()),
+    ]
+)
+
+_COMPACT_MARKER = "compact.commit.json"
+
+
+def recover_compaction(path: str) -> bool:
+    """Roll an interrupted ``compact_index`` forward or back.
+
+    The commit point is the marker file (written only after the
+    compacted segments + manifest are fully on disk): no marker means
+    the old index is untouched — drop any half-written tmp dirs; a
+    marker means the compacted data is complete — finish the dir swap,
+    install the meta recorded in the marker, and clean up. Every step
+    is an idempotent rename/replace, so this is safe to call at every
+    load/append/doctor entry (and the happy-path commit calls it too —
+    commit and recovery are the same code). Pure file ops, no Spark.
+
+    Returns True if a marker-committed compaction was (re)applied."""
+    marker = os.path.join(path, _COMPACT_MARKER)
+    seg = os.path.join(path, "segments")
+    pre = os.path.join(path, "segments.pre-compact")
+    tmp = os.path.join(path, "segments.compact-tmp")
+    man = os.path.join(path, "manifest")
+    man_pre = os.path.join(path, "manifest.pre-compact")
+    man_tmp = os.path.join(path, "manifest.compact-tmp")
+    if not os.path.exists(marker):
+        # died before the commit point: the old index is intact and
+        # authoritative. tmp dirs are garbage; a *.pre-compact without
+        # a marker can only mean the crash hit after meta was replaced
+        # but before cleanup (marker removal precedes cleanup), so the
+        # old copy is dead weight either way.
+        for p in (tmp, man_tmp, pre, man_pre):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        return False
+    with open(marker) as f:
+        new_meta = json.load(f)
+    if os.path.isdir(tmp):
+        if os.path.isdir(seg) and not os.path.isdir(pre):
+            os.rename(seg, pre)
+        if not os.path.isdir(seg):
+            os.rename(tmp, seg)
+    if os.path.isdir(man_tmp):
+        if os.path.isdir(man) and not os.path.isdir(man_pre):
+            os.rename(man, man_pre)
+        if not os.path.isdir(man):
+            os.rename(man_tmp, man)
+    meta_path = os.path.join(path, "meta.json")
+    t = meta_path + ".tmp"
+    with open(t, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(t, meta_path)
+    os.remove(marker)
+    for p in (pre, man_pre):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    return True
+
+
+def compact_index(spark: SparkSession, path: str, target_shards: int | None = None):
+    """Merge ALL slices into one slice re-sharded to ``target_shards``
+    contiguous doc-id ranges.
+
+    Why an index under streaming append needs this: every
+    ``append_index`` adds a fresh slice with its own shard range, so
+    after k micro-batches a common term has rows in up to (k+1) *
+    n_shards shards — per-query work (segment rows touched, tasks
+    scheduled, WAND bound looseness from the per-slice avgdl scaling)
+    grows linearly with append count. Compaction restores the
+    just-built shape: one slice, ``target_shards`` shards, block-max
+    bounds re-encoded EXACTLY at the current avgdl. This is the
+    LSM-style segment merge the reference sidesteps by re-indexing the
+    whole archive on change (README.md:1315) — at 10^12 turns a full
+    re-index is a petabyte re-tokenize; this merge is O(index bytes).
+
+    Scale shape: stage 1 is a NARROW decode+split of each segment row
+    into per-new-shard fragments (positions split at BYTE level — the
+    per-doc streams are self-contained, so no position decode/encode);
+    stage 2 is ONE shuffle keyed (field, bucket, new_shard) — the same
+    key granularity and skew bound as the build encode (a Zipf-head
+    term still splits across all shards by doc range). Nothing reads
+    the corpus text, and doc_ids are preserved, so the docs store,
+    embeddings/IVF layout, and any driver pins stay valid — a rebuild
+    would re-assign doc_ids and invalidate all of them.
+
+    Durability: compacted segments + manifest are written to tmp dirs,
+    then a marker file (the new meta) commits the swap; crashes in any
+    window roll forward or back via ``recover_compaction`` (called at
+    every load/append). The stored docs ``shard`` column becomes stale
+    and ``meta.docs_shard_stale`` records that — filtered queries then
+    derive shard from segment block metadata (exact for any contiguous
+    layout; see SegmentIndex._shard_for_docs).
+
+    Returns (n_slices_before, BuildMetrics) — or (n, None) when the
+    index already has a single slice and no target change."""
+    recover_compaction(path)
+    meta_path = os.path.join(path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    n_docs = int(meta["n_docs"])
+    avgdl = float(meta["avgdl"])
+    S = int(target_shards or meta["n_shards"])
+    seg_root = os.path.join(path, "segments")
+    slice_dirs = [d for d in os.listdir(seg_root) if d.startswith("slice=")]
+    if n_docs == 0 or (
+        len(slice_dirs) == 1
+        and target_shards is None
+        and not (meta.get("slice_avgdl") or {})
+    ):
+        return len(slice_dirs), None
+
+    seg = spark.read.parquet(seg_root)
+
+    def split_rows(batches, _S=S, _n=n_docs):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = int(r.n_docs)
+                if n == 0:
+                    continue
+                # decode absolute doc ids (delta restarts per block)
+                off = np.asarray(r.block_doc_off, dtype=np.int64)
+                ids = np.empty(n, dtype=np.int64)
+                p = 0
+                for bi in range(len(off) - 1):
+                    chunk = varint_decode(
+                        np.frombuffer(r.doc_ids_bin, dtype=np.uint8)[
+                            off[bi] : off[bi + 1]
+                        ]
+                    )
+                    ids[p : p + len(chunk)] = np.cumsum(chunk.astype(np.int64))
+                    p += len(chunk)
+                shard_of = (ids * _S) // _n
+                cuts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(shard_of)) + 1, [n])
+                )
+                tfs = varint_decode(r.tfs_bin)
+                dls = varint_decode(r.dls_bin)
+                pos = r.positions_bin or b""
+                pos_frags = (
+                    split_positions_bytes(pos, n, cuts) if len(pos) else None
+                )
+                for fi in range(len(cuts) - 1):
+                    s, e = int(cuts[fi]), int(cuts[fi + 1])
+                    rows.append(
+                        (
+                            r.field,
+                            r.term,
+                            int(r.bucket),
+                            int(shard_of[s]),
+                            int(ids[s]),
+                            e - s,
+                            encode_doc_ids(ids[s:e]),
+                            varint_encode(tfs[s:e]),
+                            varint_encode(dls[s:e]),
+                            pos_frags[fi] if pos_frags is not None else b"",
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in FRAG_SCHEMA.fields]
+                )
+
+    def merge_group(pdf: pd.DataFrame, _a=avgdl) -> pd.DataFrame:
+        field = pdf["field"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        bucket = int(pdf["bucket"].iloc[0])
+        pdf = pdf.sort_values(["term", "first_doc"], kind="stable")
+        t_arr = pdf["term"].to_numpy()
+        change = np.flatnonzero(t_arr[1:] != t_arr[:-1]) + 1
+        starts = np.concatenate(([0], change, [len(t_arr)]))
+        ids_col = pdf["ids_bin"].to_numpy()
+        tfs_col = pdf["tfs_bin"].to_numpy()
+        dls_col = pdf["dls_bin"].to_numpy()
+        pos_col = pdf["pos_bin"].to_numpy()
+        out = []
+        for gi in range(len(starts) - 1):
+            s, e = int(starts[gi]), int(starts[gi + 1])
+            ids = np.concatenate([decode_doc_ids(ids_col[j]) for j in range(s, e)])
+            tfs = np.concatenate(
+                [varint_decode(tfs_col[j]).astype(np.int64) for j in range(s, e)]
+            )
+            dls = np.concatenate(
+                [varint_decode(dls_col[j]).astype(np.int64) for j in range(s, e)]
+            )
+            row = _encode_term(str(t_arr[s]), shard, bucket, ids, tfs, dls, None, _a)
+            # positions pass through at byte level: fragments are
+            # per-doc self-contained streams in doc order
+            pos_join = b"".join(pos_col[s:e])
+            if pos_join:
+                row["positions_bin"] = pos_join
+                row["bytes"] += len(pos_join)
+            row["field"] = field
+            out.append(row)
+        return pd.DataFrame(out)
+
+    t0 = time.time()
+    frag = seg.mapInPandas(split_rows, schema=FRAG_SCHEMA)
+    merged = frag.groupBy("field", "bucket", "shard").applyInPandas(
+        _one_arg(merge_group), schema=SEGMENT_SCHEMA
+    )
+    from pyspark.sql import Observation
+
+    obs = Observation("compact_metrics")
+    merged = merged.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_docs").alias("postings"),
+        F.sum("bytes").alias("bytes"),
+        F.max("n_docs").alias("max_seg"),
+        F.expr("percentile(n_docs, 0.5)").alias("med_seg"),
+    )
+    tmp_seg = os.path.join(path, "segments.compact-tmp")
+    if os.path.isdir(tmp_seg):
+        shutil.rmtree(tmp_seg)
+    merged.write.partitionBy("field").mode("overwrite").parquet(
+        os.path.join(tmp_seg, "slice=0")
+    )
+    row = obs.get
+    wall = time.time() - t0
+    m = BuildMetrics(
+        slice_id=0,
+        field="all",
+        n_rows=int(row["rows"] or 0),
+        n_postings=int(row["postings"] or 0),
+        bytes=int(row["bytes"] or 0),
+        wall_sec=wall,
+        skew_ratio=float((row["max_seg"] or 0) / max(row["med_seg"] or 1, 1)),
+    )
+    man_tmp = os.path.join(path, "manifest.compact-tmp")
+    spark.createDataFrame(
+        [
+            (
+                "all", 0, 0, S, m.n_rows, m.n_postings, m.bytes, m.wall_sec,
+                m.skew_ratio,
+                float(m.n_postings / m.wall_sec) if m.wall_sec else 0.0,
+            )
+        ],
+        "field string, slice_id int, shard_lo int, shard_hi int, "
+        "n_rows long, n_postings long, bytes long, wall_sec double, "
+        "skew_ratio double, postings_per_sec double",
+    ).write.mode("overwrite").parquet(man_tmp)
+
+    new_meta = dict(meta)
+    new_meta.update(
+        n_shards=S,
+        next_shard=S,
+        next_slice=1,
+        # the compacted slice is encoded at the CURRENT avgdl: exact
+        # block bounds, bm_scale 1.0 on load
+        slice_avgdl={"0": avgdl},
+        # the docs parquet's stored shard column (if any) reflects the
+        # pre-compaction layout; filtered queries must derive shard
+        # from the segments instead (exact; _shard_for_docs)
+        docs_shard_stale=True,
+    )
+    marker = os.path.join(path, _COMPACT_MARKER)
+    with open(marker + ".tmp", "w") as f:
+        json.dump(new_meta, f)
+    os.replace(marker + ".tmp", marker)
+    # commit == roll forward; identical to crash recovery from here
+    recover_compaction(path)
+    return len(slice_dirs), m

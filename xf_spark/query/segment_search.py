@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from xf_spark.index.codec import varint_decode
 from xf_spark.index.postings import CorpusStats
-from xf_spark.index.segments import K1, B, term_bucket
+from xf_spark.index.segments import K1, B, recover_compaction, term_bucket
 from xf_spark.query.parser import (
     parse_query,
     parse_query_extract,
@@ -581,6 +581,9 @@ class SegmentIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
+        # finish (or discard) any compaction interrupted mid-commit —
+        # idempotent file ops; the meta/segments pair is consistent after
+        recover_compaction(path)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         ix = cls(spark=spark, path=path, meta=meta, docs=docs)
@@ -866,9 +869,12 @@ class SegmentIndex:
         with the shard-local allowed set; k rows out per shard."""
         cond = _attr_cond(roles, since, until)
         filtered_docs = self.docs.where(cond)
-        if "shard" in self.docs.columns:
+        if "shard" in self.docs.columns and not self.meta.get("docs_shard_stale"):
             attrs = filtered_docs.select("shard", "doc_id")
         else:
+            # legacy docs without the column, or a compacted index whose
+            # stored shard layout predates the re-shard: derive from the
+            # segments' block metadata (exact for contiguous doc ranges)
             attrs = filtered_docs.select(
                 self._shard_for_docs().alias("shard"), "doc_id"
             )
@@ -1085,7 +1091,7 @@ class SegmentIndex:
         plan_list = [items[q] for q in qlist]
         k = limit
         coarse = self.docs.where(F.col("role").isin(sorted(all_roles)))
-        if "shard" in self.docs.columns:
+        if "shard" in self.docs.columns and not self.meta.get("docs_shard_stale"):
             attrs = coarse.select("shard", "doc_id", "role")
         else:
             attrs = coarse.select(
