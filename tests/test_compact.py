@@ -245,3 +245,124 @@ class TestCompactionRecovery:
         ix2 = XfIndex.open(spark, path)
         assert _topk(ix2, "machine", 20) == want
         assert ix2.segment_index.meta["next_slice"] == 1
+
+
+class TestDropCompaction:
+    """compact(drop=...) = physical dedup purge: postings excised,
+    docs/embeddings rewritten, and the global BM25 stats must come out
+    EXACTLY as a fresh build over the survivors (that is the
+    correctness contract — scores are pure content functions, so the
+    ranked sets must agree with a rebuild modulo doc_id assignment)."""
+
+    @pytest.fixture(scope="class")
+    def dropped(self, spark, tmp_path_factory):
+        tr = load_transcripts(spark, 0.001)
+        p1, p2, _ = _thirds(tr)
+        root = tmp_path_factory.mktemp("dropx")
+        path = str(root / "purged")
+        ix = XfIndex.build(p1, path, with_embeddings=True, slices=1)
+        ix = ix.append(p2)
+        # content-defined drop set (every 3rd conversation) so the
+        # survivor corpus is reconstructible for the rebuild twin
+        pred = F.crc32("conv_id") % 3 == 0
+        drop = ix.docs.where(pred).select("doc_id")
+        n_drop = drop.count()
+        ix = ix.compact(drop=drop)
+        surv = tr.join(
+            p1.union(p2).where(pred).select("conv_id").distinct(),
+            "conv_id",
+            "left_anti",
+        ).join(p1.union(p2).select("conv_id").distinct(), "conv_id", "left_semi")
+        rb = XfIndex.build(
+            surv, str(root / "rebuild"), with_embeddings=False, slices=1
+        )
+        return ix, rb, n_drop
+
+    def test_stats_equal_rebuild(self, dropped):
+        ix, rb, n_drop = dropped
+        mi, mr = ix.segment_index.meta, rb.segment_index.meta
+        assert n_drop > 0
+        assert mi["n_docs"] == mr["n_docs"]
+        assert abs(mi["avgdl"] - mr["avgdl"]) < 1e-9
+        assert mi["total_tokens"] == mr["total_tokens"]
+        # id ceiling unchanged: survivors keep their original ids
+        assert mi["doc_id_bound"] == mi["n_docs"] + n_drop
+
+    def test_term_dfs_equal_rebuild(self, dropped):
+        ix, rb, _ = dropped
+        terms = {"machine", "learning", "rust", "python", "the"}
+        assert ix.segment_index.term_dfs(terms, "text") == rb.segment_index.term_dfs(
+            terms, "text"
+        )
+
+    @pytest.mark.parametrize("query", ["machine", '"machine learning"', "rust AND async"])
+    def test_scores_equal_rebuild(self, dropped, query):
+        ix, rb, _ = dropped
+        got = [
+            (r["conv_id"], r["turn_idx"], round(r["score"], 6))
+            for r in ix.search(query, mode="lexical", limit=25).collect()
+        ]
+        want = [
+            (r["conv_id"], r["turn_idx"], round(r["score"], 6))
+            for r in rb.search(query, mode="lexical", limit=25).collect()
+        ]
+        assert len(got) == len(want) > 0
+        assert sorted(s for _, _, s in got) == sorted(s for _, _, s in want)
+        cut = min(s for _, _, s in want)
+        assert {(c, t) for c, t, s in got if s > cut} == {
+            (c, t) for c, t, s in want if s > cut
+        }
+
+    def test_wand_exact_post_drop(self, dropped):
+        ix, _, _ = dropped
+        for query, limit in QUERIES:
+            assert _topk(ix, query, limit) == _topk(ix, query, limit, exhaustive=True)
+
+    def test_docs_and_embeddings_physically_purged(self, spark, dropped):
+        ix, rb, n_drop = dropped
+        n = ix.segment_index.meta["n_docs"]
+        assert ix.docs.count() == n
+        assert ix.docs.where(F.crc32("conv_id") % 3 == 0).count() == 0
+        assert ix.embeddings is not None and ix.embeddings.count() == n
+        # semantic serving still works over the purged store
+        hits = ix.search("machine learning models", mode="semantic", limit=5)
+        assert hits.count() == 5
+
+    def test_append_after_drop_no_id_collision(self, spark, dropped, tmp_path):
+        import shutil as _sh
+
+        ix, _, _ = dropped
+        src = ix.path
+        path = str(tmp_path / "ap")
+        _sh.copytree(src, path)
+        ix2 = XfIndex.open(spark, path)
+        tr = load_transcripts(spark, 0.001)
+        _, _, p3 = _thirds(tr)
+        bound = ix2.segment_index.meta["doc_id_bound"]
+        n_before = ix2.segment_index.meta["n_docs"]
+        ix2 = ix2.append(p3)
+        m = ix2.segment_index.meta
+        added = m["n_docs"] - n_before
+        assert added > 0
+        assert m["doc_id_bound"] == bound + added
+        # appended ids start at the old ceiling — no collision with
+        # surviving ids, and the id space stays unique
+        new_ids = ix2.docs.select("doc_id")
+        assert new_ids.distinct().count() == new_ids.count() == m["n_docs"]
+        assert ix2.docs.agg(F.max("doc_id")).first()[0] == m["doc_id_bound"] - 1
+        for query, limit in QUERIES[:2]:
+            assert _topk(ix2, query, limit) == _topk(
+                ix2, query, limit, exhaustive=True
+            )
+
+    def test_drop_of_absent_ids_is_plain_compaction(self, spark, tmp_path):
+        tr = load_transcripts(spark, 0.001)
+        p1, p2, _ = _thirds(tr)
+        path = str(tmp_path / "na")
+        ix = XfIndex.build(p1, path, with_embeddings=False, slices=1).append(p2)
+        before = _topk(ix, "machine", 20)
+        n = ix.segment_index.meta["n_docs"]
+        drop = spark.range(10).select((F.col("id") + 10_000_000).alias("doc_id"))
+        ix = ix.compact(drop=drop)
+        assert ix.segment_index.meta["n_docs"] == n
+        assert _topk(ix, "machine", 20) == before

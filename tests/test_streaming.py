@@ -197,3 +197,51 @@ class TestStatefulTotals:
         _write_batch(inp, "b.parquet", _rows("c1", 3, 2, 20))
         second = run("totals2")
         assert second["c1"] == (5, 4)
+
+
+class TestStreamAutoCompact:
+    def test_compact_every_bounds_slices_and_keeps_old_versions(
+        self, spark, tmp_path
+    ):
+        """compact_every=2: versions never accumulate more than 2
+        slices; results survive compaction; PRIOR versions (hard-link
+        sharers) keep serving their own files unchanged."""
+        from xf_spark.engine import XfIndex
+        from xf_spark.streaming.ingest import current_index_path, stream_index
+
+        inp, root, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "idx"),
+            str(tmp_path / "ckpt"),
+        )
+        _write_batch(inp, "a.parquet", _rows("c1", 0, 4, 0))
+        stream_index(spark, inp, root, ckpt, slices=1, compact_every=2).awaitTermination()
+        cur1 = current_index_path(root)
+
+        _write_batch(inp, "b.parquet", _rows("c2", 0, 3, 10))
+        _write_batch(inp, "c.parquet", _rows("c3", 0, 3, 20))
+        stream_index(spark, inp, root, ckpt, slices=1, compact_every=2).awaitTermination()
+        cur2 = current_index_path(root)
+        assert cur2 != cur1
+
+        def n_slices(p):
+            seg = os.path.join(p, "segments")
+            return sum(1 for d in os.listdir(seg) if d.startswith("slice="))
+
+        # every appended version was compacted down at the threshold
+        assert n_slices(cur2) <= 2
+        ix = XfIndex.open(spark, cur2)
+        assert ix.docs.count() == 10
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.segment_index.search("indexing", limit=10).collect()
+        ]
+        exact = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.segment_index.search(
+                "indexing", limit=10, exhaustive=True
+            ).collect()
+        ]
+        assert got == exact and len(got) > 0
+        # the first version still serves from its own hard links
+        assert XfIndex.open(spark, cur1).docs.count() == 4

@@ -123,7 +123,10 @@ class XfIndex:
         embeddings store for the new docs. Returns self, reloaded."""
         from xf_spark.index.segments import append_index
 
-        old_n = int(self.segment_index.meta["n_docs"])  # pre-append N
+        # pre-append id ceiling (NOT n_docs: after a drop-compaction the
+        # count is smaller than the highest id + 1)
+        meta0 = self.segment_index.meta
+        old_n = int(meta0.get("doc_id_bound", meta0["n_docs"]))
         n_added, _stats = append_index(new_transcripts, self.path, dedup=dedup)
         docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
         if n_added and self.embeddings is not None:
@@ -160,7 +163,11 @@ class XfIndex:
         self._pinned_docs = None
         return self
 
-    def compact(self, target_shards: int | None = None) -> "XfIndex":
+    def compact(
+        self,
+        target_shards: int | None = None,
+        drop: DataFrame | None = None,
+    ) -> "XfIndex":
         """Merge accumulated append slices into one re-sharded slice
         (segments.compact_index): O(index bytes), never re-reads the
         corpus text, and doc_ids are PRESERVED — so the docs store,
@@ -170,7 +177,14 @@ class XfIndex:
         WAND block bounds come out EXACT at the current avgdl instead
         of per-slice-scaled. Serving state tied to the segment layout
         (term cache, warm prefetch, pinned doc attrs) is rebuilt —
-        call cache(...) again to re-warm."""
+        call cache(...) again to re-warm.
+
+        ``drop`` (DataFrame with a doc_id column — e.g. the
+        doc_id != keep_id rows of ops.dedup.near_dup_groups) purges
+        those documents physically: postings excised, docs +
+        embeddings stores rewritten, BM25 stats exactly as a rebuild
+        over the survivors. Pins are dropped (they may hold purged
+        docs); re-pin via cache(...)."""
         from xf_spark.index.segments import compact_index
 
         old_seg = self.segment_index._segments
@@ -179,9 +193,16 @@ class XfIndex:
                 old_seg.unpersist()
         except Exception:  # noqa: BLE001 — best-effort cache release
             pass
-        compact_index(self.spark, self.path, target_shards=target_shards)
+        compact_index(self.spark, self.path, target_shards=target_shards, drop=drop)
         self.docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
         self.segment_index = SegmentIndex.load(self.spark, self.path, docs=self.docs)
+        if drop is not None:
+            emb_path = os.path.join(self.path, "embeddings")
+            if os.path.isdir(emb_path):
+                self.embeddings = self.spark.read.parquet(emb_path)
+            # pinned serving state may hold purged docs — drop it
+            self._pinned_vecs = None
+            self._pinned_docs = None
         return self
 
     @classmethod

@@ -574,6 +574,11 @@ def build_index(
             json.dump(
                 {
                     "n_docs": n_docs,
+                    # one past the highest assigned doc_id. Equals
+                    # n_docs until a drop-compaction punches holes in
+                    # the id space; appends MUST base new ids here,
+                    # not on the (post-drop smaller) n_docs count
+                    "doc_id_bound": n_docs,
                     "avgdl": avgdl,
                     "total_tokens": int(row["total"] or 0),
                     "n_shards": n_shards,
@@ -689,8 +694,9 @@ def reconcile_meta(spark, path: str) -> bool:
     def _dl(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: len(tokenize(t or "")))
 
+    id_base = int(meta.get("doc_id_bound", meta["n_docs"]))
     row = (
-        docs.where(F.col("doc_id") >= int(meta["n_docs"]))
+        docs.where(F.col("doc_id") >= id_base)
         .agg(F.count("*").alias("m"), F.sum(_dl(F.col("text"))).alias("tok"))
         .first()
     )
@@ -718,6 +724,7 @@ def reconcile_meta(spark, path: str) -> bool:
                     slice_avgdl[s] = meta["avgdl"]
     meta.update(
         n_docs=n_docs_new,
+        doc_id_bound=id_base + m,
         avgdl=avgdl_new,
         total_tokens=old_total + new_tokens,
         slice_avgdl=slice_avgdl,
@@ -798,8 +805,12 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
     # one cached copy of the delta's text into the block manager, and
     # under stream_index that compounds per micro-batch
     _ordered = getattr(tokenized, "_ordered_cache", None)
+    # id base = one past the highest EVER-assigned doc_id — after a
+    # drop-compaction n_docs (a count) is smaller than the id ceiling,
+    # and basing on it would collide new ids with surviving docs
+    id_base = int(meta.get("doc_id_bound", meta["n_docs"]))
     full = tokenized.withColumn(
-        "doc_id", F.col("doc_id") + F.lit(int(meta["n_docs"]))
+        "doc_id", F.col("doc_id") + F.lit(id_base)
     ).cache()
     row = full.agg(F.count("*").alias("n"), F.sum("dl").alias("total")).first()
     if _ordered is not None:  # `full` materialized — drop the intermediate
@@ -863,6 +874,7 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
                 slice_avgdl[s] = meta["avgdl"]  # encoded at pre-append avgdl
     meta.update(
         n_docs=n_docs_new,
+        doc_id_bound=id_base + m,
         avgdl=avgdl_new,
         total_tokens=old_total + new_tokens,
         next_shard=shard_base + meta["n_shards"],
@@ -933,49 +945,149 @@ def recover_compaction(path: str) -> bool:
 
     Returns True if a marker-committed compaction was (re)applied."""
     marker = os.path.join(path, _COMPACT_MARKER)
-    seg = os.path.join(path, "segments")
-    pre = os.path.join(path, "segments.pre-compact")
-    tmp = os.path.join(path, "segments.compact-tmp")
-    man = os.path.join(path, "manifest")
-    man_pre = os.path.join(path, "manifest.pre-compact")
-    man_tmp = os.path.join(path, "manifest.compact-tmp")
+    # every store a compaction may rewrite: segments + manifest always;
+    # docs + embeddings when a drop list physically purges documents
+    stores = ("segments", "manifest", "docs", "embeddings")
     if not os.path.exists(marker):
         # died before the commit point: the old index is intact and
         # authoritative. tmp dirs are garbage; a *.pre-compact without
         # a marker can only mean the crash hit after meta was replaced
         # but before cleanup (marker removal precedes cleanup), so the
         # old copy is dead weight either way.
-        for p in (tmp, man_tmp, pre, man_pre):
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+        for name in stores:
+            for suffix in (".compact-tmp", ".pre-compact"):
+                p = os.path.join(path, name + suffix)
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
         return False
     with open(marker) as f:
         new_meta = json.load(f)
-    if os.path.isdir(tmp):
-        if os.path.isdir(seg) and not os.path.isdir(pre):
-            os.rename(seg, pre)
-        if not os.path.isdir(seg):
-            os.rename(tmp, seg)
-    if os.path.isdir(man_tmp):
-        if os.path.isdir(man) and not os.path.isdir(man_pre):
-            os.rename(man, man_pre)
-        if not os.path.isdir(man):
-            os.rename(man_tmp, man)
+    for name in stores:
+        live = os.path.join(path, name)
+        pre = live + ".pre-compact"
+        tmp = live + ".compact-tmp"
+        if os.path.isdir(tmp):
+            if os.path.isdir(live) and not os.path.isdir(pre):
+                os.rename(live, pre)
+            if not os.path.isdir(live):
+                os.rename(tmp, live)
     meta_path = os.path.join(path, "meta.json")
     t = meta_path + ".tmp"
     with open(t, "w") as f:
         json.dump(new_meta, f)
     os.replace(t, meta_path)
     os.remove(marker)
-    for p in (pre, man_pre):
+    for name in stores:
+        p = os.path.join(path, name + ".pre-compact")
         if os.path.isdir(p):
             shutil.rmtree(p)
     return True
 
 
-def compact_index(spark: SparkSession, path: str, target_shards: int | None = None):
+def segment_shard_bounds(seg: DataFrame) -> list[tuple[int, int]]:
+    """Per-shard (max doc_id, shard) pairs, sorted by bound — the
+    doc-range upper bounds implied by the segments' own block metadata
+    (shards hold contiguous disjoint docID ranges by construction).
+    One tiny agg over segment metadata; rows = number of shards."""
+    rows = (
+        seg.groupBy("shard")
+        .agg(F.max(F.element_at("block_last_doc", -1)).alias("hi"))
+        .collect()
+    )
+    return sorted((int(r["hi"]), int(r["shard"])) for r in rows)
+
+
+def shard_expr_for_bounds(bounds: list[tuple[int, int]], id_col: str = "doc_id"):
+    """doc_id -> shard Column for ``segment_shard_bounds`` output.
+
+    A doc WITH postings satisfies prev_shard_hi < doc_id <=
+    own_shard_hi, so "count bounds strictly below doc_id" indexes its
+    shard exactly; docs with no postings can never be hits/candidates,
+    so their clamped assignment is harmless. Array-literal searchsorted
+    — fine up to thousands of shards; beyond that a broadcast range
+    join would replace it."""
+    his = [h for h, _ in bounds]
+    shards = [s for _, s in bounds]
+    idx = F.size(
+        F.filter(
+            F.array(*[F.lit(h) for h in his]),
+            lambda h: h < F.col(id_col),
+        )
+    )
+    return F.element_at(
+        F.array(*[F.lit(s) for s in shards]),
+        F.least(idx + F.lit(1), F.lit(len(shards))),
+    )
+
+
+def _row_frag_tuples(r, S: int, bound: int, drop_ids) -> list[tuple]:
+    """One segment row -> per-(new shard, kept run) fragment tuples in
+    FRAG_SCHEMA order. ``drop_ids`` is a SORTED int64 array (or None):
+    postings of dropped docs are excised; positions bytes are sliced at
+    doc boundaries, never decoded."""
+    n = int(r.n_docs)
+    if n == 0:
+        return []
+    off = np.asarray(r.block_doc_off, dtype=np.int64)
+    ids = np.empty(n, dtype=np.int64)
+    p = 0
+    doc_bytes = np.frombuffer(r.doc_ids_bin, dtype=np.uint8)
+    for bi in range(len(off) - 1):
+        chunk = varint_decode(doc_bytes[off[bi] : off[bi + 1]])
+        ids[p : p + len(chunk)] = np.cumsum(chunk.astype(np.int64))
+        p += len(chunk)
+    shard_of = (ids * S) // bound
+    keep = None
+    if drop_ids is not None and len(drop_ids):
+        pos = np.searchsorted(drop_ids, ids)
+        pos_c = np.minimum(pos, len(drop_ids) - 1)
+        keep = ~((pos < len(drop_ids)) & (drop_ids[pos_c] == ids))
+        if not keep.any():
+            return []
+        chg = (
+            np.flatnonzero(
+                (shard_of[1:] != shard_of[:-1]) | (keep[1:] != keep[:-1])
+            )
+            + 1
+        )
+    else:
+        chg = np.flatnonzero(np.diff(shard_of)) + 1
+    cuts = np.concatenate(([0], chg, [n]))
+    tfs = varint_decode(r.tfs_bin)
+    dls = varint_decode(r.dls_bin)
+    pos_bin = r.positions_bin or b""
+    pos_frags = split_positions_bytes(pos_bin, n, cuts) if len(pos_bin) else None
+    out = []
+    for fi in range(len(cuts) - 1):
+        s, e = int(cuts[fi]), int(cuts[fi + 1])
+        if keep is not None and not keep[s]:
+            continue
+        out.append(
+            (
+                r.field,
+                r.term,
+                int(r.bucket),
+                int(shard_of[s]),
+                int(ids[s]),
+                e - s,
+                encode_doc_ids(ids[s:e]),
+                varint_encode(tfs[s:e]),
+                varint_encode(dls[s:e]),
+                pos_frags[fi] if pos_frags is not None else b"",
+            )
+        )
+    return out
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    target_shards: int | None = None,
+    drop: DataFrame | None = None,
+    drop_col: str = "doc_id",
+):
     """Merge ALL slices into one slice re-sharded to ``target_shards``
-    contiguous doc-id ranges.
+    contiguous doc-id ranges, optionally PURGING a drop list of docs.
 
     Why an index under streaming append needs this: every
     ``append_index`` adds a fresh slice with its own shard range, so
@@ -989,95 +1101,138 @@ def compact_index(spark: SparkSession, path: str, target_shards: int | None = No
     whole archive on change (README.md:1315) — at 10^12 turns a full
     re-index is a petabyte re-tokenize; this merge is O(index bytes).
 
-    Scale shape: stage 1 is a NARROW decode+split of each segment row
-    into per-new-shard fragments (positions split at BYTE level — the
-    per-doc streams are self-contained, so no position decode/encode);
-    stage 2 is ONE shuffle keyed (field, bucket, new_shard) — the same
-    key granularity and skew bound as the build encode (a Zipf-head
-    term still splits across all shards by doc range). Nothing reads
-    the corpus text, and doc_ids are preserved, so the docs store,
-    embeddings/IVF layout, and any driver pins stay valid — a rebuild
-    would re-assign doc_ids and invalidate all of them.
+    ``drop`` (a DataFrame of doc ids, e.g. the doc_id != keep_id rows
+    of ops.dedup.near_dup_groups) physically removes those documents:
+    their postings are excised during the merge, the docs + embeddings
+    stores are rewritten without them, and the global BM25 stats
+    (n_docs / avgdl / total_tokens / per-term df) come out exactly as
+    a fresh build over the survivors would produce — this is the
+    enforcement half of cluster-level dedup, without a rebuild.
+    Surviving doc_ids are PRESERVED (the id space gains holes);
+    ``meta.doc_id_bound`` keeps the append id base collision-free.
 
-    Durability: compacted segments + manifest are written to tmp dirs,
+    Scale shape: without a drop list, stage 1 is a NARROW decode+split
+    of each segment row into per-new-shard fragments (positions split
+    at BYTE level — per-doc streams are self-contained). With a drop
+    list, stage 1 cogroups segments with the drop ids by OLD shard
+    (the drop set shuffles once, partitioned by the same doc ranges
+    the postings already live in — never collected to the driver, so a
+    50%-of-corpus dedup drop list is fine). Stage 2 is ONE shuffle
+    keyed (field, bucket, new_shard) — the same key granularity and
+    skew bound as the build encode. Nothing reads the corpus text
+    except a token-count agg over the DROPPED rows (O(|drop|), needed
+    for exact avgdl).
+
+    Durability: all rewritten stores land in ``*.compact-tmp`` dirs,
     then a marker file (the new meta) commits the swap; crashes in any
     window roll forward or back via ``recover_compaction`` (called at
-    every load/append). The stored docs ``shard`` column becomes stale
-    and ``meta.docs_shard_stale`` records that — filtered queries then
-    derive shard from segment block metadata (exact for any contiguous
-    layout; see SegmentIndex._shard_for_docs).
+    every load/append/doctor). The stored docs ``shard`` column
+    becomes stale and ``meta.docs_shard_stale`` records that —
+    filtered queries then derive shard from segment block metadata.
 
-    Returns (n_slices_before, BuildMetrics) — or (n, None) when the
-    index already has a single slice and no target change."""
+    Returns (n_slices_before, BuildMetrics) — or (n, None) when there
+    is nothing to do."""
     recover_compaction(path)
     meta_path = os.path.join(path, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
     n_docs = int(meta["n_docs"])
     avgdl = float(meta["avgdl"])
+    bound = int(meta.get("doc_id_bound", n_docs))
     S = int(target_shards or meta["n_shards"])
     seg_root = os.path.join(path, "segments")
     slice_dirs = [d for d in os.listdir(seg_root) if d.startswith("slice=")]
     if n_docs == 0 or (
-        len(slice_dirs) == 1
+        drop is None
+        and len(slice_dirs) == 1
         and target_shards is None
         and not (meta.get("slice_avgdl") or {})
     ):
         return len(slice_dirs), None
 
     seg = spark.read.parquet(seg_root)
+    old_total = int(meta.get("total_tokens", round(avgdl * n_docs)))
+    n_docs_new, total_new, avgdl_enc = n_docs, old_total, avgdl
+    drop_ids_df = None
+    docs_path = os.path.join(path, "docs")
+    if drop is not None:
+        drop_ids_df = (
+            drop.select(F.col(drop_col).cast("long").alias("doc_id"))
+            .where(F.col("doc_id").isNotNull())
+            .distinct()
+        )
+        if not os.path.isdir(docs_path):
+            raise ValueError("drop-compaction requires the index's docs table")
+        docs_df = spark.read.parquet(docs_path)
+        from xf_spark.functions.textcore import tokenize
 
-    def split_rows(batches, _S=S, _n=n_docs):
-        for pdf in batches:
+        @F.pandas_udf("int")
+        def _dl(texts: pd.Series) -> pd.Series:
+            return texts.map(lambda t: len(tokenize(t or "")))
+
+        # exact post-drop stats need the dropped docs' token counts —
+        # same tokenizer the encode used (cf. reconcile_meta); the agg
+        # touches only the dropped rows' text
+        srow = (
+            docs_df.join(drop_ids_df, "doc_id", "left_semi")
+            .agg(F.count("*").alias("m"), F.sum(_dl(F.col("text"))).alias("tok"))
+            .first()
+        )
+        m_drop = int(srow["m"] or 0)
+        if m_drop == 0:
+            drop_ids_df = None  # nothing matches: plain compaction
+        else:
+            n_docs_new = n_docs - m_drop
+            if n_docs_new <= 0:
+                raise ValueError("drop list would empty the index")
+            total_new = old_total - int(srow["tok"] or 0)
+            avgdl_enc = total_new / n_docs_new
+
+    t0 = time.time()
+    if drop_ids_df is None:
+
+        def split_rows(batches, _S=S, _b=bound):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    rows.extend(_row_frag_tuples(r, _S, _b, None))
+                if rows:
+                    yield pd.DataFrame(
+                        rows, columns=[f.name for f in FRAG_SCHEMA.fields]
+                    )
+
+        frag = seg.mapInPandas(split_rows, schema=FRAG_SCHEMA)
+    else:
+        # route each drop id to the OLD shard whose doc range holds it
+        # (bounds from segment metadata), then cogroup: the drop set
+        # stays distributed and shuffles exactly once
+        bounds = segment_shard_bounds(seg)
+        drop_sharded = drop_ids_df.select(
+            shard_expr_for_bounds(bounds).cast("int").alias("shard"), "doc_id"
+        )
+
+        _S, _b = S, bound  # closure vars: cogroup applyInPandas
+        # inspects the function arity to decide key-passing, so the
+        # function must take exactly (left, right)
+
+        def split_cg(seg_pdf: pd.DataFrame, drop_pdf: pd.DataFrame):
+            drop_ids = np.sort(drop_pdf["doc_id"].to_numpy(np.int64))
             rows = []
-            for r in pdf.itertuples(index=False):
-                n = int(r.n_docs)
-                if n == 0:
-                    continue
-                # decode absolute doc ids (delta restarts per block)
-                off = np.asarray(r.block_doc_off, dtype=np.int64)
-                ids = np.empty(n, dtype=np.int64)
-                p = 0
-                for bi in range(len(off) - 1):
-                    chunk = varint_decode(
-                        np.frombuffer(r.doc_ids_bin, dtype=np.uint8)[
-                            off[bi] : off[bi + 1]
-                        ]
-                    )
-                    ids[p : p + len(chunk)] = np.cumsum(chunk.astype(np.int64))
-                    p += len(chunk)
-                shard_of = (ids * _S) // _n
-                cuts = np.concatenate(
-                    ([0], np.flatnonzero(np.diff(shard_of)) + 1, [n])
+            for r in seg_pdf.itertuples(index=False):
+                rows.extend(_row_frag_tuples(r, _S, _b, drop_ids))
+            if not rows:
+                return pd.DataFrame(
+                    {f.name: pd.Series(dtype=object) for f in FRAG_SCHEMA.fields}
                 )
-                tfs = varint_decode(r.tfs_bin)
-                dls = varint_decode(r.dls_bin)
-                pos = r.positions_bin or b""
-                pos_frags = (
-                    split_positions_bytes(pos, n, cuts) if len(pos) else None
-                )
-                for fi in range(len(cuts) - 1):
-                    s, e = int(cuts[fi]), int(cuts[fi + 1])
-                    rows.append(
-                        (
-                            r.field,
-                            r.term,
-                            int(r.bucket),
-                            int(shard_of[s]),
-                            int(ids[s]),
-                            e - s,
-                            encode_doc_ids(ids[s:e]),
-                            varint_encode(tfs[s:e]),
-                            varint_encode(dls[s:e]),
-                            pos_frags[fi] if pos_frags is not None else b"",
-                        )
-                    )
-            if rows:
-                yield pd.DataFrame(
-                    rows, columns=[f.name for f in FRAG_SCHEMA.fields]
-                )
+            return pd.DataFrame(rows, columns=[f.name for f in FRAG_SCHEMA.fields])
 
-    def merge_group(pdf: pd.DataFrame, _a=avgdl) -> pd.DataFrame:
+        frag = (
+            seg.groupBy("shard")
+            .cogroup(drop_sharded.groupBy("shard"))
+            .applyInPandas(split_cg, schema=FRAG_SCHEMA)
+        )
+
+    def merge_group(pdf: pd.DataFrame, _a=avgdl_enc) -> pd.DataFrame:
         field = pdf["field"].iloc[0]
         shard = int(pdf["shard"].iloc[0])
         bucket = int(pdf["bucket"].iloc[0])
@@ -1110,8 +1265,6 @@ def compact_index(spark: SparkSession, path: str, target_shards: int | None = No
             out.append(row)
         return pd.DataFrame(out)
 
-    t0 = time.time()
-    frag = seg.mapInPandas(split_rows, schema=FRAG_SCHEMA)
     merged = frag.groupBy("field", "bucket", "shard").applyInPandas(
         _one_arg(merge_group), schema=SEGMENT_SCHEMA
     )
@@ -1133,6 +1286,21 @@ def compact_index(spark: SparkSession, path: str, target_shards: int | None = No
         os.path.join(tmp_seg, "slice=0")
     )
     row = obs.get
+    if drop_ids_df is not None:
+        # rewrite the doc store without the dropped rows (columnar
+        # anti-join scan; this IS the physical delete) and the
+        # embeddings store if present (IVF cell layout preserved —
+        # the coarse quantizer is unaffected by deletions)
+        docs_df.join(drop_ids_df, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "docs.compact-tmp"))
+        emb_path = os.path.join(path, "embeddings")
+        if os.path.isdir(emb_path):
+            emb = spark.read.parquet(emb_path)
+            w = emb.join(drop_ids_df, "doc_id", "left_anti").write.mode("overwrite")
+            if "cell" in emb.columns:
+                w = w.partitionBy("cell")
+            w.parquet(os.path.join(path, "embeddings.compact-tmp"))
     wall = time.time() - t0
     m = BuildMetrics(
         slice_id=0,
@@ -1159,12 +1327,18 @@ def compact_index(spark: SparkSession, path: str, target_shards: int | None = No
 
     new_meta = dict(meta)
     new_meta.update(
+        n_docs=n_docs_new,
+        # id ceiling is unchanged by drops (survivors keep their ids);
+        # appends base new ids here, never on the shrunken count
+        doc_id_bound=bound,
+        avgdl=avgdl_enc,
+        total_tokens=total_new,
         n_shards=S,
         next_shard=S,
         next_slice=1,
-        # the compacted slice is encoded at the CURRENT avgdl: exact
-        # block bounds, bm_scale 1.0 on load
-        slice_avgdl={"0": avgdl},
+        # the compacted slice is encoded at the (post-drop) current
+        # avgdl: exact block bounds, bm_scale 1.0 on load
+        slice_avgdl={"0": avgdl_enc},
         # the docs parquet's stored shard column (if any) reflects the
         # pre-compaction layout; filtered queries must derive shard
         # from the segments instead (exact; _shard_for_docs)

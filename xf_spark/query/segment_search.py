@@ -931,27 +931,14 @@ class SegmentIndex:
         its shard exactly; docs with no postings can never be hits, so
         their (clamped) assignment is harmless. One tiny agg over the
         segment metadata, computed once per index."""
+        from xf_spark.index.segments import (
+            segment_shard_bounds,
+            shard_expr_for_bounds,
+        )
+
         if self._shard_bounds is None:
-            rows = (
-                self._segments.groupBy("shard")
-                .agg(F.max(F.element_at("block_last_doc", -1)).alias("hi"))
-                .collect()
-            )
-            self._shard_bounds = sorted(
-                (int(r["hi"]), int(r["shard"])) for r in rows
-            )
-        his = [h for h, _ in self._shard_bounds]
-        shards = [s for _, s in self._shard_bounds]
-        idx = F.size(
-            F.filter(
-                F.array(*[F.lit(h) for h in his]),
-                lambda h: h < F.col("doc_id"),
-            )
-        )
-        return F.element_at(
-            F.array(*[F.lit(s) for s in shards]),
-            F.least(idx + F.lit(1), F.lit(len(shards))),
-        )
+            self._shard_bounds = segment_shard_bounds(self._segments)
+        return shard_expr_for_bounds(self._shard_bounds)
 
     def pin_doc_attrs(self, ids, roles, ts) -> None:
         """Pin (doc_id -> role, ts) attribute arrays on the coordinator

@@ -99,13 +99,23 @@ def stream_index(
     index_root: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    compact_every: int = 0,
     **build_kw,
 ):
     """Stream transcript files into versioned index builds.
 
     Each micro-batch unions with the CURRENT version's doc store and
     writes index_root/v{epoch}; readers follow the CURRENT pointer.
-    Returns the StreamingQuery (await with .awaitTermination())."""
+    Returns the StreamingQuery (await with .awaitTermination()).
+
+    ``compact_every > 0`` caps slice growth: whenever a new version
+    accumulates that many slices, the slices merge into one via
+    ``XfIndex.compact`` BEFORE the CURRENT cutover — the LSM
+    compaction policy that keeps per-query segment-row counts bounded
+    under indefinite micro-batch ingest (amortized O(index/N) extra
+    write per batch). Safe with hard-linked version sharing: compaction
+    writes fresh files and unlinks only this version's dir entries, so
+    prior versions keep serving their own links unchanged."""
     os.makedirs(index_root, exist_ok=True)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -142,7 +152,14 @@ def stream_index(
 
             _sh.rmtree(new_dir, ignore_errors=True)  # crashed attempt
             _link_tree(cur, new_dir)
-            XfIndex.open(spark, new_dir).append(batch_df)
+            ix = XfIndex.open(spark, new_dir).append(batch_df)
+            if compact_every > 0:
+                seg_root = os.path.join(new_dir, "segments")
+                n_slices = sum(
+                    1 for d in os.listdir(seg_root) if d.startswith("slice=")
+                )
+                if n_slices >= compact_every:
+                    ix.compact()
         _set_current(index_root, new_dir)
 
     writer = (
