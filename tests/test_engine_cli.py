@@ -402,3 +402,65 @@ class TestFormatters:
         _format_rows(rows, "compact", cols)
         out = capsys.readouterr().out
         assert "[-]" in out and "c1/0 -" in out
+
+
+class TestCliCompact:
+    def test_cli_append_then_compact_and_purge(self, tmp_path_factory):
+        """CLI surface: index -> append -> compact (slice merge) ->
+        compact --drop (purge). Search still serves after each step."""
+        fixture = ensure_transcripts_parquet(SCALE)
+        root = str(tmp_path_factory.mktemp("clicpx"))
+        idx = root + "/idx"
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+
+        def run(*args, timeout=300):
+            r = subprocess.run(
+                [sys.executable, "-m", "xf_spark", "--cores", "4", *args],
+                capture_output=True, text=True, env=env, cwd="/root/repo",
+                timeout=timeout,
+            )
+            assert r.returncode == 0, r.stderr[-2000:]
+            return r.stdout
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        full = pd.read_parquet(fixture)
+        convs = sorted(full["conv_id"].unique())
+        cut = convs[len(convs) // 2]
+        p1, p2 = full[full["conv_id"] < cut], full[full["conv_id"] >= cut]
+        pq.write_table(
+            pa.Table.from_pandas(p1, preserve_index=False),
+            root + "/p1.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        pq.write_table(
+            pa.Table.from_pandas(p2, preserve_index=False),
+            root + "/p2.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+        run("index", "--input", root + "/p1.parquet", "--out", idx,
+            "--shards", "4", "--slices", "1", "--no-embeddings")
+        run("append", "--input", root + "/p2.parquet", "--index", idx)
+        out = run("compact", "--index", idx)
+        assert "compacted 2 -> 1 slice(s)" in out
+
+        # purge: drop half the surviving doc ids via a parquet list
+        import json as _json
+
+        meta = _json.load(open(os.path.join(idx, "meta.json")))
+        n = meta["n_docs"]
+        drop_pdf = pd.DataFrame({"doc_id": list(range(0, n, 2))})
+        pq.write_table(
+            pa.Table.from_pandas(drop_pdf, preserve_index=False),
+            root + "/drop.parquet",
+        )
+        out = run("compact", "--index", idx, "--drop", root + "/drop.parquet")
+        assert f"purged {len(drop_pdf)} docs" in out
+
+        out = run("search", "machine", "--index", idx, "--mode", "lexical",
+                  "--limit", "3", "--format", "json")
+        payload = json.loads(out.strip().splitlines()[-1])
+        assert len(payload) == 3

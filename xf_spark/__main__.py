@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -171,6 +172,27 @@ def cmd_append(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from xf_spark.engine import XfIndex
+
+    spark = _spark(args)
+    ix = XfIndex.open(spark, args.index)
+    seg_root = os.path.join(args.index, "segments")
+    before = sum(1 for d in os.listdir(seg_root) if d.startswith("slice="))
+    drop = None
+    if args.drop:
+        drop = spark.read.parquet(args.drop)
+    n0 = ix.segment_index.meta["n_docs"]
+    ix = ix.compact(target_shards=args.shards, drop=drop)
+    m = ix.segment_index.meta
+    after = sum(1 for d in os.listdir(seg_root) if d.startswith("slice="))
+    msg = f"compacted {before} -> {after} slice(s), {m['n_shards']} shards"
+    if drop is not None:
+        msg += f"; purged {n0 - m['n_docs']} docs (now {m['n_docs']})"
+    print(msg)
+    return 0
+
+
 def _json_val(v):
     # native JSON types survive (numbers, bool, None); only
     # non-JSON-serializable values (timestamps) stringify
@@ -296,6 +318,17 @@ def main(argv=None) -> int:
         help="skip the known-rows anti-join (bulk loads of known-new data)",
     )
     pa.set_defaults(fn=cmd_append)
+
+    pc = sub.add_parser(
+        "compact", help="merge append slices; optionally purge a drop list"
+    )
+    pc.add_argument("--index", required=True, help="existing index dir")
+    pc.add_argument("--shards", type=int, default=None, help="target shard count")
+    pc.add_argument(
+        "--drop", default=None,
+        help="parquet of doc_id rows to purge (e.g. near-dup losers)",
+    )
+    pc.set_defaults(fn=cmd_compact)
 
     pr = sub.add_parser("repl", help="interactive search session")
     pr.add_argument("--index", required=True)
