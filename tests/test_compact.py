@@ -366,3 +366,37 @@ class TestDropCompaction:
         ix = ix.compact(drop=drop)
         assert ix.segment_index.meta["n_docs"] == n
         assert _topk(ix, "machine", 20) == before
+
+
+class TestDropWithIvf:
+    def test_purge_preserves_ivf_cell_layout(self, spark, tmp_path):
+        """Drop-compaction on an IVF index: the embeddings rewrite must
+        keep the cell partitioning and the existing quantizer, and
+        full-probe ANN must still equal the exact scan over the
+        purged corpus."""
+        tr = load_transcripts(spark, 0.001)
+        path = str(tmp_path / "annp")
+        ix = XfIndex.build(tr, path, ann_cells=8, slices=1)
+        drop = ix.docs.where(F.crc32("conv_id") % 4 == 0).select("doc_id")
+        # materialize BEFORE the purge: a lazy frame over the pre-swap
+        # doc files cannot be evaluated after the rewrite (standard
+        # in-place-rewrite semantics; prior versions of the STORE stay
+        # readable via stream_index's hard-linked version dirs, but a
+        # pre-swap DataFrame plan does not)
+        dropped = {r["doc_id"] for r in drop.collect()}
+        n_drop = len(dropped)
+        assert n_drop > 0
+        ix = ix.compact(drop=drop)
+        n = ix.segment_index.meta["n_docs"]
+        assert ix.embeddings.count() == n
+        assert "cell" in ix.embeddings.columns
+        # quantizer untouched (centroids.json survives the rewrite)
+        assert os.path.exists(os.path.join(path, "centroids.json"))
+        exact = [r["doc_id"] for r in
+                 ix.search("stress", mode="semantic", limit=10).collect()]
+        full_probe = [r["doc_id"] for r in
+                      ix.search("stress", mode="semantic", ann=True,
+                                n_probe=8, limit=10).collect()]
+        assert full_probe == exact and len(exact) == 10
+        # no purged doc can surface
+        assert not (set(exact) & dropped)

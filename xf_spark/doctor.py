@@ -36,9 +36,10 @@ def run_doctor(
     # 0. finish (or discard) a compaction interrupted mid-commit — the
     # marker protocol is idempotent, so this is safe to run every time
     try:
-        from xf_spark.index.segments import recover_compaction
+        from xf_spark.index.segments import recover_compaction, refresh_index_paths
 
         if recover_compaction(path):
+            refresh_index_paths(spark, path)
             checks.append(
                 Check("compaction_recovered", True, "marker-committed compaction applied")
             )

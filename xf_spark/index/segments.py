@@ -778,7 +778,8 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
     # previous append (docs/segments ahead of meta): otherwise this
     # run's dedup anti-join silently no-ops against the orphan rows and
     # stale global stats serve forever
-    recover_compaction(path)
+    if recover_compaction(path):
+        refresh_index_paths(spark, path)
     reconcile_meta(spark, path)
     with open(meta_path) as f:
         meta = json.load(f)
@@ -1079,6 +1080,22 @@ def _row_frag_tuples(r, S: int, bound: int, drop_ids) -> list[tuple]:
     return out
 
 
+def refresh_index_paths(spark: SparkSession, path: str) -> None:
+    """Invalidate Spark's shared FileStatusCache for every store a
+    compaction may have swapped in place. Without this, a DataFrame
+    created via spark.read.parquet(<same path>) after the swap can
+    reuse a CACHED file listing and fail with FILE_NOT_EXIST on the
+    replaced part files (found by test_purge_preserves_ivf_cell_layout
+    — the path-based analog of REFRESH TABLE)."""
+    for name in ("segments", "manifest", "docs", "embeddings"):
+        p = os.path.join(path, name)
+        if os.path.isdir(p):
+            try:
+                spark.catalog.refreshByPath(p)
+            except Exception:  # noqa: BLE001 — cache invalidation is
+                pass  # best-effort; a cold cache needs nothing
+
+
 def compact_index(
     spark: SparkSession,
     path: str,
@@ -1156,11 +1173,18 @@ def compact_index(
     drop_ids_df = None
     docs_path = os.path.join(path, "docs")
     if drop is not None:
+        # materialized once: the drop set feeds four jobs (stats agg,
+        # cogroup split, docs rewrite, embeddings rewrite) — caching
+        # avoids re-deriving it and pins ONE id set even if the source
+        # frame is non-deterministic or reads files this compaction is
+        # about to replace
         drop_ids_df = (
             drop.select(F.col(drop_col).cast("long").alias("doc_id"))
             .where(F.col("doc_id").isNotNull())
             .distinct()
+            .cache()
         )
+        drop_ids_df.count()
         if not os.path.isdir(docs_path):
             raise ValueError("drop-compaction requires the index's docs table")
         docs_df = spark.read.parquet(docs_path)
@@ -1180,6 +1204,7 @@ def compact_index(
         )
         m_drop = int(srow["m"] or 0)
         if m_drop == 0:
+            drop_ids_df.unpersist()
             drop_ids_df = None  # nothing matches: plain compaction
         else:
             n_docs_new = n_docs - m_drop
@@ -1350,4 +1375,7 @@ def compact_index(
     os.replace(marker + ".tmp", marker)
     # commit == roll forward; identical to crash recovery from here
     recover_compaction(path)
+    refresh_index_paths(spark, path)
+    if drop_ids_df is not None:
+        drop_ids_df.unpersist()
     return len(slice_dirs), m

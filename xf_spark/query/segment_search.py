@@ -583,7 +583,10 @@ class SegmentIndex:
     def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
         # finish (or discard) any compaction interrupted mid-commit —
         # idempotent file ops; the meta/segments pair is consistent after
-        recover_compaction(path)
+        if recover_compaction(path):
+            from xf_spark.index.segments import refresh_index_paths
+
+            refresh_index_paths(spark, path)
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         ix = cls(spark=spark, path=path, meta=meta, docs=docs)
