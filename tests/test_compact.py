@@ -400,3 +400,58 @@ class TestDropWithIvf:
         assert full_probe == exact and len(exact) == 10
         # no purged doc can surface
         assert not (set(exact) & dropped)
+
+
+class TestIndexDedup:
+    """XfIndex.dedup: detect -> group -> purge, in place."""
+
+    def test_exact_dedup_purges_and_is_idempotent(self, spark, tmp_path):
+        tr = load_transcripts(spark, 0.001)
+        path = str(tmp_path / "dd")
+        ix = XfIndex.build(tr, path, with_embeddings=False, slices=1)
+        n0 = ix.segment_index.meta["n_docs"]
+
+        dry = ix.dedup("exact", dry_run=True)
+        assert dry["applied"] is False and dry["n_dropped"] > 0
+        assert ix.segment_index.meta["n_docs"] == n0  # untouched
+
+        rep = ix.dedup("exact")
+        assert rep["applied"] is True
+        assert rep["n_docs_after"] == n0 - rep["n_dropped"]
+        assert ix.segment_index.meta["n_docs"] == rep["n_docs_after"]
+        # no two surviving docs share a content hash
+        dups = (
+            ix.docs.groupBy(F.sha2(F.col("text"), 256))
+            .count()
+            .where(F.col("count") > 1)
+            .count()
+        )
+        assert dups == 0
+        # second pass finds nothing
+        rep2 = ix.dedup("exact")
+        assert rep2["n_dropped"] == 0 and rep2["applied"] is False
+        # index still serves exactly
+        for query, limit in QUERIES[:3]:
+            got = _topk(ix, query, limit)
+            assert got == _topk(ix, query, limit, exhaustive=True)
+            assert len(got) > 0
+
+    def test_minhash_dedup_converges(self, spark, tmp_path):
+        """exact pass first (doc-recommended), then minhash: the
+        surviving corpus must yield zero further near-dup pairs at the
+        same threshold (closure property)."""
+        from xf_spark.ops.dedup import minhash_dedup_pairs
+
+        tr = load_transcripts(spark, 0.001)
+        path = str(tmp_path / "mh")
+        ix = XfIndex.build(tr, path, with_embeddings=False, slices=1)
+        ix.dedup("exact")
+        rep = ix.dedup("minhash", threshold=0.8)
+        if rep["applied"]:
+            assert ix.segment_index.meta["n_docs"] == rep["n_docs_after"]
+        left = minhash_dedup_pairs(
+            ix.docs.select("doc_id", "text"), threshold=0.8
+        ).count()
+        assert left == 0
+        got = _topk(ix, "machine", 10)
+        assert got == _topk(ix, "machine", 10, exhaustive=True) and len(got) > 0

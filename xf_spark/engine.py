@@ -205,6 +205,71 @@ class XfIndex:
             self._pinned_docs = None
         return self
 
+    def dedup(
+        self,
+        method: str = "exact",
+        threshold: float = 0.8,
+        max_hamming: int = 3,
+        dry_run: bool = False,
+    ) -> dict:
+        """In-place index deduplication: detect duplicate documents
+        over THIS index's doc store, keep one representative per
+        duplicate class (min doc_id), and purge the losers via
+        drop-compaction — the index-level analog of the reference's
+        embed-dedup reuse chain (lib.rs:290-425), with the training-
+        data keep/drop semantics of ops.dedup.near_dup_groups.
+
+        methods: ``exact`` (content hash), ``minhash`` (shingle
+        Jaccard >= threshold, LSH-bucketed, hot-bucket capped),
+        ``simhash`` (hamming <= max_hamming). For near-dup methods on
+        a corpus with many EXACT copies, run ``dedup("exact")`` first
+        — identical texts flood the LSH buckets the cap then drops.
+
+        ``dry_run=True`` reports without modifying the index. Returns
+        {method, n_docs_before, n_dropped, n_docs_after, applied}."""
+        from xf_spark.ops.dedup import (
+            exact_dedup,
+            minhash_dedup_pairs,
+            near_dup_groups,
+            simhash_candidates,
+        )
+
+        docs = self.docs.select("doc_id", "text")
+        if method == "exact":
+            keep = exact_dedup(docs)
+            losers = docs.select("doc_id").join(
+                keep.select("doc_id"), "doc_id", "left_anti"
+            )
+        elif method in ("minhash", "simhash"):
+            pairs = (
+                minhash_dedup_pairs(docs, threshold=threshold)
+                if method == "minhash"
+                else simhash_candidates(docs, max_hamming=max_hamming)
+            )
+            groups = near_dup_groups(docs, pairs)
+            losers = groups.where(F.col("doc_id") != F.col("keep_id")).select(
+                "doc_id"
+            )
+        else:
+            raise ValueError(
+                f"method must be exact|minhash|simhash, got {method!r}"
+            )
+        n0 = int(self.segment_index.meta["n_docs"])
+        n_drop = losers.count()
+        report = {
+            "method": method,
+            "n_docs_before": n0,
+            "n_dropped": n_drop,
+            "n_docs_after": n0 - n_drop,
+            "applied": False,
+        }
+        if dry_run or n_drop == 0:
+            return report
+        self.compact(drop=losers)
+        report["n_docs_after"] = int(self.segment_index.meta["n_docs"])
+        report["applied"] = True
+        return report
+
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "XfIndex":
         docs = spark.read.parquet(os.path.join(path, "docs"))
