@@ -28,7 +28,7 @@ QUERIES = ["machine", '"machine learning"', "rust AND async", "progr*"]
 N_REPS = 5
 
 
-def _time_queries(ix, fresh_caches: bool):
+def _time_queries(ix):
     """min-of-N latency per query; cold = first run after load (term
     cache empty), warm = subsequent runs (driver NumPy path)."""
     out_cold, out_warm = {}, {}
@@ -79,7 +79,7 @@ def main():
     n_slices = int(meta["next_slice"])
 
     ix_multi = XfIndex.open(spark, path)  # fresh caches
-    cold_m, warm_m = _time_queries(ix_multi, True)
+    cold_m, warm_m = _time_queries(ix_multi)
 
     t0 = time.time()
     ix = ix.compact()
@@ -87,7 +87,7 @@ def main():
     rows_comp = ix.segment_index._segments.count()
 
     ix_comp = XfIndex.open(spark, path)
-    cold_c, warm_c = _time_queries(ix_comp, True)
+    cold_c, warm_c = _time_queries(ix_comp)
 
     # purge variant: drop exact-duplicate losers
     from xf_spark.ops.dedup import exact_dedup

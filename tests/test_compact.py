@@ -71,9 +71,13 @@ class TestCompaction:
         ) == ["slice=0"]
         meta = comp.segment_index.meta
         assert meta["next_slice"] == 1
-        # compacted slice encoded at the current avgdl -> scale 1.0
-        assert meta["slice_avgdl"] == {"0": meta["avgdl"]}
+        # compacted slice encoded at the current avgdl -> scale 1.0,
+        # recorded as an EMPTY slice_avgdl (same as a fresh build) so
+        # a repeat compact() recognizes there is nothing to do
+        assert meta["slice_avgdl"] == {}
         assert meta["docs_shard_stale"] is True
+        n_slices, m = compact_index(comp.spark, comp.path)
+        assert n_slices == 1 and m is None  # idempotent no-op
         # global stats untouched by compaction
         pm = plain.segment_index.meta
         assert meta["n_docs"] == pm["n_docs"]
@@ -400,6 +404,12 @@ class TestDropWithIvf:
         assert full_probe == exact and len(exact) == 10
         # no purged doc can surface
         assert not (set(exact) & dropped)
+        # doctor agrees the purged index is consistent (docs count,
+        # embeddings count, stats accounting all post-purge)
+        from xf_spark.doctor import run_doctor
+
+        bad = [c for c in run_doctor(spark, path) if not c.ok]
+        assert not bad, bad
 
 
 class TestIndexDedup:
@@ -455,3 +465,73 @@ class TestIndexDedup:
         assert left == 0
         got = _topk(ix, "machine", 10)
         assert got == _topk(ix, "machine", 10, exhaustive=True) and len(got) > 0
+
+
+class TestReviewFindings:
+    """Regression pins for the round-3 compaction review findings."""
+
+    def test_open_rolls_forward_drop_compaction_before_reading_docs(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A marker-committed DROP compaction pending at open(): the
+        docs dir swap happens during recovery, so open must recover
+        BEFORE creating the docs DataFrame — otherwise its plan holds
+        the pre-swap file listing that recovery deletes."""
+        tr = load_transcripts(spark, 0.001)
+        path = str(tmp_path / "odc")
+        ix = XfIndex.build(tr, path, with_embeddings=False, slices=1)
+        drop = ix.docs.where(F.crc32("conv_id") % 3 == 0).select("doc_id")
+        n_drop = drop.count()
+        n0 = ix.segment_index.meta["n_docs"]
+        real = segmod.recover_compaction
+        calls = {"n": 0}
+
+        def flaky(p):
+            calls["n"] += 1
+            return real(p) if calls["n"] == 1 else False
+
+        monkeypatch.setattr(segmod, "recover_compaction", flaky)
+        compact_index(spark, path, drop=drop)
+        monkeypatch.setattr(segmod, "recover_compaction", real)
+        assert os.path.exists(os.path.join(path, "compact.commit.json"))
+        ix2 = XfIndex.open(spark, path)
+        assert ix2.docs.count() == n0 - n_drop  # evaluable post-swap
+        assert ix2.segment_index.meta["n_docs"] == n0 - n_drop
+        got = _topk(ix2, "machine", 10)
+        assert got == _topk(ix2, "machine", 10, exhaustive=True) and len(got) > 0
+
+    def test_compact_heals_torn_append_first(self, spark, tmp_path):
+        """Compacting an index whose last append tore (docs/segments
+        committed, meta rolled back) must reconcile meta first:
+        otherwise orphan ids >= doc_id_bound map to shard ids >= S
+        while next_shard resets to S, and the next append collides."""
+        tr = load_transcripts(spark, 0.001)
+        p1, p2, p3 = _thirds(tr)
+        path = str(tmp_path / "tca")
+        ix = XfIndex.build(p1, path, with_embeddings=False, slices=1)
+        meta_path = os.path.join(path, "meta.json")
+        with open(meta_path) as f:
+            stale = f.read()
+        ix.append(p2)
+        with open(meta_path) as f:
+            committed = json.load(f)
+        with open(meta_path, "w") as f:  # simulate the torn window
+            f.write(stale)
+
+        compact_index(spark, path)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        assert meta["n_docs"] == committed["n_docs"]
+        assert abs(meta["avgdl"] - committed["avgdl"]) < 1e-9
+        # every shard id produced by the merge is < n_shards
+        seg = spark.read.parquet(os.path.join(path, "segments"))
+        max_shard = seg.agg(F.max("shard")).first()[0]
+        assert max_shard < meta["n_shards"]
+        # append after the healed compaction stays collision-free + exact
+        ix2 = XfIndex.open(spark, path).append(p3)
+        ids = ix2.docs.select("doc_id")
+        assert ids.distinct().count() == ids.count() == ix2.segment_index.meta["n_docs"]
+        for query, limit in QUERIES[:3]:
+            got = _topk(ix2, query, limit)
+            assert got == _topk(ix2, query, limit, exhaustive=True)
+            assert len(got) > 0

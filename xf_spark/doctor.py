@@ -99,8 +99,19 @@ def run_doctor(
             Check("doc_count", n == meta["n_docs"], f"docs={n} meta={meta['n_docs']}")
         )
         ids = docs.agg(F.min("doc_id"), F.max("doc_id"), F.countDistinct("doc_id")).first()
-        dense = ids[0] == 0 and ids[1] == n - 1 and ids[2] == n
-        checks.append(Check("doc_ids_dense", dense, f"min={ids[0]} max={ids[1]} distinct={ids[2]}"))
+        bound = int(meta.get("doc_id_bound", meta["n_docs"]))
+        if bound == meta["n_docs"]:
+            # never purged: ids must be exactly dense 0..n-1
+            ok = ids[0] == 0 and ids[1] == n - 1 and ids[2] == n
+            name = "doc_ids_dense"
+        else:
+            # drop-compaction punched holes by design: ids must be
+            # unique and live inside [0, doc_id_bound)
+            ok = ids[0] >= 0 and ids[1] < bound and ids[2] == n
+            name = "doc_ids_unique_bounded"
+        checks.append(
+            Check(name, ok, f"min={ids[0]} max={ids[1]} distinct={ids[2]} bound={bound}")
+        )
     except Exception as e:  # noqa: BLE001
         checks.append(Check("doc_count", False, str(e)))
 

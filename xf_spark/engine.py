@@ -272,6 +272,15 @@ class XfIndex:
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "XfIndex":
+        # recovery FIRST: a marker-committed drop-compaction swaps the
+        # docs/embeddings dirs, so reading them before SegmentIndex.load
+        # triggers the roll-forward would capture file listings the
+        # recovery is about to delete (review finding; load's own call
+        # then no-ops)
+        from xf_spark.index.segments import recover_compaction, refresh_index_paths
+
+        if recover_compaction(path):
+            refresh_index_paths(spark, path)
         docs = spark.read.parquet(os.path.join(path, "docs"))
         seg = SegmentIndex.load(spark, path, docs=docs)
         emb_path = os.path.join(path, "embeddings")

@@ -669,6 +669,20 @@ def build_index(
     return docs, CorpusStats(n_docs, avgdl), all_metrics
 
 
+def _doc_len_udf():
+    """tokenize-length pandas UDF — the SAME tokenizer the encode
+    used, shared by reconcile_meta (torn-append repair) and
+    compact_index (exact post-drop avgdl): the two accountings must
+    never diverge."""
+    from xf_spark.functions.textcore import tokenize
+
+    @F.pandas_udf("int")
+    def _dl(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(tokenize(t or "")))
+
+    return _dl
+
+
 def reconcile_meta(spark, path: str) -> bool:
     """Repair meta.json after a crash in append_index's commit window
     (segments + docs delta written, meta replace never ran).
@@ -680,8 +694,6 @@ def reconcile_meta(spark, path: str) -> bool:
     doc_id >= meta.n_docs; their dl is recomputed with the same
     tokenizer the encode used, so the repaired stats equal what the
     crashed append would have committed. Returns True if repaired."""
-    from xf_spark.functions.textcore import tokenize
-
     meta_path = os.path.join(path, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
@@ -689,11 +701,7 @@ def reconcile_meta(spark, path: str) -> bool:
     if not os.path.isdir(docs_path):
         return False
     docs = spark.read.parquet(docs_path)
-
-    @F.pandas_udf("int")
-    def _dl(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: len(tokenize(t or "")))
-
+    _dl = _doc_len_udf()
     id_base = int(meta.get("doc_id_bound", meta["n_docs"]))
     row = (
         docs.where(F.col("doc_id") >= id_base)
@@ -1150,6 +1158,13 @@ def compact_index(
     Returns (n_slices_before, BuildMetrics) — or (n, None) when there
     is nothing to do."""
     recover_compaction(path)
+    # heal a torn append BEFORE trusting meta (review finding): with
+    # stale meta, orphan doc ids >= doc_id_bound would map to shard ids
+    # >= S while next_shard resets to S — the following append would
+    # reuse those shard ids for a different doc range, breaking the
+    # contiguous-disjoint-shard invariant filtered queries rely on
+    # (append_index heals the same state for the same reason)
+    reconcile_meta(spark, path)
     meta_path = os.path.join(path, "meta.json")
     with open(meta_path) as f:
         meta = json.load(f)
@@ -1188,12 +1203,7 @@ def compact_index(
         if not os.path.isdir(docs_path):
             raise ValueError("drop-compaction requires the index's docs table")
         docs_df = spark.read.parquet(docs_path)
-        from xf_spark.functions.textcore import tokenize
-
-        @F.pandas_udf("int")
-        def _dl(texts: pd.Series) -> pd.Series:
-            return texts.map(lambda t: len(tokenize(t or "")))
-
+        _dl = _doc_len_udf()
         # exact post-drop stats need the dropped docs' token counts —
         # same tokenizer the encode used (cf. reconcile_meta); the agg
         # touches only the dropped rows' text
@@ -1362,8 +1372,11 @@ def compact_index(
         next_shard=S,
         next_slice=1,
         # the compacted slice is encoded at the (post-drop) current
-        # avgdl: exact block bounds, bm_scale 1.0 on load
-        slice_avgdl={"0": avgdl_enc},
+        # avgdl: exact block bounds. EMPTY dict (missing entry = scale
+        # 1.0 on load, same as a fresh build) — a non-empty entry would
+        # defeat the nothing-to-do early exit and make every repeat
+        # compact() redo the full merge (review finding)
+        slice_avgdl={},
         # the docs parquet's stored shard column (if any) reflects the
         # pre-compaction layout; filtered queries must derive shard
         # from the segments instead (exact; _shard_for_docs)
