@@ -245,3 +245,42 @@ class TestStreamAutoCompact:
         assert got == exact and len(got) > 0
         # the first version still serves from its own hard links
         assert XfIndex.open(spark, cur1).docs.count() == 4
+
+
+class TestPruneVersions:
+    def test_prune_keeps_current_and_reclaims_old(self, spark, tmp_path):
+        """Three versions -> prune(keep=2): oldest removed, CURRENT
+        plus one predecessor survive and still serve (hard-linked
+        slices keep their inodes through the sibling's removal)."""
+        from xf_spark.engine import XfIndex
+        from xf_spark.streaming.ingest import (
+            current_index_path,
+            prune_versions,
+            stream_index,
+        )
+
+        inp, root, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "idx"),
+            str(tmp_path / "ckpt"),
+        )
+        for i, name in enumerate(["a", "b", "c"]):
+            _write_batch(inp, f"{name}.parquet", _rows(f"p{i}", 0, 3, i * 10))
+            stream_index(spark, inp, root, ckpt, slices=1).awaitTermination()
+        versions = [d for d in os.listdir(root) if d.startswith("v")]
+        assert len(versions) == 3
+        cur = current_index_path(root)
+
+        removed = prune_versions(root, keep=2)
+        assert len(removed) == 1 and cur not in removed
+        left = [d for d in os.listdir(root) if d.startswith("v")]
+        assert len(left) == 2
+        ix = XfIndex.open(spark, cur)
+        assert ix.docs.count() == 9
+        assert ix.segment_index.search("indexing", limit=5).count() == 5
+
+        # keep=1: only CURRENT survives, still serving
+        removed = prune_versions(root, keep=1)
+        assert len(removed) == 1
+        assert [os.path.join(root, d) for d in os.listdir(root) if d.startswith("v")] == [cur]
+        assert XfIndex.open(spark, cur).docs.count() == 9

@@ -172,6 +172,45 @@ def stream_index(
     return writer.start()
 
 
+def prune_versions(index_root: str, keep: int = 2) -> list[str]:
+    """Garbage-collect old index version dirs under ``index_root``.
+
+    Keeps the CURRENT version plus the ``keep - 1`` most recent others
+    (by mtime). Safe with the hard-link slice sharing: removing a
+    version dir only unlinks ITS directory entries — inodes shared
+    with surviving versions keep their other links, so retained
+    versions serve unchanged, and disk space is reclaimed exactly for
+    files no surviving version references. The streaming analog of
+    expiring old table snapshots.
+
+    Returns the list of removed version dirs."""
+    import shutil as _sh
+
+    cur = current_index_path(index_root)
+    versions = sorted(
+        (
+            os.path.join(index_root, d)
+            for d in os.listdir(index_root)
+            if d.startswith("v") and os.path.isdir(os.path.join(index_root, d))
+        ),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    keep_set: set[str] = set()
+    if cur is not None:
+        keep_set.add(cur)
+    for v in versions:  # newest-first; fill up to `keep` total
+        if len(keep_set) >= max(keep, 1):
+            break
+        keep_set.add(v)
+    removed = []
+    for v in versions:
+        if v not in keep_set:
+            _sh.rmtree(v)
+            removed.append(v)
+    return removed
+
+
 def turns_per_window(
     stream_df: DataFrame, window: str = "1 minute", watermark: str = "10 minutes"
 ) -> DataFrame:
