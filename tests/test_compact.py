@@ -535,3 +535,145 @@ class TestReviewFindings:
             got = _topk(ix2, query, limit)
             assert got == _topk(ix2, query, limit, exhaustive=True)
             assert len(got) > 0
+
+
+class TestReshard:
+    def test_compact_to_different_shard_count(self, spark, tmp_path):
+        """target_shards != the build layout: results stay verbatim
+        identical (shard count is physical layout, not semantics) and
+        meta/next_shard bookkeeping follows the new count."""
+        tr = load_transcripts(spark, 0.001)
+        p1, p2, _ = _thirds(tr)
+        plain_path = str(tmp_path / "rs_plain")
+        plain = XfIndex.build(
+            p1, plain_path, with_embeddings=False, slices=1
+        ).append(p2)
+        comp_path = str(tmp_path / "rs_comp")
+        shutil.copytree(plain_path, comp_path)
+        comp = XfIndex.open(spark, comp_path).compact(target_shards=7)
+        meta = comp.segment_index.meta
+        assert meta["n_shards"] == 7 and meta["next_shard"] == 7
+        seg = spark.read.parquet(os.path.join(comp_path, "segments"))
+        shards = {r["shard"] for r in seg.select("shard").distinct().collect()}
+        assert shards <= set(range(7)) and len(shards) > 1
+        for query, limit in QUERIES:
+            got, want = _topk(comp, query, limit), _topk(plain, query, limit)
+            assert got == want and len(want) > 0
+        # filtered through the re-derived shard mapping too
+        comp.segment_index.driver_topk_threshold = 0
+        plain.segment_index.driver_topk_threshold = 0
+        assert _topk(comp, "machine", 25, roles=["user"]) == _topk(
+            plain, "machine", 25, roles=["user"]
+        )
+
+
+class TestFragmentMathProperty:
+    """Pure-NumPy property test of the compaction split kernel
+    (_row_frag_tuples): for random posting rows, random shard counts,
+    and random drop sets, the emitted fragments must reassemble into
+    exactly the kept postings, routed to shard = doc_id*S//bound,
+    with positions surviving the byte-level split."""
+
+    def _run(self, doc_ids, tfs, dls, pos_lists, S, bound, drop):
+        from collections import namedtuple
+
+        import numpy as np
+
+        from xf_spark.index.codec import decode_doc_ids, decode_positions, varint_decode
+        from xf_spark.index.segments import _encode_term, _row_frag_tuples
+
+        enc = _encode_term(
+            "t", 0, 0,
+            np.asarray(doc_ids, dtype=np.int64),
+            np.asarray(tfs, dtype=np.int64),
+            np.asarray(dls, dtype=np.int64),
+            pos_lists,
+            10.0,
+        )
+        Row = namedtuple(
+            "Row",
+            "field term bucket n_docs block_doc_off doc_ids_bin tfs_bin "
+            "dls_bin positions_bin",
+        )
+        r = Row(
+            "text", "t", 0, enc["n_docs"], enc["block_doc_off"],
+            enc["doc_ids_bin"], enc["tfs_bin"], enc["dls_bin"],
+            enc["positions_bin"],
+        )
+        drop_arr = (
+            np.asarray(sorted(drop), dtype=np.int64) if drop is not None else None
+        )
+        frags = _row_frag_tuples(r, S, bound, drop_arr)
+
+        keep = [i for i, d in enumerate(doc_ids) if drop is None or d not in drop]
+        exp_ids = [doc_ids[i] for i in keep]
+        exp_tfs = [tfs[i] for i in keep]
+        exp_dls = [dls[i] for i in keep]
+        exp_pos = [list(pos_lists[i]) for i in keep] if pos_lists else None
+        exp_shard = [d * S // bound for d in exp_ids]
+
+        got_ids, got_tfs, got_dls, got_shard, got_pos = [], [], [], [], []
+        for (
+            _f, _t, _b, shard, first, n, ids_bin, tfs_bin, dls_bin, pos_bin
+        ) in frags:
+            ids = list(decode_doc_ids(ids_bin))
+            assert first == ids[0] and n == len(ids)
+            assert all(d * S // bound == shard for d in ids)
+            got_ids += ids
+            got_tfs += list(varint_decode(tfs_bin).astype(int))
+            got_dls += list(varint_decode(dls_bin).astype(int))
+            got_shard += [shard] * n
+            if pos_bin:
+                got_pos += [list(p) for p in decode_positions(pos_bin, n)]
+        assert got_ids == exp_ids
+        assert got_tfs == exp_tfs
+        assert got_dls == exp_dls
+        assert got_shard == exp_shard
+        if exp_pos is not None:
+            assert got_pos == exp_pos
+
+    def test_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=150, deadline=None)
+        @given(st.data())
+        def run(data):
+            bound = data.draw(st.integers(min_value=1, max_value=2000))
+            n = data.draw(st.integers(min_value=1, max_value=min(bound, 300)))
+            ids = sorted(
+                data.draw(
+                    st.sets(
+                        st.integers(min_value=0, max_value=bound - 1),
+                        min_size=n, max_size=n,
+                    )
+                )
+            )
+            tfs = [data.draw(st.integers(min_value=1, max_value=500)) for _ in ids]
+            dls = [data.draw(st.integers(min_value=1, max_value=3000)) for _ in ids]
+            with_pos = data.draw(st.booleans())
+            pos = (
+                [
+                    sorted(
+                        data.draw(
+                            st.sets(st.integers(min_value=0, max_value=4000), max_size=5)
+                        )
+                    )
+                    for _ in ids
+                ]
+                if with_pos
+                else None
+            )
+            S = data.draw(st.integers(min_value=1, max_value=64))
+            drop = data.draw(
+                st.one_of(
+                    st.none(),
+                    st.sets(st.sampled_from(ids), max_size=len(ids)),
+                    st.sets(st.integers(min_value=0, max_value=bound - 1), max_size=20),
+                )
+            )
+            if drop is not None and set(ids) <= set(drop):
+                drop = set(list(drop)[:-1]) - {ids[0]}  # keep at least one
+            self._run(ids, tfs, dls, pos, S, bound, drop)
+
+        run()
