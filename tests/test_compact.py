@@ -677,3 +677,30 @@ class TestFragmentMathProperty:
             self._run(ids, tfs, dls, pos, S, bound, drop)
 
         run()
+
+
+class TestDropNoOp:
+    def test_stale_drop_list_is_noop_on_compacted_index(self, pair):
+        """Re-running compact --drop with ids already purged (or never
+        present) must take the nothing-to-do exit, not rewrite the
+        whole index (review finding: the early exit used to be checked
+        only before m_drop was known)."""
+        plain, comp = pair
+        spark = comp.spark
+        man_path = os.path.join(comp.path, "manifest")
+        mtimes_before = {
+            f: os.path.getmtime(os.path.join(man_path, f))
+            for f in os.listdir(man_path)
+        }
+        ghost = spark.createDataFrame([(10**9,), (10**9 + 1,)], "doc_id long")
+        n_slices, m = compact_index(spark, comp.path, drop=ghost)
+        assert n_slices == 1 and m is None  # no-op, nothing rewritten
+        mtimes_after = {
+            f: os.path.getmtime(os.path.join(man_path, f))
+            for f in os.listdir(man_path)
+        }
+        assert mtimes_after == mtimes_before
+        # still serves identically
+        got = _topk(comp, "machine", 10)
+        want = _topk(plain, "machine", 10)
+        assert got == want and len(want) > 0

@@ -284,3 +284,69 @@ class TestPruneVersions:
         assert len(removed) == 1
         assert [os.path.join(root, d) for d in os.listdir(root) if d.startswith("v")] == [cur]
         assert XfIndex.open(spark, cur).docs.count() == 9
+
+
+class TestPruneVersionsSafety:
+    """prune_versions must never classify the live (or in-progress)
+    version as prunable — pure file-op tests (no Spark)."""
+
+    @staticmethod
+    def _mk_root(tmp_path, n=3):
+        import time as _t
+
+        root = tmp_path / "idx"
+        root.mkdir()
+        dirs = []
+        now = _t.time()
+        for i in range(1, n + 1):
+            d = root / f"v{i}"
+            d.mkdir()
+            (d / "meta.json").write_text("{}")
+            os.utime(d, (now - 100 * (n - i), now - 100 * (n - i)))
+            dirs.append(str(d))
+        return str(root), dirs
+
+    def test_relative_root_spelling_never_removes_current(self, tmp_path):
+        """CURRENT stores an absolute path; invoking prune with a
+        relative root must still recognize it (review finding: raw
+        string comparison rmtree'd the live version)."""
+        from xf_spark.streaming.ingest import prune_versions
+
+        root, dirs = self._mk_root(tmp_path, n=3)
+        (tmp_path / "idx" / "CURRENT").write_text(os.path.abspath(dirs[-1]))
+        old_cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            removed = prune_versions("idx", keep=1)
+            removed_real = {os.path.realpath(r) for r in removed}
+        finally:
+            os.chdir(old_cwd)
+        assert os.path.isdir(dirs[-1])  # live version survives
+        assert removed_real == {os.path.realpath(d) for d in dirs[:-1]}
+
+    def test_in_progress_version_newer_than_current_is_skipped(self, tmp_path):
+        """A dir newer than CURRENT may be a build mid-write (CURRENT
+        flips only after the batch commits) — prune must leave it."""
+        from xf_spark.streaming.ingest import prune_versions
+
+        root, dirs = self._mk_root(tmp_path, n=3)
+        (tmp_path / "idx" / "CURRENT").write_text(dirs[1])  # v2 is live
+        removed = prune_versions(root, keep=1)
+        assert os.path.isdir(dirs[1])  # live
+        assert os.path.isdir(dirs[2])  # in-progress (newer than CURRENT)
+        assert removed == [dirs[0]]
+
+    def test_no_current_prunes_nothing(self, tmp_path):
+        from xf_spark.streaming.ingest import prune_versions
+
+        root, dirs = self._mk_root(tmp_path, n=2)
+        assert prune_versions(root, keep=1) == []
+        assert all(os.path.isdir(d) for d in dirs)
+
+    def test_dangling_current_prunes_nothing(self, tmp_path):
+        from xf_spark.streaming.ingest import prune_versions
+
+        root, dirs = self._mk_root(tmp_path, n=2)
+        (tmp_path / "idx" / "CURRENT").write_text(str(tmp_path / "idx" / "v9"))
+        assert prune_versions(root, keep=1) == []
+        assert all(os.path.isdir(d) for d in dirs)

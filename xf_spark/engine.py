@@ -255,17 +255,24 @@ class XfIndex:
                 f"method must be exact|minhash|simhash, got {method!r}"
             )
         n0 = int(self.segment_index.meta["n_docs"])
-        n_drop = losers.count()
-        report = {
-            "method": method,
-            "n_docs_before": n0,
-            "n_dropped": n_drop,
-            "n_docs_after": n0 - n_drop,
-            "applied": False,
-        }
-        if dry_run or n_drop == 0:
-            return report
-        self.compact(drop=losers)
+        # the loser set's lineage is the expensive half (LSH self-join +
+        # connected components); cache it so the count and compaction's
+        # own materialization don't each run it end-to-end
+        losers = losers.cache()
+        try:
+            n_drop = losers.count()
+            report = {
+                "method": method,
+                "n_docs_before": n0,
+                "n_dropped": n_drop,
+                "n_docs_after": n0 - n_drop,
+                "applied": False,
+            }
+            if dry_run or n_drop == 0:
+                return report
+            self.compact(drop=losers)
+        finally:
+            losers.unpersist()
         report["n_docs_after"] = int(self.segment_index.meta["n_docs"])
         report["applied"] = True
         return report

@@ -1157,7 +1157,32 @@ def compact_index(
 
     Returns (n_slices_before, BuildMetrics) — or (n, None) when there
     is nothing to do."""
-    recover_compaction(path)
+    state: dict = {}
+    try:
+        return _compact_index_run(spark, path, target_shards, drop, drop_col, state)
+    except BaseException:
+        # release the cached drop-id set on ANY failure (a failed merge
+        # or rewrite would otherwise pin it in executor storage for the
+        # session's lifetime)
+        df = state.get("drop_ids_df")
+        if df is not None:
+            df.unpersist()
+        raise
+
+
+def _compact_index_run(
+    spark: SparkSession,
+    path: str,
+    target_shards: int | None,
+    drop: DataFrame | None,
+    drop_col: str,
+    _state: dict,
+):
+    if recover_compaction(path):
+        # rolling forward a sibling's pending commit swaps stores in
+        # place; drop the cached file listings before the reads below
+        # (same invalidation every other recover site performs)
+        refresh_index_paths(spark, path)
     # heal a torn append BEFORE trusting meta (review finding): with
     # stale meta, orphan doc ids >= doc_id_bound would map to shard ids
     # >= S while next_shard resets to S — the following append would
@@ -1193,15 +1218,16 @@ def compact_index(
         # avoids re-deriving it and pins ONE id set even if the source
         # frame is non-deterministic or reads files this compaction is
         # about to replace
+        if not os.path.isdir(docs_path):
+            raise ValueError("drop-compaction requires the index's docs table")
         drop_ids_df = (
             drop.select(F.col(drop_col).cast("long").alias("doc_id"))
             .where(F.col("doc_id").isNotNull())
             .distinct()
             .cache()
         )
+        _state["drop_ids_df"] = drop_ids_df
         drop_ids_df.count()
-        if not os.path.isdir(docs_path):
-            raise ValueError("drop-compaction requires the index's docs table")
         docs_df = spark.read.parquet(docs_path)
         _dl = _doc_len_udf()
         # exact post-drop stats need the dropped docs' token counts —
@@ -1216,6 +1242,15 @@ def compact_index(
         if m_drop == 0:
             drop_ids_df.unpersist()
             drop_ids_df = None  # nothing matches: plain compaction
+            _state["drop_ids_df"] = None
+            if (
+                len(slice_dirs) == 1
+                and target_shards is None
+                and not (meta.get("slice_avgdl") or {})
+            ):
+                # without the drop there is nothing to do (same early
+                # exit as the drop-less call) — skip the full merge
+                return len(slice_dirs), None
         else:
             n_docs_new = n_docs - m_drop
             if n_docs_new <= 0:

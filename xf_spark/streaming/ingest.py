@@ -187,6 +187,15 @@ def prune_versions(index_root: str, keep: int = 2) -> list[str]:
     import shutil as _sh
 
     cur = current_index_path(index_root)
+    if cur is None:
+        return []  # no committed version: nothing is provably stale
+    # CURRENT stores whatever spelling stream_index was launched with;
+    # compare resolved paths so a relative/absolute or symlinked
+    # invocation can never classify the live version as prunable
+    cur_real = os.path.realpath(cur)
+    if not os.path.isdir(cur_real):
+        return []  # dangling pointer: refuse to prune anything
+    cur_mtime = os.path.getmtime(cur_real)
     versions = sorted(
         (
             os.path.join(index_root, d)
@@ -196,18 +205,21 @@ def prune_versions(index_root: str, keep: int = 2) -> list[str]:
         key=os.path.getmtime,
         reverse=True,
     )
-    keep_set: set[str] = set()
-    if cur is not None:
-        keep_set.add(cur)
+    keep_set = {cur_real}
     for v in versions:  # newest-first; fill up to `keep` total
         if len(keep_set) >= max(keep, 1):
             break
-        keep_set.add(v)
+        keep_set.add(os.path.realpath(v))
     removed = []
     for v in versions:
-        if v not in keep_set:
-            _sh.rmtree(v)
-            removed.append(v)
+        if os.path.realpath(v) in keep_set:
+            continue
+        if os.path.getmtime(v) > cur_mtime:
+            # newer than the committed version: a build may be writing
+            # it right now (CURRENT flips only after the batch commits)
+            continue
+        _sh.rmtree(v)
+        removed.append(v)
     return removed
 
 
