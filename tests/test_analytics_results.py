@@ -192,6 +192,15 @@ class TestDates:
         lo, hi = parse_date_range("weekday", now=wed)
         assert (lo.date(), hi.date()) == (dt.date(2026, 8, 10), dt.date(2026, 8, 12))
 
+    def test_this_week(self):
+        # NOW = 2026-08-16 (Sunday) -> Mon 08-10 .. Sun 08-16; symmetric
+        # with last/next week (review finding: 'this week' used to raise)
+        lo, hi = parse_date_range("this week", now=NOW)
+        assert (lo.date(), hi.date()) == (dt.date(2026, 8, 10), dt.date(2026, 8, 16))
+        wed = dt.datetime(2026, 8, 12)
+        lo, hi = parse_date_range("this week", now=wed)
+        assert (lo.date(), hi.date()) == (dt.date(2026, 8, 10), dt.date(2026, 8, 16))
+
     def test_past_synonym(self):
         assert parse_date_range("past week", now=NOW) == parse_date_range(
             "last week", now=NOW
@@ -315,6 +324,34 @@ class TestResults:
         rows = add_snippets(hyd, "machine").collect()
         assert rows
         assert all("<b>" in r["snippet"].lower() for r in rows)
+
+    def test_snippet_matches_snake_case_identifiers(self, built, spark):
+        # the tokenizer splits on [\W_]+ so 'conv_id' indexes as
+        # (conv, id) — the snippet matcher must use the same token
+        # boundary, not regex \b (which treats '_' as a word char and
+        # missed the hit entirely)
+        engine, _, _ = built
+        hyd = spark.createDataFrame(
+            [(1, "the conv_id column holds the id")], "doc_id long, text string"
+        )
+        rows = add_snippets(hyd, "conv").collect()
+        assert rows[0]["snippet"].startswith("the <b>conv</b>_id")
+        # but no partial-token match: 'conv' inside 'conversation' stays unmarked
+        hyd2 = spark.createDataFrame(
+            [(1, "a conversation about nothing")], "doc_id long, text string"
+        )
+        rows2 = add_snippets(hyd2, "conv").collect()
+        assert "<b>" not in rows2[0]["snippet"]
+
+    def test_phrase_requires_positions(self, built):
+        # an engine built without positions must reject phrase queries
+        # with a clear error, not an unresolved-column AnalysisException
+        from xf_spark.index.builder import build_engine
+
+        _, transcripts, _ = built
+        eng = build_engine(transcripts, with_positions=False, with_prefix=False)
+        with pytest.raises(ValueError, match="positions"):
+            eng.search('"machine learning"')
 
     def test_sorts(self, built):
         engine, _, _ = built

@@ -345,6 +345,23 @@ class TestSimilarity:
         exact = [r["vec_id"] for r in SIM.brute_force_topk(embeddings, q, k=10).collect()]
         assert approx == exact  # probing ALL cells == exact
 
+    def test_zero_norm_vector_scores_zero_not_crash(self, spark):
+        # ANSI mode (Spark 4 default) raises DIVIDE_BY_ZERO on an
+        # unguarded cosine denominator; a zero-norm embedding (or query)
+        # must score 0.0 and sort last, matching ivf_topk's floor
+        emb = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.6, 0.8])],
+            "vec_id long, embedding array<float>",
+        )
+        got = SIM.brute_force_topk(emb, [1.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in got] == [0, 2, 1]
+        assert got[0]["cosine"] == 1.0
+        assert got[2]["cosine"] == 0.0  # zero-norm row: floored, not NULL/crash
+        # zero query vector: every score 0.0, doc_id-asc tiebreak
+        got = SIM.brute_force_topk(emb, [0.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in got] == [0, 1, 2]
+        assert all(r["cosine"] == 0.0 for r in got)
+
     def test_train_centroids_tiny_sample_never_empty(self, embeddings):
         # sample=1 on a larger table: Bernoulli sampling returns 0 rows
         # with high probability — the fallback slice must keep init

@@ -37,12 +37,22 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k vs a literal query vector."""
+    import math
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # query norm is a constant: compute it once on the driver instead
+    # of folding the literal array per scanned row; floor the product
+    # so a zero-norm vector scores 0.0 instead of raising
+    # DIVIDE_BY_ZERO under ANSI mode (ivf_topk floors the same way)
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
     scored = embeddings.select(
         F.col(id_col),
         F.round(
             _dot(F.col(vec_col), q)
-            / (F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.sqrt(_dot(q, q))),
+            / F.greatest(
+                F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.lit(qnorm),
+                F.lit(1e-12),
+            ),
             6,
         ).alias("cosine"),
     )
@@ -138,7 +148,13 @@ def train_centroids(
                         }
                     )
 
-            parts = S.mapInPandas(partial, schema=part_schema).toPandas()
+            try:
+                parts = S.mapInPandas(partial, schema=part_schema).toPandas()
+            finally:
+                # one broadcast per iteration would otherwise pin
+                # n_cells x dim float64 on driver+executors for the
+                # session's lifetime
+                cb.destroy()
             cnt = np.zeros(len(cent), dtype=np.int64)
             vsum = np.zeros((len(cent), dim), dtype=np.float64)
             for _, r in parts.iterrows():

@@ -225,6 +225,11 @@ class BM25Engine:
         return out
 
     def _phrase_scored(self, terms: list[str]) -> DataFrame:
+        if "positions" not in self.postings.columns:
+            raise ValueError(
+                "phrase queries require postings built with positions "
+                "(build_postings(..., with_positions=True))"
+            )
         uniq = sorted(set(terms))
         dfs = self._term_dfs(uniq)
         if any(not dfs.get(t) for t in uniq):

@@ -85,7 +85,9 @@ def parse_date_range(
     text: str, now: dt.datetime | None = None
 ) -> tuple[dt.datetime, dt.datetime]:
     """Parse an expression into its (start, end) datetime range."""
-    now = now or dt.datetime.utcnow()
+    # naive-UTC "now" (utcnow() is deprecated since 3.12; this spelling
+    # keeps the pinned naive-UTC semantics)
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     s = (text or "").strip().lower()
     if not s:
         raise ValueError("empty date expression")
@@ -164,6 +166,11 @@ def parse_date_range(
         monday = today - dt.timedelta(days=today.weekday())
         end = today if today.weekday() <= 4 else monday + dt.timedelta(days=4)
         return _start_of_day(monday), _end_of_day(end)
+    if s == "this week":
+        # Mon..Sun of the current Mon-based week (symmetric with
+        # "last week" / "next week")
+        monday = today - dt.timedelta(days=today.weekday())
+        return _start_of_day(monday), _end_of_day(monday + dt.timedelta(days=6))
     if s == "this month":
         return _month_range(today.year, today.month)
     if s == "this year":

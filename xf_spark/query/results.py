@@ -115,8 +115,15 @@ def add_snippets(hydrated: DataFrame, query: str) -> DataFrame:
         return hydrated.withColumn(
             "snippet", F.substring("text", 1, SNIPPET_MAX_CHARS)
         )
+    # token boundary = "not adjacent to a token character", where the
+    # tokenizer's token class is \w minus underscore ([\W_]+ splits) —
+    # regex \b would treat '_' as a word char and miss 'conv' inside
+    # 'conv_id' even though the index tokenizes it as a hit
     pattern = re.compile(
-        r"\b(" + "|".join(re.escape(t) for t in terms) + r")\b", re.IGNORECASE
+        r"(?<![^\W_])("
+        + "|".join(re.escape(t) for t in terms)
+        + r")(?![^\W_])",
+        re.IGNORECASE,
     )
 
     @F.pandas_udf(T.StringType())
