@@ -185,3 +185,54 @@ class TestAppendOperational:
         n1 = ix.segment_index.meta["n_docs"]
         ix = ix.append(p2, dedup=False)
         assert ix.segment_index.meta["n_docs"] == n1 + p2.count()
+
+
+class TestCrashWindows:
+    """Resume/heal behavior for the build and append crash windows
+    (review findings: a dir without _SUCCESS was treated as a complete
+    write; an embeddings hole after a mid-append crash was permanent
+    because the retry dedups to n_added == 0)."""
+
+    def test_build_rewrites_incomplete_docs_store(self, spark, tmp_path):
+        tr = load_transcripts(spark, 0.001)
+        path = str(tmp_path / "bi")
+        ix = XfIndex.build(tr, path, with_embeddings=False, slices=1)
+        n = ix.docs.count()
+        docs_path = os.path.join(path, "docs")
+        # simulate a crashed mid-job write: dir exists, no _SUCCESS,
+        # data files incomplete
+        os.remove(os.path.join(docs_path, "_SUCCESS"))
+        for f in os.listdir(docs_path):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(docs_path, f))
+        ix2 = XfIndex.build(tr, path, with_embeddings=False, slices=1)
+        assert ix2.docs.count() == n
+
+    def test_append_backfills_embedding_hole(self, spark, tmp_path):
+        import shutil
+
+        tr = load_transcripts(spark, 0.001)
+        part1, part2 = _split(tr)
+        path = str(tmp_path / "ih")
+        ix = XfIndex.build(part1, path, slices=1)
+        emb_path = os.path.join(path, "embeddings")
+        backup = str(tmp_path / "emb_backup")
+        shutil.copytree(emb_path, backup)
+        ix.append(part2)
+        n_docs = ix.docs.count()
+        assert ix.embeddings.count() == n_docs
+        want = [(r["doc_id"], round(r["score"], 9)) for r in
+                ix.search("machine", mode="semantic", limit=10).collect()]
+        # wind the embeddings store back: the state after a crash
+        # between the lexical commit and the embeddings extension
+        shutil.rmtree(emb_path)
+        shutil.copytree(backup, emb_path)
+        ix2 = XfIndex.open(spark, path)
+        assert ix2.embeddings.count() < n_docs
+        # the retry dedups every doc away (n_added == 0) — the heal
+        # must backfill the hole anyway
+        ix2.append(part2)
+        assert ix2.embeddings.count() == n_docs
+        got = [(r["doc_id"], round(r["score"], 9)) for r in
+               ix2.search("machine", mode="semantic", limit=10).collect()]
+        assert got == want

@@ -767,3 +767,25 @@ def test_phrase_randomized_encode_decode_isomorphism():
                     )
                 want[d] = round(s, 9)
         assert got == want, f"case {case}: {got} != {want}"
+
+
+def test_search_many_chunks_union_decode(built):
+    """The coordinator decode is bounded per CHUNK, not just per member:
+    with the threshold squeezed to the largest single member, the batch
+    must split into multiple chunks and still match per-query results
+    exactly (review finding: the union of N just-under-threshold members
+    was decoded at once — N x the documented bound)."""
+    ix, _oracle, _m, _p = built
+    queries = ["machine", "rust", "python", "async", "learning", "model"]
+    want = {q: ix.search_local(q, limit=10) for q in queries}
+    dfs = ix.term_dfs(set(queries), "text")
+    old = ix.driver_topk_threshold
+    ix.driver_topk_threshold = max(dfs.values()) + 1
+    try:
+        batch = ix.search_many(queries, limit=10)
+    finally:
+        ix.driver_topk_threshold = old
+    for q in queries:
+        got = [(d, round(s, 9)) for d, s in batch[q]]
+        exp = [(d, round(s, 9)) for d, s in want[q]]
+        assert got == exp, q

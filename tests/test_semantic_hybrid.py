@@ -439,3 +439,68 @@ class TestPinnedVectors:
             single.sort(key=lambda t: (-t[1], t[0]))
             got.sort(key=lambda t: (-t[1], t[0]))
             assert got == single and len(got) == 10, q
+
+
+class TestQueryRoleFilters:
+    """Query-embedded type:/role: filters must constrain EVERY branch
+    (review finding: they used to filter only the lexical list, and the
+    raw 'role:...' token was hash-embedded into the query vector)."""
+
+    @pytest.fixture(scope="class")
+    def ix(self, spark, tmp_path_factory):
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        path = str(tmp_path_factory.mktemp("qrf") / "idx")
+        tr = load_transcripts(spark, 0.001)
+        return XfIndex.build(tr, path, slices=1)
+
+    def test_semantic_query_role_equals_kwarg(self, ix):
+        a = [(r["doc_id"], round(r["score"], 9)) for r in
+             ix.search("role:assistant stress", mode="semantic", limit=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in
+             ix.search("stress", mode="semantic", roles=["assistant"], limit=10).collect()]
+        assert a == b and len(a) == 10
+        rows = ix.search("role:assistant stress", mode="semantic", limit=10).collect()
+        assert all(r["role"] == "assistant" for r in rows)
+
+    def test_hybrid_query_role_equals_kwarg(self, ix):
+        a = [(r["doc_id"], round(r["score"], 9)) for r in
+             ix.search("role:assistant stress", mode="hybrid", limit=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in
+             ix.search("stress", mode="hybrid", roles=["assistant"], limit=10).collect()]
+        assert a == b and len(a) == 10
+
+    def test_contradictory_filters_match_nothing(self, ix):
+        for mode in ("lexical", "semantic", "hybrid"):
+            n = ix.search(
+                "role:assistant stress", mode=mode, roles=["user"], limit=10
+            ).count()
+            assert n == 0, mode
+
+    def test_pinned_path_honors_query_role(self, ix):
+        ix.cache(pin_vectors_mb=512)
+        assert ix._pinned_vecs is not None
+        rows = ix.search("role:user stress", mode="semantic", limit=10).collect()
+        assert rows and all(r["role"] == "user" for r in rows)
+
+    def test_blank_roles_rejected(self, ix):
+        with pytest.raises(ValueError, match="roles"):
+            ix.search("stress", roles=[" "])
+
+    def test_msearch_honors_query_role(self, ix):
+        # role-filtered members take the single-query path; plain
+        # members ride the block paths — both keyed in one result
+        for mode in ("semantic", "hybrid"):
+            batch = ix.msearch(["role:user stress", "stress"], limit=10, mode=mode)
+            single = [(r["doc_id"], round(r["score"], 9)) for r in
+                      ix.search("role:user stress", mode=mode, limit=10)
+                      .select("doc_id", "score").collect()]
+            got = [(d, round(s, 9)) for d, s in batch["role:user stress"]]
+            assert got == single and len(got) == 10, mode
+            assert len(batch["stress"]) == 10, mode
+        # unparseable member isolates as empty, rest served
+        batch = ix.msearch(["rust NOT type:assistant", "stress"],
+                           limit=5, mode="semantic")
+        assert batch["rust NOT type:assistant"] == []
+        assert len(batch["stress"]) == 5

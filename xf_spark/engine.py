@@ -18,6 +18,25 @@ from xf_spark.query.segment_search import SegmentIndex
 from xf_spark.query.semantic import build_embeddings, semantic_topk
 
 
+def _parquet_complete(path: str) -> bool:
+    """A parquet store counts as written only when the committer's
+    _SUCCESS marker landed — a directory alone may be a crashed
+    mid-job write (the dir and _temporary/ appear at job START), and
+    treating it as complete would serve a truncated store."""
+    return os.path.isdir(path) and os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def _release(df) -> None:
+    """Best-effort unpersist of a possibly-cached DataFrame (replaced
+    references would otherwise stay pinned in the block manager for
+    the session's lifetime)."""
+    try:
+        if df is not None and df.is_cached:
+            df.unpersist()
+    except Exception:  # noqa: BLE001 — cache release must never fail a swap
+        pass
+
+
 @dataclass
 class XfIndex:
     """A built index: segment files + docs table + embeddings."""
@@ -63,28 +82,36 @@ class XfIndex:
         spark = transcripts.sparkSession
         docs, stats, _metrics = build_index(transcripts, path, **build_kw)
         docs_path = os.path.join(path, "docs")
-        if not os.path.isdir(docs_path):
+        if not _parquet_complete(docs_path):
             docs.write.mode("overwrite").parquet(docs_path)
         emb = None
         if with_embeddings:
             from xf_spark.query.semantic import encode_f16_udf
 
             emb_path = os.path.join(path, "embeddings")
-            if not os.path.isdir(emb_path):
+            if not _parquet_complete(emb_path):
                 emb_df = build_embeddings(docs)
+                cached_emb = None
                 part_cols = []
                 if ann_cells > 0:
                     from xf_spark.ops.similarity import assign_cells, train_centroids
 
-                    emb_df = emb_df.cache()
+                    cached_emb = emb_df = emb_df.cache()
                     cent = train_centroids(
                         emb_df, n_cells=ann_cells, vec_col="vec"
                     )
                     emb_df = assign_cells(emb_df, cent, vec_col="vec")
                     part_cols = ["cell"]
+                    # commit centroids BEFORE the cell-partitioned
+                    # parquet write: a crash between the two leaves an
+                    # incomplete emb dir (no _SUCCESS) that resume
+                    # rebuilds wholesale; the reverse order could leave
+                    # a complete cell-partitioned store with no
+                    # quantizer, which nothing can repair
                     tmp = os.path.join(path, "centroids.json.tmp")
                     with open(tmp, "w") as f:
                         _json.dump(cent.tolist(), f)
+                    os.replace(tmp, os.path.join(path, "centroids.json"))
                 if vec_format == "f16":
                     emb_df = emb_df.select(
                         "doc_id",
@@ -95,8 +122,7 @@ class XfIndex:
                 if part_cols:
                     w = w.partitionBy(*part_cols)
                 w.parquet(emb_path)
-                if ann_cells > 0:
-                    os.replace(tmp, os.path.join(path, "centroids.json"))
+                _release(cached_emb)
             emb = spark.read.parquet(emb_path)
         docs_df = spark.read.parquet(docs_path)
         seg = SegmentIndex.load(spark, path, docs=docs_df)
@@ -105,6 +131,12 @@ class XfIndex:
         )
 
     def _centroids(self):
+        # memoized: the file is immutable between (re)builds, and the
+        # ann serving path calls this per query — re-parsing n_cells x
+        # DIM floats of JSON per request is pure overhead. append()/
+        # compact() drop the memo alongside the serving pins.
+        if self._centroids_cache is not None:
+            return self._centroids_cache
         import json as _json
 
         p = os.path.join(self.path, "centroids.json")
@@ -113,7 +145,8 @@ class XfIndex:
         import numpy as np
 
         with open(p) as f:
-            return np.asarray(_json.load(f), dtype=np.float64)
+            self._centroids_cache = np.asarray(_json.load(f), dtype=np.float64)
+        return self._centroids_cache
 
     def append(self, new_transcripts: DataFrame, dedup: bool = True) -> "XfIndex":
         """INCREMENTAL append: tokenizes/encodes ONLY the new turns into
@@ -129,12 +162,35 @@ class XfIndex:
         old_n = int(meta0.get("doc_id_bound", meta0["n_docs"]))
         n_added, _stats = append_index(new_transcripts, self.path, dedup=dedup)
         docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
-        if n_added and self.embeddings is not None:
+        if self.embeddings is not None:
             emb_path = os.path.join(self.path, "embeddings")
-            new_docs = docs.where(F.col("doc_id") >= old_n)
+            n_docs_total = docs.count()
+            n_vecs = self.spark.read.parquet(emb_path).count()
+        if self.embeddings is not None and n_vecs < n_docs_total:
+            # normal append: exactly the new id range is missing — a
+            # pure range filter, no join. Any OTHER shortfall is a
+            # crash-window hole (an earlier append committed the
+            # lexical index, then died before extending the embeddings
+            # store; n_added==0 on the retry because the docs dedup'd
+            # away) — heal it by embedding the anti-join complement.
+            if n_vecs + n_added == n_docs_total:
+                new_docs = docs.where(F.col("doc_id") >= old_n)
+            else:
+                new_docs = docs.join(
+                    self.spark.read.parquet(emb_path).select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
             emb_new = build_embeddings(new_docs)
             cent = self._centroids()
             part_cols = []
+            if cent is None and "cell" in self.embeddings.columns:
+                raise ValueError(
+                    "embeddings store is cell-partitioned but "
+                    "centroids.json is missing — restore it or rebuild "
+                    "the index (appending cell-less rows would corrupt "
+                    "the partitioned layout)"
+                )
             if cent is not None:
                 # IVF layout: new docs get cells from the EXISTING
                 # quantizer (centroids are append-stable; retrain is a
@@ -153,14 +209,18 @@ class XfIndex:
             if part_cols:
                 w = w.partitionBy(*part_cols)
             w.parquet(emb_path)
+            _release(self.embeddings)
             self.embeddings = self.spark.read.parquet(emb_path)
+        _release(self.docs)
         self.docs = docs
+        _release(getattr(self.segment_index, "_segments", None))
         self.segment_index = SegmentIndex.load(self.spark, self.path, docs=docs)
         # pinned serving state predates the append — drop it (a stale
         # matrix/doc store would silently miss the appended docs); the
         # caller re-pins via cache(pin_vectors_mb=/pin_docs_mb=)
         self._pinned_vecs = None
         self._pinned_docs = None
+        self._centroids_cache = None
         return self
 
     def compact(
@@ -187,22 +247,20 @@ class XfIndex:
         docs); re-pin via cache(...)."""
         from xf_spark.index.segments import compact_index
 
-        old_seg = self.segment_index._segments
-        try:
-            if old_seg.is_cached:
-                old_seg.unpersist()
-        except Exception:  # noqa: BLE001 — best-effort cache release
-            pass
+        _release(self.segment_index._segments)
         compact_index(self.spark, self.path, target_shards=target_shards, drop=drop)
+        _release(self.docs)
         self.docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
         self.segment_index = SegmentIndex.load(self.spark, self.path, docs=self.docs)
         if drop is not None:
             emb_path = os.path.join(self.path, "embeddings")
             if os.path.isdir(emb_path):
+                _release(self.embeddings)
                 self.embeddings = self.spark.read.parquet(emb_path)
             # pinned serving state may hold purged docs — drop it
             self._pinned_vecs = None
             self._pinned_docs = None
+            self._centroids_cache = None
         return self
 
     def dedup(
@@ -311,7 +369,9 @@ class XfIndex:
         dict lookup and a warm query runs ZERO Spark jobs end-to-end.
         At 10^12 turns both budgets are exceeded and the distributed
         paths serve instead (results identical, tested)."""
-        self.segment_index.cache(warm_top_terms=warm_top_terms)
+        self.segment_index.cache(
+            coalesce_to=coalesce_to, warm_top_terms=warm_top_terms
+        )
         self.docs = self.docs.cache()
         self.docs.count()
         if self.embeddings is not None:
@@ -409,6 +469,7 @@ class XfIndex:
 
     _pinned_vecs = None
     _pinned_docs = None
+    _centroids_cache = None
 
     def _pinned_semantic(self, query: str, k: int):
         """Exact top-k over the coordinator-pinned matrix; returns a
@@ -457,12 +518,43 @@ class XfIndex:
         # roles are stored lowercase (input_hint contract) and the query
         # parser lowercases `role:` filters — normalize caller input the
         # same way so `--roles Assistant` intersects, not silently-empty
-        roles = [r.strip().lower() for r in roles if r.strip()] if roles else None
+        if roles:
+            norm = [r.strip().lower() for r in roles if r.strip()]
+            if not norm:
+                # the caller DID pass a filter; serving everything
+                # would silently invert intent (e.g. an empty CLI arg
+                # split) — refuse instead
+                raise ValueError(f"roles filter has no usable names: {roles!r}")
+            roles = norm
+        else:
+            roles = None
         mode = {"bm25": "lexical", "vector": "semantic", "rrf": "hybrid"}.get(
             mode, mode
         )
+        sem_query = query
+        if mode in ("semantic", "hybrid"):
+            from xf_spark.query.parser import parse_query_extract, strip_type_filters
+
+            # query-embedded type:/role: filters constrain the semantic
+            # branch too (they used to filter only the lexical list —
+            # and the raw 'role:...' token was even hash-embedded into
+            # the query vector); the kwarg and query filters AND, as on
+            # the lexical path
+            _, qroles = parse_query_extract(query)  # also rejects NOT type:
+            if qroles:
+                sem_query = strip_type_filters(query)
+                roles = (
+                    sorted(set(roles) & set(qroles))
+                    if roles
+                    else sorted(set(qroles))
+                )
         common = dict(roles=roles, since=since_dt, until=until_dt)
-        if mode == "lexical":
+        if roles is not None and not roles:
+            # contradictory kwarg ∩ query role filters match nothing
+            hits = self.spark.createDataFrame(
+                [], schema="doc_id long, score double"
+            )
+        elif mode == "lexical":
             hits = self.segment_index.search(
                 query, limit=limit, offset=offset, **common
             )
@@ -471,7 +563,7 @@ class XfIndex:
                 raise ValueError("index built without embeddings")
             flt = self._doc_filter(**common)
             pinned = (
-                self._pinned_semantic(query, limit + offset)
+                self._pinned_semantic(sem_query, limit + offset)
                 if (flt is None and not ann)
                 else None
             )
@@ -485,7 +577,7 @@ class XfIndex:
                 hits = ivf_topk(
                     self.embeddings,
                     cent,
-                    [float(x) for x in embed_query(query)],
+                    [float(x) for x in embed_query(sem_query)],
                     k=limit + offset,
                     n_probe=n_probe,
                     id_col="doc_id",
@@ -497,7 +589,10 @@ class XfIndex:
                 ).withColumnRenamed("cosine", "score")
             else:
                 hits = semantic_topk(
-                    self.embeddings, query, limit=limit + offset, doc_filter=flt
+                    self.embeddings,
+                    sem_query,
+                    limit=limit + offset,
+                    doc_filter=flt,
                 )
             if offset:
                 hits = hits.offset(offset).limit(limit)
@@ -508,7 +603,7 @@ class XfIndex:
 
             flt = self._doc_filter(**common)
             sem_override = (
-                self._pinned_semantic(query, candidate_count(limit, offset))
+                self._pinned_semantic(sem_query, candidate_count(limit, offset))
                 if flt is None
                 else None
             )
@@ -520,6 +615,7 @@ class XfIndex:
                 offset=offset,
                 doc_filter=flt,
                 semantic_override=sem_override,
+                semantic_query=sem_query,
                 **common,
             )
         else:
@@ -654,37 +750,75 @@ class XfIndex:
                 f"msearch mode={mode!r} requires embeddings "
                 "(build with with_embeddings=True)"
             )
-        if mode == "semantic":
-            if self._pinned_vecs is not None:
-                return self._pinned_topk_block(distinct, limit)
-            return semantic_topk_many(self.embeddings, distinct, limit=limit)
+        # members carrying query-embedded type:/role: filters can't ride
+        # the block paths (no per-query doc filter there) — they take
+        # the filtered single-query path, same as search_many's
+        # treatment on the lexical side; unparseable members isolate as
+        # empty results instead of poisoning the batch (same contract)
+        from xf_spark.query.parser import parse_query_extract
 
-        n = candidate_count(limit)
-        lex_all = self.segment_index.search_many(distinct, limit=n)
-        if self._pinned_vecs is not None:
-            sem_all = self._pinned_topk_block(distinct, n)
-        else:
-            # pin absent (uncached, or over pin_vectors_mb budget — the
-            # guaranteed state at 10^12 turns): ONE distributed scan
-            # scores the whole block. Identical results, no per-query
-            # cluster pass (round 3; was a job per query).
-            sem_all = semantic_topk_many(self.embeddings, distinct, limit=n)
-        return {
-            q: _rrf_fuse_local(lex_all[q], sem_all[q], limit=limit)
-            for q in distinct
-        }
+        plain: list[str] = []
+        role_filtered: list[str] = []
+        rejected: list[str] = []
+        for q in distinct:
+            try:
+                _, qroles = parse_query_extract(q)
+            except ValueError:
+                rejected.append(q)
+                continue
+            (role_filtered if qroles else plain).append(q)
+        if rejected:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "msearch: %d unparseable batch member(s) served as "
+                "empty results: %s", len(rejected), rejected[:5],
+            )
+        out: dict[str, list[tuple[int, float]]] = {q: [] for q in rejected}
+        for q in role_filtered:
+            out[q] = [
+                (r["doc_id"], r["score"])
+                for r in self.search(q, mode=mode, limit=limit)
+                .select("doc_id", "score")
+                .collect()
+            ]
+        if mode == "semantic":
+            if plain:
+                if self._pinned_vecs is not None:
+                    out.update(self._pinned_topk_block(plain, limit))
+                else:
+                    out.update(
+                        semantic_topk_many(self.embeddings, plain, limit=limit)
+                    )
+            return out
+
+        if plain:
+            n = candidate_count(limit)
+            lex_all = self.segment_index.search_many(plain, limit=n)
+            if self._pinned_vecs is not None:
+                sem_all = self._pinned_topk_block(plain, n)
+            else:
+                # pin absent (uncached, or over pin_vectors_mb budget —
+                # the guaranteed state at 10^12 turns): ONE distributed
+                # scan scores the whole block. Identical results, no
+                # per-query cluster pass (round 3; was a job per query).
+                sem_all = semantic_topk_many(self.embeddings, plain, limit=n)
+            out.update(
+                {
+                    q: _rrf_fuse_local(lex_all[q], sem_all[q], limit=limit)
+                    for q in plain
+                }
+            )
+        return out
 
     def _doc_filter(self, roles=None, since=None, until=None):
         if not roles and since is None and until is None:
             return None
-        cond = F.lit(True)
-        if roles:
-            cond = cond & F.col("role").isin(list(roles))
-        if since is not None:
-            cond = cond & (F.col("ts") >= F.lit(since))
-        if until is not None:
-            cond = cond & (F.col("ts") <= F.lit(until))
-        return self.docs.where(cond).select("doc_id")
+        from xf_spark.query.segment_search import _attr_cond
+
+        # same predicate the lexical path pushes down — one definition,
+        # so filter semantics can never diverge between branches
+        return self.docs.where(_attr_cond(roles, since, until)).select("doc_id")
 
     # -- stats (cmd stats analog) -------------------------------------------
 

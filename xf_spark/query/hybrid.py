@@ -74,6 +74,7 @@ def hybrid_search(
     offset: int = 0,
     doc_filter: DataFrame | None = None,
     semantic_override: DataFrame | None = None,
+    semantic_query: str | None = None,
     **search_kw,
 ) -> DataFrame:
     """Full hybrid flow (main.rs:1302-1380): both sources fetch
@@ -82,7 +83,10 @@ def hybrid_search(
     filtered doc set as the lexical filters in ``search_kw``.
     ``semantic_override`` replaces the distributed semantic fetch
     (e.g. the coordinator-pinned matrix path) — must already be the
-    top-3x(limit+offset) (doc_id, score) candidates."""
+    top-3x(limit+offset) (doc_id, score) candidates.
+    ``semantic_query`` is the text the semantic branch embeds when it
+    differs from ``query`` (e.g. type:/role: filter atoms stripped —
+    they are predicates, not semantic content)."""
     from xf_spark.query.semantic import semantic_topk
 
     n = candidate_count(limit, offset)
@@ -90,7 +94,12 @@ def hybrid_search(
     sem = (
         semantic_override
         if semantic_override is not None
-        else semantic_topk(embeddings, query, limit=n, doc_filter=doc_filter)
+        else semantic_topk(
+            embeddings,
+            semantic_query if semantic_query is not None else query,
+            limit=n,
+            doc_filter=doc_filter,
+        )
     )
     # fusion inputs are k-sized (<= 3*(limit+offset) rows/side): fuse
     # driver-side — the window/join/orderBy DataFrame plan costs 3-4

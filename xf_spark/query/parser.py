@@ -160,6 +160,23 @@ def parse_query_extract(query: str):
     return acc, (qroles or None)
 
 
+def strip_type_filters(query: str) -> str:
+    """The raw query text with type:/role: atoms removed — what the
+    semantic branch should EMBED when the query carries a doc-type
+    filter (the filter is a predicate, not semantic content; embedding
+    the literal token 'role:assistant' pollutes the query vector).
+    Purely textual: validation, incl. the NOT-filter rejection, is
+    parse_query_extract's job — call it first."""
+    raws = _TOKEN_RE.findall((query or "").strip())
+    kept = []
+    for raw in raws:
+        fm = _FIELD_RE.match(raw)
+        if fm and fm[1].lower() in _TYPE_FIELDS:
+            continue
+        kept.append(raw)
+    return " ".join(kept)
+
+
 def query_terms(node) -> set[str]:
     """All text-field terms referenced by the AST (for postings
     partition pruning); excludes prefix terms. NOT-excluded terms are

@@ -1198,7 +1198,36 @@ class SegmentIndex:
                 if t in dfs_p
             }
         )
-        data = self._term_data_for(all_t, all_p)
+        # the per-member threshold bounds each QUERY's decode, but the
+        # union of N just-under-threshold members is N x the bound —
+        # unbounded coordinator memory as the batch grows. Chunk the
+        # light members so each chunk's union posting mass stays within
+        # the same driver_topk_threshold (one member may exceed it
+        # alone only via cached-term double counting — it already
+        # passed the per-member check); decoded arrays die with the
+        # chunk, and the term LRU carries terms shared across chunks.
+        chunks: list[dict[str, tuple]] = []
+        cur: dict[str, tuple] = {}
+        cur_t: set[str] = set()
+        cur_p: set[str] = set()
+        cur_mass = 0
+        for q, pl in plans.items():
+            qt, qp = query_terms(pl), prefix_terms(pl)
+            add = sum(dfs_t.get(t, 0) for t in qt - cur_t) + sum(
+                dfs_p.get(t, 0) for t in qp - cur_p
+            )
+            if cur and cur_mass + add > self.driver_topk_threshold:
+                chunks.append(cur)
+                cur, cur_t, cur_p, cur_mass = {}, set(), set(), 0
+                add = sum(dfs_t.get(t, 0) for t in qt) + sum(
+                    dfs_p.get(t, 0) for t in qp
+                )
+            cur[q] = pl
+            cur_t |= qt
+            cur_p |= qp
+            cur_mass += add
+        if cur:
+            chunks.append(cur)
         out: dict[str, list[tuple[int, float]]] = {q: [] for q in rejected}
         for q in filtered_qs:
             out[q] = [
@@ -1213,22 +1242,29 @@ class SegmentIndex:
                     heavy_filtered, limit, exhaustive
                 )
             )
-        for q, pl in plans.items():
-            if pl == ("all",):
-                out[q] = [
-                    (r["doc_id"], r["score"])
-                    for r in self.search(q, limit=limit).collect()
-                ]
-                continue
-            res = eval_plan_on_data(
-                data, pl, idfs, self.meta["avgdl"], limit, exhaustive
-            )
-            out[q] = list(
-                zip(
-                    res["doc_id"].to_numpy(np.int64)[:limit].tolist(),
-                    res["score"].to_numpy(np.float64)[:limit].tolist(),
+        for chunk in chunks:
+            ch_t: set[str] = set()
+            ch_p: set[str] = set()
+            for pl in chunk.values():
+                ch_t |= query_terms(pl)
+                ch_p |= prefix_terms(pl)
+            data = self._term_data_for(ch_t, ch_p)
+            for q, pl in chunk.items():
+                if pl == ("all",):
+                    out[q] = [
+                        (r["doc_id"], r["score"])
+                        for r in self.search(q, limit=limit).collect()
+                    ]
+                    continue
+                res = eval_plan_on_data(
+                    data, pl, idfs, self.meta["avgdl"], limit, exhaustive
                 )
-            )
+                out[q] = list(
+                    zip(
+                        res["doc_id"].to_numpy(np.int64)[:limit].tolist(),
+                        res["score"].to_numpy(np.float64)[:limit].tolist(),
+                    )
+                )
         if queries:
             from xf_spark import perf
 
