@@ -174,6 +174,22 @@ class TestIvfServing:
                              roles=["user"], limit=10).collect()
         assert rows and all(r["role"] == "user" for r in rows)
 
+    def test_hybrid_full_probe_equals_exact(self, ann_ix):
+        # hybrid ann: only the semantic branch switches to IVF, so a
+        # full probe must reproduce the exact hybrid ranking bit-for-bit
+        q = "Machine learning models are fascinating when you understand the mathematics"
+        exact = [(r["doc_id"], round(r["score"], 9)) for r in
+                 ann_ix.search(q, mode="hybrid", limit=10).collect()]
+        full_probe = [(r["doc_id"], round(r["score"], 9)) for r in
+                      ann_ix.search(q, mode="hybrid", ann=True,
+                                    n_probe=8, limit=10).collect()]
+        assert full_probe == exact and len(exact) == 10
+
+    def test_hybrid_ann_filters_fall_back_to_exact(self, ann_ix):
+        rows = ann_ix.search("stress", mode="hybrid", ann=True,
+                             roles=["user"], limit=10).collect()
+        assert rows and all(r["role"] == "user" for r in rows)
+
     def test_append_preserves_cell_layout(self, spark, ann_ix, tmp_path):
         from pyspark.sql import functions as F
 

@@ -509,10 +509,11 @@ class XfIndex:
         vector | rrf, hybrid.rs:51-85); natural-language since/until;
         post sort; optional snippets / conversation context.
 
-        ``ann=True`` (semantic mode, index built with ``ann_cells``)
-        probes the ``n_probe`` nearest IVF cells instead of scanning
-        every vector — approximate, partition-pruned; filters fall
-        back to the exact path."""
+        ``ann=True`` (semantic or hybrid mode, index built with
+        ``ann_cells``) probes the ``n_probe`` nearest IVF cells instead
+        of scanning every vector — approximate, partition-pruned; in
+        hybrid mode only the semantic branch changes (lexical + RRF
+        fusion identical). Filters fall back to the exact path."""
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
         # roles are stored lowercase (input_hint contract) and the query
@@ -604,9 +605,34 @@ class XfIndex:
             flt = self._doc_filter(**common)
             sem_override = (
                 self._pinned_semantic(sem_query, candidate_count(limit, offset))
-                if flt is None
+                if (flt is None and not ann)
                 else None
             )
+            if sem_override is None and ann and flt is None:
+                # IVF semantic branch for hybrid: without it, an
+                # unpinned hybrid query full-scans every vector even on
+                # an index built with ann_cells — the one path where
+                # the 100 TB scan cost can't be pinned away. Lexical
+                # branch and RRF fusion are unchanged; n_probe ==
+                # n_cells reproduces the exact hybrid result (tested).
+                cent = self._centroids()
+                if cent is not None:
+                    from xf_spark.ops.similarity import ivf_topk
+                    from xf_spark.query.semantic import embed_query
+
+                    sem_override = ivf_topk(
+                        self.embeddings,
+                        cent,
+                        [float(x) for x in embed_query(sem_query)],
+                        k=candidate_count(limit, offset),
+                        n_probe=n_probe,
+                        id_col="doc_id",
+                        vec_col=(
+                            "vec16"
+                            if "vec16" in self.embeddings.columns
+                            else "vec"
+                        ),
+                    ).withColumnRenamed("cosine", "score")
             hits = hybrid_search(
                 self.segment_index,
                 self.embeddings,
