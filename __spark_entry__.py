@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_bm25_merge": eq.transcripts_bm25_merge,
         "transcripts_phrase_hash_join": eq.transcripts_phrase_hash_join,
         "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,
+        "hybrid_ann_full_probe": eq.hybrid_ann_full_probe,
         "transcripts_context_expansion": eq.transcripts_context_expansion,
     }.items()}
 

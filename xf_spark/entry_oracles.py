@@ -841,6 +841,11 @@ ORDER BY fused.score DESC, in_both DESC, doc_id
 LIMIT 20
 """
 
+# The ann=True hybrid composition at full probe + full k is EXACT, so
+# the plain hybrid oracle applies verbatim — any approximation leak in
+# the IVF candidate path breaks the hash.
+ORACLES["hybrid_ann_full_probe"] = ORACLES["transcripts_hybrid_rrf"]
+
 ORACLES["transcripts_docs_context"] = f"""
 WITH {_TR_BASE}, {_TR_SCORED_SPARK},
 hits AS (SELECT did FROM tscored ORDER BY score DESC, did LIMIT 5),

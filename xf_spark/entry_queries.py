@@ -799,6 +799,38 @@ def transcripts_hybrid_rrf(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def hybrid_ann_full_probe(spark, sf_dir):
+    """Hybrid with the semantic branch served by the IVF machinery at
+    full probe + full k (== exact, so the plain hybrid DuckDB oracle
+    applies verbatim): proves the ann=True hybrid composition —
+    cell-partitioned scan -> candidate round/rank -> RRF fusion —
+    end-to-end at the driver level."""
+    from xf_spark.ops.similarity import assign_cells, ivf_topk, train_centroids
+    from xf_spark.query.hybrid import candidate_count, hybrid_search
+
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    cent = train_centroids(emb, n_cells=4, sample=256)
+    celled = assign_cells(emb, cent)
+    n_vecs = emb.count()
+    # full k: every vector ranked, so the 5-dp round below re-ranks the
+    # COMPLETE list exactly as the oracle does (no approximation
+    # boundary for rounding to disagree across)
+    sem = (
+        ivf_topk(celled, cent, [float(x) for x in q], k=n_vecs, n_probe=4)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round("cosine", 5).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(candidate_count(20))
+    )
+    return hybrid_search(
+        eng, sem, "filter", limit=20, semantic_override=sem
+    ).select("doc_id", F.round("score", 6).alias("score"))
+
+
 def transcripts_context_expansion(spark, sf_dir):
     """Top-5 'merge' hits expanded to full conversations (DM-context
     analog) over the documents-derived engine, DuckDB-oracled."""
