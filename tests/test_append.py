@@ -236,3 +236,62 @@ class TestCrashWindows:
         got = [(r["doc_id"], round(r["score"], 9)) for r in
                ix2.search("machine", mode="semantic", limit=10).collect()]
         assert got == want
+
+
+class TestLifecycleFuzz:
+    """Seeded random append/compact interleavings must serve verbatim
+    what one full build over the same corpus serves — the composed
+    lifecycle, not just each op in isolation (append and compact are
+    individually pinned above / in test_compact.py; a sequence
+    exercises slice-count, avgdl-correction, and shard-derivation
+    states none of the single-op tests reach)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        tr = load_transcripts(spark, 0.001)
+        convs = [
+            r[0]
+            for r in tr.select("conv_id").distinct().orderBy("conv_id").collect()
+        ]
+        cuts = [convs[len(convs) * i // 4] for i in (1, 2, 3)]
+        parts = [
+            tr.where(F.col("conv_id") < cuts[0]),
+            tr.where((F.col("conv_id") >= cuts[0]) & (F.col("conv_id") < cuts[1])),
+            tr.where((F.col("conv_id") >= cuts[1]) & (F.col("conv_id") < cuts[2])),
+            tr.where(F.col("conv_id") >= cuts[2]),
+        ]
+        return tr, parts
+
+    @pytest.fixture(scope="class")
+    def full(self, spark, corpus, tmp_path_factory):
+        tr, _ = corpus
+        return XfIndex.build(
+            tr, str(tmp_path_factory.mktemp("lf") / "full"),
+            with_embeddings=False, slices=1,
+        )
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_random_lifecycle_equals_rebuild(
+        self, spark, corpus, full, tmp_path, seed
+    ):
+        import random
+
+        rng = random.Random(seed)
+        _, parts = corpus
+        ix = XfIndex.build(
+            parts[0], str(tmp_path / f"s{seed}"),
+            with_embeddings=False, slices=1,
+        )
+        for p in parts[1:]:
+            ix = ix.append(p)
+            if rng.random() < 0.5:
+                ix = ix.compact()
+        if rng.random() < 0.5:
+            ix = ix.compact()
+        for query, limit in QUERIES:
+            got = [(r["doc_id"], round(r["score"], 9)) for r in
+                   ix.segment_index.search(query, limit=limit).collect()]
+            want = [(r["doc_id"], round(r["score"], 9)) for r in
+                    full.segment_index.search(query, limit=limit).collect()]
+            assert got == want and len(want) > 0, (seed, query)
+        assert ix.docs.count() == full.docs.count()
