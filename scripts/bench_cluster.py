@@ -61,6 +61,22 @@ def inner() -> None:
         build_index(tr, out_dir, n_shards=64, n_buckets=64, slices=2)
         sec = time.time() - t0
         best = sec if best is None else min(best, sec)
+    # rank-identity evidence: the north rule's top-k must not depend on
+    # the executor count, so each side reports its full top-20 (doc_id,
+    # score) lists and the parent asserts byte-equality across 1-vs-4
+    # executor deployments (global-stats scoring + pinned tiebreaks
+    # make this exact, not approximate — tested in local mode, proven
+    # here on REAL executor JVMs with real shuffle)
+    from xf_spark.query.segment_search import SegmentIndex
+
+    ix = SegmentIndex.load(spark, out_dir)
+    topk = {
+        q: [
+            [int(r["doc_id"]), round(float(r["score"]), 9)]
+            for r in ix.search(q, limit=20).collect()
+        ]
+        for q in ("machine", "rust AND async", '"machine learning"', "progr*")
+    }
     shutil.rmtree(out_dir, ignore_errors=True)
     print(
         "XF_CLUSTER_RESULT "
@@ -70,6 +86,7 @@ def inner() -> None:
                 "turns": n,
                 "build_sec": round(best, 2),
                 "turns_per_sec": round(n / best, 1),
+                "topk": topk,
             }
         )
     )
@@ -155,6 +172,12 @@ def main() -> None:
         if hi is None or hi1["turns_per_sec"] > hi["turns_per_sec"]:
             hi = hi1
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
+    rank_identical = lo.pop("topk") == hi.pop("topk")
+    if not rank_identical:
+        raise SystemExit(
+            "rank-identity violated between 1 and 4 executors — "
+            "top-k lists differ"
+        )
     print(
         json.dumps(
             {
@@ -165,6 +188,7 @@ def main() -> None:
                 "hi": hi,
                 "speedup": round(hi["turns_per_sec"] / lo["turns_per_sec"], 3),
                 "efficiency": round(eff, 3),
+                "rank_identical_topk": rank_identical,
             }
         )
     )

@@ -375,11 +375,20 @@ class XfIndex:
         self.docs = self.docs.cache()
         self.docs.count()
         if self.embeddings is not None:
-            # coalesce before caching: the cell-partitioned layout is
-            # hundreds of small files, and a cached scan visits every
-            # cached partition (~5 ms scheduling each)
-            self.embeddings = self.embeddings.coalesce(coalesce_to).cache()
-            n_vec = self.embeddings.count()
+            if self._centroids() is not None and not pin_vectors_mb:
+                # IVF layout, no pin requested: ann=True serving relies
+                # on the parquet scan pruning cell DIRECTORIES — a
+                # coalesced cache replaces that with a full cached scan
+                # + row filter (measured at 1.57 M turns: probe-4 got
+                # SLOWER cached, 4.4 s vs 3.7 s at-rest, while holding
+                # GBs of block-manager memory). Leave the store at rest.
+                n_vec = self.embeddings.count()
+            else:
+                # coalesce before caching: the cell-partitioned layout
+                # is hundreds of small files, and a cached scan visits
+                # every cached partition (~5 ms scheduling each)
+                self.embeddings = self.embeddings.coalesce(coalesce_to).cache()
+                n_vec = self.embeddings.count()
             if pin_vectors_mb:
                 import numpy as np
 
