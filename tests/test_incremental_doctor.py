@@ -107,3 +107,20 @@ class TestDoctor:
     def test_detects_missing_meta(self, spark, tmp_path):
         checks = run_doctor(spark, str(tmp_path))
         assert not checks[0].ok
+
+    def test_ivf_quantizer_check(self, spark, tmp_path):
+        import os
+
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        path = str(tmp_path / "ivfdx")
+        tr = load_transcripts(spark, 0.001)
+        XfIndex.build(tr, path, ann_cells=4, slices=1)
+        report = {c.name: c for c in run_doctor(spark, path)}
+        assert report["ivf_quantizer"].ok, report["ivf_quantizer"].detail
+        # the unrepairable corruption append() refuses: cell-partitioned
+        # store, quantizer gone
+        os.remove(os.path.join(path, "centroids.json"))
+        report = {c.name: c for c in run_doctor(spark, path)}
+        assert not report["ivf_quantizer"].ok

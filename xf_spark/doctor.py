@@ -189,6 +189,44 @@ def run_doctor(
         except Exception as e:  # noqa: BLE001
             checks.append(Check("embeddings", False, str(e)))
 
+        # 8. IVF layout invariant: a cell-partitioned store without a
+        # loadable quantizer is unrepairable-by-append (engine.append
+        # refuses it; see XfIndex.append) — surface it here first.
+        try:
+            if "cell" in emb.columns:
+                import json as _json
+
+                cpath = os.path.join(path, "centroids.json")
+                if not os.path.isfile(cpath):
+                    checks.append(
+                        Check(
+                            "ivf_quantizer",
+                            False,
+                            "embeddings are cell-partitioned but "
+                            "centroids.json is missing",
+                        )
+                    )
+                else:
+                    with open(cpath) as f:
+                        cent = _json.load(f)
+                    n_cells = len(cent)
+                    cdim = len(cent[0]) if n_cells else 0
+                    max_cell = emb.selectExpr("max(cell) m").first()["m"]
+                    ok = (
+                        cdim == dim
+                        and max_cell is not None
+                        and int(max_cell) < n_cells
+                    )
+                    checks.append(
+                        Check(
+                            "ivf_quantizer",
+                            ok,
+                            f"n_cells={n_cells} dim={cdim} max_cell={max_cell}",
+                        )
+                    )
+        except Exception as e:  # noqa: BLE001
+            checks.append(Check("ivf_quantizer", False, str(e)))
+
     return checks
 
 
