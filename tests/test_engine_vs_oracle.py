@@ -120,3 +120,61 @@ def test_doc_ids_invariant_under_parallelism(spark):
         for r in assign_doc_ids(transcripts, num_partitions=8).collect()
     }
     assert a == b
+
+
+class TestGrammarFuzz:
+    """Randomized query-grammar differential: compose queries from
+    corpus words (head + tail + absent), phrases, AND/OR/NOT, prefixes,
+    noise tokens and random casing — engine and NumPy oracle must rank
+    identically on every one. The fixed QUERY_SET above pins the
+    reference queries; this pins the COMPOSITION space (operator
+    nesting x tokenizer edge cases x WAND pruning interactions)."""
+
+    N_QUERIES = 120
+
+    def _vocab(self, oracle):
+        by_df = sorted(
+            oracle.postings.items(), key=lambda kv: -len(kv[1])
+        )
+        head = [t for t, _ in by_df[:30]]
+        tail = [t for t, _ in by_df[-30:]]
+        return head, tail
+
+    def test_random_compositions_rank_identical(self, built):
+        import random
+
+        engine, oracle, _ = built
+        rng = random.Random(20260818)
+        head, tail = self._vocab(oracle)
+        absent = ["zzqx", "notaword9", "qqqq"]
+        noise = ["!!!", "---", "...", "42", "日本"]
+
+        def word():
+            pool = rng.choice([head, head, tail, absent, noise])
+            w = rng.choice(pool)
+            return w.upper() if rng.random() < 0.2 else w
+
+        def atom():
+            r = rng.random()
+            if r < 0.60:
+                return word()
+            if r < 0.80:
+                return f'"{word()} {word()}"'
+            w = rng.choice(head)
+            return w[: max(2, len(w) // 2)] + "*"
+
+        checked = 0
+        for _ in range(self.N_QUERIES):
+            parts = [atom()]
+            for _ in range(rng.randint(0, 3)):
+                op = rng.choice(["", "", "AND", "OR", "NOT"])
+                parts.append(f"{op} {atom()}" if op else atom())
+            q = " ".join(parts)
+            limit = rng.choice([1, 5, 20, 100])
+            got = _ranks_and_scores(engine.search(q, limit=limit))
+            want = oracle.search(q, limit=limit)
+            assert [d for d, _ in got] == [d for d, _ in want], (q, limit)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (q, gd, gs, ws)
+            checked += 1
+        assert checked == self.N_QUERIES
