@@ -789,3 +789,43 @@ def test_search_many_chunks_union_decode(built):
         got = [(d, round(s, 9)) for d, s in batch[q]]
         exp = [(d, round(s, 9)) for d, s in want[q]]
         assert got == exp, q
+
+
+def test_search_many_fuzz_equals_per_query(built):
+    """Batch-path fuzz: random operator compositions through
+    search_many must equal per-query search_local exactly — the batch
+    machinery (plan chunking, shared term decode, LRU reuse, heavy-
+    member routing) must be invisible to results."""
+    import random
+
+    ix, oracle, _m, _p = built
+    rng = random.Random(20260818)
+    by_df = sorted(oracle.postings.items(), key=lambda kv: -len(kv[1]))
+    head = [t for t, _ in by_df[:20]]
+    tail = [t for t, _ in by_df[-20:]]
+
+    def atom():
+        r = rng.random()
+        if r < 0.55:
+            return rng.choice(rng.choice([head, tail, ["zzqx", "!!!"]]))
+        if r < 0.8:
+            return f'"{rng.choice(head)} {rng.choice(head + tail)}"'
+        w = rng.choice(head)
+        return w[: max(2, len(w) // 2)] + "*"
+
+    queries = []
+    for _ in range(32):
+        parts = [atom()]
+        for _ in range(rng.randint(0, 2)):
+            op = rng.choice(["", "AND", "OR", "NOT"])
+            parts.append(f"{op} {atom()}" if op else atom())
+        queries.append(" ".join(parts))
+    queries = list(dict.fromkeys(queries))
+
+    for i in range(0, len(queries), 16):
+        chunk = queries[i : i + 16]
+        batch = ix.search_many(chunk, limit=20)
+        for q in chunk:
+            got = [(d, round(s, 9)) for d, s in batch[q]]
+            want = [(d, round(s, 9)) for d, s in ix.search_local(q, limit=20)]
+            assert got == want, q
