@@ -178,3 +178,44 @@ class TestGrammarFuzz:
                 assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (q, gd, gs, ws)
             checked += 1
         assert checked == self.N_QUERIES
+
+
+class TestFilterFuzz:
+    """Randomized role/date filter windows on randomized queries: the
+    filtered serving path (pre-top-k predicate) must rank identically
+    to the oracle's post-hoc doc_filter over the full corpus."""
+
+    def test_random_filtered_queries(self, built):
+        import random
+
+        engine, oracle, attrs = built
+        rng = random.Random(20260818)
+        by_df = sorted(oracle.postings.items(), key=lambda kv: -len(kv[1]))
+        head = [t for t, _ in by_df[:25]]
+        roles_all = sorted({v[0] for v in attrs.values()})
+        ts_all = sorted(v[1] for v in attrs.values())
+
+        for _ in range(25):
+            q = " ".join(rng.sample(head, rng.randint(1, 3)))
+            roles = rng.sample(roles_all, rng.randint(1, len(roles_all))) \
+                if rng.random() < 0.6 else None
+            since = until = None
+            if rng.random() < 0.6:
+                a, b = sorted(rng.sample(range(len(ts_all)), 2))
+                since, until = ts_all[a], ts_all[b]
+
+            def ok(d):
+                r, t = attrs[d]
+                if roles is not None and r not in roles:
+                    return False
+                if since is not None and not (since <= t <= until):
+                    return False
+                return True
+
+            got = _ranks_and_scores(
+                engine.search(q, limit=20, roles=roles, since=since, until=until)
+            )
+            want = oracle.search(q, limit=20, doc_filter=ok)
+            assert [d for d, _ in got] == [d for d, _ in want], (q, roles, since, until)
+            for (gd, gs), (wd, ws) in zip(got, want):
+                assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (q, gd)
