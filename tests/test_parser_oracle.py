@@ -275,3 +275,31 @@ class TestParserFuzz:
                   "AND rust", "rust AND", "NOT NOT rust", '"unterminated']:
             plan, roles = parse_query_extract(q)  # must not raise
             assert plan is None or isinstance(plan, tuple)
+
+
+class TestStripTypeFilters:
+    """strip_type_filters must dissolve the operator bound to a
+    removed filter atom exactly as parse_query_extract does — a
+    leftover AND/OR would be hash-embedded into the semantic query
+    vector (review finding)."""
+
+    def _strip(self, q):
+        from xf_spark.query.parser import strip_type_filters
+
+        return strip_type_filters(q)
+
+    def test_preceding_operator_dissolves(self):
+        assert self._strip("stress AND role:assistant") == "stress"
+        assert self._strip("stress OR type:user") == "stress"
+
+    def test_leading_filter_drops_dangling_operator(self):
+        assert self._strip("role:assistant AND stress") == "stress"
+        assert self._strip("role:assistant stress") == "stress"
+
+    def test_interior_filter_keeps_outer_operator(self):
+        # the AND after the dissolved (OR role:) pair binds the
+        # remaining terms, same as the parsed AST
+        assert self._strip("stress OR role:assistant AND rust") == "stress AND rust"
+
+    def test_plain_atoms_untouched(self):
+        assert self._strip('a "b c" d*') == 'a "b c" d*'

@@ -520,3 +520,24 @@ class TestQueryRoleFilters:
                            limit=5, mode="semantic")
         assert batch["rust NOT type:assistant"] == []
         assert len(batch["stress"]) == 5
+
+    def test_semantic_operator_spelling_equivalent(self, ix):
+        # 'stress AND role:assistant' must embed the same query vector
+        # as the kwarg form — the absorbed AND must not leak into the
+        # embedded text (review finding)
+        a = [(r["doc_id"], round(r["score"], 9)) for r in
+             ix.search("stress AND role:assistant", mode="semantic", limit=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in
+             ix.search("stress", mode="semantic", roles=["assistant"], limit=10).collect()]
+        assert a == b and len(a) == 10
+
+    def test_missing_embeddings_not_masked_by_contradiction(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        lex = XfIndex.build(tr, str(tmp_path / "lexonly"),
+                            with_embeddings=False, slices=1)
+        with pytest.raises(ValueError, match="without embeddings"):
+            lex.search("stress role:user", mode="semantic",
+                       roles=["assistant"], limit=5)

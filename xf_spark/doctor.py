@@ -172,6 +172,7 @@ def run_doctor(
     # 7. embeddings (if present): dimension + count
     emb_path = os.path.join(path, "embeddings")
     if os.path.isdir(emb_path):
+        dim = None
         try:
             emb = spark.read.parquet(emb_path)
             n_emb = emb.count()
@@ -193,10 +194,10 @@ def run_doctor(
         # loadable quantizer is unrepairable-by-append (engine.append
         # refuses it; see XfIndex.append) — surface it here first.
         try:
-            if "cell" in emb.columns:
-                import json as _json
+            import json as _json
 
-                cpath = os.path.join(path, "centroids.json")
+            cpath = os.path.join(path, "centroids.json")
+            if "cell" in emb.columns:
                 if not os.path.isfile(cpath):
                     checks.append(
                         Check(
@@ -212,8 +213,10 @@ def run_doctor(
                     n_cells = len(cent)
                     cdim = len(cent[0]) if n_cells else 0
                     max_cell = emb.selectExpr("max(cell) m").first()["m"]
+                    # dim is None when check 7 couldn't read a vector —
+                    # verify what IS verifiable rather than NameError
                     ok = (
-                        cdim == dim
+                        (dim is None or cdim == dim)
                         and max_cell is not None
                         and int(max_cell) < n_cells
                     )
@@ -224,6 +227,20 @@ def run_doctor(
                             f"n_cells={n_cells} dim={cdim} max_cell={max_cell}",
                         )
                     )
+            elif os.path.isfile(cpath):
+                # the inverse corruption: a quantizer next to a FLAT
+                # store (crashed ann build resumed with ann_cells=0 on
+                # an older binary) — append() would cell-assign new
+                # rows into a store with no cell directories
+                checks.append(
+                    Check(
+                        "ivf_quantizer",
+                        False,
+                        "centroids.json present but embeddings are not "
+                        "cell-partitioned — delete the stale quantizer "
+                        "or rebuild with ann_cells",
+                    )
+                )
         except Exception as e:  # noqa: BLE001
             checks.append(Check("ivf_quantizer", False, str(e)))
 

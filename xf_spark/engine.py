@@ -93,6 +93,15 @@ class XfIndex:
                 emb_df = build_embeddings(docs)
                 cached_emb = None
                 part_cols = []
+                if ann_cells <= 0:
+                    # a crashed ann build resumed with ann_cells=0
+                    # would otherwise leave a stale quantizer next to a
+                    # FLAT store — append() would then cell-assign new
+                    # rows into a store with no cell directories,
+                    # corrupting the layout
+                    stale = os.path.join(path, "centroids.json")
+                    if os.path.isfile(stale):
+                        os.remove(stale)
                 if ann_cells > 0:
                     from xf_spark.ops.similarity import assign_cells, train_centroids
 
@@ -382,7 +391,12 @@ class XfIndex:
                 # + row filter (measured at 1.57 M turns: probe-4 got
                 # SLOWER cached, 4.4 s vs 3.7 s at-rest, while holding
                 # GBs of block-manager memory). Leave the store at rest.
-                n_vec = self.embeddings.count()
+                # Exact (ann=False) queries on this config scan the
+                # small per-cell files instead of a cache — measured NOT
+                # slower at 1.57 M turns (9.0 s at rest vs 11.3 s
+                # cached); callers wanting cached exact serving on an
+                # IVF index pass pin_vectors_mb (pins beat both).
+                pass
             else:
                 # coalesce before caching: the cell-partitioned layout
                 # is hundreds of small files, and a cached scan visits
@@ -523,6 +537,47 @@ class XfIndex:
         of scanning every vector — approximate, partition-pruned; in
         hybrid mode only the semantic branch changes (lexical + RRF
         fusion identical). Filters fall back to the exact path."""
+        hits = self._search_hits(
+            query,
+            mode=mode,
+            limit=limit,
+            offset=offset,
+            roles=roles,
+            since=since,
+            until=until,
+            ann=ann,
+            n_probe=n_probe,
+        )
+        if context:
+            # conversation-context view: a different output SHAPE
+            # (every turn of each matched conversation, in
+            # (conv_id, turn_idx) order — the ordering-parity
+            # contract). It REPLACES hydration/sort/snippets, which
+            # only apply to flat hit rows — so skip that work rather
+            # than building and discarding it.
+            return conversation_context(self.docs, hits)
+        hydrated, presorted = self._hydrate(hits, sort)
+        out = hydrated if presorted else apply_sort(hydrated, sort)
+        if snippets:
+            out = add_snippets(out, query)
+        return out
+
+    def _search_hits(
+        self,
+        query: str,
+        mode: str = "hybrid",
+        limit: int = 20,
+        offset: int = 0,
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        ann: bool = False,
+        n_probe: int = 4,
+    ) -> DataFrame:
+        """search() up to the ranked (doc_id, score) hits — no
+        hydration/sort/snippets. msearch's filtered members use this
+        directly: the batch contract returns (doc_id, score) tuples,
+        so fetching doc text only to drop it would be pure waste."""
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
         # roles are stored lowercase (input_hint contract) and the query
@@ -560,7 +615,13 @@ class XfIndex:
                 )
         common = dict(roles=roles, since=since_dt, until=until_dt)
         if roles is not None and not roles:
-            # contradictory kwarg ∩ query role filters match nothing
+            # contradictory kwarg ∩ query role filters match nothing —
+            # but surface mode misconfiguration first: an empty result
+            # must not mask 'index built without embeddings'
+            if mode in ("semantic", "hybrid") and self.embeddings is None:
+                raise ValueError("index built without embeddings")
+            if mode not in ("lexical", "semantic", "hybrid"):
+                raise ValueError(f"unknown mode {mode}")
             hits = self.spark.createDataFrame(
                 [], schema="doc_id long, score double"
             )
@@ -655,20 +716,7 @@ class XfIndex:
             )
         else:
             raise ValueError(f"unknown mode {mode}")
-
-        if context:
-            # conversation-context view: a different output SHAPE
-            # (every turn of each matched conversation, in
-            # (conv_id, turn_idx) order — the ordering-parity
-            # contract). It REPLACES hydration/sort/snippets, which
-            # only apply to flat hit rows — so skip that work rather
-            # than building and discarding it.
-            return conversation_context(self.docs, hits)
-        hydrated, presorted = self._hydrate(hits, sort)
-        out = hydrated if presorted else apply_sort(hydrated, sort)
-        if snippets:
-            out = add_snippets(out, query)
-        return out
+        return hits
 
     def _hydrate(self, hits: DataFrame, sort: str = "relevance"):
         """k-row hits -> (full doc rows + score, presorted flag).
@@ -813,9 +861,7 @@ class XfIndex:
         for q in role_filtered:
             out[q] = [
                 (r["doc_id"], r["score"])
-                for r in self.search(q, mode=mode, limit=limit)
-                .select("doc_id", "score")
-                .collect()
+                for r in self._search_hits(q, mode=mode, limit=limit).collect()
             ]
         if mode == "semantic":
             if plain:

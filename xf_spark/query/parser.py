@@ -169,11 +169,25 @@ def strip_type_filters(query: str) -> str:
     parse_query_extract's job — call it first."""
     raws = _TOKEN_RE.findall((query or "").strip())
     kept = []
-    for raw in raws:
+    i = 0
+    while i < len(raws):
+        raw = raws[i]
         fm = _FIELD_RE.match(raw)
         if fm and fm[1].lower() in _TYPE_FIELDS:
+            # the operator bound to a dissolved filter atom dissolves
+            # with it (mirrors parse_query_extract): drop a preceding
+            # AND/OR; with none, a following operator was dangling
+            # (leading-operator skip) — drop that instead. Leaving it
+            # would hash-embed the literal word 'and'/'or' into the
+            # query vector — the pollution this function removes.
+            if kept and kept[-1] in ("AND", "OR"):
+                kept.pop()
+            elif i + 1 < len(raws) and raws[i + 1] in ("AND", "OR", "NOT"):
+                i += 1
+            i += 1
             continue
         kept.append(raw)
+        i += 1
     return " ".join(kept)
 
 
