@@ -541,3 +541,28 @@ class TestQueryRoleFilters:
         with pytest.raises(ValueError, match="without embeddings"):
             lex.search("stress role:user", mode="semantic",
                        roles=["assistant"], limit=5)
+
+    def test_msearch_fuzz_equals_per_query(self, ix):
+        """Batched semantic/hybrid msearch — mixed plain and
+        role-filtered members in one batch — must equal per-query
+        search exactly (the filtered members route through
+        _search_hits, the plain ones through the block paths)."""
+        import random
+
+        rng = random.Random(20260818)
+        words = ["stress", "machine", "rust", "python", "async",
+                 "learning", "model", "data"]
+        queries = []
+        for _ in range(12):
+            q = " ".join(rng.sample(words, rng.randint(1, 3)))
+            if rng.random() < 0.4:
+                q += rng.choice([" role:assistant", " type:user"])
+            queries.append(q)
+        queries = list(dict.fromkeys(queries))
+        for mode in ("semantic", "hybrid"):
+            batch = ix.msearch(queries, limit=10, mode=mode)
+            for q in queries:
+                got = [(d, round(s, 9)) for d, s in batch[q]]
+                want = [(r["doc_id"], round(r["score"], 9)) for r in
+                        ix.search(q, mode=mode, limit=10).collect()]
+                assert got == want, (mode, q)
