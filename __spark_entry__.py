@@ -144,6 +144,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,
         "hybrid_ann_full_probe": eq.hybrid_ann_full_probe,
         "transcripts_context_expansion": eq.transcripts_context_expansion,
+        # PERSISTED segment-index path (delta+varint codec, block-max
+        # WAND, batched msearch, incremental append -> compact, and
+        # compaction purge) — each against the same flat DuckDB
+        # recomputation, so the at-rest artifact gets driver-level
+        # third-engine evidence, not just pytest
+        "transcripts_segment_bm25": eq.transcripts_segment_bm25,
+        "transcripts_segment_msearch": eq.transcripts_segment_msearch,
+        "transcripts_lifecycle_bm25": eq.transcripts_lifecycle_bm25,
+        "transcripts_purge_bm25": eq.transcripts_purge_bm25,
+        "transcripts_purge_stats": eq.transcripts_purge_stats,
     }.items()}
 
 

@@ -932,3 +932,122 @@ FROM pscored p JOIN base b ON b.did = p.did
 ORDER BY p.score DESC, p.did
 LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted segment-index differentials: the SAME flat recomputation
+# oracles the in-session engine entries use — the segment entries run
+# the codec/WAND/append/compact machinery on the Spark side and must be
+# indistinguishable from a flat SQL BM25 over the (surviving) corpus.
+# ---------------------------------------------------------------------------
+
+ORACLES["transcripts_segment_bm25"] = ORACLES["transcripts_docs_bm25"]
+ORACLES["transcripts_lifecycle_bm25"] = ORACLES["transcripts_docs_bm25"]
+
+
+def _tr_msearch_member(qid: str, term: str) -> str:
+    """One term member of the msearch union: top-10 (did, score)."""
+    return f"""
+SELECT * FROM (
+  WITH {_TR_BASE}, {_tr_scored(term)}
+  SELECT '{qid}' AS qid, t.did AS doc_id, round(t.score, 4) AS score
+  FROM tscored t
+  ORDER BY t.score DESC, t.did
+  LIMIT 10
+)"""
+
+
+def _tr_msearch_phrase(qid: str, first: str, second: str) -> str:
+    """One positional-phrase member of the msearch union: candidate
+    docs via list_filter adjacency, summed per-term BM25, top-10."""
+    return f"""
+SELECT * FROM (
+  WITH {_TR_BASE},
+  ptoks AS (
+    SELECT did,
+           list_filter(
+             list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                            x -> lower(x)),
+             x -> x <> '' AND strlen(x) < 40) AS t
+    FROM base
+  ),
+  pcand AS (
+    SELECT did FROM ptoks
+    WHERE len(list_filter(range(1, len(t)),
+                          i -> t[i] = '{first}' AND t[i + 1] = '{second}')) > 0
+  ),
+  ptf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
+          WHERE term IN ('{first}', '{second}') GROUP BY did, term),
+  pdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
+          WHERE term IN ('{first}', '{second}') GROUP BY term),
+  pscored AS (
+    SELECT ptf.did,
+           sum( ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))
+                * ptf.tf * 2.2
+                / (ptf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
+    FROM ptf
+    JOIN pdf USING (term)
+    JOIN tdl ON tdl.did = ptf.did
+    JOIN pcand ON pcand.did = ptf.did
+    CROSS JOIN tstats s
+    GROUP BY ptf.did
+  )
+  SELECT '{qid}' AS qid, p.did AS doc_id, round(p.score, 4) AS score
+  FROM pscored p
+  ORDER BY p.score DESC, p.did
+  LIMIT 10
+)"""
+
+
+ORACLES["transcripts_segment_msearch"] = (
+    _tr_msearch_member("spark", "spark")
+    + "\nUNION ALL"
+    + _tr_msearch_member("merge", "merge")
+    + "\nUNION ALL"
+    + _tr_msearch_phrase('"hash join"', "hash", "join")
+    + "\nORDER BY qid, score DESC, doc_id"
+)
+
+
+# Purge differentials: docIDs are assigned over the FULL corpus (the
+# purge preserves surviving ids — the id space gains holes), while
+# tokenization / document stats / df are recomputed over the SURVIVORS
+# only, exactly as compact_index(drop=...) promises.
+_TR_SURV = """
+base AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         'c' || lpad((doc_id // 20)::VARCHAR, 6, '0') AS conv_id,
+         (doc_id % 20)::INT AS turn_idx,
+         text
+  FROM documents
+),
+surv AS (SELECT * FROM base WHERE did % 7 <> 3),
+ttok AS (
+  SELECT did, lower(raw) AS term
+  FROM (SELECT did, unnest(regexp_split_to_array(text, '[^0-9A-Za-z]+')) AS raw
+        FROM surv)
+  WHERE raw <> '' AND strlen(raw) < 40
+),
+tdl AS (SELECT did, count(*)::DOUBLE AS dl FROM ttok GROUP BY did),
+tstats AS (
+  SELECT (SELECT count(*) FROM surv)::DOUBLE AS n,
+         (SELECT count(*) FROM ttok)::DOUBLE
+           / (SELECT count(*) FROM surv)::DOUBLE AS avgdl
+)
+"""
+
+ORACLES["transcripts_purge_bm25"] = f"""
+WITH {_TR_SURV}, {_tr_scored("merge")}
+SELECT b.conv_id, b.turn_idx, round(t.score, 4) AS score, b.text
+FROM tscored t JOIN surv b ON b.did = t.did
+ORDER BY t.score DESC, t.did
+LIMIT 20
+"""
+
+ORACLES["transcripts_purge_stats"] = f"""
+WITH {_TR_SURV}
+SELECT (SELECT count(*) FROM surv)::BIGINT AS n_docs,
+       round((SELECT count(*) FROM ttok)::DOUBLE
+             / (SELECT count(*) FROM surv), 6) AS avgdl,
+       (SELECT count(*) FROM ttok)::BIGINT AS total_tokens
+"""

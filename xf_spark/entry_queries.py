@@ -649,26 +649,38 @@ def _docs_transcripts_engine(spark, sf_dir):
     if key not in _ENGINE_MEMO:
         from xf_spark.index.builder import build_engine
 
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        docs = _read(spark, sf_dir, "documents")
-        tr = docs.select(
-            F.concat(
-                F.lit("c"),
-                F.lpad(F.floor(F.col("doc_id") / 20).cast("long").cast("string"), 6, "0"),
-            ).alias("conv_id"),
-            (F.col("doc_id") % 20).cast("int").alias("turn_idx"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
-            .otherwise(F.lit("assistant"))
-            .alias("role"),
-            F.col("text"),
-            F.lit("").alias("tool"),
-            F.expr(
-                "timestamp'2024-01-01 00:00:00'"
-                " + make_interval(0, 0, 0, 0, 0, 0, doc_id * 60)"
-            ).alias("ts"),
-        )
+        tr = _derived_transcripts(spark, sf_dir)
         _ENGINE_MEMO[key] = build_engine(tr, with_prefix=True)
     return _ENGINE_MEMO[key]
+
+
+def _derived_transcripts(spark, sf_dir, where=None):
+    """The documents view reshaped into the input_hint transcripts
+    schema by pure SQL (see _docs_transcripts_engine docstring); the
+    paired DuckDB oracles replicate the derivation in their base CTE.
+    ``where`` (a doc_id predicate) selects a slice for the lifecycle
+    entries — it must be applied BEFORE the reshape so conv_id/turn_idx
+    stay aligned with the oracle's row_number() docIDs."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = _read(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.where(where)
+    return docs.select(
+        F.concat(
+            F.lit("c"),
+            F.lpad(F.floor(F.col("doc_id") / 20).cast("long").cast("string"), 6, "0"),
+        ).alias("conv_id"),
+        (F.col("doc_id") % 20).cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, 0, 0, doc_id * 60)"
+        ).alias("ts"),
+    )
 
 
 def transcripts_docs_bm25(spark, sf_dir):
@@ -840,4 +852,141 @@ def transcripts_context_expansion(spark, sf_dir):
     hits = eng.search("merge", limit=5)
     return conversation_context(eng.docs, hits).select(
         "conv_id", "turn_idx", "role", "text", "is_match"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted segment-index differentials (SURVEY.md §2.11 — the at-rest
+# compressed artifact that serves the 100 TB path): fresh build, the
+# batched msearch serving pattern, the append -> compact lifecycle, and
+# a compaction purge, each against the same flat DuckDB recomputation
+# the in-session engine entries use. This puts the varint/delta codec,
+# block-max WAND, incremental append (segments.py:749), compaction
+# (segments.py:1107), and physical delete under third-engine evidence
+# at the driver level (previously pytest-only).
+# ---------------------------------------------------------------------------
+
+
+def _segment_tr_index(spark, sf_dir):
+    """Fresh persisted segment index over the docs-derived transcripts
+    (build -> encode -> load -> cache), memoized per (session, sf_dir)."""
+    key = (id(spark), sf_dir, "seg_tr")
+    if key not in _ENGINE_MEMO:
+        import os
+        import tempfile
+
+        from xf_spark.engine import XfIndex
+
+        path = os.path.join(tempfile.mkdtemp(prefix="xf_entry_seg_"), "ix")
+        ix = XfIndex.build(
+            _derived_transcripts(spark, sf_dir), path,
+            with_embeddings=False, n_shards=4, n_buckets=8, slices=1,
+        )
+        ix.segment_index.cache()
+        _ENGINE_MEMO[key] = ix.segment_index
+    return _ENGINE_MEMO[key]
+
+
+def _hydrated_hits(ix, hits, with_text: bool = True):
+    cols = ["conv_id", "turn_idx", F.round("score", 4).alias("score")]
+    if with_text:
+        cols.append(F.col("text"))
+    return hits.join(ix.docs, "doc_id").select(*cols)
+
+
+def transcripts_segment_bm25(spark, sf_dir):
+    """BM25 'spark'@20 through the PERSISTED path: delta+varint block
+    segments + block-max WAND + global-stats scoring — rank-, score-,
+    and text-identical to the flat SQL recomputation after the full
+    encode/decode round trip (north-rule per-turn text equality)."""
+    ix = _segment_tr_index(spark, sf_dir)
+    return _hydrated_hits(ix, ix.search("spark", limit=20))
+
+
+def transcripts_segment_msearch(spark, sf_dir):
+    """Batched multi-search (search_many: ONE union-of-terms decode
+    serving heterogeneous members — two term queries + a positional
+    phrase); each member must equal its per-query SQL oracle."""
+    ix = _segment_tr_index(spark, sf_dir)
+    res = ix.search_many(["spark", "merge", '"hash join"'], limit=10)
+    rows = [
+        (q, int(d), round(float(s), 4))
+        for q, hits in sorted(res.items())
+        for d, s in hits
+    ]
+    return spark.createDataFrame(
+        rows, "qid string, doc_id long, score double"
+    )
+
+
+def transcripts_lifecycle_bm25(spark, sf_dir):
+    """Full index lifecycle: build over the doc_id<300 prefix ->
+    append_index the remainder (O(delta), doc_ids continue past
+    doc_id_bound) -> compact_index (slices merged, WAND bounds
+    re-encoded exact) -> BM25 'spark'@20. The result must be
+    indistinguishable from a flat build over the whole corpus — the
+    oracle is the SAME SQL as transcripts_segment_bm25."""
+    key = (id(spark), sf_dir, "seg_lc")
+    if key not in _ENGINE_MEMO:
+        import os
+        import tempfile
+
+        from xf_spark.engine import XfIndex
+
+        path = os.path.join(tempfile.mkdtemp(prefix="xf_entry_lc_"), "ix")
+        ix = XfIndex.build(
+            _derived_transcripts(spark, sf_dir, F.col("doc_id") < 300), path,
+            with_embeddings=False, n_shards=4, n_buckets=8, slices=1,
+        )
+        ix.append(_derived_transcripts(spark, sf_dir, F.col("doc_id") >= 300))
+        ix.compact(target_shards=4)
+        _ENGINE_MEMO[key] = ix
+    ix = _ENGINE_MEMO[key]
+    return _hydrated_hits(ix, ix.segment_index.search("spark", limit=20))
+
+
+def _purged_tr_index(spark, sf_dir):
+    """Build, then compact with a drop list (doc_id % 7 == 3): postings
+    excised, docs store rewritten, global stats exactly as a rebuild
+    over the survivors (segments.py compact_index purge contract)."""
+    key = (id(spark), sf_dir, "seg_purge")
+    if key not in _ENGINE_MEMO:
+        import os
+        import tempfile
+
+        from xf_spark.engine import XfIndex
+
+        path = os.path.join(tempfile.mkdtemp(prefix="xf_entry_pg_"), "ix")
+        ix = XfIndex.build(
+            _derived_transcripts(spark, sf_dir), path,
+            with_embeddings=False, n_shards=4, n_buckets=8, slices=1,
+        )
+        drop = ix.docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
+        ix.compact(target_shards=4, drop=drop)
+        _ENGINE_MEMO[key] = ix
+    return _ENGINE_MEMO[key]
+
+
+def transcripts_purge_bm25(spark, sf_dir):
+    """BM25 'merge'@20 after a physical purge: surviving doc_ids are
+    preserved (id space gains holes) and scores use the recomputed
+    survivor stats — the oracle rebuilds BM25 over the filtered corpus
+    from scratch in SQL."""
+    ix = _purged_tr_index(spark, sf_dir)
+    return _hydrated_hits(ix, ix.segment_index.search("merge", limit=20))
+
+
+def transcripts_purge_stats(spark, sf_dir):
+    """Global BM25 stats after the purge (meta.json n_docs / avgdl /
+    total_tokens) — must equal a from-scratch tokenize over the
+    survivors (the 'stats come out exactly as a fresh build' half of
+    the compaction purge contract)."""
+    meta = _purged_tr_index(spark, sf_dir).segment_index.meta
+    return spark.createDataFrame(
+        [(
+            int(meta["n_docs"]),
+            round(float(meta["avgdl"]), 6),
+            int(meta["total_tokens"]),
+        )],
+        "n_docs bigint, avgdl double, total_tokens bigint",
     )
