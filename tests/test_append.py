@@ -295,3 +295,72 @@ class TestLifecycleFuzz:
                     full.segment_index.search(query, limit=limit).collect()]
             assert got == want and len(want) > 0, (seed, query)
         assert ix.docs.count() == full.docs.count()
+
+    @pytest.mark.parametrize("seed", [2, 3])
+    def test_lifecycle_with_purge_equals_survivor_rebuild(
+        self, spark, corpus, tmp_path, seed
+    ):
+        """Random append/compact sequence ending in a compact(drop=…)
+        purge must serve what a flat rebuild over the SURVIVORS
+        serves: identical global stats and identical ranked
+        (conv_id, turn_idx, score) lists. doc_ids differ by design —
+        the purge preserves ids (holes), the rebuild re-densifies —
+        but dense re-rank preserves relative order, so the hydrated
+        rank lists must match verbatim."""
+        import random
+
+        rng = random.Random(seed)
+        _, parts = corpus
+        ix = XfIndex.build(
+            parts[0], str(tmp_path / f"p{seed}"),
+            with_embeddings=False, slices=1,
+        )
+        for p in parts[1:]:
+            ix = ix.append(p)
+            if rng.random() < 0.5:
+                ix = ix.compact()
+        mod = rng.randrange(3, 7)
+        rem = rng.randrange(mod)
+        # materialize the dropped keys BEFORE compacting: a DataFrame
+        # whose plan reads pre-swap files cannot be evaluated after
+        # the store swap (FileStatusCache trap, see segments.py)
+        dropped = ix.docs.where(F.col("doc_id") % mod == rem).select(
+            "conv_id", "turn_idx"
+        ).collect()
+        assert 0 < len(dropped) < ix.docs.count()
+        drop = ix.docs.where(F.col("doc_id") % mod == rem).select("doc_id")
+        ix = ix.compact(drop=drop)
+
+        spark_keys = spark.createDataFrame(
+            [(r["conv_id"], r["turn_idx"]) for r in dropped],
+            "conv_id string, turn_idx int",
+        )
+        tr, _ = corpus
+        survivors = tr.join(spark_keys, ["conv_id", "turn_idx"], "left_anti")
+        rebuilt = XfIndex.build(
+            survivors, str(tmp_path / f"r{seed}"),
+            with_embeddings=False, slices=1,
+        )
+        mi, mr = ix.segment_index.meta, rebuilt.segment_index.meta
+        assert mi["n_docs"] == mr["n_docs"]
+        assert abs(mi["avgdl"] - mr["avgdl"]) < 1e-9
+        assert mi["total_tokens"] == mr["total_tokens"]
+
+        def ranked(index, query, limit):
+            # the hydration join does not preserve hit order; re-sort
+            # by the engine tiebreak (score desc, doc_id asc) — dense
+            # re-rank preserves relative doc_id order, so the two
+            # indexes' sequences are comparable verbatim
+            hits = index.segment_index.search(query, limit=limit)
+            return [
+                (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+                for r in hits.join(index.docs, "doc_id")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .select("conv_id", "turn_idx", "score")
+                .collect()
+            ]
+
+        for query, limit in QUERIES:
+            got = ranked(ix, query, limit)
+            want = ranked(rebuilt, query, limit)
+            assert got == want and len(want) > 0, (seed, query)
