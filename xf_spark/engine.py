@@ -10,7 +10,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from xf_spark.index.segments import build_index
+from xf_spark.index.segments import PARQUET_CODEC, build_index
 from xf_spark.query.dates import parse_date_flexible
 from xf_spark.query.hybrid import hybrid_search
 from xf_spark.query.results import add_snippets, apply_sort, conversation_context
@@ -83,7 +83,9 @@ class XfIndex:
         docs, stats, _metrics = build_index(transcripts, path, **build_kw)
         docs_path = os.path.join(path, "docs")
         if not _parquet_complete(docs_path):
-            docs.write.mode("overwrite").parquet(docs_path)
+            docs.write.mode("overwrite").option(
+                "compression", PARQUET_CODEC
+            ).parquet(docs_path)
         emb = None
         if with_embeddings:
             from xf_spark.query.semantic import encode_f16_udf
@@ -127,7 +129,9 @@ class XfIndex:
                         encode_f16_udf(F.col("vec")).alias("vec16"),
                         *part_cols,
                     )
-                w = emb_df.write.mode("overwrite")
+                w = emb_df.write.mode("overwrite").option(
+                    "compression", PARQUET_CODEC
+                )
                 if part_cols:
                     w = w.partitionBy(*part_cols)
                 w.parquet(emb_path)
@@ -214,7 +218,7 @@ class XfIndex:
                 emb_new = emb_new.select(
                     "doc_id", encode_f16_udf(F.col("vec")).alias("vec16"), *part_cols
                 )
-            w = emb_new.write.mode("append")
+            w = emb_new.write.mode("append").option("compression", PARQUET_CODEC)
             if part_cols:
                 w = w.partitionBy(*part_cols)
             w.parquet(emb_path)

@@ -68,6 +68,14 @@ from xf_spark.index.codec import (
 K1 = 1.2
 B = 0.75
 
+# At-rest parquet codec for the index stores (segments / docs /
+# embeddings). zstd over the varint-packed posting binaries measured
+# 32% smaller than snappy at sf0.1 (10.69 -> 7.23 MB segments) with
+# cold-query latency at parity — at 100 TB the at-rest bytes are a
+# first-order cost and zstd decode is not on the warm path at all
+# (term-LRU serves decoded arrays).
+PARQUET_CODEC = "zstd"
+
 
 def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
@@ -343,6 +351,7 @@ def _build_from_tagged(
             .sortWithinPartitions("term", "shard")
             .write.partitionBy("field", "bucket")
             .option("partitionOverwriteMode", "dynamic")
+            .option("compression", PARQUET_CODEC)
             .mode("overwrite")
             .parquet(out)
         )
@@ -641,7 +650,9 @@ def build_index(
             F.max("n_docs").alias("max_seg"),
             F.expr("percentile(n_docs, 0.5)").alias("med_seg"),
         )
-        seg.write.partitionBy("field").mode("overwrite").parquet(out_slice)
+        seg.write.partitionBy("field").option(
+            "compression", PARQUET_CODEC
+        ).mode("overwrite").parquet(out_slice)
         row = obs.get
         m = BuildMetrics(
             slice_id=s,
@@ -860,7 +871,9 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
     out_slice = os.path.join(path, "segments", f"slice={slice_id}")
     # overwrite => rerunning a crashed append replaces its orphan
     # slice instead of duplicating postings
-    seg.write.partitionBy("field").mode("overwrite").parquet(out_slice)
+    seg.write.partitionBy("field").option(
+        "compression", PARQUET_CODEC
+    ).mode("overwrite").parquet(out_slice)
     orow = obs.get
 
     # docs first, meta last (tmp+rename): doctor's meta/docs count
@@ -873,7 +886,9 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
         docs_delta = full.withColumn(
             "shard", (F.lit(shard_base) + F.spark_partition_id()).cast("int")
         ).select("doc_id", "shard", *cols)
-    docs_delta.write.mode("append").parquet(docs_path)
+    docs_delta.write.mode("append").option(
+        "compression", PARQUET_CODEC
+    ).parquet(docs_path)
 
     slice_avgdl = {str(k): v for k, v in (meta.get("slice_avgdl") or {}).items()}
     for entry in os.listdir(os.path.join(path, "segments")):
@@ -1352,9 +1367,9 @@ def _compact_index_run(
     tmp_seg = os.path.join(path, "segments.compact-tmp")
     if os.path.isdir(tmp_seg):
         shutil.rmtree(tmp_seg)
-    merged.write.partitionBy("field").mode("overwrite").parquet(
-        os.path.join(tmp_seg, "slice=0")
-    )
+    merged.write.partitionBy("field").option(
+        "compression", PARQUET_CODEC
+    ).mode("overwrite").parquet(os.path.join(tmp_seg, "slice=0"))
     row = obs.get
     if drop_ids_df is not None:
         # rewrite the doc store without the dropped rows (columnar
@@ -1363,11 +1378,15 @@ def _compact_index_run(
         # the coarse quantizer is unaffected by deletions)
         docs_df.join(drop_ids_df, "doc_id", "left_anti").write.mode(
             "overwrite"
-        ).parquet(os.path.join(path, "docs.compact-tmp"))
+        ).option("compression", PARQUET_CODEC).parquet(
+            os.path.join(path, "docs.compact-tmp")
+        )
         emb_path = os.path.join(path, "embeddings")
         if os.path.isdir(emb_path):
             emb = spark.read.parquet(emb_path)
-            w = emb.join(drop_ids_df, "doc_id", "left_anti").write.mode("overwrite")
+            w = emb.join(drop_ids_df, "doc_id", "left_anti").write.mode(
+                "overwrite"
+            ).option("compression", PARQUET_CODEC)
             if "cell" in emb.columns:
                 w = w.partitionBy("cell")
             w.parquet(os.path.join(path, "embeddings.compact-tmp"))
