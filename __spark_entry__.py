@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_lifecycle_bm25": eq.transcripts_lifecycle_bm25,
         "transcripts_purge_bm25": eq.transcripts_purge_bm25,
         "transcripts_purge_stats": eq.transcripts_purge_stats,
+        # composed curation pipeline (quality gate -> exact dedup):
+        # stage counts + kept membership, both SQL-replayed
+        "curate_report": eq.curate_report,
+        "curate_kept_sample": eq.curate_kept_sample,
     }.items()}
 
 

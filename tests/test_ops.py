@@ -546,3 +546,55 @@ class TestThreadReconstruction:
 
         got = [r["id"] for r in get_thread(edges, 999, order_col="ts").collect()]
         assert got == []
+
+
+class TestCurateCorpus:
+    """curate_corpus composes the oracled ops; these pin the report
+    arithmetic and the keep-set semantics per stage combination (the
+    driver entries curate_report / curate_kept_sample replay the
+    quality+exact chain in SQL)."""
+
+    def test_exact_chain_report_consistent(self, documents):
+        from xf_spark.ops.curate import curate_corpus
+
+        kept, report = curate_corpus(documents, min_quality=0.6)
+        r = report.collect()[0]
+        assert r["n_input"] == documents.count()
+        assert (
+            r["n_input"] - r["n_quality_dropped"] - r["n_dup_dropped"]
+            == r["n_kept"]
+        )
+        assert r["n_kept"] == kept.count()
+        assert 0 < r["n_kept"] < r["n_input"]
+        assert kept.columns == documents.columns
+
+    def test_no_gate_no_dedup_is_identity(self, documents):
+        from xf_spark.ops.curate import curate_corpus
+
+        kept, report = curate_corpus(documents, dedup=None)
+        r = report.collect()[0]
+        assert r["n_quality_dropped"] == 0 and r["n_dup_dropped"] == 0
+        assert r["n_kept"] == documents.count() == kept.count()
+
+    def test_minhash_chain_keeps_component_minima(self, spark):
+        from xf_spark.ops.curate import curate_corpus
+
+        base = "the quick brown fox jumps over the lazy dog " * 6
+        rows = [
+            (0, base),
+            (1, base + "alpha"),          # near-dup of 0
+            (2, base + "alpha beta"),     # near-dup of 0 and 1
+            (3, "completely different text about rust and spark " * 6),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        kept, report = curate_corpus(docs, dedup="minhash", dedup_threshold=0.7)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [0, 3]
+        r = report.collect()[0]
+        assert r["n_dup_dropped"] == 2 and r["n_quality_dropped"] == 0
+
+    def test_unknown_method_raises(self, documents):
+        from xf_spark.ops.curate import curate_corpus
+
+        with pytest.raises(ValueError):
+            curate_corpus(documents, dedup="fuzzy")

@@ -1051,3 +1051,61 @@ SELECT (SELECT count(*) FROM surv)::BIGINT AS n_docs,
              / (SELECT count(*) FROM surv), 6) AS avgdl,
        (SELECT count(*) FROM ttok)::BIGINT AS total_tokens
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: replay the composite quality blend (whitespace
+# tokens, distinct-stopword ratio, ASCII punct/digit ratios — the
+# exact quality_scores arithmetic, verified bit-equal pre-round) and
+# the min-id exact dedup, then compare stage counts and membership.
+# ---------------------------------------------------------------------------
+
+_CURATE_STOPS = (
+    "['the','a','of','and','to','in','is','for','on','with',"
+    "'that','it','you','are','this']"
+)
+
+_CURATE_BASE = rf"""
+cq AS (
+  SELECT doc_id, text,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+    list_transform(regexp_split_to_array(trim(text), '\s+'),
+                   x -> lower(x)) AS lt,
+    greatest(length(text), 1)::DOUBLE AS total,
+    length(regexp_replace(text, '[^!-/:-@[-`{{-~]', '', 'g'))::DOUBLE
+      AS n_punct,
+    length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS n_digit
+  FROM documents
+),
+cq2 AS (
+  SELECT doc_id, text,
+    round(
+      least(n_tok / 64.0, 1.0) * 0.4
+      + least(
+          (len(list_filter(list_distinct(lt),
+               x -> list_contains({_CURATE_STOPS}, x)))::DOUBLE
+           / greatest(len(list_distinct(lt)), 1)) * 3.0, 1.0) * 0.3
+      + (1.0 - least((n_punct / total) * 4.0, 1.0)) * 0.2
+      + (1.0 - least((n_digit / total) * 4.0, 1.0)) * 0.1,
+    6) AS quality
+  FROM cq
+),
+cgate AS (SELECT doc_id, text FROM cq2 WHERE quality >= 0.6),
+ckeep AS (SELECT min(doc_id) AS doc_id FROM cgate GROUP BY text)
+"""
+
+ORACLES["curate_report"] = f"""
+WITH {_CURATE_BASE}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_input,
+       ((SELECT count(*) FROM documents)
+        - (SELECT count(*) FROM cgate))::BIGINT AS n_quality_dropped,
+       ((SELECT count(*) FROM cgate)
+        - (SELECT count(*) FROM ckeep))::BIGINT AS n_dup_dropped,
+       (SELECT count(*) FROM ckeep)::BIGINT AS n_kept
+"""
+
+ORACLES["curate_kept_sample"] = f"""
+WITH {_CURATE_BASE}
+SELECT doc_id FROM ckeep ORDER BY doc_id LIMIT 20
+"""

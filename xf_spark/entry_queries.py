@@ -990,3 +990,36 @@ def transcripts_purge_stats(spark, sf_dir):
         )],
         "n_docs bigint, avgdl double, total_tokens bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (ops/curate.py): the composed training-data pipeline
+# (quality gate -> exact dedup) with the stage counts AND the kept
+# membership both DuckDB-replayed.
+# ---------------------------------------------------------------------------
+
+
+def _curated(spark, sf_dir):
+    key = (id(spark), sf_dir, "curate")
+    if key not in _ENGINE_MEMO:
+        from xf_spark.ops.curate import curate_corpus
+
+        docs = _read(spark, sf_dir, "documents")
+        _ENGINE_MEMO[key] = curate_corpus(
+            docs, min_quality=0.6, dedup="exact"
+        )
+    return _ENGINE_MEMO[key]
+
+
+def curate_report(spark, sf_dir):
+    """Stage counts of curate_corpus(min_quality=0.6, dedup='exact'):
+    input, quality-dropped, dup-dropped, kept — the SQL oracle replays
+    the full composite quality blend and the min-id exact dedup."""
+    return _curated(spark, sf_dir)[1]
+
+
+def curate_kept_sample(spark, sf_dir):
+    """First 20 kept doc_ids — membership evidence for the same
+    pipeline (counts alone could mask a wrong keep set)."""
+    kept, _ = _curated(spark, sf_dir)
+    return kept.select("doc_id").orderBy("doc_id").limit(20)
