@@ -725,12 +725,12 @@ ORDER BY t.score DESC, t.did
 LIMIT 20
 """
 
-def _tr_phrase_sql(first: str, second: str) -> str:
-    """Two-term positional-adjacency phrase oracle: candidate docs via
-    list_filter adjacency, score = summed per-term BM25 (engine
-    semantics, search.rs phrase scoring)."""
+def _tr_phrase_block(first: str, second: str) -> str:
+    """Shared CTE body for the two-term positional-adjacency phrase
+    scoring (candidates via list_filter adjacency, score = summed
+    per-term BM25 — engine semantics, search.rs phrase scoring); the
+    single source of truth for every phrase oracle's arithmetic."""
     return f"""
-WITH {_TR_BASE},
 ptoks AS (
   SELECT did,
          list_filter(
@@ -759,7 +759,14 @@ pscored AS (
   JOIN pcand ON pcand.did = ptf.did
   CROSS JOIN tstats s
   GROUP BY ptf.did
-)
+)"""
+
+
+def _tr_phrase_sql(first: str, second: str) -> str:
+    """Hydrated phrase oracle: top-20 (conv_id, turn_idx, score)."""
+    return f"""
+WITH {_TR_BASE},
+{_tr_phrase_block(first, second)}
 SELECT b.conv_id, b.turn_idx, round(p.score, 4) AS score
 FROM pscored p JOIN base b ON b.did = p.did
 ORDER BY p.score DESC, p.did
@@ -958,40 +965,12 @@ SELECT * FROM (
 
 
 def _tr_msearch_phrase(qid: str, first: str, second: str) -> str:
-    """One positional-phrase member of the msearch union: candidate
-    docs via list_filter adjacency, summed per-term BM25, top-10."""
+    """One positional-phrase member of the msearch union: the shared
+    phrase CTE block, projected as top-10 (qid, doc_id, score)."""
     return f"""
 SELECT * FROM (
   WITH {_TR_BASE},
-  ptoks AS (
-    SELECT did,
-           list_filter(
-             list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
-                            x -> lower(x)),
-             x -> x <> '' AND strlen(x) < 40) AS t
-    FROM base
-  ),
-  pcand AS (
-    SELECT did FROM ptoks
-    WHERE len(list_filter(range(1, len(t)),
-                          i -> t[i] = '{first}' AND t[i + 1] = '{second}')) > 0
-  ),
-  ptf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
-          WHERE term IN ('{first}', '{second}') GROUP BY did, term),
-  pdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
-          WHERE term IN ('{first}', '{second}') GROUP BY term),
-  pscored AS (
-    SELECT ptf.did,
-           sum( ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))
-                * ptf.tf * 2.2
-                / (ptf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
-    FROM ptf
-    JOIN pdf USING (term)
-    JOIN tdl ON tdl.did = ptf.did
-    JOIN pcand ON pcand.did = ptf.did
-    CROSS JOIN tstats s
-    GROUP BY ptf.did
-  )
+  {_tr_phrase_block(first, second)}
   SELECT '{qid}' AS qid, p.did AS doc_id, round(p.score, 4) AS score
   FROM pscored p
   ORDER BY p.score DESC, p.did

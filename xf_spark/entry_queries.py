@@ -867,21 +867,28 @@ def transcripts_context_expansion(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _tr_xf_build(spark, sf_dir, where=None):
+    """Tempdir XfIndex.build over the (optionally sliced) derived
+    transcripts with the shared small-scale layout — the one build
+    config every persisted-path entry uses."""
+    import os
+    import tempfile
+
+    from xf_spark.engine import XfIndex
+
+    path = os.path.join(tempfile.mkdtemp(prefix="xf_entry_ix_"), "ix")
+    return XfIndex.build(
+        _derived_transcripts(spark, sf_dir, where), path,
+        with_embeddings=False, n_shards=4, n_buckets=8, slices=1,
+    )
+
+
 def _segment_tr_index(spark, sf_dir):
     """Fresh persisted segment index over the docs-derived transcripts
     (build -> encode -> load -> cache), memoized per (session, sf_dir)."""
     key = (id(spark), sf_dir, "seg_tr")
     if key not in _ENGINE_MEMO:
-        import os
-        import tempfile
-
-        from xf_spark.engine import XfIndex
-
-        path = os.path.join(tempfile.mkdtemp(prefix="xf_entry_seg_"), "ix")
-        ix = XfIndex.build(
-            _derived_transcripts(spark, sf_dir), path,
-            with_embeddings=False, n_shards=4, n_buckets=8, slices=1,
-        )
+        ix = _tr_xf_build(spark, sf_dir)
         ix.segment_index.cache()
         _ENGINE_MEMO[key] = ix.segment_index
     return _ENGINE_MEMO[key]
@@ -928,16 +935,7 @@ def transcripts_lifecycle_bm25(spark, sf_dir):
     oracle is the SAME SQL as transcripts_segment_bm25."""
     key = (id(spark), sf_dir, "seg_lc")
     if key not in _ENGINE_MEMO:
-        import os
-        import tempfile
-
-        from xf_spark.engine import XfIndex
-
-        path = os.path.join(tempfile.mkdtemp(prefix="xf_entry_lc_"), "ix")
-        ix = XfIndex.build(
-            _derived_transcripts(spark, sf_dir, F.col("doc_id") < 300), path,
-            with_embeddings=False, n_shards=4, n_buckets=8, slices=1,
-        )
+        ix = _tr_xf_build(spark, sf_dir, F.col("doc_id") < 300)
         ix.append(_derived_transcripts(spark, sf_dir, F.col("doc_id") >= 300))
         ix.compact(target_shards=4)
         _ENGINE_MEMO[key] = ix
@@ -951,16 +949,7 @@ def _purged_tr_index(spark, sf_dir):
     over the survivors (segments.py compact_index purge contract)."""
     key = (id(spark), sf_dir, "seg_purge")
     if key not in _ENGINE_MEMO:
-        import os
-        import tempfile
-
-        from xf_spark.engine import XfIndex
-
-        path = os.path.join(tempfile.mkdtemp(prefix="xf_entry_pg_"), "ix")
-        ix = XfIndex.build(
-            _derived_transcripts(spark, sf_dir), path,
-            with_embeddings=False, n_shards=4, n_buckets=8, slices=1,
-        )
+        ix = _tr_xf_build(spark, sf_dir)
         drop = ix.docs.where(F.col("doc_id") % 7 == 3).select("doc_id")
         ix.compact(target_shards=4, drop=drop)
         _ENGINE_MEMO[key] = ix

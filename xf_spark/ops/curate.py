@@ -46,6 +46,11 @@ def curate_corpus(
 
     ``kept`` has the original columns of ``docs``. ``report`` is one
     row: n_input, n_quality_dropped, n_dup_dropped, n_kept.
+
+    ``kept`` is returned CACHED (already materialized by the report
+    count, so the caller's first action is free); unpersist it when
+    done. The intermediate quality-gate cache is released before
+    returning.
     """
     if dedup not in (None, "exact", "minhash", "simhash"):
         raise ValueError(f"unknown dedup method: {dedup!r}")
@@ -87,7 +92,12 @@ def curate_corpus(
         kept = filtered.join(keep_ids, id_col, "left_semi")
     else:
         kept = filtered
+    if kept is not filtered:
+        kept = kept.cache()
     n_kept = kept.count()
+    if gated and kept is not filtered:
+        # kept is materialized above; the gate cache has no reader left
+        filtered.unpersist()
 
     spark = docs.sparkSession
     report = spark.createDataFrame(
