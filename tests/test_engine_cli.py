@@ -464,3 +464,30 @@ class TestCliCompact:
                   "--limit", "3", "--format", "json")
         payload = json.loads(out.strip().splitlines()[-1])
         assert len(payload) == 3
+
+
+class TestCliCurate:
+    def test_cli_curate_exact(self, tmp_path):
+        """curate subcommand: quality gate + exact dedup over the
+        driver's documents table, kept rows written as parquet and the
+        stage counts printed."""
+        out = str(tmp_path / "kept.parquet")
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "curate",
+             "--input", "/root/testdata/sf0.001/documents.parquet",
+             "--out", out, "--min-quality", "0.6", "--dedup", "exact"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("curated")][-1]
+        # counts in the message must agree with the written store
+        import re
+
+        m = re.match(r"curated (\d+) -> (\d+) rows", line)
+        assert m, line
+        import duckdb
+
+        n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+        assert n == int(m.group(2)) and 0 < n < int(m.group(1))

@@ -193,6 +193,33 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    from xf_spark.ops.curate import curate_corpus
+    from xf_spark.sources.tables import load_table, write_table
+
+    spark = _spark(args)
+    docs = load_table(spark, args.input)
+    kept, report = curate_corpus(
+        docs,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        min_quality=args.min_quality,
+        min_tokens=args.min_tokens,
+        dedup=None if args.dedup == "none" else args.dedup,
+        dedup_threshold=args.threshold,
+        max_hamming=args.max_hamming,
+    )
+    write_table(kept, args.out, mode="overwrite")
+    r = report.collect()[0]
+    print(
+        f"curated {r['n_input']} -> {r['n_kept']} rows "
+        f"(quality dropped {r['n_quality_dropped']}, "
+        f"dups dropped {r['n_dup_dropped']}) -> {args.out}"
+    )
+    kept.unpersist()
+    return 0
+
+
 def _json_val(v):
     # native JSON types survive (numbers, bool, None); only
     # non-JSON-serializable values (timestamps) stringify
@@ -368,6 +395,31 @@ def main(argv=None) -> int:
     pe.add_argument("--format", default="json", choices=["json", "csv", "parquet"])
     pe.add_argument("--out", required=True)
     pe.set_defaults(fn=cmd_export)
+
+    pcu = sub.add_parser(
+        "curate", help="quality-gate + dedup a corpus (keep/drop pipeline)"
+    )
+    pcu.add_argument(
+        "--input", required=True,
+        help="docs: parquet path or catalog identifier",
+    )
+    pcu.add_argument(
+        "--out", required=True,
+        help="kept-rows destination: parquet path or catalog identifier",
+    )
+    pcu.add_argument("--id-col", default="doc_id")
+    pcu.add_argument("--text-col", default="text")
+    pcu.add_argument("--min-quality", type=float, default=None,
+                     help="drop rows with composite quality below this [0,1]")
+    pcu.add_argument("--min-tokens", type=int, default=None,
+                     help="drop rows with fewer whitespace tokens")
+    pcu.add_argument("--dedup", default="exact",
+                     choices=["none", "exact", "minhash", "simhash"])
+    pcu.add_argument("--threshold", type=float, default=0.8,
+                     help="minhash shingle-jaccard threshold")
+    pcu.add_argument("--max-hamming", type=int, default=3,
+                     help="simhash hamming radius")
+    pcu.set_defaults(fn=cmd_curate)
 
     pd_ = sub.add_parser("doctor")
     pd_.add_argument("--index", required=True)
