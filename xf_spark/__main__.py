@@ -193,6 +193,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_import(args) -> int:
+    """Extract an X-archive zip and (unless --no-index) build the index
+    from every known member (cmd_import, main.rs:516-657)."""
+    from xf_spark.sources.archive import import_archive_zip, read_archive_dir
+
+    n_files, n_bytes = import_archive_zip(args.zip, args.out, force=args.force)
+    print(f"extracted {n_files} files ({n_bytes} bytes) -> {args.out}")
+    if args.no_index:
+        return 0
+    from xf_spark.engine import XfIndex
+
+    spark = _spark(args)
+    transcripts = read_archive_dir(spark, args.out)
+    idx = args.index_out or os.path.join(args.out, "index")
+    ix = XfIndex.build(transcripts, idx, with_embeddings=not args.no_embeddings)
+    print(f"indexed {ix.docs.count()} turns -> {idx}")
+    return 0
+
+
 def cmd_curate(args) -> int:
     from xf_spark.ops.curate import curate_corpus
     from xf_spark.sources.tables import load_table, write_table
@@ -395,6 +414,20 @@ def main(argv=None) -> int:
     pe.add_argument("--format", default="json", choices=["json", "csv", "parquet"])
     pe.add_argument("--out", required=True)
     pe.set_defaults(fn=cmd_export)
+
+    pim = sub.add_parser(
+        "import", help="extract an X-archive zip and index its members"
+    )
+    pim.add_argument("zip", help="archive zip file")
+    pim.add_argument("--out", required=True, help="extraction directory")
+    pim.add_argument("--force", action="store_true",
+                     help="replace a previous extraction")
+    pim.add_argument("--no-index", action="store_true",
+                     help="extract only (run `index` later)")
+    pim.add_argument("--index-out", default=None,
+                     help="index dir (default: <out>/index)")
+    pim.add_argument("--no-embeddings", action="store_true")
+    pim.set_defaults(fn=cmd_import)
 
     pcu = sub.add_parser(
         "curate", help="quality-gate + dedup a corpus (keep/drop pipeline)"

@@ -31,7 +31,7 @@ def parse_ts_flexible(col):
 
 def read_js_archive(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     item_schema: T.StructType,
     dedup_key: str | None = "id",
 ) -> DataFrame:
@@ -232,3 +232,126 @@ def conversations_grouped(transcripts: DataFrame) -> DataFrame:
         ).alias("messages"),
         F.count("*").alias("n_turns"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tweets source + zip import (cmd_import, main.rs:516-657): the entry
+# point a reference user actually starts from — an X-archive zip.
+# ---------------------------------------------------------------------------
+
+TWEET_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "tweet",
+            T.StructType(
+                [
+                    T.StructField("id_str", T.StringType()),
+                    T.StructField("created_at", T.StringType()),
+                    T.StructField("full_text", T.StringType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def read_tweet_archive(spark: SparkSession, path: str) -> DataFrame:
+    """tweets.js / tweets-part*.js -> one standalone doc per tweet
+    (parse_tweets, parser.rs:123-199): dedup by id_str, text =
+    full_text, tool = the client name extracted from the HTML anchor
+    in ``source`` (parser.rs:162-169)."""
+    items = read_js_archive(spark, path, TWEET_ITEM_SCHEMA, dedup_key=None)
+    tw = items.select("tweet.*").where(
+        F.col("id_str").isNotNull() & F.col("full_text").isNotNull()
+    )
+    tw = tw.dropDuplicates(["id_str"])
+    src_text = F.coalesce(
+        F.nullif(F.regexp_extract(F.col("source"), r">([^<]*)<", 1), F.lit("")),
+        F.col("source"),
+        F.lit(""),
+    )
+    return tw.select(
+        F.concat(F.lit("tweet_"), "id_str").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("tweet").alias("role"),
+        F.col("full_text").alias("text"),
+        src_text.alias("tool"),
+        parse_ts_flexible(F.col("created_at")).alias("ts"),
+    )
+
+
+def import_archive_zip(
+    zip_path: str, out_dir: str, force: bool = False
+) -> tuple[int, int]:
+    """Extract an X-archive zip into ``out_dir`` (cmd_import,
+    main.rs:573-612): zip-slip-safe (entries resolving outside the
+    output dir are skipped, the enclosed_name() semantics), returns
+    (n_files, n_bytes). Driver-side by design — the zip format is not
+    splittable; the EXTRACTED files shard naturally by file across
+    executors via the readers above."""
+    import os
+    import shutil
+    import zipfile
+
+    if force and os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.realpath(out_dir)
+    n_files = 0
+    n_bytes = 0
+    with zipfile.ZipFile(zip_path) as zf:
+        for info in zf.infolist():
+            target = os.path.realpath(os.path.join(out_dir, info.filename))
+            if target != base and not target.startswith(base + os.sep):
+                continue  # zip-slip entry
+            if info.is_dir():
+                os.makedirs(target, exist_ok=True)
+                continue
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            with zf.open(info) as src, open(target, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+            n_files += 1
+            n_bytes += info.file_size
+    return n_files, n_bytes
+
+
+def read_archive_dir(spark: SparkSession, root: str) -> DataFrame:
+    """Union every known archive member under ``root/data`` into one
+    transcripts-shaped frame (the post-extract index pass,
+    main.rs:634-657 -> parser.rs member discovery: tweets.js +
+    tweets-part*.js, like.js | likes.js, direct-messages.js +
+    direct-messages-group*.js, grok-chat-item.js). Members that are
+    absent are skipped; at least one must exist."""
+    import glob as _glob
+    import os
+
+    data = os.path.join(root, "data")
+    parts = []
+    tweet_files = sorted(
+        _glob.glob(os.path.join(data, "tweets.js"))
+        + _glob.glob(os.path.join(data, "tweets-part*.js"))
+    )
+    if tweet_files:
+        parts.append(read_tweet_archive(spark, tweet_files))
+    like_files = sorted(
+        _glob.glob(os.path.join(data, "like.js"))
+        + _glob.glob(os.path.join(data, "likes.js"))
+    )
+    if like_files:
+        parts.append(read_like_archive(spark, like_files))
+    dm_files = sorted(
+        _glob.glob(os.path.join(data, "direct-messages.js"))
+        + _glob.glob(os.path.join(data, "direct-messages-group*.js"))
+    )
+    if dm_files:
+        parts.append(read_dm_archive(spark, dm_files))
+    grok_files = sorted(_glob.glob(os.path.join(data, "grok-chat-item.js")))
+    if grok_files:
+        parts.append(read_grok_archive(spark, grok_files))
+    if not parts:
+        raise ValueError(f"no archive members found under {data}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
