@@ -204,6 +204,85 @@ class TestCli:
         assert len(payload) == 3
         assert all("score" in row for row in payload)
 
+    def test_cli_list_and_get(self, cli_index):
+        # list conversations -> pick one -> get a turn, then the whole
+        # conversation (the reference `tweet <id> [--thread]` analog)
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "list",
+             "conversations", "--index", idx, "--limit", "2",
+             "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        convs = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(convs) == 2 and convs[0]["n_turns"] >= convs[1]["n_turns"]
+        conv_id = convs[0]["conv_id"]
+
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "get",
+             conv_id, "0", "--index", idx, "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        row = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(row) == 1 and row[0]["conv_id"] == conv_id
+        assert row[0]["turn_idx"] == 0 and row[0]["text"]
+
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "get",
+             conv_id, "0", "--index", idx, "--context"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        lines = [ln for ln in r.stdout.splitlines()
+                 if ln[:2] in ("> ", "  ") and ln[2:].startswith("[")]
+        assert len(lines) == convs[0]["n_turns"]
+        assert sum(1 for ln in lines if ln.startswith(">")) == 1
+
+    def test_cli_get_missing_is_nonzero(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "get",
+             "no_such_conv", "0", "--index", idx],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 1
+        assert "not found" in r.stdout
+
+    def test_cli_list_roles(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "list",
+             "roles", "--index", idx, "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        roles = json.loads(r.stdout.strip().splitlines()[-1])
+        assert {r_["role"] for r_ in roles} >= {"user", "assistant"}
+        assert sum(r_["n_turns"] for r_ in roles) == 1512
+
+    def test_cli_list_files_no_spark(self, tmp_path):
+        # `list files` is a pure filesystem listing — no Spark session
+        data = tmp_path / "data"
+        data.mkdir()
+        (data / "tweets.js").write_text("window.X = []")
+        (data / "like.js").write_text("window.Y = []")
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "list", "files",
+             "--archive", str(tmp_path)],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=60,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "tweets.js" in r.stdout and "like.js" in r.stdout
+
     def test_cli_stats(self, cli_index):
         idx, env = cli_index
         r = subprocess.run(

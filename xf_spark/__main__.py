@@ -239,6 +239,117 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_get(args) -> int:
+    """Show one turn by (conv_id, turn_idx) — the `tweet <id>` analog
+    (cmd_tweet, main.rs:2479-2530). ``--context`` prints every turn of
+    the conversation with the requested turn marked (the ``--thread``
+    analog, main.rs:2483-2485: a thread is the set of records sharing
+    one conversation)."""
+    from pyspark.sql import functions as F
+
+    from xf_spark.engine import XfIndex
+    from xf_spark.query.results import get_by_id
+
+    spark = _spark(args)
+    ix = XfIndex.open(spark, args.index)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    if args.context:
+        rows = (
+            ix.docs.where(F.col("conv_id") == args.conv_id)
+            .select(*cols)
+            .orderBy("turn_idx")
+            .collect()
+        )
+        if not rows:
+            print(f"not found: conversation {args.conv_id!r}")
+            return 1
+        if args.format in ("json", "json-pretty", "csv"):
+            _format_rows(rows, args.format, cols)
+        else:
+            for r in rows:
+                mark = ">" if r["turn_idx"] == args.turn_idx else " "
+                text = (r["text"] or "").replace("\n", " ")
+                print(f"{mark} [{r['turn_idx']}] <{r['role']}> {text}")
+        return 0
+    rows = get_by_id(ix.docs, args.conv_id, args.turn_idx).collect()
+    if not rows:
+        print(f"not found: ({args.conv_id!r}, {args.turn_idx})")
+        return 1
+    if args.format in ("json", "json-pretty", "csv"):
+        _format_rows(rows, args.format, cols)
+    else:
+        r = rows[0]
+        print("-" * 60)
+        print(r["text"] or "")
+        print("-" * 60)
+        print(
+            f"  conv: {r['conv_id']}  turn: {r['turn_idx']}  "
+            f"role: {r['role']}  tool: {r['tool'] or '-'}  ts: {r['ts']}"
+        )
+    return 0
+
+
+def cmd_list(args) -> int:
+    """List what's available — the `list <what>` analog (cmd_list,
+    main.rs:2532-2620; ListTarget, cli.rs:412-422). Targets map to the
+    transcripts model: ``files`` = data files under an extracted
+    archive dir; ``conversations`` / ``roles`` / ``tools`` = grouped
+    counts over the index's doc store (tweets/likes/dms collapse into
+    role/tool values here — one unified table, not three)."""
+    from pyspark.sql import functions as F
+
+    if args.what == "files":
+        import glob as _glob
+
+        if not args.archive:
+            print("list files requires --archive <extracted dir>")
+            return 1
+        data = os.path.join(args.archive, "data")
+        files = sorted(_glob.glob(os.path.join(data, "*.js")))
+        if not files:
+            print(f"no data files found under {data}")
+            return 0
+        for f in files:
+            print(f"{os.path.getsize(f):>12}  {os.path.basename(f)}")
+        return 0
+
+    if not args.index:
+        print(f"list {args.what} requires --index")
+        return 1
+    from xf_spark.engine import XfIndex
+
+    spark = _spark(args)
+    ix = XfIndex.open(spark, args.index)
+    if args.what == "conversations":
+        df = (
+            ix.docs.groupBy("conv_id")
+            .agg(
+                F.count("*").alias("n_turns"),
+                F.min("ts").alias("started"),
+                F.max("ts").alias("ended"),
+            )
+            .orderBy(F.desc("n_turns"), "conv_id")
+            .limit(args.limit)
+        )
+    else:  # roles | tools
+        col = "role" if args.what == "roles" else "tool"
+        df = (
+            ix.docs.groupBy(F.coalesce(F.col(col), F.lit("-")).alias(col))
+            .agg(F.count("*").alias("n_turns"))
+            .orderBy(F.desc("n_turns"), col)
+            .limit(args.limit)
+        )
+    rows = df.collect()
+    cols = df.columns
+    if args.format in ("json", "json-pretty", "csv"):
+        _format_rows(rows, args.format, cols)
+    else:
+        print("  ".join(cols))
+        for r in rows:
+            print("  ".join(str(r[c]) for c in cols))
+    return 0
+
+
 def _json_val(v):
     # native JSON types survive (numbers, bool, None); only
     # non-JSON-serializable values (timestamps) stringify
@@ -453,6 +564,33 @@ def main(argv=None) -> int:
     pcu.add_argument("--max-hamming", type=int, default=3,
                      help="simhash hamming radius")
     pcu.set_defaults(fn=cmd_curate)
+
+    pg = sub.add_parser(
+        "get", help="show one turn by (conv_id, turn_idx)"
+    )
+    pg.add_argument("conv_id")
+    pg.add_argument("turn_idx", type=int)
+    pg.add_argument("--index", required=True)
+    pg.add_argument("--context", "-t", action="store_true",
+                    help="show the whole conversation (thread analog)")
+    pg.add_argument("--format", default="text",
+                    choices=["text", "json", "json-pretty", "csv"])
+    pg.set_defaults(fn=cmd_get)
+
+    pl = sub.add_parser(
+        "list", help="list archive files or index contents"
+    )
+    pl.add_argument(
+        "what", nargs="?", default="files",
+        choices=["files", "conversations", "roles", "tools"],
+    )
+    pl.add_argument("--archive", default=None,
+                    help="extracted archive dir (for `list files`)")
+    pl.add_argument("--index", default=None)
+    pl.add_argument("--limit", type=int, default=20)
+    pl.add_argument("--format", default="text",
+                    choices=["text", "json", "json-pretty", "csv"])
+    pl.set_defaults(fn=cmd_list)
 
     pd_ = sub.add_parser("doctor")
     pd_.add_argument("--index", required=True)
