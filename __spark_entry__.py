@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stage counts + kept membership, both SQL-replayed
         "curate_report": eq.curate_report,
         "curate_kept_sample": eq.curate_kept_sample,
+        # eval-set decontamination (GPT-3 13-gram rule): broadcast
+        # ref grams, map-side contamination join, anti-join keep set
+        "decontam_overlap": eq.decontam_overlap,
+        "decontam_report": eq.decontam_report,
     }.items()}
 
 

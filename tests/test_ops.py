@@ -598,3 +598,98 @@ class TestCurateCorpus:
 
         with pytest.raises(ValueError):
             curate_corpus(documents, dedup="fuzzy")
+
+
+class TestDecontaminate:
+    """ops/decontam.py: n-gram eval-set decontamination vs a pure-
+    Python recomputation (the driver entries decontam_overlap /
+    decontam_report add the DuckDB third-engine replay)."""
+
+    @staticmethod
+    def _py_overlap(corpus_rows, ref_rows, n):
+        from xf_spark.functions.textcore import tokenize
+
+        def grams(t):
+            toks = tokenize(t or "")
+            return {
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            }
+
+        ref = set()
+        for _, t in ref_rows:
+            ref |= grams(t)
+        return {
+            d: len(grams(t) & ref)
+            for d, t in corpus_rows
+            if grams(t) & ref
+        }
+
+    def test_overlap_matches_python(self, documents):
+        from xf_spark.ops.decontam import contamination_overlap
+
+        docs = documents.select("doc_id", "text")
+        corpus = docs.where("doc_id % 5 != 0")
+        ref = docs.where("doc_id % 5 == 0")
+        got = {
+            r["doc_id"]: r["n_overlap"]
+            for r in contamination_overlap(corpus, ref, n=8).collect()
+        }
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        want = self._py_overlap(
+            [x for x in rows if x[0] % 5 != 0],
+            [x for x in rows if x[0] % 5 == 0],
+            8,
+        )
+        assert got == want and got  # nonempty on the synthetic corpus
+
+    def test_broadcast_and_shuffle_paths_agree(self, documents):
+        from xf_spark.ops.decontam import contamination_overlap
+
+        docs = documents.select("doc_id", "text").where("doc_id < 150")
+        corpus = docs.where("doc_id % 3 != 0")
+        ref = docs.where("doc_id % 3 == 0")
+        a = contamination_overlap(corpus, ref, n=5, broadcast_ref=True)
+        b = contamination_overlap(corpus, ref, n=5, broadcast_ref=False)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_decontaminate_partitions_corpus(self, documents):
+        from xf_spark.ops.decontam import decontaminate
+
+        docs = documents.select("doc_id", "text")
+        corpus = docs.where("doc_id % 5 != 0")
+        ref = docs.where("doc_id % 5 == 0")
+        kept, flagged = decontaminate(corpus, ref, n=8)
+        n_c, n_k, n_f = corpus.count(), kept.count(), flagged.count()
+        assert n_f > 0 and n_k + n_f == n_c
+        kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert kept_ids.isdisjoint(
+            {r["doc_id"] for r in flagged.select("doc_id").collect()}
+        )
+        assert kept.columns == corpus.columns
+
+    def test_min_overlap_threshold(self, documents):
+        from xf_spark.ops.decontam import contamination_overlap, decontaminate
+
+        docs = documents.select("doc_id", "text")
+        corpus = docs.where("doc_id % 5 != 0")
+        ref = docs.where("doc_id % 5 == 0")
+        ov = {
+            r["doc_id"]: r["n_overlap"]
+            for r in contamination_overlap(corpus, ref, n=8).collect()
+        }
+        hi = max(ov.values())
+        _, flagged = decontaminate(corpus, ref, n=8, min_overlap=hi)
+        got = {r["doc_id"] for r in flagged.collect()}
+        assert got == {d for d, c in ov.items() if c >= hi} and got
+
+    def test_short_docs_never_flagged(self, spark):
+        from xf_spark.ops.decontam import decontaminate
+
+        rows = [(0, "alpha beta gamma"), (1, "alpha beta gamma delta")]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        ref = spark.createDataFrame(
+            [(9, "alpha beta gamma delta epsilon")],
+            "doc_id long, text string",
+        )
+        kept, flagged = decontaminate(corpus, ref, n=5)
+        assert flagged.count() == 0 and kept.count() == 2

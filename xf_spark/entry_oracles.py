@@ -1088,3 +1088,56 @@ ORACLES["curate_kept_sample"] = f"""
 WITH {_CURATE_BASE}
 SELECT doc_id FROM ckeep ORDER BY doc_id LIMIT 20
 """
+
+
+# 13-gram decontamination (ops/decontam.py): corpus = doc_id % 7 != 0,
+# held-out ref = doc_id % 7 == 0; a corpus doc sharing any distinct
+# 13-token-gram with the ref set is contaminated. Exact replay: same
+# split class, same byte-length filter, same space-joined gram key.
+_DECONTAM_BASE = """
+dtoks AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                          x -> lower(x)),
+           x -> x <> '' AND strlen(x) < 40) AS t
+  FROM documents
+),
+dgrams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 11),
+                                 i -> array_to_string(t[i:i+12], ' ')))
+             AS gram
+    FROM dtoks WHERE len(t) >= 13
+  )
+),
+dref AS (SELECT DISTINCT gram FROM dgrams WHERE doc_id % 7 = 0),
+dhits AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_overlap
+  FROM dgrams g JOIN dref USING (gram)
+  WHERE g.doc_id % 7 <> 0
+  GROUP BY g.doc_id
+)
+"""
+
+ORACLES["decontam_overlap"] = f"""
+WITH {_DECONTAM_BASE}
+SELECT doc_id, n_overlap FROM dhits
+ORDER BY n_overlap DESC, doc_id
+LIMIT 50
+"""
+
+ORACLES["decontam_report"] = f"""
+WITH {_DECONTAM_BASE}
+SELECT (SELECT count(*) FROM documents WHERE doc_id % 7 <> 0)::BIGINT
+         AS n_corpus,
+       (SELECT count(*) FROM dhits)::BIGINT AS n_flagged,
+       (SELECT count(*) FROM documents
+        WHERE doc_id % 7 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM dhits))::BIGINT AS n_kept,
+       (SELECT sum(doc_id) FROM documents
+        WHERE doc_id % 7 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM dhits))::BIGINT
+         AS kept_id_sum
+"""

@@ -1012,3 +1012,51 @@ def curate_kept_sample(spark, sf_dir):
     pipeline (counts alone could mask a wrong keep set)."""
     kept, _ = _curated(spark, sf_dir)
     return kept.select("doc_id").orderBy("doc_id").limit(20)
+
+
+def _decontam_split(spark, sf_dir):
+    """Deterministic eval/corpus split of the documents table: every
+    7th doc_id plays the held-out set, the rest the training corpus."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return corpus, ref
+
+
+def decontam_overlap(spark, sf_dir):
+    """13-gram decontamination overlap counts (GPT-3 appendix C rule).
+
+    Spark shape: corpus docs explode to DISTINCT 13-token-grams
+    (vectorized UDF, narrow), the eval set's distinct grams BROADCAST,
+    the join is map-side, and only the matched rows shuffle into the
+    per-doc count — at 100 TB the corpus never shuffles on the gram
+    key unless the reference set is itself huge
+    (``broadcast_ref=False`` degrades to a linear hash join)."""
+    from xf_spark.ops.decontam import contamination_overlap
+
+    corpus, ref = _decontam_split(spark, sf_dir)
+    return (
+        contamination_overlap(corpus, ref, n=13)
+        .orderBy(F.desc("n_overlap"), "doc_id")
+        .limit(50)
+    )
+
+
+def decontam_report(spark, sf_dir):
+    """End-to-end decontaminate(): stage counts for the same split —
+    corpus size, flagged size, kept size, and the kept-id checksum
+    (membership evidence without a 400-row result)."""
+    from xf_spark.ops.decontam import decontaminate
+
+    corpus, ref = _decontam_split(spark, sf_dir)
+    kept, flagged = decontaminate(corpus, ref, n=13, min_overlap=1)
+    return (
+        corpus.agg(F.count("*").alias("n_corpus"))
+        .crossJoin(flagged.agg(F.count("*").alias("n_flagged")))
+        .crossJoin(
+            kept.agg(
+                F.count("*").alias("n_kept"),
+                F.sum("doc_id").cast("long").alias("kept_id_sum"),
+            )
+        )
+    )
