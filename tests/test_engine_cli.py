@@ -243,6 +243,24 @@ class TestCli:
         assert len(lines) == convs[0]["n_turns"]
         assert sum(1 for ln in lines if ln.startswith(">")) == 1
 
+    def test_cli_similar(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "similar",
+             "conv5000000000000", "0", "--index", idx, "--limit", "5",
+             "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(rows) == 5
+        assert all("score" in row for row in rows)
+        assert not any(
+            row["conv_id"] == "conv5000000000000" and row["turn_idx"] == 0
+            for row in rows
+        )
+
     def test_cli_get_missing_is_nonzero(self, cli_index):
         idx, env = cli_index
         r = subprocess.run(

@@ -566,3 +566,86 @@ class TestQueryRoleFilters:
                 want = [(r["doc_id"], round(r["score"], 9)) for r in
                         ix.search(q, mode=mode, limit=10).collect()]
                 assert got == want, (mode, q)
+
+
+class TestMoreLikeThis:
+    """XfIndex.more_like_this: similar-turns by the target's own
+    embedding. Because the engine hash-embeds the stored text, the
+    NumPy oracle's semantic_topk queried WITH the target's text is
+    the exact expected ranking (same canonicalize -> hash_embed)."""
+
+    @pytest.fixture(scope="class")
+    def mlt(self, spark, tmp_path_factory):
+        from xf_spark.engine import XfIndex
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(
+            tr, str(tmp_path_factory.mktemp("mlt") / "i"), slices=1
+        )
+        rows = ix.docs.select(
+            "doc_id", "conv_id", "turn_idx", "role", "text"
+        ).collect()
+        texts = {r["doc_id"]: r["text"] for r in rows}
+        meta = {r["doc_id"]: r for r in rows}
+        oracle = OracleIndex.build(list(texts.items()))
+        return ix, texts, meta, oracle
+
+    @staticmethod
+    def _want(oracle, texts, target, k, doc_filter=None):
+        ranked = oracle.semantic_topk(
+            texts[target] or "", texts, limit=k + 1, doc_filter=doc_filter
+        )
+        return [(d, s) for d, s in ranked if d != target][:k]
+
+    def test_distributed_matches_oracle(self, mlt):
+        ix, texts, meta, oracle = mlt
+        t = meta[7]
+        got = [
+            (r["doc_id"], r["score"])
+            for r in ix.more_like_this(t["conv_id"], t["turn_idx"], limit=15)
+            .select("doc_id", "score").collect()
+        ]
+        want = self._want(oracle, texts, 7, 15)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        assert all(d != 7 for d, _ in got)
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= 1e-5 * max(1.0, abs(ws)), (gd, gs, ws)
+
+    def test_pinned_equals_distributed(self, mlt):
+        ix, texts, meta, _ = mlt
+        t = meta[42]
+        dist = [(r["doc_id"], round(r["score"], 9)) for r in
+                ix.more_like_this(t["conv_id"], t["turn_idx"], limit=12)
+                .select("doc_id", "score").collect()]
+        ix.cache(pin_vectors_mb=512)
+        assert ix._pinned_vecs is not None
+        pinned = [(r["doc_id"], round(r["score"], 9)) for r in
+                  ix.more_like_this(t["conv_id"], t["turn_idx"], limit=12)
+                  .select("doc_id", "score").collect()]
+        assert pinned == dist
+
+    def test_role_filter(self, mlt):
+        ix, texts, meta, oracle = mlt
+        t = meta[7]
+        got = ix.more_like_this(
+            t["conv_id"], t["turn_idx"], limit=10, roles=["user"]
+        ).collect()
+        assert got and all(r["role"] == "user" for r in got)
+        users = {d for d, m in meta.items() if m["role"] == "user"}
+        want = self._want(oracle, texts, 7, 10, doc_filter=lambda d: d in users)
+        assert [r["doc_id"] for r in got] == [d for d, _ in want]
+
+    def test_missing_turn_raises(self, mlt):
+        ix, *_ = mlt
+        with pytest.raises(KeyError):
+            ix.more_like_this("no_such_conv", 0)
+
+    def test_no_embeddings_raises(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(
+            tr, str(tmp_path / "ne"), slices=1, with_embeddings=False
+        )
+        with pytest.raises(ValueError):
+            ix.more_like_this("conv5000000000000", 0)

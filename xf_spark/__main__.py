@@ -100,8 +100,22 @@ _REPL_MODES = ("lexical", "semantic", "hybrid", "bm25", "vector", "rrf")
 
 def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
     if w in ("help", "h", "?"):
-        print("commands: <query> | more | show N | refine <terms> | "
-              "stats | set mode|limit|roles <v> | export json|csv | quit")
+        print("commands: <query> | more | show N | similar N | "
+              "refine <terms> | stats | set mode|limit|roles <v> | "
+              "export json|csv | quit")
+    elif w == "similar":
+        try:
+            r = state["rows"][int(rest)]
+        except (ValueError, IndexError):
+            print("similar: bad index")
+            return
+        rows = ix.more_like_this(
+            r["conv_id"], r["turn_idx"], limit=state["limit"]
+        ).select(*cols).collect()
+        state["rows"] = rows
+        _format_rows(rows, "text", cols)
+        if not rows:
+            print("(no results)")
     elif w in ("more", "m"):
         if state["query"] is None:
             print("no active query")
@@ -236,6 +250,26 @@ def cmd_curate(args) -> int:
         f"dups dropped {r['n_dup_dropped']}) -> {args.out}"
     )
     kept.unpersist()
+    return 0
+
+
+def cmd_similar(args) -> int:
+    """Similar turns to an existing one by embedding cosine
+    (more-like-this; beyond the reference CLI surface)."""
+    from xf_spark.engine import XfIndex
+
+    spark = _spark(args)
+    ix = XfIndex.open(spark, args.index)
+    df = ix.more_like_this(
+        args.conv_id,
+        args.turn_idx,
+        limit=args.limit,
+        roles=args.roles.split(",") if args.roles else None,
+        since=args.since,
+        until=args.until,
+    )
+    rows = df.collect()
+    _format_rows(rows, args.format, df.columns)
     return 0
 
 
@@ -564,6 +598,20 @@ def main(argv=None) -> int:
     pcu.add_argument("--max-hamming", type=int, default=3,
                      help="simhash hamming radius")
     pcu.set_defaults(fn=cmd_curate)
+
+    psm = sub.add_parser(
+        "similar", help="turns most similar to an existing turn (cosine)"
+    )
+    psm.add_argument("conv_id")
+    psm.add_argument("turn_idx", type=int)
+    psm.add_argument("--index", required=True)
+    psm.add_argument("--limit", type=int, default=10)
+    psm.add_argument("--roles", default=None)
+    psm.add_argument("--since", default=None)
+    psm.add_argument("--until", default=None)
+    psm.add_argument("--format", default="text",
+                     choices=["text", "json", "json-pretty", "csv", "compact"])
+    psm.set_defaults(fn=cmd_similar)
 
     pg = sub.add_parser(
         "get", help="show one turn by (conv_id, turn_idx)"

@@ -515,6 +515,100 @@ class XfIndex:
             schema="doc_id long, score double",
         )
 
+    def _vector_for(self, doc_id: int):
+        """One doc's embedding as float64 (None if absent): pinned
+        matrix lookup when cached (no cluster job), else a single
+        doc_id-pruned scan of the embeddings store."""
+        import numpy as np
+
+        if self._pinned_vecs is not None:
+            v = self._pinned_vecs.vector_of(doc_id)
+            if v is not None:
+                return np.asarray(v, dtype=np.float64)
+        vcol = "vec16" if "vec16" in self.embeddings.columns else "vec"
+        row = (
+            self.embeddings.where(F.col("doc_id") == int(doc_id))
+            .select(vcol)
+            .first()
+        )
+        if row is None:
+            return None
+        if vcol == "vec16":
+            return np.frombuffer(row[0], dtype=np.float16).astype(np.float64)
+        return np.asarray(row[0], dtype=np.float64)
+
+    def more_like_this(
+        self,
+        conv_id: str,
+        turn_idx: int,
+        limit: int = 10,
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        sort: str = "relevance",
+    ) -> DataFrame:
+        """Similar-turns query (beyond the reference CLI surface):
+        rank the corpus by cosine similarity to an EXISTING turn's
+        embedding, excluding the turn itself. Serving mirrors semantic
+        mode exactly: pinned-matrix top-k when cached (zero cluster
+        jobs past the id lookup), else the distributed partial-top-k
+        scan; role/date filters apply BEFORE scoring via the shared
+        ``_doc_filter`` predicate."""
+        if self.embeddings is None:
+            raise ValueError("index built without embeddings")
+        row = (
+            self.docs.where(
+                (F.col("conv_id") == conv_id)
+                & (F.col("turn_idx") == int(turn_idx))
+            )
+            .select("doc_id")
+            .first()
+        )
+        if row is None:
+            raise KeyError(f"no such turn: ({conv_id!r}, {turn_idx})")
+        target = int(row["doc_id"])
+        qv = self._vector_for(target)
+        if qv is None:
+            raise KeyError(f"no embedding for turn ({conv_id!r}, {turn_idx})")
+        if roles:
+            norm = [r.strip().lower() for r in roles if r.strip()]
+            if not norm:
+                raise ValueError(f"roles filter has no usable names: {roles!r}")
+            roles = norm
+        else:
+            roles = None
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        flt = self._doc_filter(roles=roles, since=since_dt, until=until_dt)
+        # +1: the target itself ranks first (cosine 1.0) unless the
+        # filter already excludes it
+        if flt is None and self._pinned_vecs is not None:
+            import pandas as pd
+
+            ids, sc = self._pinned_vecs.topk(qv, limit + 1)
+            keep = ids != target
+            hits = self.spark.createDataFrame(
+                pd.DataFrame(
+                    {"doc_id": ids[keep][:limit], "score": sc[keep][:limit]}
+                ),
+                schema="doc_id long, score double",
+            )
+        else:
+            hits = (
+                semantic_topk(
+                    self.embeddings,
+                    query="",
+                    qvec=qv,
+                    limit=limit + 1,
+                    doc_filter=flt,
+                )
+                .where(F.col("doc_id") != target)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(limit)
+            )
+        hydrated, presorted = self._hydrate(hits, sort)
+        return hydrated if presorted else apply_sort(hydrated, sort)
+
     # -- search (cmd_search analog, main.rs:1082-1490) ----------------------
 
     def search(

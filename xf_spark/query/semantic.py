@@ -255,6 +255,17 @@ class PinnedVectors:
         """(B, dim) query block -> (u, B) f32 scores: one sgemm."""
         return self.uniq @ np.asarray(Q, dtype=np.float32).T
 
+    def vector_of(self, doc_id: int) -> np.ndarray | None:
+        """The pinned f32 vector of one doc (None if absent). One
+        linear id scan + one offset bisect — NumPy-vectorized, no
+        per-row Python; serves more_like_this's query-vector lookup
+        without a cluster job."""
+        pos = np.nonzero(self.doc_ids == np.int64(doc_id))[0]
+        if len(pos) == 0:
+            return None
+        g = int(np.searchsorted(self.offsets, int(pos[0]), side="right")) - 1
+        return self.uniq[g]
+
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -269,14 +280,17 @@ def semantic_topk(
     query: str,
     limit: int = 20,
     doc_filter: DataFrame | None = None,
+    qvec: np.ndarray | None = None,
 ) -> DataFrame:
     """Cosine top-k of ``query`` against (doc_id, vec) embeddings.
 
     Partial top-k per partition in NumPy (one matmul per Arrow batch),
     then a k-sized global merge — no full-score shuffle. ``doc_filter``
     (a doc_id DataFrame) applies BEFORE top-k via left_semi join, the
-    pre-scoring type filter of vector.rs:180-203."""
-    q = embed_query(query)
+    pre-scoring type filter of vector.rs:180-203. ``qvec`` supplies a
+    ready query vector (the more_like_this path queries by an EXISTING
+    doc's embedding) and skips text embedding."""
+    q = qvec if qvec is not None else embed_query(query)
     src = embeddings
     if doc_filter is not None:
         src = src.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
