@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": eq.lang_distribution,
         # similarity
         "cosine_topk": eq.cosine_topk,
+        "mlt_topk": eq.mlt_topk,
         "label_centroid_norms": eq.label_centroid_norms,
         # stats/analytics surface (SURVEY.md §2.8)
         "events_daily_counts": eq.events_daily_counts,

@@ -209,6 +209,22 @@ ORDER BY cosine DESC, vec_id
 LIMIT 10
 """
 
+# More-like-this by a stored row's vector (excluding the row itself);
+# round-to-5dp before rank mirrors the entry, so the comparison is
+# independent of each engine's float-summation order.
+ORACLES["mlt_topk"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 7)
+SELECT vec_id AS doc_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+             5) AS cosine
+FROM e CROSS JOIN q
+WHERE vec_id <> 7
+ORDER BY cosine DESC, doc_id
+LIMIT 10
+"""
+
 ORACLES["label_centroid_norms"] = """
 WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
 ex AS (

@@ -307,6 +307,48 @@ def cosine_topk(spark, sf_dir):
     )
 
 
+def mlt_topk(spark, sf_dir):
+    """More-like-this: top-10 nearest to the STORED vec_id=7 vector,
+    excluding the row itself — drives the ``semantic_topk(qvec=)``
+    distributed serving path (mapInArrow partial top-k per Arrow
+    batch, k-sized global merge) that ``XfIndex.more_like_this`` uses
+    unpinned (search.rs:529-560 similar-tweets analog).
+
+    Vectors are L2-normalized Spark-side (JVM higher-order functions,
+    float64) so the mapInArrow dot product equals the cosine of the
+    raw vectors; scores round to 5 dp on BOTH engines before the final
+    rank so ordering is float-summation-order independent. The top-k
+    fetch over-asks (41 > 10+1) so rounding can't demote a true
+    top-10 row out of the candidate set."""
+    import numpy as np
+
+    from xf_spark.query.semantic import semantic_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qraw = np.asarray(
+        emb.where(F.col("vec_id") == 7).first()["embedding"], dtype=np.float64
+    )
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    unit = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(v, lambda x: x / nrm).alias("vec"),
+    )
+    hits = semantic_topk(unit, query="", qvec=qraw / np.linalg.norm(qraw), limit=41)
+    return (
+        hits.where(F.col("doc_id") != 7)
+        .select("doc_id", F.round("score", 5).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 def label_centroid_norms(spark, sf_dir):
     """Per-label centroid L2 norm + count (grouped vector aggregate)."""
     emb = _read(spark, sf_dir, "embeddings").select(
