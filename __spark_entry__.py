@@ -163,6 +163,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ref grams, map-side contamination join, anti-join keep set
         "decontam_overlap": eq.decontam_overlap,
         "decontam_report": eq.decontam_report,
+        # pipeline ops: PII redaction (narrow regexp map), Gopher
+        # repetition stats, deterministic md5 mixture sampling, and
+        # concat-and-chunk sequence packing (two-pass bucket prefix
+        # sum — no single-partition window)
+        "pii_redact_stats": eq.pii_redact_stats,
+        "repetition_report": eq.repetition_report,
+        "mixture_sample_report": eq.mixture_sample_report,
+        "pack_chunks_sample": eq.pack_chunks_sample,
+        "pack_chunks_stats": eq.pack_chunks_stats,
     }.items()}
 
 

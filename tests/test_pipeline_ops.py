@@ -1,0 +1,159 @@
+"""Unit tests for ops/pipeline.py: PII redaction, repetition stats,
+deterministic mixture sampling, and sequence packing — hand-computed
+expectations plus the properties that matter at scale (determinism,
+sample monotonicity, bucket-count invariance of the prefix sum)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xf_spark.ops.pipeline import (
+    mixture_sample,
+    pack_chunks,
+    pack_summary,
+    pii_redact,
+    repetition_stats,
+)
+
+
+class TestPiiRedact:
+    def test_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "mail a@b.com or x.y+z@sub.example.org then 10.0.0.1 "
+                    "call 415-555-1234 acct 123456789"),
+                (1, "no pii here"),
+                (2, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+        r0 = rows[0]
+        assert (r0["n_emails"], r0["n_ips"], r0["n_phones"], r0["n_long_ids"]) == (
+            2, 1, 1, 1,
+        )
+        assert r0["clean_text"] == (
+            "mail <EMAIL> or <EMAIL> then <IP> call <PHONE> acct <ID>"
+        )
+        assert rows[1]["clean_text"] == "no pii here"
+        assert rows[2]["n_emails"] == 0 and rows[2]["clean_text"] == ""
+
+    def test_ip_redacted_before_phone_cannot_double_count(self, spark):
+        df = spark.createDataFrame([(0, "server 192.168.100.200 up")],
+                                   "doc_id long, text string")
+        r = pii_redact(df).first()
+        assert r["n_ips"] == 1 and r["n_phones"] == 0
+        assert "<IP>" in r["clean_text"]
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "a b a b a b"),          # grams: 3x 'a b', 2x 'b a' of 5
+                (1, "x\nx\n y \nz"),          # 4 lines, 3 distinct
+                (2, "single"),                # <2 tokens
+                (3, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert rows[0]["top_bigram_frac"] == pytest.approx(0.6)
+        assert rows[0]["dup_line_frac"] == 0.0
+        assert rows[1]["dup_line_frac"] == pytest.approx(0.25)
+        assert rows[2]["top_bigram_frac"] == 0.0
+        assert rows[3]["dup_line_frac"] == 0.0
+        assert rows[3]["top_bigram_frac"] == 0.0
+
+
+class TestMixtureSample:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, "en" if i % 2 == 0 else "fr", f"text number {i}") for i in range(200)],
+            "doc_id long, lang string, text string",
+        )
+
+    def test_rate_one_keeps_all_rate_zero_drops_stratum(self, spark):
+        docs = self._docs(spark)
+        assert mixture_sample(docs, rates={}).count() == 200
+        kept = mixture_sample(docs, rates={"en": 0.0}).select("lang").distinct().collect()
+        assert [r["lang"] for r in kept] == ["fr"]
+
+    def test_deterministic_and_monotone(self, spark):
+        docs = self._docs(spark)
+        k30 = {r["doc_id"] for r in mixture_sample(docs, rates={"en": 0.3, "fr": 0.3}).collect()}
+        k30b = {r["doc_id"] for r in mixture_sample(docs, rates={"en": 0.3, "fr": 0.3}).collect()}
+        k60 = {r["doc_id"] for r in mixture_sample(docs, rates={"en": 0.6, "fr": 0.6}).collect()}
+        assert k30 == k30b          # no RNG anywhere
+        assert k30 <= k60           # raising a rate only ADDS docs
+        assert 0 < len(k30) < len(k60) < 200
+
+
+PACK_DOCS = [
+    (0, "a b c"),        # 3 tokens
+    (1, ""),             # 0
+    (2, "a b c d e"),    # 5
+    (3, "x y"),          # 2
+    (4, "p q r s"),      # 4
+]
+
+
+class TestPackChunks:
+    def test_hand_computed_spans(self, spark):
+        docs = spark.createDataFrame(PACK_DOCS, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in pack_chunks(docs, seq_len=4, n_buckets=3).collect()}
+        assert [out[i]["start_off"] for i in range(5)] == [0, 3, 3, 8, 10]
+        assert [out[i]["chunk_first"] for i in range(5)] == [0, 0, 0, 2, 2]
+        assert [out[i]["chunk_last"] for i in range(5)] == [0, 0, 1, 2, 3]
+
+    def test_bucket_count_invariance(self, spark):
+        # the two-pass prefix sum must not depend on how ids bucket
+        docs = spark.createDataFrame(
+            [(i * 7 % 97, f"tok {'x ' * (i % 5)}") for i in range(60)],
+            "doc_id long, text string",
+        ).dropDuplicates(["doc_id"])
+        a = sorted(pack_chunks(docs, seq_len=8, n_buckets=2).collect())
+        b = sorted(pack_chunks(docs, seq_len=8, n_buckets=17).collect())
+        assert a == b
+
+    def test_summary(self, spark):
+        docs = spark.createDataFrame(PACK_DOCS, "doc_id long, text string")
+        s = pack_summary(pack_chunks(docs, seq_len=4, n_buckets=3), seq_len=4).first()
+        assert (s["n_docs"], s["n_tokens"], s["n_chunks"]) == (5, 14, 4)
+        assert s["n_straddling"] == 2   # docs 2 and 4 cross a boundary
+        assert s["last_fill"] == pytest.approx(0.5)
+
+    def test_empty_input(self, spark):
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        assert pack_chunks(docs, seq_len=4).count() == 0
+        s = pack_summary(pack_chunks(docs, seq_len=4), seq_len=4).first()
+        assert (s["n_docs"], s["n_tokens"], s["n_chunks"], s["last_fill"]) == (
+            0, 0, 0, 0.0,
+        )
+
+
+class TestPlanShapes:
+    """The narrow ops must stay narrow: no Exchange in the physical
+    plan means zero shuffle at any corpus size."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_pii_redact_is_shuffle_free(self, spark):
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        assert "Exchange" not in self._plan(pii_redact(docs))
+
+    def test_mixture_sample_is_shuffle_free(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "en", "x")], "doc_id long, lang string, text string"
+        )
+        assert "Exchange" not in self._plan(mixture_sample(docs, rates={"en": 0.5}))
+
+    def test_pack_chunks_shuffles_only_by_bucket(self, spark):
+        docs = spark.createDataFrame(PACK_DOCS, "doc_id long, text string")
+        plan = self._plan(pack_chunks(docs, seq_len=4, n_buckets=3))
+        # exactly one shuffle (hashpartitioning on bkt for the window);
+        # the bucket-offset side arrives via broadcast, not exchange
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BroadcastExchange" in plan

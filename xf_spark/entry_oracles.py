@@ -1157,3 +1157,176 @@ SELECT (SELECT count(*) FROM documents WHERE doc_id % 7 <> 0)::BIGINT
           AND doc_id NOT IN (SELECT doc_id FROM dhits))::BIGINT
          AS kept_id_sum
 """
+
+# ---------------------------------------------------------------------------
+# Pipeline ops round 3: PII redaction / repetition / mixture sampling /
+# sequence packing — exact replays of ops/pipeline.py. The PII and
+# repetition statements derive the SAME doc_id-seeded augmented text
+# the Spark entries build (entry_queries._pii_augmented etc.), then
+# recompute the op in pure SQL. Patterns are injected from the single
+# source of truth in ops/pipeline.py (Java and RE2 agree on this
+# char-class subset; no \b, no lookaround).
+# ---------------------------------------------------------------------------
+
+from xf_spark.ops.pipeline import (  # noqa: E402
+    PII_EMAIL,
+    PII_IPV4,
+    PII_LONG_DIGITS,
+    PII_PHONE,
+)
+
+_PII_AUG = """
+aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' email user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' ip 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 415-555-' || (1000 + doc_id % 9000) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' acct 90210' || doc_id || '1234' ELSE '' END
+           AS t
+  FROM documents WHERE doc_id < 30
+)
+"""
+
+ORACLES["pii_redact_stats"] = f"""
+WITH {_PII_AUG},
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '{PII_EMAIL}'))::BIGINT AS n_emails,
+         regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS t
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t, '{PII_IPV4}'))::BIGINT AS n_ips,
+         regexp_replace(t, '{PII_IPV4}', '<IP>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t, '{PII_PHONE}'))::BIGINT AS n_phones,
+         regexp_replace(t, '{PII_PHONE}', '<PHONE>', 'g') AS t
+  FROM s2
+),
+s4 AS (
+  SELECT doc_id, n_emails, n_ips, n_phones,
+         len(regexp_extract_all(t, '{PII_LONG_DIGITS}'))::BIGINT AS n_long_ids,
+         regexp_replace(t, '{PII_LONG_DIGITS}', '<ID>', 'g') AS t
+  FROM s3
+)
+SELECT doc_id, n_emails, n_ips, n_phones, n_long_ids, t AS clean_text
+FROM s4 ORDER BY doc_id
+"""
+
+ORACLES["repetition_report"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 6 = 0
+                 THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
+                      || chr(10) || 'repeat me' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' spark spark spark spark' ELSE '' END
+           AS t
+  FROM documents WHERE doc_id < 40
+),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM aug
+),
+lf AS (
+  SELECT doc_id,
+         CASE WHEN len(ls) = 0 THEN 0.0
+              ELSE (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+         END AS dup_line_frac
+  FROM l
+),
+tk AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\s+') AS w
+  FROM aug WHERE length(trim(t)) > 0
+),
+g AS (SELECT doc_id, unnest(range(len(w) - 1)) AS i, w FROM tk WHERE len(w) >= 2),
+g2 AS (
+  SELECT doc_id, w[i + 1] || ' ' || w[i + 2] AS gram, len(w) - 1 AS n_grams
+  FROM g
+),
+c AS (SELECT doc_id, n_grams, gram, count(*) AS c FROM g2 GROUP BY 1, 2, 3),
+m AS (
+  SELECT doc_id, max(c)::DOUBLE / n_grams AS tb FROM c GROUP BY doc_id, n_grams
+)
+SELECT lf.doc_id,
+       round(dup_line_frac, 6) AS dup_line_frac,
+       round(coalesce(m.tb, 0.0), 6) AS top_bigram_frac
+FROM lf LEFT JOIN m ON lf.doc_id = m.doc_id
+ORDER BY lf.doc_id
+"""
+
+ORACLES["mixture_sample_report"] = """
+WITH kept AS (
+  SELECT lang, doc_id FROM documents
+  WHERE ('0x' || substr(md5(text), 1, 8))::BIGINT % 10000 <
+        CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 6000 ELSE 10000 END
+),
+i AS (SELECT lang, count(*)::BIGINT AS n_in FROM documents GROUP BY lang),
+k AS (
+  SELECT lang, count(*)::BIGINT AS n_kept, sum(doc_id)::BIGINT AS kept_id_sum
+  FROM kept GROUP BY lang
+)
+SELECT i.lang, n_in,
+       coalesce(n_kept, 0)::BIGINT AS n_kept,
+       coalesce(kept_id_sum, 0)::BIGINT AS kept_id_sum
+FROM i LEFT JOIN k USING (lang)
+ORDER BY i.lang
+"""
+
+_PACK_BASE = r"""
+ptok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END::BIGINT AS n_ws_tokens
+  FROM documents
+),
+pcum AS (
+  SELECT doc_id, n_ws_tokens,
+         coalesce(sum(n_ws_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::BIGINT AS start_off
+  FROM ptok
+),
+pspan AS (
+  SELECT doc_id, n_ws_tokens, start_off,
+         (start_off // 512)::BIGINT AS chunk_first,
+         ((start_off + greatest(n_ws_tokens, 1) - 1) // 512)::BIGINT AS chunk_last
+  FROM pcum
+)
+"""
+
+ORACLES["pack_chunks_sample"] = f"""
+WITH {_PACK_BASE}
+SELECT doc_id, n_ws_tokens, start_off, chunk_first, chunk_last
+FROM pspan WHERE doc_id < 20 ORDER BY doc_id
+"""
+
+ORACLES["pack_chunks_stats"] = f"""
+WITH {_PACK_BASE}
+SELECT count(*)::BIGINT AS n_docs,
+       coalesce(sum(n_ws_tokens), 0)::BIGINT AS n_tokens,
+       coalesce(sum(CASE WHEN chunk_last > chunk_first THEN 1 ELSE 0 END), 0)::BIGINT
+         AS n_straddling,
+       (CASE WHEN sum(n_ws_tokens) > 0
+             THEN (sum(n_ws_tokens) + 511) // 512 ELSE 0 END)::BIGINT AS n_chunks,
+       CASE WHEN sum(n_ws_tokens) > 0
+            THEN round((sum(n_ws_tokens)
+                        - (((sum(n_ws_tokens) + 511) // 512) - 1) * 512)::DOUBLE
+                       / 512, 6)
+            ELSE 0.0 END AS last_fill
+FROM pspan
+"""

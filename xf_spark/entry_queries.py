@@ -1102,3 +1102,131 @@ def decontam_report(spark, sf_dir):
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline ops round 3: PII redaction, repetition stats, deterministic
+# mixture sampling, sequence packing (ops/pipeline.py). The PII and
+# repetition entries run over a deterministically AUGMENTED documents
+# table (pure SQL-expressible suffixes seeded by doc_id) so the
+# patterns actually fire — the oracle derives the identical table.
+# ---------------------------------------------------------------------------
+
+
+def _pii_augmented(spark, sf_dir):
+    """documents.text + deterministic PII-ish suffixes by doc_id
+    residue (mirrored verbatim in the oracle's `aug` CTE)."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    suffix = F.concat(
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" email user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" ip 10."),
+                (did % 200).cast("string"),
+                F.lit(".0."),
+                (did % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call 415-555-"), (1000 + did % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" acct 90210"), did.cast("string"), F.lit("1234")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", F.concat("text", suffix).alias("text"))
+
+
+def pii_redact_stats(spark, sf_dir):
+    """PII redaction over the augmented table: per-category counts +
+    the fully redacted text for doc_id < 30 (the clean_text hash is
+    the evidence the replacements landed where the oracle says)."""
+    from xf_spark.ops.pipeline import pii_redact
+
+    aug = _pii_augmented(spark, sf_dir).where(F.col("doc_id") < 30)
+    return (
+        pii_redact(aug)
+        .select("doc_id", "n_emails", "n_ips", "n_phones", "n_long_ids", "clean_text")
+        .orderBy("doc_id")
+    )
+
+
+def repetition_report(spark, sf_dir):
+    """Gopher-style repetition stats over documents augmented with
+    deterministic repeated lines (doc_id%6==0) and a repeated bigram
+    run (doc_id%5==0): dup_line_frac + top_bigram_frac, doc_id < 40."""
+    from xf_spark.ops.pipeline import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(
+                did % 6 == 0, F.lit("\nrepeat me\nrepeat me\nrepeat me")
+            ).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" spark spark spark spark")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return (
+        repetition_stats(aug.where(did < 40))
+        .orderBy("doc_id")
+    )
+
+
+def mixture_sample_report(spark, sf_dir):
+    """Deterministic stratified downsample (en->0.30, zh->0.60, rest
+    1.0): per-language input/kept counts + kept-id checksum. The keep
+    rule is md5(text)-derived, so the oracle replays it exactly."""
+    from xf_spark.ops.pipeline import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = mixture_sample(docs, rates={"en": 0.30, "zh": 0.60})
+    n_in = docs.groupBy("lang").agg(F.count("*").alias("n_in"))
+    n_kept = kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("kept_id_sum"),
+    )
+    return (
+        n_in.join(n_kept, "lang", "left")
+        .select(
+            "lang",
+            "n_in",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_id_sum", F.lit(0)).cast("long").alias("kept_id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def pack_chunks_sample(spark, sf_dir):
+    """Concat-and-chunk packing (seq_len=512) per-doc spans for
+    doc_id < 20 — global token offsets via the two-pass bucket prefix
+    sum; the oracle replays them with a full-order window cumsum."""
+    from xf_spark.ops.pipeline import pack_chunks
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        pack_chunks(docs, seq_len=512, n_buckets=8)
+        .where(F.col("doc_id") < 20)
+        .orderBy("doc_id")
+    )
+
+
+def pack_chunks_stats(spark, sf_dir):
+    """One-row packing report at seq_len=512 over the full table:
+    totals, chunk count, boundary-straddling docs, last-chunk fill."""
+    from xf_spark.ops.pipeline import pack_chunks, pack_summary
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_summary(pack_chunks(docs, seq_len=512, n_buckets=8), seq_len=512)

@@ -1,0 +1,278 @@
+"""Training-data pipeline operators: PII redaction, repetition
+filtering, deterministic mixture sampling, and sequence packing.
+
+These extend the dedup/quality/decontam family (reference analog: the
+curation chain around lib.rs:290-425) with the remaining ops a
+pretraining data pipeline runs over a 100 TB corpus. All are
+expressed with built-in JVM functions (no Python in the hot path);
+the only shuffles are keyed aggregations, and the one op that needs a
+global order (sequence packing) uses a two-pass distributed prefix
+sum instead of a single-partition window.
+
+Each op has an exact DuckDB replay in ``entry_oracles.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from xf_spark.ops.textops import _ws_token_count
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the regex subset that Java (Spark) and RE2
+# (DuckDB oracle) evaluate identically: char classes and bounded
+# repeats only — no lookaround, no backrefs, and no \b (Java's \b is
+# Unicode-aware, RE2's is ASCII-only, so they disagree next to CJK
+# text). Applied in a fixed order on the progressively-redacted text
+# so the categories cannot double-count (IPs are redacted before
+# phones; greedy \d{9,} consumes whole digit runs, so no \b needed).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE = r"\(?\d{3}\)?[ -]\d{3}[ -]\d{4}"
+PII_LONG_DIGITS = r"\d{9,}"
+
+PII_STAGES = [
+    ("n_emails", PII_EMAIL, "<EMAIL>"),
+    ("n_ips", PII_IPV4, "<IP>"),
+    ("n_phones", PII_PHONE, "<PHONE>"),
+    ("n_long_ids", PII_LONG_DIGITS, "<ID>"),
+]
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / phone numbers / long digit runs and
+    count each category. Adds ``n_emails, n_ips, n_phones,
+    n_long_ids, clean_text``.
+
+    100 TB shape: a pure narrow map — four regexp passes fused into
+    one whole-stage-codegen projection, zero shuffle, and the
+    patterns push no data to the driver. A real pipeline swaps in an
+    NER model behind the same column contract (counts + clean_text).
+    """
+    t = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_STAGES:
+        counts.append(F.regexp_count(t, F.lit(pat)).cast("long").alias(name))
+        t = F.regexp_replace(t, pat, token)
+    return docs.select("*", *counts, t.alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate stats (Gopher-style repetition rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition signals (Gopher repetition rules,
+    Rae et al. 2021, public):
+
+    - ``dup_line_frac``: fraction of non-empty trimmed lines that are
+      duplicates of another line (1 - distinct/total; 0 when no lines);
+    - ``top_bigram_frac``: occurrences of the most frequent word
+      2-gram / total 2-grams (0 when fewer than 2 tokens).
+
+    100 TB shape: the line metric is a pure narrow projection
+    (split + array_distinct, no shuffle). The bigram metric explodes
+    to (doc, gram) and partially aggregates before the shuffle — the
+    shuffle key is (doc_id, gram), so skew is bounded by the longest
+    single document, not by corpus-wide gram frequency.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    line_part = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.size(lines) == 0, F.lit(0.0))
+        .otherwise(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.size(lines).cast("double")
+        )
+        .alias("dup_line_frac"),
+    )
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("toks"),
+    )
+    grams = base.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(" ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)),
+            )
+        ).alias("gram"),
+        (F.size("toks") - 1).alias("n_grams"),
+    )
+    top = (
+        grams.groupBy("doc_id", "gram", "n_grams")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "n_grams")
+        .agg(F.max("c").alias("mx"))
+        .select("doc_id", (F.col("mx") / F.col("n_grams").cast("double")).alias("top_bigram_frac"))
+    )
+    return (
+        line_part.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round("dup_line_frac", 6).alias("dup_line_frac"),
+            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6).alias("top_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_DENOM = 10_000
+
+
+def _content_hash_bp(text_col: str):
+    """Uniform hash of the document text into [0, SAMPLE_DENOM):
+    first 8 hex chars of md5 → int. md5 of the UTF-8 bytes is
+    engine-independent, so the keep decision is reproducible across
+    Spark, the DuckDB oracle, and any future backfill run — the
+    property that matters when a sample must be extended, not
+    re-drawn, at 100 TB."""
+    return (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
+        % SAMPLE_DENOM
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep a document iff
+    md5(text) mod 10000 < rate[stratum] * 10000. Used to rebalance a
+    training mixture (e.g. downsample the dominant language) without
+    an RNG — same input, same sample, on any cluster size.
+
+    100 TB shape: a narrow filter (no shuffle, no sampling pass);
+    the per-stratum rate table is a literal CASE expression, not a
+    join."""
+    rate = F.lit(int(round(default_rate * SAMPLE_DENOM)))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(r * SAMPLE_DENOM)))
+        ).otherwise(rate)
+    return docs.where(_content_hash_bp(text_col) < rate)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk)
+# ---------------------------------------------------------------------------
+
+
+def pack_chunks(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: concatenate all documents'
+    tokens in ``id_col`` order and split every ``seq_len`` tokens —
+    the standard pretraining packing layout. Returns per-doc
+    ``(doc_id, n_ws_tokens, start_off, chunk_first, chunk_last)``
+    where ``start_off`` is the doc's global token offset.
+
+    100 TB shape: the global prefix sum is TWO keyed passes, never a
+    single-partition window — docs hash into ``n_buckets``
+    deterministic id-range buckets; pass 1 aggregates one token-sum
+    row per bucket (O(n_buckets) to the driver, where the running
+    offsets are computed and broadcast back); pass 2 is a window
+    partitioned BY BUCKET, so every partition cumsums independently.
+    At 10^12 docs raise ``n_buckets`` (10^4 bucket rows on the driver
+    is still nothing); the work per pass stays fully parallel. The
+    bucket key derives from ``id_col`` arithmetic — no sampled range
+    partitioner, so the plan is deterministic across jobs (AQE
+    re-sampling cannot move a row between passes).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _ws_token_count(text_col).cast("long").alias("n_ws_tokens"),
+    )
+    hi = tok.agg(F.max("doc_id").alias("m")).first()["m"]
+    if hi is None:
+        return tok.select(
+            "doc_id",
+            "n_ws_tokens",
+            F.lit(None).cast("long").alias("start_off"),
+            F.lit(None).cast("long").alias("chunk_first"),
+            F.lit(None).cast("long").alias("chunk_last"),
+        )
+    width = max(1, int(hi) // n_buckets + 1)
+    tok = tok.withColumn("bkt", F.expr(f"doc_id div {width}"))
+    bucket_sums = (
+        tok.groupBy("bkt").agg(F.sum("n_ws_tokens").alias("s")).orderBy("bkt").collect()
+    )
+    running = 0
+    offsets = []
+    for row in bucket_sums:
+        offsets.append((row["bkt"], running))
+        running += row["s"]
+    spark = docs.sparkSession
+    off = spark.createDataFrame(offsets, "bkt long, bkt_off long")
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tok.join(F.broadcast(off), "bkt")
+        .withColumn(
+            "start_off",
+            F.col("bkt_off") + F.sum("n_ws_tokens").over(w) - F.col("n_ws_tokens"),
+        )
+        .withColumn("chunk_first", F.expr(f"start_off div {seq_len}"))
+        .withColumn(
+            "chunk_last",
+            F.expr(f"(start_off + greatest(n_ws_tokens, 1L) - 1) div {seq_len}"),
+        )
+        .select("doc_id", "n_ws_tokens", "start_off", "chunk_first", "chunk_last")
+    )
+
+
+def pack_summary(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
+    """One-row packing report over ``pack_chunks`` output: doc and
+    token totals, number of ``seq_len`` chunks, how many docs straddle
+    a chunk boundary, and the fill ratio of the final chunk."""
+    agg = packed.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("n_ws_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(
+            F.sum((F.col("chunk_last") > F.col("chunk_first")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_straddling"),
+    )
+    n_chunks = F.when(
+        F.col("n_tokens") > 0, F.expr(f"(n_tokens + {seq_len} - 1) div {seq_len}")
+    ).otherwise(F.lit(0))
+    return agg.withColumn("n_chunks", n_chunks.cast("long")).withColumn(
+        "last_fill",
+        F.when(
+            F.col("n_chunks") > 0,
+            F.round(
+                (F.col("n_tokens") - (F.col("n_chunks") - 1) * seq_len)
+                / F.lit(float(seq_len)),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
