@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_report": eq.mixture_sample_report,
         "pack_chunks_sample": eq.pack_chunks_sample,
         "pack_chunks_stats": eq.pack_chunks_stats,
+        "chunk_split_sample": eq.chunk_split_sample,
     }.items()}
 
 

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from xf_spark.ops.pipeline import (
+    chunk_split,
     mixture_sample,
     pack_chunks,
     pack_summary,
@@ -131,6 +132,57 @@ class TestPackChunks:
         assert (s["n_docs"], s["n_tokens"], s["n_chunks"], s["last_fill"]) == (
             0, 0, 0, 0.0,
         )
+
+
+class TestChunkSplit:
+    def test_hand_computed_windows(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))
+        docs = spark.createDataFrame([(0, text), (1, "a"), (2, "")],
+                                     "doc_id long, text string")
+        out = chunk_split(docs, chunk_tokens=4, stride=3).collect()
+        by_doc = {}
+        for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # 10 tokens, chunk 4 stride 3 -> windows at 0,3,6 (last = 4 toks)
+        assert [r["chunk_text"] for r in by_doc[0]] == [
+            "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9",
+        ]
+        assert [r["n_chunk_tokens"] for r in by_doc[0]] == [4, 4, 4]
+        assert [r["chunk_text"] for r in by_doc[1]] == ["a"]
+        assert 2 not in by_doc  # zero-token docs emit nothing
+
+    def test_short_tail_window(self, spark):
+        text = " ".join(f"t{i}" for i in range(11))
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        out = sorted(chunk_split(docs, chunk_tokens=4, stride=3).collect(),
+                     key=lambda r: r["chunk_idx"])
+        assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4, 2]
+        assert out[-1]["chunk_text"] == "t9 t10"
+
+    def test_every_token_covered(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"w{j}" for j in range(1 + i * 7 % 23))) for i in range(12)],
+            "doc_id long, text string",
+        )
+        out = chunk_split(docs, chunk_tokens=5, stride=4).collect()
+        seen = {}
+        for r in out:
+            seen.setdefault(r["doc_id"], set()).update(r["chunk_text"].split(" "))
+        for i in range(12):
+            n = 1 + i * 7 % 23
+            assert seen[i] == {f"w{j}" for j in range(n)}
+
+    def test_is_shuffle_free(self, spark):
+        docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        plan = chunk_split(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_invalid_params_raise(self, spark):
+        docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_split(docs, chunk_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_split(docs, stride=0)
 
 
 class TestPlanShapes:

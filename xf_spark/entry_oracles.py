@@ -1330,3 +1330,22 @@ SELECT count(*)::BIGINT AS n_docs,
             ELSE 0.0 END AS last_fill
 FROM pspan
 """
+
+ORACLES["chunk_split_sample"] = r"""
+WITH ctk AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id < 10 AND length(trim(text)) > 0
+),
+cn AS (
+  SELECT doc_id, w,
+         CASE WHEN len(w) <= 32 THEN 1
+              ELSE 1 + (len(w) - 32 + 24 - 1) // 24 END AS n_chunks
+  FROM ctk
+),
+ce AS (SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_idx FROM cn)
+SELECT doc_id, chunk_idx::INT AS chunk_idx,
+       len(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32])::INT AS n_chunk_tokens,
+       array_to_string(w[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+         AS chunk_text
+FROM ce ORDER BY doc_id, chunk_idx
+"""

@@ -1230,3 +1230,16 @@ def pack_chunks_stats(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return pack_summary(pack_chunks(docs, seq_len=512, n_buckets=8), seq_len=512)
+
+
+def chunk_split_sample(spark, sf_dir):
+    """Per-document overlapping token-window chunking (RAG-style,
+    chunk=32 tokens, stride=24) for doc_id < 10 — chunk index, token
+    count, and the re-joined window text all hash-verified."""
+    from xf_spark.ops.pipeline import chunk_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_split(docs.where(F.col("doc_id") < 10), chunk_tokens=32, stride=24)
+        .orderBy("doc_id", "chunk_idx")
+    )

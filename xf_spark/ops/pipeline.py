@@ -249,6 +249,59 @@ def pack_chunks(
     )
 
 
+def chunk_split(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int = 192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style overlapping token-window chunking: one output row per
+    (doc, window) with the window re-joined as text. Windows start
+    every ``stride`` tokens and span ``chunk_tokens``; the final
+    window is the (possibly short) tail. Zero-token docs emit no
+    chunks.
+
+    100 TB shape: a pure narrow explode — tokens never leave their
+    row, no shuffle, and output size is input size x (chunk/stride)
+    overlap factor. The companion corpus-level op is ``pack_chunks``
+    (global concat-and-chunk); this one is per-document.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("toks"),
+    ).where(F.size("toks") > 0)
+    n = F.size("toks")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.lit(1) + F.expr(f"(size(toks) - {chunk_tokens} + {stride} - 1) div {stride}")
+    )
+    return (
+        base.select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                "toks", F.col("chunk_idx") * stride + 1, chunk_tokens
+            ).alias("w"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("w").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "w").alias("chunk_text"),
+        )
+    )
+
+
 def pack_summary(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
     """One-row packing report over ``pack_chunks`` output: doc and
     token totals, number of ``seq_len`` chunks, how many docs straddle
