@@ -185,6 +185,68 @@ class TestChunkSplit:
             chunk_split(docs, stride=0)
 
 
+class TestRandomizedDifferential:
+    """Seeded randomized sweep: pack_chunks and chunk_split vs
+    pure-Python models over irregular corpora (sparse ids, empty and
+    whitespace-only docs, multi-space separators) — one Spark round
+    trip per op, not per example."""
+
+    def _random_docs(self, rng, n):
+        rows = []
+        used = set()
+        for _ in range(n):
+            did = rng.randrange(0, 10_000)
+            if did in used:
+                continue
+            used.add(did)
+            k = rng.randrange(0, 12)
+            sep = "  " if rng.random() < 0.2 else " "
+            text = sep.join(f"w{rng.randrange(0, 9)}" for _ in range(k))
+            if rng.random() < 0.1:
+                text = "   "
+            rows.append((did, text))
+        return rows
+
+    def test_pack_chunks_matches_python_model(self, spark):
+        import random
+
+        rng = random.Random(421)
+        rows = self._random_docs(rng, 120)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in pack_chunks(docs, seq_len=7, n_buckets=5).collect()}
+        off = 0
+        for did, text in sorted(rows):
+            n = len(text.split()) if text.strip() else 0
+            r = got[did]
+            assert (r["n_ws_tokens"], r["start_off"]) == (n, off), did
+            assert r["chunk_first"] == off // 7
+            assert r["chunk_last"] == (off + max(n, 1) - 1) // 7
+            off += n
+
+    def test_chunk_split_matches_python_model(self, spark):
+        import random
+
+        rng = random.Random(97)
+        rows = self._random_docs(rng, 80)
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for r in chunk_split(docs, chunk_tokens=5, stride=3).collect():
+            got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (
+                r["n_chunk_tokens"], r["chunk_text"],
+            )
+        for did, text in rows:
+            toks = text.split() if text.strip() else []
+            if not toks:
+                assert did not in got
+                continue
+            n = len(toks)
+            n_chunks = 1 if n <= 5 else 1 + -(-(n - 5) // 3)
+            assert set(got[did]) == set(range(n_chunks)), did
+            for i in range(n_chunks):
+                w = toks[i * 3 : i * 3 + 5]
+                assert got[did][i] == (len(w), " ".join(w)), (did, i)
+
+
 class TestPlanShapes:
     """The narrow ops must stay narrow: no Exchange in the physical
     plan means zero shuffle at any corpus size."""
