@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks_sample": eq.pack_chunks_sample,
         "pack_chunks_stats": eq.pack_chunks_stats,
         "chunk_split_sample": eq.chunk_split_sample,
+        "unigram_logprob_sample": eq.unigram_logprob_sample,
     }.items()}
 
 

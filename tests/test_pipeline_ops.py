@@ -15,6 +15,7 @@ from xf_spark.ops.pipeline import (
     pack_summary,
     pii_redact,
     repetition_stats,
+    unigram_logprob_scores,
 )
 
 
@@ -183,6 +184,32 @@ class TestChunkSplit:
             chunk_split(docs, chunk_tokens=0)
         with pytest.raises(ValueError):
             chunk_split(docs, stride=0)
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        docs = spark.createDataFrame(
+            [(0, "a A b"), (1, "b c"), (2, "   ")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()}
+        # N=5; c(a)=2 (case-folded), c(b)=2, c(c)=1
+        assert rows[0]["n_tokens"] == 3
+        assert rows[0]["avg_logprob"] == pytest.approx(math.log(0.4), abs=1e-6)
+        assert rows[1]["avg_logprob"] == pytest.approx(
+            (math.log(0.4) + math.log(0.2)) / 2, abs=1e-6
+        )
+        assert 2 not in rows  # whitespace-only docs emit nothing
+
+    def test_gibberish_scores_below_common_prose(self, spark):
+        common = "the cat sat on the mat and the dog sat too"
+        docs = spark.createDataFrame(
+            [(i, common) for i in range(20)] + [(99, "zxqv wkjh qqpt zxqv")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob_scores(docs).collect()}
+        assert rows[99] < rows[0]
 
 
 class TestRandomizedDifferential:

@@ -1349,3 +1349,19 @@ SELECT doc_id, chunk_idx::INT AS chunk_idx,
          AS chunk_text
 FROM ce ORDER BY doc_id, chunk_idx
 """
+
+ORACLES["unigram_logprob_sample"] = r"""
+WITH ut AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+f AS (SELECT tok, count(*) AS c FROM ut GROUP BY tok),
+n AS (SELECT count(*)::DOUBLE AS nn FROM ut)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln(c / nn)), 6) AS avg_logprob
+FROM ut JOIN f USING (tok) CROSS JOIN n
+WHERE doc_id < 25
+GROUP BY doc_id
+ORDER BY doc_id
+"""

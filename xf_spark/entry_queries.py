@@ -1243,3 +1243,17 @@ def chunk_split_sample(spark, sf_dir):
         chunk_split(docs.where(F.col("doc_id") < 10), chunk_tokens=32, stride=24)
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+def unigram_logprob_sample(spark, sf_dir):
+    """Corpus-unigram-LM fluency scores (CCNet-style perplexity-filter
+    analog) for doc_id < 25 — LM trained on the full documents table,
+    mean token log-likelihood replayed exactly in SQL."""
+    from xf_spark.ops.pipeline import unigram_logprob_scores
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        unigram_logprob_scores(docs)
+        .where(F.col("doc_id") < 25)
+        .orderBy("doc_id")
+    )

@@ -302,6 +302,40 @@ def chunk_split(
     )
 
 
+def unigram_logprob_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-LM fluency scoring (the in-container stand-in for
+    CCNet/Gopher perplexity filtering, public): train a unigram LM on
+    the corpus itself (MLE over lowercased whitespace tokens), then
+    score every document by its mean token log-likelihood — gibberish
+    and off-distribution docs score low. Emits
+    ``(doc_id, n_tokens, avg_logprob)``; zero-token docs emit nothing.
+
+    100 TB shape: the LM "training" is one partially-aggregated
+    groupBy(token); the scoring join is keyed on token (Zipf-heavy,
+    but the frequency side is ONE ROW per term, so AQE's skew split
+    handles the head), and the per-doc mean shuffles k-row partials
+    by doc_id. No Python, no driver materialization of the vocab.
+    A real pipeline swaps the unigram table for KenLM scores behind
+    the same (doc_id, n_tokens, avg_logprob) contract.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ut = docs.where(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok")
+    )
+    freq = ut.groupBy("tok").agg(F.count("*").alias("c"))
+    n_total = F.lit(float(ut.count()))
+    return (
+        ut.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / n_total)), 6).alias("avg_logprob"),
+        )
+    )
+
+
 def pack_summary(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
     """One-row packing report over ``pack_chunks`` output: doc and
     token totals, number of ``seq_len`` chunks, how many docs straddle
