@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recomputation, so the at-rest artifact gets driver-level
         # third-engine evidence, not just pytest
         "transcripts_segment_bm25": eq.transcripts_segment_bm25,
+        "transcripts_fuzzy_bm25": eq.transcripts_fuzzy_bm25,
         "transcripts_segment_msearch": eq.transcripts_segment_msearch,
         "transcripts_lifecycle_bm25": eq.transcripts_lifecycle_bm25,
         "transcripts_purge_bm25": eq.transcripts_purge_bm25,

@@ -219,3 +219,21 @@ class TestFilterFuzz:
             assert [d for d, _ in got] == [d for d, _ in want], (q, roles, since, until)
             for (gd, gs), (wd, ws) in zip(got, want):
                 assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (q, gd)
+
+
+def test_fuzzy_typo_equals_or_of_variants(built):
+    """fuzzy=True on the DataFrame-plan engine: the typo expands to its
+    distance-1 vocabulary neighbors and scores exactly like the
+    explicit OR of those variants (same contract as the segment path,
+    TestFuzzy in test_segments.py)."""
+    engine, oracle, _ = built
+    variants = engine.fuzzy_variants("machin")
+    assert "machine" in variants
+    got = _ranks_and_scores(engine.search("machin", limit=20, fuzzy=True))
+    want = oracle.search(" ".join(variants), limit=20)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < TOL
+    # memoized; off by default the typo matches nothing
+    assert engine.fuzzy_variants("machin") is variants
+    assert engine.search("machin", limit=20).count() == 0

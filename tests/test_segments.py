@@ -829,3 +829,93 @@ def test_search_many_fuzz_equals_per_query(built):
             got = [(d, round(s, 9)) for d, s in batch[q]]
             want = [(d, round(s, 9)) for d, s in ix.search_local(q, limit=20)]
             assert got == want, q
+
+
+class TestFuzzy:
+    """fuzzy=True — edit-distance-1 term expansion over the segment
+    vocabulary (the reference's `search.fuzzy` knob, config.rs:75)."""
+
+    def test_variants_include_exact_and_neighbors(self, built):
+        ix, _, _, _ = built
+        variants = ix.fuzzy_variants("machine")
+        assert "machine" in variants
+        # every variant is within edit distance 1 (and distinct)
+        assert len(variants) == len(set(variants))
+        for v in variants:
+            assert _lev(v, "machine") <= 1, v
+
+    def test_fuzzy_typo_equals_or_of_variants(self, built):
+        ix, oracle, _, _ = built
+        typo = "machin"  # 'machine' minus the trailing 'e'
+        variants = ix.fuzzy_variants(typo)
+        assert "machine" in variants  # the typo resolves to the real term
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search(typo, limit=20, fuzzy=True).collect()
+        ]
+        want = [
+            (d, round(s, 9))
+            for d, s in oracle.search(" ".join(variants), limit=20)
+        ]
+        assert got == want
+
+    def test_fuzzy_off_typo_matches_nothing(self, built):
+        ix, _, _, _ = built
+        assert ix.search("machin", limit=20).count() == 0
+
+    def test_short_term_unexpanded(self, built):
+        ix, _, _, _ = built
+        assert ix.fuzzy_variants("ml") == ["ml"]
+
+    def test_unknown_term_without_neighbors_unchanged(self, built):
+        ix, _, _, _ = built
+        assert ix.fuzzy_variants("zzqqxxyyzz") == ["zzqqxxyyzz"]
+        assert ix.search("zzqqxxyyzz", limit=5, fuzzy=True).count() == 0
+
+    def test_phrase_left_exact(self, built):
+        ix, _, _, _ = built
+        a = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search('"machine learning"', limit=20, fuzzy=True).collect()
+        ]
+        b = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search('"machine learning"', limit=20).collect()
+        ]
+        assert a == b
+
+    def test_memoized(self, built):
+        ix, _, _, _ = built
+        v1 = ix.fuzzy_variants("machine")
+        assert ix._fuzzy_memo["machine"] is v1
+        assert ix.fuzzy_variants("machine") is v1
+
+    def test_fuzzy_with_boolean_and_filters(self, built):
+        ix, oracle, _, _ = built
+        # expansion composes with NOT: both sides expand
+        left = ix.fuzzy_variants("rust")
+        excl = ix.fuzzy_variants("machin")
+        got = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search("rust NOT machin", limit=20, fuzzy=True).collect()
+        ]
+        # left-assoc fold: "l1 l2 NOT e1 NOT e2" == (OR(l..) minus all e)
+        want = [
+            (d, round(s, 9))
+            for d, s in oracle.search(
+                " ".join(left) + " NOT " + " NOT ".join(excl), limit=20
+            )
+        ]
+        assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    import numpy as np
+
+    d = np.arange(len(b) + 1)
+    for i, ca in enumerate(a, 1):
+        prev = d.copy()
+        d[0] = i
+        for j, cb in enumerate(b, 1):
+            d[j] = min(prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (ca != cb))
+    return int(d[-1])

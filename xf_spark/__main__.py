@@ -443,6 +443,7 @@ def cmd_search(args) -> int:
         sort=args.sort,
         snippets=args.format == "text",
         context=args.context,
+        fuzzy=args.fuzzy,
     )
     rows = df.collect()
     cols = df.columns
@@ -543,6 +544,9 @@ def main(argv=None) -> int:
     ps.add_argument("--sort", default="relevance",
                     choices=["relevance", "date", "date_desc", "engagement"])
     ps.add_argument("--context", action="store_true")
+    ps.add_argument("--fuzzy", action="store_true",
+                    help="typo tolerance: expand terms to edit-distance-1 "
+                         "vocabulary neighbors (search.fuzzy, config.rs:75)")
     ps.add_argument("--format", default="text",
                     choices=["text", "json", "json-pretty", "csv", "compact"])
     ps.set_defaults(fn=cmd_search)

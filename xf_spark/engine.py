@@ -625,10 +625,17 @@ class XfIndex:
         context: bool = False,
         ann: bool = False,
         n_probe: int = 4,
+        fuzzy: bool = False,
     ) -> DataFrame:
         """Mode dispatch lexical | semantic | hybrid (aliases bm25 |
         vector | rrf, hybrid.rs:51-85); natural-language since/until;
         post sort; optional snippets / conversation context.
+
+        ``fuzzy=True`` (the reference's `search.fuzzy` knob,
+        config.rs:75-76) expands each lexical term to its
+        edit-distance-1 vocabulary neighbors before scoring — applies
+        to the lexical branch (and hybrid's lexical side); semantic
+        search is typo-tolerant by construction.
 
         ``ann=True`` (semantic or hybrid mode, index built with
         ``ann_cells``) probes the ``n_probe`` nearest IVF cells instead
@@ -645,6 +652,7 @@ class XfIndex:
             until=until,
             ann=ann,
             n_probe=n_probe,
+            fuzzy=fuzzy,
         )
         if context:
             # conversation-context view: a different output SHAPE
@@ -671,6 +679,7 @@ class XfIndex:
         until: str | None = None,
         ann: bool = False,
         n_probe: int = 4,
+        fuzzy: bool = False,
     ) -> DataFrame:
         """search() up to the ranked (doc_id, score) hits — no
         hydration/sort/snippets. msearch's filtered members use this
@@ -725,7 +734,7 @@ class XfIndex:
             )
         elif mode == "lexical":
             hits = self.segment_index.search(
-                query, limit=limit, offset=offset, **common
+                query, limit=limit, offset=offset, fuzzy=fuzzy, **common
             )
         elif mode == "semantic":
             if self.embeddings is None:
@@ -810,6 +819,7 @@ class XfIndex:
                 doc_filter=flt,
                 semantic_override=sem_override,
                 semantic_query=sem_query,
+                fuzzy=fuzzy,
                 **common,
             )
         else:

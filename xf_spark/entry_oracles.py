@@ -967,6 +967,40 @@ LIMIT 20
 ORACLES["transcripts_segment_bm25"] = ORACLES["transcripts_docs_bm25"]
 ORACLES["transcripts_lifecycle_bm25"] = ORACLES["transcripts_docs_bm25"]
 
+# fuzzy expansion replay: the distance-1 vocabulary neighborhood of the
+# typo (df-ranked, capped at 50 — FUZZY_MAX_EXPANSIONS), then OR-BM25
+# where every variant carries its OWN idf (Lucene FuzzyQuery rewrite)
+ORACLES["transcripts_fuzzy_bm25"] = f"""
+WITH {_TR_BASE},
+tvar AS (
+  SELECT term, count(DISTINCT did)::DOUBLE AS df
+  FROM ttok
+  WHERE levenshtein(term, 'sart') <= 1
+  GROUP BY term
+  ORDER BY df DESC, term
+  LIMIT 50
+),
+ttf AS (
+  SELECT ttok.term, did, count(*)::DOUBLE AS tf
+  FROM ttok JOIN tvar USING (term)
+  GROUP BY ttok.term, did
+),
+tscored AS (
+  SELECT ttf.did,
+         sum(ln(1 + (s.n - v.df + 0.5) / (v.df + 0.5)) * ttf.tf * 2.2
+           / (ttf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl))) AS score
+  FROM ttf
+  JOIN tvar v ON v.term = ttf.term
+  JOIN tdl ON tdl.did = ttf.did
+  CROSS JOIN tstats s
+  GROUP BY ttf.did
+)
+SELECT b.conv_id, b.turn_idx, round(t.score, 4) AS score, b.text
+FROM tscored t JOIN base b ON b.did = t.did
+ORDER BY t.score DESC, t.did
+LIMIT 20
+"""
+
 
 def _tr_msearch_member(qid: str, term: str) -> str:
     """One term member of the msearch union: top-10 (did, score)."""

@@ -952,6 +952,16 @@ def transcripts_segment_bm25(spark, sf_dir):
     return _hydrated_hits(ix, ix.search("spark", limit=20))
 
 
+def transcripts_fuzzy_bm25(spark, sf_dir):
+    """Typo-tolerant search (the reference's `search.fuzzy` knob,
+    config.rs:75): 'sart' is in nobody's vocabulary but sits at edit
+    distance 1 from BOTH 'sort' and 'part' — fuzzy expansion ORs the
+    variants, each scored with its OWN df/idf, replayed in DuckDB via
+    levenshtein() over the tokenized corpus."""
+    ix = _segment_tr_index(spark, sf_dir)
+    return _hydrated_hits(ix, ix.search("sart", limit=20, fuzzy=True))
+
+
 def transcripts_segment_msearch(spark, sf_dir):
     """Batched multi-search (search_many: ONE union-of-terms decode
     serving heterogeneous members — two term queries + a positional

@@ -32,7 +32,7 @@ same global index, search.rs:554-576).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -71,6 +71,9 @@ class BM25Engine:
     prefix_postings: DataFrame | None = None
     vocab: DataFrame | None = None         # (term, df) — cached, vocab-sized
     prefix_vocab: DataFrame | None = None
+    # fuzzy-expansion memo: query term -> sorted variant list (the
+    # vocabulary is static per engine build)
+    _fuzzy_memo: dict = field(default_factory=dict, repr=False)
 
     # -- public API -------------------------------------------------------
 
@@ -82,13 +85,19 @@ class BM25Engine:
         roles: list[str] | None = None,
         since=None,
         until=None,
+        fuzzy: bool = False,
     ) -> DataFrame:
         """-> (doc_id, score) top-k, pinned order (score desc, doc_id
         asc). Filters applied pre-top-k; scores stay global. Query-
-        embedded ``type:``/``role:`` filters AND with the roles kwarg."""
-        from xf_spark.query.parser import parse_query_extract
+        embedded ``type:``/``role:`` filters AND with the roles kwarg.
+        ``fuzzy=True`` expands each term to its edit-distance-1
+        vocabulary neighbors, each scored with its own idf (the
+        reference's `search.fuzzy` knob, config.rs:75)."""
+        from xf_spark.query.parser import expand_fuzzy_plan, parse_query_extract
 
         plan, qroles = parse_query_extract(query)
+        if fuzzy:
+            plan = expand_fuzzy_plan(plan, self.fuzzy_variants)
         if qroles:
             if roles:
                 roles = sorted(set(roles) & set(qroles))
@@ -169,6 +178,43 @@ class BM25Engine:
             excl = self._eval(node[2]).select("doc_id")
             return base.join(excl, "doc_id", "left_anti")
         raise ValueError(f"unknown node {kind}")
+
+    def fuzzy_variants(self, term: str) -> list[str]:
+        """Dictionary terms within Levenshtein distance 1 of ``term``,
+        df-ranked, capped at FUZZY_MAX_EXPANSIONS (Lucene FuzzyQuery
+        semantics — same contract as SegmentIndex.fuzzy_variants).
+        One vocab-sized scan with a pushed length-window predicate,
+        memoized per novel fuzzy term."""
+        from xf_spark.query.segment_search import (
+            FUZZY_MAX_EXPANSIONS,
+            FUZZY_MIN_LEN,
+        )
+
+        if term in self._fuzzy_memo:
+            return self._fuzzy_memo[term]
+        if len(term) < FUZZY_MIN_LEN:
+            self._fuzzy_memo[term] = [term]
+            return [term]
+        ln = len(term)
+        cond = F.length("term").between(ln - 1, ln + 1) & (
+            F.levenshtein(F.col("term"), F.lit(term)) <= 1
+        )
+        if self.vocab is not None:
+            cand = self.vocab.where(cond).select("term", "df")
+        else:
+            cand = (
+                self.postings.where(cond)
+                .groupBy("term")
+                .agg(F.count("*").alias("df"))
+            )
+        rows = (
+            cand.orderBy(F.desc("df"), F.asc("term"))
+            .limit(FUZZY_MAX_EXPANSIONS)
+            .collect()
+        )
+        variants = [r["term"] for r in rows] or [term]
+        self._fuzzy_memo[term] = variants
+        return variants
 
     def _term_dfs(self, terms: list[str], prefix: bool = False) -> dict:
         """df per query term. Resolved from the cached vocab table when

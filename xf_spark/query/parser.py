@@ -224,3 +224,39 @@ def prefix_terms(node) -> set[str]:
     if kind == "not":
         return prefix_terms(node[1]) | prefix_terms(node[2])
     return set()
+
+
+def expand_fuzzy_plan(plan, variants_fn):
+    """Rewrite for fuzzy matching (the reference's `search.fuzzy` knob,
+    config.rs:75): each ("term", t) leaf becomes an OR over the
+    distance-1 vocabulary neighbors ``variants_fn(t)`` returns, each
+    variant scored with its OWN idf (Lucene FuzzyQuery rewrite).
+    Phrases and prefix leaves stay exact — positional adjacency over a
+    variant cross-product is quadratic noise, and prefix already
+    matches a term family. Expanded leaves splice into a parent OR:
+    nested ORs score identically (sum over matching terms) but would
+    fall off the root WAND fast path."""
+    kind = plan[0]
+    if kind == "term":
+        variants = variants_fn(plan[1])
+        if variants == [plan[1]]:
+            return plan
+        return ("or", [("term", v) for v in variants])
+    if kind == "or":
+        out = []
+        for c in plan[1]:
+            e = expand_fuzzy_plan(c, variants_fn)
+            if e[0] == "or":
+                out.extend(e[1])
+            else:
+                out.append(e)
+        return ("or", out)
+    if kind == "and":
+        return ("and", [expand_fuzzy_plan(c, variants_fn) for c in plan[1]])
+    if kind == "not":
+        return (
+            "not",
+            expand_fuzzy_plan(plan[1], variants_fn),
+            expand_fuzzy_plan(plan[2], variants_fn),
+        )
+    return plan

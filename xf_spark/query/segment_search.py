@@ -41,6 +41,7 @@ from xf_spark.index.postings import CorpusStats
 from xf_spark.index.segments import K1, B, recover_compaction, term_bucket
 from xf_spark.query.parser import (
     parse_query,
+    expand_fuzzy_plan,
     parse_query_extract,
     prefix_terms,
     query_terms,
@@ -52,6 +53,14 @@ from xf_spark.query.parser import (
 # drops the whole evaluation to the scalar fallback (correctness never
 # depends on the bound)
 _POS_B = 1 << 22
+
+# Fuzzy matching (the reference exposes `search.fuzzy` in config.rs:75
+# — a typo-tolerance knob; we implement the behavior end-to-end).
+# Lucene-compatible choices: AUTO edit distance (0 below 3 chars, 1
+# otherwise) and a bounded expansion set so one common typo can never
+# explode the OR fan-in (Lucene FuzzyQuery maxExpansions default).
+FUZZY_MAX_EXPANSIONS = 50
+FUZZY_MIN_LEN = 3
 
 TOPK_SCHEMA = T.StructType(
     [
@@ -578,6 +587,9 @@ class SegmentIndex:
     # pairs computed once from the segments' block metadata (see
     # _shard_for_docs); None until first needed
     _shard_bounds: list | None = field(default=None, repr=False)
+    # fuzzy-expansion memo: query term -> sorted variant list (the
+    # vocabulary is static per index build, like _df_memo)
+    _fuzzy_memo: dict = field(default_factory=dict, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
@@ -693,6 +705,52 @@ class SegmentIndex:
                     out[t] = found[t]
         return out
 
+    def fuzzy_variants(self, term: str) -> list[str]:
+        """Dictionary terms within Levenshtein distance 1 of ``term``
+        (the exact term included when present), df-ranked and capped at
+        FUZZY_MAX_EXPANSIONS — Lucene FuzzyQuery semantics over the
+        segment vocabulary.
+
+        Scale shape: ONE columnar scan of the segments table reading
+        only (term, n_docs), with a `length(term) BETWEEN L-1 AND L+1`
+        predicate pushed to parquet. Bucket pruning cannot apply (a
+        variant hashes anywhere), so this is a vocabulary-sized scan —
+        the same cost class as Tantivy's FST automaton walk — paid once
+        per NOVEL fuzzy term and memoized for the index lifetime.
+        Found dfs feed _df_memo, so idf resolution is free afterward."""
+        if term in self._fuzzy_memo:
+            return self._fuzzy_memo[term]
+        if len(term) < FUZZY_MIN_LEN:
+            # AUTO distance 0 below 3 chars: no expansion
+            self._fuzzy_memo[term] = [term]
+            return [term]
+        ln = len(term)
+        rows = (
+            self._segments.where(
+                (F.col("field") == "text")
+                & F.length("term").between(ln - 1, ln + 1)
+                & (F.levenshtein(F.col("term"), F.lit(term)) <= 1)
+            )
+            .groupBy("term")
+            .agg(F.sum("n_docs").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(FUZZY_MAX_EXPANSIONS)
+            .collect()
+        )
+        variants = []
+        for r in rows:
+            variants.append(r["term"])
+            self._df_memo[("text", r["term"])] = int(r["df"])
+        if not variants:
+            variants = [term]  # unknown term, no neighbors: unchanged
+        self._fuzzy_memo[term] = variants
+        return variants
+
+    def _expand_fuzzy(self, plan):
+        """AST rewrite for fuzzy=True (shared with BM25Engine — see
+        parser.expand_fuzzy_plan for the semantics)."""
+        return expand_fuzzy_plan(plan, self.fuzzy_variants)
+
     @staticmethod
     def _entry_bytes(d: dict) -> int:
         n = len(d.get("positions_bin") or b"")
@@ -756,6 +814,7 @@ class SegmentIndex:
         since=None,
         until=None,
         exhaustive: bool = False,
+        fuzzy: bool = False,
     ) -> DataFrame:
         _t0 = time.time()  # perf-budget clock (driver-resolved paths)
         plan, qroles = parse_query_extract(query)
@@ -777,6 +836,8 @@ class SegmentIndex:
             out = self.docs.select("doc_id", F.lit(1.0).alias("score"))
             return self._finish(out, limit, offset, roles, since, until)
 
+        if fuzzy:
+            plan = self._expand_fuzzy(plan)
         tterms = query_terms(plan)
         pterms = prefix_terms(plan)
         n = self.meta["n_docs"]
