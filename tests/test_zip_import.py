@@ -69,6 +69,57 @@ DMS_JS = (
 )
 
 
+FOLLOWER_JS = (
+    "window.YTD.follower.part0 = "
+    + json.dumps([
+        {"follower": {"accountId": "501", "userLink": "https://x.test/501"}},
+        {"follower": {"accountId": "502", "userLink": None}},
+        {"follower": {"accountId": "501", "userLink": "https://x.test/501"}},  # dup
+        {"follower": {"userLink": "https://x.test/999"}},  # no accountId: dropped
+    ])
+    + ";"
+)
+
+BLOCK_JS = (  # block.js wraps items as "blocking" (parser.rs:505)
+    "window.YTD.block.part0 = "
+    + json.dumps([{"blocking": {"accountId": "601", "userLink": None}}])
+    + ";"
+)
+
+ACCOUNT_JS = (
+    "window.YTD.account.part0 = "
+    + json.dumps([{"account": {
+        "accountId": "42", "username": "tester",
+        "accountDisplayName": "Test Er", "email": "t@x.test",
+        "createdAt": "2020-01-02T03:04:05.000Z", "createdVia": "web",
+    }}])
+    + ";"
+)
+
+PROFILE_JS = (
+    "window.YTD.profile.part0 = "
+    + json.dumps([{"profile": {
+        "description": {"bio": "a bio", "website": "https://t.example",
+                        "location": "somewhere"},
+        "avatarMediaUrl": "https://x.test/a.jpg",
+        "headerMediaUrl": None,
+    }}])
+    + ";"
+)
+
+MANIFEST_JS = (  # object wrapper, NOT window.YTD (parse_manifest)
+    "window.__THAR_CONFIG = "
+    + json.dumps({
+        "userInfo": {"accountId": "42", "userName": "tester",
+                     "displayName": "Test Er"},
+        "archiveInfo": {"sizeBytes": "12345",
+                        "generationDate": "2026-01-07T00:00:00.000Z",
+                        "isPartialArchive": False},
+    })
+    + ";"
+)
+
+
 @pytest.fixture(scope="module")
 def archive_zip(tmp_path_factory):
     root = tmp_path_factory.mktemp("zipsrc")
@@ -77,7 +128,11 @@ def archive_zip(tmp_path_factory):
         zf.writestr("data/tweets.js", TWEETS_JS)
         zf.writestr("data/like.js", LIKE_JS)
         zf.writestr("data/direct-messages.js", DMS_JS)
-        zf.writestr("data/manifest.js", "window.YTD.manifest.part0 = [];")
+        zf.writestr("data/follower.js", FOLLOWER_JS)
+        zf.writestr("data/block.js", BLOCK_JS)
+        zf.writestr("data/account.js", ACCOUNT_JS)
+        zf.writestr("data/profile.js", PROFILE_JS)
+        zf.writestr("data/manifest.js", MANIFEST_JS)
         zf.writestr("../evil.txt", "zip-slip payload")
     return zp
 
@@ -85,7 +140,7 @@ def archive_zip(tmp_path_factory):
 def test_extract_skips_zip_slip(archive_zip, tmp_path):
     out = str(tmp_path / "extracted")
     n_files, n_bytes = import_archive_zip(archive_zip, out)
-    assert n_files == 4 and n_bytes > 0  # evil.txt skipped
+    assert n_files == 8 and n_bytes > 0  # evil.txt skipped
     assert os.path.isfile(os.path.join(out, "data", "tweets.js"))
     assert not os.path.exists(os.path.join(os.path.dirname(out), "evil.txt"))
 
@@ -141,6 +196,76 @@ def test_cli_import_end_to_end(archive_zip, tmp_path):
         timeout=300,
     )
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "extracted 4 files" in r.stdout
+    assert "extracted 8 files" in r.stdout
     assert "indexed 5 turns" in r.stdout  # 2 tweets + 1 like + 2 dms
     assert os.path.isfile(os.path.join(out, "index", "meta.json"))
+
+
+def test_graph_and_singleton_readers(spark, archive_zip, tmp_path):
+    """follower/block lists + account/profile/manifest singletons
+    (parser.rs:455-544, 551-592, 95-121)."""
+    from xf_spark.sources.archive import (
+        read_account,
+        read_graph_list,
+        read_manifest,
+        read_profile,
+    )
+
+    out = str(tmp_path / "extracted")
+    import_archive_zip(archive_zip, out)
+    data = os.path.join(out, "data")
+
+    fol = read_graph_list(spark, os.path.join(data, "follower.js"), "follower")
+    rows = {r["account_id"]: r["user_link"] for r in fol.collect()}
+    # dup collapsed, missing accountId dropped, null link kept
+    assert rows == {"501": "https://x.test/501", "502": None}
+
+    blk = read_graph_list(spark, os.path.join(data, "block.js"), "block")
+    assert [r["account_id"] for r in blk.collect()] == ["601"]
+
+    with pytest.raises(ValueError):
+        read_graph_list(spark, data, "enemies")
+
+    acct = read_account(spark, os.path.join(data, "account.js")).collect()
+    assert len(acct) == 1
+    a = acct[0]
+    assert (a["account_id"], a["username"], a["display_name"]) == (
+        "42", "tester", "Test Er"
+    )
+    assert a["created_at"] is not None and a["created_via"] == "web"
+
+    prof = read_profile(spark, os.path.join(data, "profile.js")).collect()[0]
+    assert prof["bio"] == "a bio" and prof["location"] == "somewhere"
+    assert prof["header_url"] is None
+
+    man = read_manifest(spark, os.path.join(data, "manifest.js")).collect()[0]
+    assert man["account_id"] == "42" and man["username"] == "tester"
+    assert man["archive_size_bytes"] == 12345  # JSON string -> long
+    assert man["is_partial"] is False and man["generation_date"] is not None
+
+
+def test_cli_list_followers_and_manifest(archive_zip, tmp_path):
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cliout")
+    import_archive_zip(archive_zip, out)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "--cores", "4", "list",
+         "followers", "--archive", out, "--format", "json"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {x["account_id"] for x in json.loads(r.stdout.strip().splitlines()[-1])}
+    assert got == {"501", "502"}
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "--cores", "4", "list",
+         "manifest", "--archive", out, "--format", "json"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])[0]
+    assert m["archive_size_bytes"] == 12345

@@ -323,6 +323,18 @@ def cmd_get(args) -> int:
     return 0
 
 
+# list target -> (archive member glob, reader over the matched files)
+_ARCHIVE_LISTS = {
+    "followers": ("follower.js", lambda m, s, f: m.read_graph_list(s, f, "follower")),
+    "following": ("following.js", lambda m, s, f: m.read_graph_list(s, f, "following")),
+    "blocks": ("block.js", lambda m, s, f: m.read_graph_list(s, f, "block")),
+    "mutes": ("mute.js", lambda m, s, f: m.read_graph_list(s, f, "mute")),
+    "account": ("account.js", lambda m, s, f: m.read_account(s, f)),
+    "profile": ("profile.js", lambda m, s, f: m.read_profile(s, f)),
+    "manifest": ("manifest.js", lambda m, s, f: m.read_manifest(s, f)),
+}
+
+
 def cmd_list(args) -> int:
     """List what's available — the `list <what>` analog (cmd_list,
     main.rs:2532-2620; ListTarget, cli.rs:412-422). Targets map to the
@@ -345,6 +357,38 @@ def cmd_list(args) -> int:
             return 0
         for f in files:
             print(f"{os.path.getsize(f):>12}  {os.path.basename(f)}")
+        return 0
+
+    if args.what in _ARCHIVE_LISTS:
+        # social-graph lists + singletons live in the extracted archive
+        # (ListTarget::Followers/... main.rs:2671-2735; the reference
+        # re-reads its SQLite store — our Spark read IS the store read)
+        if not args.archive:
+            print(f"list {args.what} requires --archive <extracted dir>")
+            return 1
+        import glob as _glob
+
+        from xf_spark.sources import archive as _arch
+
+        member, reader = _ARCHIVE_LISTS[args.what]
+        files = sorted(_glob.glob(os.path.join(args.archive, "data", member)))
+        if not files:
+            print(f"no {member} under {args.archive}/data")
+            return 0
+        spark = _spark(args)
+        df = reader(_arch, spark, files)
+        if "account_id" in df.columns and args.what in (
+            "followers", "following", "blocks", "mutes"
+        ):
+            df = df.orderBy("account_id").limit(args.limit)
+        rows = df.collect()
+        cols = df.columns
+        if args.format in ("json", "json-pretty", "csv"):
+            _format_rows(rows, args.format, cols)
+        else:
+            print("  ".join(cols))
+            for r in rows:
+                print("  ".join(str(r[c]) for c in cols))
         return 0
 
     if not args.index:
@@ -634,7 +678,9 @@ def main(argv=None) -> int:
     )
     pl.add_argument(
         "what", nargs="?", default="files",
-        choices=["files", "conversations", "roles", "tools"],
+        choices=["files", "conversations", "roles", "tools",
+                 "followers", "following", "blocks", "mutes",
+                 "account", "profile", "manifest"],
     )
     pl.add_argument("--archive", default=None,
                     help="extracted archive dir (for `list files`)")

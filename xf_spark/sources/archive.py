@@ -29,6 +29,21 @@ def parse_ts_flexible(col):
     )
 
 
+def _stripped_json(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Whole-file read with the JS wrapper removed — the reference
+    splits on the FIRST '=' and trims a trailing ';' (parse_js_file,
+    parser.rs:34-51), which handles both ``window.YTD.<type>.part<n>``
+    members and manifest.js's ``window.__THAR_CONFIG`` wrapper."""
+    raw = spark.read.text(path, wholetext=True)
+    return raw.select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("value"), r"^[^=]*=\s*", ""),
+            r";\s*$",
+            "",
+        ).alias("json")
+    )
+
+
 def read_js_archive(
     spark: SparkSession,
     path: str | list[str],
@@ -40,14 +55,7 @@ def read_js_archive(
     wholetext read -> strip wrapper prefix + trailing ';' -> from_json
     as array<item_schema> -> explode -> optional dropDuplicates.
     At scale each file is one task; archives shard naturally by file."""
-    raw = spark.read.text(path, wholetext=True)
-    stripped = raw.select(
-        F.regexp_replace(
-            F.regexp_replace(F.col("value"), r"^\s*window\.YTD\.\w+\.part\d+\s*=\s*", ""),
-            r";\s*$",
-            "",
-        ).alias("json")
-    )
+    stripped = _stripped_json(spark, path)
     arr = stripped.select(
         F.from_json("json", T.ArrayType(item_schema)).alias("items")
     )
@@ -355,3 +363,183 @@ def read_archive_dir(spark: SparkSession, root: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Social-graph lists + account/profile/manifest singletons
+# (parser.rs:455-544, 551-592, 95-121). The reference parses these into
+# SQLite so `list`/`export`/`stats` can re-read them; our analog reads
+# them straight off the extracted archive — the Spark read IS the job,
+# file-sharded, no intermediate store needed.
+# ---------------------------------------------------------------------------
+
+# member file -> JSON wrapper key (block.js wraps items as "blocking",
+# mute.js as "muting" — parser.rs:505,531)
+GRAPH_WRAPPERS = {
+    "follower": "follower",
+    "following": "following",
+    "block": "blocking",
+    "mute": "muting",
+}
+
+
+def read_graph_list(spark: SparkSession, path: str | list[str], kind: str) -> DataFrame:
+    """follower.js / following.js / block.js / mute.js -> one row per
+    account: (account_id, user_link), rows without accountId dropped,
+    deduped by account_id (parse_followers/_following/_blocks/_mutes,
+    parser.rs:455-544)."""
+    if kind not in GRAPH_WRAPPERS:
+        raise ValueError(f"unknown graph list {kind!r} (one of {sorted(GRAPH_WRAPPERS)})")
+    wrapper = GRAPH_WRAPPERS[kind]
+    schema = T.StructType(
+        [
+            T.StructField(
+                wrapper,
+                T.StructType(
+                    [
+                        T.StructField("accountId", T.StringType()),
+                        T.StructField("userLink", T.StringType()),
+                    ]
+                ),
+            )
+        ]
+    )
+    items = read_js_archive(spark, path, schema, dedup_key=None)
+    return (
+        items.select(f"{wrapper}.*")
+        .where(F.col("accountId").isNotNull())
+        .select(
+            F.col("accountId").alias("account_id"),
+            F.col("userLink").alias("user_link"),
+        )
+        .dropDuplicates(["account_id"])
+    )
+
+
+ACCOUNT_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "account",
+            T.StructType(
+                [
+                    T.StructField("accountId", T.StringType()),
+                    T.StructField("username", T.StringType()),
+                    T.StructField("accountDisplayName", T.StringType()),
+                    T.StructField("email", T.StringType()),
+                    T.StructField("createdAt", T.StringType()),
+                    T.StructField("createdVia", T.StringType()),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def read_account(spark: SparkSession, path: str) -> DataFrame:
+    """account.js -> the one-row Account singleton (parse_account,
+    parser.rs:551-569: first array element wins)."""
+    items = read_js_archive(spark, path, ACCOUNT_ITEM_SCHEMA, dedup_key=None)
+    return (
+        items.select("account.*")
+        .limit(1)
+        .select(
+            F.col("accountId").alias("account_id"),
+            "username",
+            F.col("accountDisplayName").alias("display_name"),
+            "email",
+            parse_ts_flexible(F.col("createdAt")).alias("created_at"),
+            F.col("createdVia").alias("created_via"),
+        )
+    )
+
+
+PROFILE_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "profile",
+            T.StructType(
+                [
+                    T.StructField(
+                        "description",
+                        T.StructType(
+                            [
+                                T.StructField("bio", T.StringType()),
+                                T.StructField("website", T.StringType()),
+                                T.StructField("location", T.StringType()),
+                            ]
+                        ),
+                    ),
+                    T.StructField("avatarMediaUrl", T.StringType()),
+                    T.StructField("headerMediaUrl", T.StringType()),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def read_profile(spark: SparkSession, path: str) -> DataFrame:
+    """profile.js -> the one-row Profile singleton (parse_profile,
+    parser.rs:575-592)."""
+    items = read_js_archive(spark, path, PROFILE_ITEM_SCHEMA, dedup_key=None)
+    return (
+        items.select("profile.*")
+        .limit(1)
+        .select(
+            F.col("description.bio").alias("bio"),
+            F.col("description.website").alias("website"),
+            F.col("description.location").alias("location"),
+            F.col("avatarMediaUrl").alias("avatar_url"),
+            F.col("headerMediaUrl").alias("header_url"),
+        )
+    )
+
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "userInfo",
+            T.StructType(
+                [
+                    T.StructField("accountId", T.StringType()),
+                    T.StructField("userName", T.StringType()),
+                    T.StructField("displayName", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField(
+            "archiveInfo",
+            T.StructType(
+                [
+                    T.StructField("sizeBytes", T.StringType()),
+                    T.StructField("generationDate", T.StringType()),
+                    T.StructField("isPartialArchive", T.BooleanType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """manifest.js -> the one-row ArchiveInfo (parse_manifest,
+    parser.rs:95-121). The wrapper is an OBJECT under
+    ``window.__THAR_CONFIG =`` — same first-'=' strip, object schema;
+    sizeBytes arrives as a JSON string and is cast (parse_i64)."""
+    obj = _stripped_json(spark, path).select(
+        F.from_json("json", MANIFEST_SCHEMA).alias("m")
+    )
+    return obj.limit(1).select(
+        F.col("m.userInfo.accountId").alias("account_id"),
+        F.col("m.userInfo.userName").alias("username"),
+        F.col("m.userInfo.displayName").alias("display_name"),
+        F.coalesce(
+            F.col("m.archiveInfo.sizeBytes").cast("long"), F.lit(0)
+        ).alias("archive_size_bytes"),
+        parse_ts_flexible(F.col("m.archiveInfo.generationDate")).alias(
+            "generation_date"
+        ),
+        F.coalesce(F.col("m.archiveInfo.isPartialArchive"), F.lit(False)).alias(
+            "is_partial"
+        ),
+    )
