@@ -269,3 +269,73 @@ def test_cli_list_followers_and_manifest(archive_zip, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.loads(r.stdout.strip().splitlines()[-1])[0]
     assert m["archive_size_bytes"] == 12345
+
+
+def test_cli_export_typed_targets(archive_zip, tmp_path):
+    """export --what tweets/followers/all (ExportTarget, cli.rs:426-434):
+    per-member limit, type-tagged combined JSONL."""
+    import glob
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cliout")
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "--cores", "4", "import",
+         archive_zip, "--out", out, "--no-embeddings"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    idx = os.path.join(out, "index")
+
+    def _lines(d):
+        rows = []
+        for f in glob.glob(os.path.join(d, "part-*")):
+            with open(f) as fh:
+                rows += [json.loads(x) for x in fh if x.strip()]
+        return rows
+
+    tw_out = str(tmp_path / "tweets_export")
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "--cores", "4", "export",
+         "--what", "tweets", "--index", idx, "--out", tw_out],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    tw = _lines(tw_out)
+    assert {t["conv_id"] for t in tw} == {"tweet_100", "tweet_101"}
+
+    fol_out = str(tmp_path / "followers_export")
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "--cores", "4", "export",
+         "--what", "followers", "--archive", out, "--out", fol_out],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert {f["account_id"] for f in _lines(fol_out)} == {"501", "502"}
+
+    all_out = str(tmp_path / "all_export")
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "--cores", "4", "export",
+         "--what", "all", "--index", idx, "--archive", out,
+         "--format", "jsonl", "--out", all_out],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = _lines(all_out)
+    by_type = {}
+    for x in rows:
+        by_type.setdefault(x["type"], []).append(x["data"])
+    assert sorted(by_type) == ["dm", "follower", "like", "tweet"]
+    assert len(by_type["tweet"]) == 2 and len(by_type["dm"]) == 2
+    assert by_type["follower"][0]["account_id"] == "501"
+    assert all(isinstance(x["data"], dict) for x in rows)
+
+    # csv for 'all' refused (main.rs:2848-2852)
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "--cores", "4", "export",
+         "--what", "all", "--index", idx, "--format", "csv",
+         "--out", str(tmp_path / "nope")],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode != 0

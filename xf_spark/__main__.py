@@ -504,13 +504,105 @@ def cmd_stats(args) -> int:
     return 0
 
 
+# doc-type export targets -> conv_id prefix in the unified doc space
+# (ExportTarget, cli.rs:426-434; the readers tag each member's rows)
+_EXPORT_PREFIXES = {
+    "tweets": "tweet_",
+    "likes": "like_",
+    "dms": "dm_",
+    "grok": "grok_",
+}
+
+
+def _export_member(spark, args, what):
+    """One export member as a DataFrame, limit applied per member
+    (cmd_export, main.rs:2774-2800)."""
+    from pyspark.sql import functions as F
+
+    if what in _EXPORT_PREFIXES:
+        if not args.index:
+            raise SystemExit(f"export {what} requires --index")
+        from xf_spark.engine import XfIndex
+
+        ix = XfIndex.open(spark, args.index)
+        return (
+            ix.docs.where(F.col("conv_id").startswith(_EXPORT_PREFIXES[what]))
+            .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+            .orderBy("conv_id", "turn_idx")
+            .limit(args.limit)
+        )
+    # graph lists come straight off the extracted archive
+    import glob as _glob
+
+    from xf_spark.sources.archive import read_graph_list
+
+    if not args.archive:
+        raise SystemExit(f"export {what} requires --archive <extracted dir>")
+    member = {"followers": "follower.js", "following": "following.js",
+              "blocks": "block.js", "mutes": "mute.js"}[what]
+    files = sorted(_glob.glob(os.path.join(args.archive, "data", member)))
+    if not files:
+        raise SystemExit(f"no {member} under {args.archive}/data")
+    kind = {"followers": "follower", "following": "following",
+            "blocks": "block", "mutes": "mute"}[what]
+    return (
+        read_graph_list(spark, files, kind)
+        .orderBy("account_id")
+        .limit(args.limit)
+    )
+
+
 def cmd_export(args) -> int:
-    from xf_spark.engine import XfIndex
+    from pyspark.sql import functions as F
+
     from xf_spark.query.results import export_results
 
     spark = _spark(args)
-    ix = XfIndex.open(spark, args.index)
-    df = ix.search(args.query or "", mode="lexical", limit=args.limit)
+    if args.what == "search":
+        if not args.index:
+            raise SystemExit("export search requires --index")
+        from xf_spark.engine import XfIndex
+
+        ix = XfIndex.open(spark, args.index)
+        df = ix.search(args.query or "", mode="lexical", limit=args.limit)
+    elif args.what == "all":
+        # combined export: one type-tagged JSON line per record
+        # ({"type": t, "data": {...}} — the Jsonl arm of ExportTarget::All,
+        # main.rs:2815-2846); csv refused like the reference. Member
+        # schemas differ, so each record serializes to its own JSON
+        # object and the union is a line column written as text.
+        if args.format in ("csv", "parquet"):
+            raise SystemExit(
+                "export all supports json/jsonl only. Export individual types."
+            )
+        parts = []
+        for what in ("tweets", "likes", "dms", "grok", "followers", "following"):
+            try:
+                m = _export_member(spark, args, what)
+            except SystemExit:
+                continue  # member needs --index/--archive that wasn't given
+            tag = {"tweets": "tweet", "likes": "like", "dms": "dm",
+                   "grok": "grok", "followers": "follower",
+                   "following": "following"}[what]
+            parts.append(
+                m.select(
+                    F.concat(
+                        F.lit('{"type":"%s","data":' % tag),
+                        F.to_json(F.struct(*m.columns)),
+                        F.lit("}"),
+                    ).alias("value")
+                )
+            )
+        if not parts:
+            raise SystemExit("export all found no members (need --index/--archive)")
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df.coalesce(1).write.mode("overwrite").text(args.out)
+        print(f"exported -> {args.out}")
+        return 0
+    else:
+        df = _export_member(spark, args, args.what)
     export_results(df, args.out, fmt=args.format)
     print(f"exported -> {args.out}")
     return 0
@@ -601,10 +693,20 @@ def main(argv=None) -> int:
     pt.set_defaults(fn=cmd_stats)
 
     pe = sub.add_parser("export")
-    pe.add_argument("--index", required=True)
+    pe.add_argument(
+        "--what", default="search",
+        choices=["search", "tweets", "likes", "dms", "grok",
+                 "followers", "following", "blocks", "mutes", "all"],
+        help="search results (default) or a typed record set "
+             "(ExportTarget, cli.rs:426-434)",
+    )
+    pe.add_argument("--index", default=None)
+    pe.add_argument("--archive", default=None,
+                    help="extracted archive dir (graph-list targets)")
     pe.add_argument("--query", default="")
     pe.add_argument("--limit", type=int, default=1000)
-    pe.add_argument("--format", default="json", choices=["json", "csv", "parquet"])
+    pe.add_argument("--format", default="json",
+                    choices=["json", "jsonl", "csv", "parquet"])
     pe.add_argument("--out", required=True)
     pe.set_defaults(fn=cmd_export)
 
