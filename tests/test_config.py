@@ -1,0 +1,92 @@
+"""User configuration (config.rs; apply_config_set main.rs:3014-3080):
+key parsing/validation, delta-only persistence, env overrides."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from xf_spark import config as C
+
+
+@pytest.fixture()
+def cfg_file(tmp_path, monkeypatch):
+    path = str(tmp_path / "config.json")
+    monkeypatch.setenv("XF_SPARK_CONFIG", path)
+    monkeypatch.delenv("XF_LIMIT", raising=False)
+    return path
+
+
+def test_defaults_when_no_file(cfg_file):
+    cfg = C.load()
+    assert cfg["search.fuzzy"] is False
+    assert cfg["search.default_limit"] == 20
+    assert cfg["output.format"] == "text"
+
+
+def test_set_save_load_roundtrip(cfg_file):
+    cfg = C.load()
+    C.set_value(cfg, "search.fuzzy=true")
+    C.set_value(cfg, "search.default_limit = 7")
+    C.set_value(cfg, "indexing.skip_types=like, grok")
+    C.set_value(cfg, "archive=/tmp/a")  # bare alias (main.rs:3031)
+    C.save(cfg)
+    # delta-only persistence: defaults are not written
+    stored = json.load(open(cfg_file))
+    assert stored == {
+        "search.fuzzy": True,
+        "search.default_limit": 7,
+        "indexing.skip_types": ["like", "grok"],
+        "paths.archive": "/tmp/a",
+    }
+    again = C.load()
+    assert again["search.fuzzy"] is True
+    assert again["search.default_limit"] == 7
+    assert again["indexing.skip_types"] == ["like", "grok"]
+    assert again["search.highlight"] is True  # untouched default
+
+
+@pytest.mark.parametrize(
+    "raw",
+    [
+        "nonsense",                   # no '='
+        "=true",                      # empty key
+        "search.bogus=1",             # unknown key
+        "search.fuzzy=maybe",         # bad bool
+        "search.min_score=1.5",       # out of range (main.rs:3045-3047)
+        "search.default_limit=-2",    # negative
+        "output.format=",             # empty format
+    ],
+)
+def test_rejects_bad_assignments(cfg_file, raw):
+    cfg = C.load()
+    with pytest.raises(ValueError):
+        C.set_value(cfg, raw)
+
+
+def test_bool_forms_and_min_score(cfg_file):
+    cfg = C.load()
+    for raw, want in [("output.colors=0", False), ("output.colors=yes", True),
+                      ("output.colors=off", False)]:
+        C.set_value(cfg, raw)
+        assert cfg["output.colors"] is want
+    C.set_value(cfg, "search.min_score=0.25")
+    assert cfg["search.min_score"] == 0.25
+
+
+def test_xf_limit_env_override(cfg_file, monkeypatch):
+    cfg = C.load()
+    C.set_value(cfg, "search.default_limit=7")
+    C.save(cfg)
+    monkeypatch.setenv("XF_LIMIT", "11")
+    assert C.load()["search.default_limit"] == 11
+    monkeypatch.setenv("XF_LIMIT", "junk")
+    assert C.load()["search.default_limit"] == 7
+
+
+def test_corrupt_file_falls_back_to_defaults(cfg_file):
+    os.makedirs(os.path.dirname(cfg_file), exist_ok=True)
+    open(cfg_file, "w").write("{not json")
+    assert C.load()["search.default_limit"] == 20

@@ -339,3 +339,55 @@ def test_cli_export_typed_targets(archive_zip, tmp_path):
         capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
     )
     assert r.returncode != 0
+
+
+def test_config_drives_cli_defaults(archive_zip, tmp_path):
+    """Config-file wiring (cmd_config main.rs:2941-2969 + the live
+    search.fuzzy knob): paths.index / search.default_limit /
+    search.fuzzy / output.format all resolve from config when the flag
+    is absent; indexing.skip_types drops members at import."""
+    import subprocess
+    import sys
+
+    cfg_path = str(tmp_path / "config.json")
+    env = dict(os.environ, PYTHONPATH="/root/repo", XF_SPARK_CONFIG=cfg_path)
+    env.pop("XF_LIMIT", None)
+
+    def run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", *argv],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+
+    # skip likes+dms at import via config
+    r = run("config", "--set", "indexing.skip_types=like,dm")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = str(tmp_path / "cliout")
+    r = run("import", archive_zip, "--out", out, "--no-embeddings")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "skipping member types: like,dm" in r.stdout
+    assert "indexed 2 turns" in r.stdout  # tweets only
+
+    # bad key rejected
+    r = run("config", "--set", "search.bogus=1")
+    assert r.returncode == 1 and "Unknown config key" in r.stdout
+
+    # search with NO --index/--limit/--format/--fuzzy: all from config;
+    # 'spar' only matches via fuzzy expansion to 'spark'
+    idx = os.path.join(out, "index")
+    r = run("config", "--set", "search.fuzzy=true",
+            "--set", "search.default_limit=1",
+            "--set", f"paths.index={idx}",
+            "--set", "output.format=json")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = run("search", "spar", "--mode", "lexical")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rows = json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(rows) == 1 and rows[0]["conv_id"] == "tweet_100"
+
+    # flag still wins over config
+    r = run("search", "spar", "--mode", "lexical", "--limit", "2",
+            "--format", "json")
+    rows = json.loads(r.stdout.strip().splitlines()[-1])
+    assert {x["conv_id"] for x in rows} == {"tweet_100"}  # only 1 match

@@ -218,8 +218,13 @@ def cmd_import(args) -> int:
         return 0
     from xf_spark.engine import XfIndex
 
+    from xf_spark import config as _config
+
+    skip = _config.load()["indexing.skip_types"]
+    if skip:
+        print(f"skipping member types: {','.join(skip)}")
     spark = _spark(args)
-    transcripts = read_archive_dir(spark, args.out)
+    transcripts = read_archive_dir(spark, args.out, skip=skip)
     idx = args.index_out or os.path.join(args.out, "index")
     ix = XfIndex.build(transcripts, idx, with_embeddings=not args.no_embeddings)
     print(f"indexed {ix.docs.count()} turns -> {idx}")
@@ -472,26 +477,65 @@ def _format_rows(rows, fmt: str, columns: list[str]):
 
 
 def cmd_search(args) -> int:
+    from xf_spark import config as _config
     from xf_spark.engine import XfIndex
 
+    cfg = _config.load()
+    # config-file defaults for everything the flag didn't pin
+    # (SearchConfig/OutputConfig, config.rs:66-110)
+    index = args.index or cfg["paths.index"]
+    if not index:
+        print("search requires --index (or `config --set paths.index=...`)")
+        return 1
+    limit = args.limit if args.limit is not None else cfg["search.default_limit"]
+    fuzzy = args.fuzzy if args.fuzzy is not None else cfg["search.fuzzy"]
+    fmt = args.format or cfg["output.format"]
     spark = _spark(args)
-    ix = XfIndex.open(spark, args.index)
+    ix = XfIndex.open(spark, index)
     df = ix.search(
         args.query,
         mode=args.mode,
-        limit=args.limit,
+        limit=limit,
         offset=args.offset,
         roles=args.roles.split(",") if args.roles else None,
         since=args.since,
         until=args.until,
         sort=args.sort,
-        snippets=args.format == "text",
+        snippets=fmt == "text",
         context=args.context,
-        fuzzy=args.fuzzy,
+        fuzzy=fuzzy,
     )
     rows = df.collect()
     cols = df.columns
-    _format_rows(rows, args.format, cols)
+    min_score = cfg["search.min_score"]
+    if min_score > 0 and "score" in cols:
+        rows = [r for r in rows if r["score"] >= min_score]
+    _format_rows(rows, fmt, cols)
+    return 0
+
+
+def cmd_config(args) -> int:
+    """`config --set key=value [--archive P] [--show]` (cmd_config,
+    main.rs:2941-2969)."""
+    from xf_spark import config as _config
+
+    cfg = _config.load()
+    changed = False
+    for raw in args.set or []:
+        try:
+            _config.set_value(cfg, raw)
+        except ValueError as exc:
+            print(str(exc))
+            return 1
+        changed = True
+    if args.archive is not None:
+        cfg["paths.archive"] = args.archive or None
+        changed = True
+    if changed:
+        path = _config.save(cfg)
+        print(f"updated configuration -> {path}")
+    if args.show or not changed:
+        print(json.dumps(cfg, indent=2, sort_keys=True))
     return 0
 
 
@@ -669,10 +713,11 @@ def main(argv=None) -> int:
 
     ps = sub.add_parser("search")
     ps.add_argument("query")
-    ps.add_argument("--index", required=True)
+    ps.add_argument("--index", default=None,
+                    help="index dir (falls back to config paths.index)")
     ps.add_argument("--mode", default="hybrid",
                     choices=["lexical", "semantic", "hybrid", "bm25", "vector", "rrf"])
-    ps.add_argument("--limit", type=int, default=20)
+    ps.add_argument("--limit", type=int, default=None)
     ps.add_argument("--offset", type=int, default=0)
     ps.add_argument("--roles", default=None, help="comma list: user,assistant,tool")
     ps.add_argument("--since", default=None)
@@ -680,12 +725,23 @@ def main(argv=None) -> int:
     ps.add_argument("--sort", default="relevance",
                     choices=["relevance", "date", "date_desc", "engagement"])
     ps.add_argument("--context", action="store_true")
-    ps.add_argument("--fuzzy", action="store_true",
+    ps.add_argument("--fuzzy", action="store_true", default=None,
                     help="typo tolerance: expand terms to edit-distance-1 "
-                         "vocabulary neighbors (search.fuzzy, config.rs:75)")
-    ps.add_argument("--format", default="text",
+                         "vocabulary neighbors (search.fuzzy, config.rs:75; "
+                         "default from config)")
+    ps.add_argument("--format", default=None,
                     choices=["text", "json", "json-pretty", "csv", "compact"])
     ps.set_defaults(fn=cmd_search)
+
+    pcfg = sub.add_parser(
+        "config", help="show or update user configuration"
+    )
+    pcfg.add_argument("--set", action="append", metavar="KEY=VALUE",
+                      help="assign a config key (repeatable)")
+    pcfg.add_argument("--archive", default=None,
+                      help="remember a default archive path")
+    pcfg.add_argument("--show", action="store_true")
+    pcfg.set_defaults(fn=cmd_config)
 
     pt = sub.add_parser("stats")
     pt.add_argument("--index", required=True)

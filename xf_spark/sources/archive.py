@@ -324,38 +324,45 @@ def import_archive_zip(
     return n_files, n_bytes
 
 
-def read_archive_dir(spark: SparkSession, root: str) -> DataFrame:
+def read_archive_dir(
+    spark: SparkSession, root: str, skip: list[str] | tuple = ()
+) -> DataFrame:
     """Union every known archive member under ``root/data`` into one
     transcripts-shaped frame (the post-extract index pass,
     main.rs:634-657 -> parser.rs member discovery: tweets.js +
     tweets-part*.js, like.js | likes.js, direct-messages.js +
     direct-messages-group*.js, grok-chat-item.js). Members that are
-    absent are skipped; at least one must exist."""
+    absent are skipped; at least one must exist. ``skip`` drops member
+    types by name (tweet/like/dm/grok — the indexing.skip_types config,
+    config.rs IndexingConfig + the --only filter, main.rs:890-898)."""
     import glob as _glob
     import os
 
+    unknown = set(skip) - {"tweet", "like", "dm", "grok"}
+    if unknown:
+        raise ValueError(f"unknown skip types: {sorted(unknown)}")
     data = os.path.join(root, "data")
     parts = []
     tweet_files = sorted(
         _glob.glob(os.path.join(data, "tweets.js"))
         + _glob.glob(os.path.join(data, "tweets-part*.js"))
     )
-    if tweet_files:
+    if tweet_files and "tweet" not in skip:
         parts.append(read_tweet_archive(spark, tweet_files))
     like_files = sorted(
         _glob.glob(os.path.join(data, "like.js"))
         + _glob.glob(os.path.join(data, "likes.js"))
     )
-    if like_files:
+    if like_files and "like" not in skip:
         parts.append(read_like_archive(spark, like_files))
     dm_files = sorted(
         _glob.glob(os.path.join(data, "direct-messages.js"))
         + _glob.glob(os.path.join(data, "direct-messages-group*.js"))
     )
-    if dm_files:
+    if dm_files and "dm" not in skip:
         parts.append(read_dm_archive(spark, dm_files))
     grok_files = sorted(_glob.glob(os.path.join(data, "grok-chat-item.js")))
-    if grok_files:
+    if grok_files and "grok" not in skip:
         parts.append(read_grok_archive(spark, grok_files))
     if not parts:
         raise ValueError(f"no archive members found under {data}")
