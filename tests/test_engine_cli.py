@@ -95,6 +95,12 @@ class TestXfIndex:
         s = ix.stats(detailed=True)
         assert s["n_turns"] == 1512
         assert sum(d["n"] for d in s["daily"]) == 1512
+        # per-doc-type counts (StorageStats analog): zero on a
+        # transcript corpus — archive-typed conv_id prefixes absent
+        assert s["doc_types"] == {
+            "tweets": 0, "likes": 0, "dm_messages": 0,
+            "dm_conversations": 0, "grok_messages": 0,
+        }
 
 
 class TestQueryParallelismInvariance:

@@ -340,6 +340,22 @@ def test_cli_export_typed_targets(archive_zip, tmp_path):
     )
     assert r.returncode != 0
 
+    # stats --archive: doc-type + social-graph counts (main.rs:2100-2146)
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "--cores", "4", "stats",
+         "--index", idx, "--archive", out],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.loads(r.stdout[r.stdout.index("{"):])
+    assert s["doc_types"] == {
+        "tweets": 2, "likes": 1, "dm_messages": 2,
+        "dm_conversations": 1, "grok_messages": 0,
+    }
+    assert s["graph"] == {
+        "followers": 2, "following": 0, "blocks": 1, "mutes": 0,
+    }
+
 
 def test_config_drives_cli_defaults(archive_zip, tmp_path):
     """Config-file wiring (cmd_config main.rs:2941-2969 + the live

@@ -544,7 +544,30 @@ def cmd_stats(args) -> int:
 
     spark = _spark(args)
     ix = XfIndex.open(spark, args.index)
-    print(json.dumps(ix.stats(detailed=args.detailed), default=str, indent=2))
+    out = ix.stats(detailed=args.detailed)
+    if args.archive:
+        # social-graph counts come off the extracted archive
+        # (followers/following/blocks/mutes rows of cmd_stats,
+        # main.rs:2129-2146)
+        import glob as _glob
+
+        from xf_spark.sources.archive import read_graph_list
+
+        graph = {}
+        for what, member, kind in (
+            ("followers", "follower.js", "follower"),
+            ("following", "following.js", "following"),
+            ("blocks", "block.js", "block"),
+            ("mutes", "mute.js", "mute"),
+        ):
+            files = sorted(
+                _glob.glob(os.path.join(args.archive, "data", member))
+            )
+            graph[what] = (
+                read_graph_list(spark, files, kind).count() if files else 0
+            )
+        out["graph"] = graph
+    print(json.dumps(out, default=str, indent=2))
     return 0
 
 
@@ -746,6 +769,9 @@ def main(argv=None) -> int:
     pt = sub.add_parser("stats")
     pt.add_argument("--index", required=True)
     pt.add_argument("--detailed", action="store_true")
+    pt.add_argument("--archive", default=None,
+                    help="extracted archive dir: include social-graph "
+                         "counts (main.rs:2129-2146)")
     pt.set_defaults(fn=cmd_stats)
 
     pe = sub.add_parser("export")

@@ -1014,13 +1014,34 @@ class XfIndex:
     def stats(self, detailed: bool = False) -> dict:
         from xf_spark.analytics import stats as S
 
+        def _typed(prefix):
+            return F.sum(
+                F.col("conv_id").startswith(prefix).cast("long")
+            )
+
         basic = self.docs.agg(
             F.count("*").alias("n_turns"),
             F.countDistinct("conv_id").alias("n_conversations"),
             F.min("ts").alias("first_ts"),
             F.max("ts").alias("last_ts"),
+            # per-doc-type counts in the SAME scan (StorageStats,
+            # main.rs:2100-2126) — zero on non-archive corpora
+            _typed("tweet_").alias("tweets"),
+            _typed("like_").alias("likes"),
+            _typed("dm_").alias("dm_messages"),
+            F.countDistinct(
+                F.when(F.col("conv_id").startswith("dm_"), F.col("conv_id"))
+            ).alias("dm_conversations"),
+            _typed("grok_").alias("grok_messages"),
         ).first()
         out = {k: basic[k] for k in basic.asDict()}
+        out["doc_types"] = {
+            k: out.pop(k)
+            for k in (
+                "tweets", "likes", "dm_messages", "dm_conversations",
+                "grok_messages",
+            )
+        }
         if detailed:
             out["activity"] = S.activity_summary(self.docs).first().asDict()
             out["daily"] = [r.asDict() for r in S.daily_counts(self.docs).collect()]
