@@ -90,3 +90,25 @@ def test_corrupt_file_falls_back_to_defaults(cfg_file):
     os.makedirs(os.path.dirname(cfg_file), exist_ok=True)
     open(cfg_file, "w").write("{not json")
     assert C.load()["search.default_limit"] == 20
+
+
+def test_completions_command(capsys):
+    """Commands::Completions analog — generated from the live argparse
+    tree, bash-syntax-valid, covers every subcommand."""
+    import subprocess
+    import sys
+
+    from xf_spark.__main__ import build_parser, main
+
+    assert main(["completions", "bash"]) == 0
+    script = capsys.readouterr().out
+    sub_names = set()
+    for action in build_parser()._subparsers._group_actions:
+        sub_names |= set(action.choices)
+    for name in sub_names:
+        assert f"\n    {name}) " in script or f"{name} " in script, name
+    r = subprocess.run(["bash", "-n"], input=script, capture_output=True,
+                       text=True, timeout=30)
+    assert r.returncode == 0, r.stderr
+    assert main(["completions", "zsh"]) == 0
+    assert "#compdef" in capsys.readouterr().out

@@ -571,6 +571,50 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_completions(args) -> int:
+    """Emit a shell-completion script (Commands::Completions,
+    main.rs:203-206). Generated from the live argparse tree, so new
+    subcommands/flags appear without touching this function."""
+    parser = build_parser()
+    subs = {}
+    for action in parser._subparsers._group_actions:
+        for name, sp in action.choices.items():
+            opts = []
+            positional_choices = []
+            for a in sp._actions:
+                opts.extend(a.option_strings)
+                if not a.option_strings and a.choices:
+                    positional_choices.extend(a.choices)
+            subs[name] = sorted(set(opts)) + sorted(positional_choices)
+    prog = "xf_spark"
+    if args.shell == "bash":
+        lines = [
+            f"_{prog}_complete() {{",
+            "  local cur prev cmds",
+            '  cur="${COMP_WORDS[COMP_CWORD]}"',
+            f'  cmds="{" ".join(sorted(subs))}"',
+            "  if [ $COMP_CWORD -le 1 ]; then",
+            '    COMPREPLY=( $(compgen -W "$cmds" -- "$cur") ); return',
+            "  fi",
+            '  case "${COMP_WORDS[1]}" in',
+        ]
+        for name, words in sorted(subs.items()):
+            lines.append(
+                f'    {name}) COMPREPLY=( $(compgen -W "{" ".join(words)}"'
+                ' -- "$cur") );;'
+            )
+        lines += ["  esac", "}", f"complete -F _{prog}_complete {prog}",
+                  f"complete -F _{prog}_complete 'python -m {prog}'"]
+        print("\n".join(lines))
+        return 0
+    if args.shell == "zsh":
+        print(f"#compdef {prog}")
+        print("_arguments '1:command:(" + " ".join(sorted(subs)) + ")'")
+        return 0
+    print(f"unsupported shell: {args.shell}")
+    return 1
+
+
 # doc-type export targets -> conv_id prefix in the unified doc space
 # (ExportTarget, cli.rs:426-434; the readers tag each member's rows)
 _EXPORT_PREFIXES = {
@@ -684,7 +728,7 @@ def cmd_doctor(args) -> int:
     return 0 if all(c.ok for c in checks) else 1
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="xf_spark")
     p.add_argument("--cores", default=None, help="local[N] cores (default: env/all)")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -882,7 +926,18 @@ def main(argv=None) -> int:
     )
     pd_.set_defaults(fn=cmd_doctor)
 
-    args = p.parse_args(argv)
+    pcm = sub.add_parser(
+        "completions", help="emit a shell completion script"
+    )
+    pcm.add_argument("shell", nargs="?", default="bash",
+                     choices=["bash", "zsh"])
+    pcm.set_defaults(fn=cmd_completions)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
     return args.fn(args)
 
 
