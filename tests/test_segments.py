@@ -919,3 +919,23 @@ def _lev(a: str, b: str) -> int:
         for j, cb in enumerate(b, 1):
             d[j] = min(prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (ca != cb))
     return int(d[-1])
+
+
+def test_search_many_fuzzy_equals_per_query(built):
+    """Batched fuzzy == per-query fuzzy; the batch primes the variant
+    memo for every member's terms in ONE vocabulary scan."""
+    ix, _, _, _ = built
+    ix._fuzzy_memo.clear()
+    qs = ["machin", "rust NOT machin", "ml", "zzqqxxyyzz"]
+    batch = ix.search_many(qs, limit=20, fuzzy=True)
+    assert {"machin", "rust", "ml", "zzqqxxyyzz"} <= set(ix._fuzzy_memo)
+    for q in qs:
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search(q, limit=20, fuzzy=True).collect()
+        ]
+        got = [(d, round(s, 9)) for d, s in batch[q]]
+        assert got == want, q
+    # non-fuzzy batch unchanged by the fuzzy plumbing
+    plain = ix.search_many(["machin"], limit=20)
+    assert plain["machin"] == []

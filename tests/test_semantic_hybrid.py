@@ -567,6 +567,24 @@ class TestQueryRoleFilters:
                         ix.search(q, mode=mode, limit=10).collect()]
                 assert got == want, (mode, q)
 
+    def test_msearch_hybrid_fuzzy_equals_per_query(self, ix):
+        """fuzzy=True flows through msearch's lexical branches (block
+        path AND role-filtered members); semantic scoring is unchanged
+        (typo-tolerant by construction)."""
+        queries = ["machin learning", "rust machin role:assistant"]
+        batch = ix.msearch(queries, limit=10, mode="hybrid", fuzzy=True)
+        for q in queries:
+            got = [(d, round(s, 9)) for d, s in batch[q]]
+            want = [(r["doc_id"], round(r["score"], 9)) for r in
+                    ix.search(q, mode="hybrid", limit=10, fuzzy=True).collect()]
+            assert got == want, q
+        # and the typo really matters on the lexical side (the fused
+        # hybrid ranks can coincide when the semantic branch dominates,
+        # so the meaningful contrast is the lexical branch itself)
+        lex_fuzzy = ix.msearch(["machin"], limit=10, fuzzy=True)["machin"]
+        lex_plain = ix.msearch(["machin"], limit=10)["machin"]
+        assert lex_plain == [] and len(lex_fuzzy) > 0
+
 
 class TestMoreLikeThis:
     """XfIndex.more_like_this: similar-turns by the target's own

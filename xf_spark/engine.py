@@ -906,7 +906,11 @@ class XfIndex:
         return out
 
     def msearch(
-        self, queries: list[str], limit: int = 20, mode: str = "lexical"
+        self,
+        queries: list[str],
+        limit: int = 20,
+        mode: str = "lexical",
+        fuzzy: bool = False,
     ) -> dict[str, list[tuple[int, float]]]:
         """Batched multi-search — the serving path for query streams.
         The result is keyed by query string, so duplicate batch
@@ -928,7 +932,9 @@ class XfIndex:
             mode, mode
         )
         if mode == "lexical":
-            return self.segment_index.search_many(distinct, limit=limit)
+            return self.segment_index.search_many(
+                distinct, limit=limit, fuzzy=fuzzy
+            )
         if mode not in ("semantic", "hybrid"):
             raise ValueError(
                 f"msearch mode must be lexical|semantic|hybrid, got {mode!r}"
@@ -969,7 +975,9 @@ class XfIndex:
         for q in role_filtered:
             out[q] = [
                 (r["doc_id"], r["score"])
-                for r in self._search_hits(q, mode=mode, limit=limit).collect()
+                for r in self._search_hits(
+                    q, mode=mode, limit=limit, fuzzy=fuzzy
+                ).collect()
             ]
         if mode == "semantic":
             if plain:
@@ -983,7 +991,9 @@ class XfIndex:
 
         if plain:
             n = candidate_count(limit)
-            lex_all = self.segment_index.search_many(plain, limit=n)
+            lex_all = self.segment_index.search_many(
+                plain, limit=n, fuzzy=fuzzy
+            )
             if self._pinned_vecs is not None:
                 sem_all = self._pinned_topk_block(plain, n)
             else:

@@ -718,33 +718,54 @@ class SegmentIndex:
         the same cost class as Tantivy's FST automaton walk — paid once
         per NOVEL fuzzy term and memoized for the index lifetime.
         Found dfs feed _df_memo, so idf resolution is free afterward."""
-        if term in self._fuzzy_memo:
-            return self._fuzzy_memo[term]
-        if len(term) < FUZZY_MIN_LEN:
-            # AUTO distance 0 below 3 chars: no expansion
-            self._fuzzy_memo[term] = [term]
-            return [term]
-        ln = len(term)
+        return self.fuzzy_variants_many({term})[term]
+
+    def fuzzy_variants_many(self, terms) -> dict[str, list[str]]:
+        """Batched variant lookup: ONE vocabulary scan serves every
+        novel term in ``terms`` (the msearch amortization pattern —
+        per-query lookups would pay the scan per member). Memoized
+        terms are answered from the memo without a job."""
+        out: dict[str, list[str]] = {}
+        novel: list[str] = []
+        for term in terms:
+            if term in self._fuzzy_memo:
+                out[term] = self._fuzzy_memo[term]
+            elif len(term) < FUZZY_MIN_LEN:
+                # AUTO distance 0 below 3 chars: no expansion
+                self._fuzzy_memo[term] = [term]
+                out[term] = [term]
+            else:
+                novel.append(term)
+        if not novel:
+            return out
+        # one scan reading only (term, n_docs); the pushed predicate is
+        # the union of the per-term length windows
+        length_cond = None
+        for t in novel:
+            c = F.length("term").between(len(t) - 1, len(t) + 1)
+            length_cond = c if length_cond is None else (length_cond | c)
+        spark = self._segments.sparkSession
+        qdf = spark.createDataFrame([(t,) for t in novel], ["qterm"])
         rows = (
-            self._segments.where(
-                (F.col("field") == "text")
-                & F.length("term").between(ln - 1, ln + 1)
-                & (F.levenshtein(F.col("term"), F.lit(term)) <= 1)
-            )
+            self._segments.where((F.col("field") == "text") & length_cond)
             .groupBy("term")
             .agg(F.sum("n_docs").alias("df"))
-            .orderBy(F.desc("df"), F.asc("term"))
-            .limit(FUZZY_MAX_EXPANSIONS)
+            .join(
+                F.broadcast(qdf),
+                F.levenshtein(F.col("term"), F.col("qterm")) <= 1,
+            )
             .collect()
         )
-        variants = []
+        by_q: dict[str, list] = {t: [] for t in novel}
         for r in rows:
-            variants.append(r["term"])
+            by_q[r["qterm"]].append((-int(r["df"]), r["term"]))
             self._df_memo[("text", r["term"])] = int(r["df"])
-        if not variants:
-            variants = [term]  # unknown term, no neighbors: unchanged
-        self._fuzzy_memo[term] = variants
-        return variants
+        for t in novel:
+            ranked = [term for _, term in sorted(by_q[t])]
+            variants = ranked[:FUZZY_MAX_EXPANSIONS] or [t]
+            self._fuzzy_memo[t] = variants
+            out[t] = variants
+        return out
 
     def _expand_fuzzy(self, plan):
         """AST rewrite for fuzzy=True (shared with BM25Engine — see
@@ -1175,7 +1196,11 @@ class SegmentIndex:
         return _merge_qid_rows(scored.collect(), qlist, k)
 
     def search_many(
-        self, queries: list[str], limit: int = 20, exhaustive: bool = False
+        self,
+        queries: list[str],
+        limit: int = 20,
+        exhaustive: bool = False,
+        fuzzy: bool = False,
     ) -> dict[str, list[tuple[int, float]]]:
         """Batched multi-search (the msearch serving pattern): ONE
         bucket-pruned scan for the union of all queries' terms, ONE
@@ -1202,6 +1227,17 @@ class SegmentIndex:
                 "search_many: %d unparseable batch member(s) served as "
                 "empty results: %s", len(rejected), rejected[:5],
             )
+        if fuzzy:
+            # ONE vocabulary scan expands every member's term leaves
+            # (per-member expansion would pay the scan per novel term)
+            batch_terms: set[str] = set()
+            for pl, _qr in extracted.values():
+                batch_terms |= query_terms(pl)
+            self.fuzzy_variants_many(batch_terms)  # primes the memo
+            extracted = {
+                q: (self._expand_fuzzy(pl), qr)
+                for q, (pl, qr) in extracted.items()
+            }
         # queries carrying type:/role: filters: light members take the
         # filtered single-query path (driver-resolved when warm); heavy
         # members batch through ONE filtered cogroup job below
