@@ -151,6 +151,19 @@ def query_phase(cores: int, seg_path: str):
             sorted(ts)[RUNS // 2], 4
         )
 
+        # typo-tolerant search: first call pays the one-time
+        # vocabulary scan (fuzzy_variants memo), steady-state is the
+        # expanded-OR decode — report the warm number like the rest
+        ix.search_many(["machin"], limit=20, fuzzy=True)  # prime memo
+        ts = []
+        for _ in range(RUNS):
+            s = time.time()
+            ix.search_many(["machin"], limit=20, fuzzy=True)
+            ts.append(time.time() - s)
+        queries["lexical_fuzzy_engine_p50"] = round(
+            sorted(ts)[RUNS // 2], 4
+        )
+
         # sustained serving throughput: batched multi-search
         # (msearch pattern — one pruned scan + one decode per
         # batch of 8). QPS, not single-query latency, is the
