@@ -6,11 +6,13 @@ import pytest
 
 from xf_spark.session import get_spark
 
-# hermetic tests: never read or write the user's real config file
-# (tests that exercise config set XF_SPARK_CONFIG themselves)
-os.environ.setdefault(
-    "XF_SPARK_CONFIG", f"/tmp/xf_spark_tests_config_{os.getpid()}.json"
-)
+# hermetic tests: never read or write the user's real config file —
+# force-set (not setdefault: a developer-exported XF_SPARK_CONFIG
+# would otherwise leak real config into CLI subprocesses). Tests that
+# exercise config re-point XF_SPARK_CONFIG themselves. XF_LIMIT would
+# silently change search defaults, so drop it too.
+os.environ["XF_SPARK_CONFIG"] = f"/tmp/xf_spark_tests_config_{os.getpid()}.json"
+os.environ.pop("XF_LIMIT", None)
 
 
 @pytest.fixture(scope="session")

@@ -110,5 +110,50 @@ def test_completions_command(capsys):
     r = subprocess.run(["bash", "-n"], input=script, capture_output=True,
                        text=True, timeout=30)
     assert r.returncode == 0, r.stderr
+    # functional: the dispatcher must find the subcommand even with a
+    # global flag before it (--cores 4 search), not assume COMP_WORDS[1]
+    drive = (
+        script
+        + '\nCOMP_WORDS=(xf_spark --cores 4 search --); COMP_CWORD=4;'
+        + '\n_xf_spark_complete; printf "%s\\n" "${COMPREPLY[@]}"'
+    )
+    r = subprocess.run(["bash"], input=drive, capture_output=True,
+                       text=True, timeout=30)
+    assert r.returncode == 0, r.stderr
+    got = set(r.stdout.split())
+    assert {"--fuzzy", "--no-fuzzy"} <= got, got
     assert main(["completions", "zsh"]) == 0
     assert "#compdef" in capsys.readouterr().out
+
+
+def test_set_does_not_persist_xf_limit(cfg_file, monkeypatch):
+    """XF_LIMIT is a per-invocation override (config.rs:69); a
+    read-modify-save with apply_env=False must not write it through."""
+    monkeypatch.setenv("XF_LIMIT", "11")
+    cfg = C.load(apply_env=False)
+    C.set_value(cfg, "output.colors=0")
+    C.save(cfg)
+    stored = json.load(open(cfg_file))
+    assert "search.default_limit" not in stored
+    assert C.load()["search.default_limit"] == 11       # env still live
+    monkeypatch.delenv("XF_LIMIT")
+    assert C.load()["search.default_limit"] == 20       # not persisted
+
+
+def test_validates_skip_types_and_format_at_set_time(cfg_file):
+    cfg = C.load()
+    with pytest.raises(ValueError, match="likes"):
+        C.set_value(cfg, "indexing.skip_types=likes")   # plural: invalid
+    with pytest.raises(ValueError):
+        C.set_value(cfg, "output.format=xml")
+    C.set_value(cfg, "indexing.skip_types=like,grok")   # singular: fine
+    C.set_value(cfg, "output.format=json-pretty")
+
+
+def test_search_parser_no_fuzzy_overrides_config():
+    from xf_spark.__main__ import build_parser
+
+    p = build_parser()
+    assert p.parse_args(["search", "q"]).fuzzy is None
+    assert p.parse_args(["search", "q", "--fuzzy"]).fuzzy is True
+    assert p.parse_args(["search", "q", "--no-fuzzy"]).fuzzy is False

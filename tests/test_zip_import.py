@@ -326,9 +326,12 @@ def test_cli_export_typed_targets(archive_zip, tmp_path):
     by_type = {}
     for x in rows:
         by_type.setdefault(x["type"], []).append(x["data"])
-    assert sorted(by_type) == ["dm", "follower", "like", "tweet"]
+    # every member present in the archive is included (mutes/following
+    # absent from the fixture, so absent here — not silently dropped)
+    assert sorted(by_type) == ["block", "dm", "follower", "like", "tweet"]
     assert len(by_type["tweet"]) == 2 and len(by_type["dm"]) == 2
     assert by_type["follower"][0]["account_id"] == "501"
+    assert by_type["block"][0]["account_id"] == "601"
     assert all(isinstance(x["data"], dict) for x in rows)
 
     # csv for 'all' refused (main.rs:2848-2852)

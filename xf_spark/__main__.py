@@ -328,12 +328,26 @@ def cmd_get(args) -> int:
     return 0
 
 
+# graph-list target -> (archive member file, read_graph_list kind) —
+# the ONE table list/stats/export all derive from
+_GRAPH_MEMBERS = {
+    "followers": ("follower.js", "follower"),
+    "following": ("following.js", "following"),
+    "blocks": ("block.js", "block"),
+    "mutes": ("mute.js", "mute"),
+}
+
+
+def _graph_reader(kind):
+    return lambda m, s, f: m.read_graph_list(s, f, kind)
+
+
 # list target -> (archive member glob, reader over the matched files)
 _ARCHIVE_LISTS = {
-    "followers": ("follower.js", lambda m, s, f: m.read_graph_list(s, f, "follower")),
-    "following": ("following.js", lambda m, s, f: m.read_graph_list(s, f, "following")),
-    "blocks": ("block.js", lambda m, s, f: m.read_graph_list(s, f, "block")),
-    "mutes": ("mute.js", lambda m, s, f: m.read_graph_list(s, f, "mute")),
+    **{
+        what: (member, _graph_reader(kind))
+        for what, (member, kind) in _GRAPH_MEMBERS.items()
+    },
     "account": ("account.js", lambda m, s, f: m.read_account(s, f)),
     "profile": ("profile.js", lambda m, s, f: m.read_profile(s, f)),
     "manifest": ("manifest.js", lambda m, s, f: m.read_manifest(s, f)),
@@ -519,7 +533,9 @@ def cmd_config(args) -> int:
     main.rs:2941-2969)."""
     from xf_spark import config as _config
 
-    cfg = _config.load()
+    # read-modify-save: load WITHOUT the transient XF_LIMIT override,
+    # or any --set would persist the env value into the stored file
+    cfg = _config.load(apply_env=False)
     changed = False
     for raw in args.set or []:
         try:
@@ -554,12 +570,7 @@ def cmd_stats(args) -> int:
         from xf_spark.sources.archive import read_graph_list
 
         graph = {}
-        for what, member, kind in (
-            ("followers", "follower.js", "follower"),
-            ("following", "following.js", "following"),
-            ("blocks", "block.js", "block"),
-            ("mutes", "mute.js", "mute"),
-        ):
+        for what, (member, kind) in _GRAPH_MEMBERS.items():
             files = sorted(
                 _glob.glob(os.path.join(args.archive, "data", member))
             )
@@ -588,23 +599,29 @@ def cmd_completions(args) -> int:
             subs[name] = sorted(set(opts)) + sorted(positional_choices)
     prog = "xf_spark"
     if args.shell == "bash":
+        # the subcommand is the first word that names one — NOT
+        # COMP_WORDS[1], which may be a global flag like --cores
         lines = [
             f"_{prog}_complete() {{",
-            "  local cur prev cmds",
+            "  local cur cmds cmd w i",
             '  cur="${COMP_WORDS[COMP_CWORD]}"',
             f'  cmds="{" ".join(sorted(subs))}"',
-            "  if [ $COMP_CWORD -le 1 ]; then",
-            '    COMPREPLY=( $(compgen -W "$cmds" -- "$cur") ); return',
+            '  cmd=""',
+            "  for ((i=1; i<COMP_CWORD; i++)); do",
+            '    w="${COMP_WORDS[i]}"',
+            '    case " $cmds " in *" $w "*) cmd="$w"; break;; esac',
+            "  done",
+            '  if [ -z "$cmd" ]; then',
+            '    COMPREPLY=( $(compgen -W "$cmds --cores" -- "$cur") ); return',
             "  fi",
-            '  case "${COMP_WORDS[1]}" in',
+            '  case "$cmd" in',
         ]
         for name, words in sorted(subs.items()):
             lines.append(
                 f'    {name}) COMPREPLY=( $(compgen -W "{" ".join(words)}"'
                 ' -- "$cur") );;'
             )
-        lines += ["  esac", "}", f"complete -F _{prog}_complete {prog}",
-                  f"complete -F _{prog}_complete 'python -m {prog}'"]
+        lines += ["  esac", "}", f"complete -F _{prog}_complete {prog}"]
         print("\n".join(lines))
         return 0
     if args.shell == "zsh":
@@ -649,13 +666,10 @@ def _export_member(spark, args, what):
 
     if not args.archive:
         raise SystemExit(f"export {what} requires --archive <extracted dir>")
-    member = {"followers": "follower.js", "following": "following.js",
-              "blocks": "block.js", "mutes": "mute.js"}[what]
+    member, kind = _GRAPH_MEMBERS[what]
     files = sorted(_glob.glob(os.path.join(args.archive, "data", member)))
     if not files:
         raise SystemExit(f"no {member} under {args.archive}/data")
-    kind = {"followers": "follower", "following": "following",
-            "blocks": "block", "mutes": "mute"}[what]
     return (
         read_graph_list(spark, files, kind)
         .orderBy("account_id")
@@ -687,14 +701,15 @@ def cmd_export(args) -> int:
                 "export all supports json/jsonl only. Export individual types."
             )
         parts = []
-        for what in ("tweets", "likes", "dms", "grok", "followers", "following"):
+        for what in (*_EXPORT_PREFIXES, *_GRAPH_MEMBERS):
             try:
                 m = _export_member(spark, args, what)
             except SystemExit:
                 continue  # member needs --index/--archive that wasn't given
             tag = {"tweets": "tweet", "likes": "like", "dms": "dm",
                    "grok": "grok", "followers": "follower",
-                   "following": "following"}[what]
+                   "following": "following", "blocks": "block",
+                   "mutes": "mute"}[what]
             parts.append(
                 m.select(
                     F.concat(
@@ -792,10 +807,12 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--sort", default="relevance",
                     choices=["relevance", "date", "date_desc", "engagement"])
     ps.add_argument("--context", action="store_true")
-    ps.add_argument("--fuzzy", action="store_true", default=None,
+    ps.add_argument("--fuzzy", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="typo tolerance: expand terms to edit-distance-1 "
                          "vocabulary neighbors (search.fuzzy, config.rs:75; "
-                         "default from config)")
+                         "default from config; --no-fuzzy overrides a "
+                         "config-enabled default)")
     ps.add_argument("--format", default=None,
                     choices=["text", "json", "json-pretty", "csv", "compact"])
     ps.set_defaults(fn=cmd_search)

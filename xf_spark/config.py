@@ -52,10 +52,12 @@ def config_path() -> str:
     )
 
 
-def load() -> dict:
+def load(apply_env: bool = True) -> dict:
     """DEFAULTS overlaid with the stored file; unknown stored keys are
     preserved (forward compatibility). ``XF_LIMIT`` overrides
-    search.default_limit (config.rs:69)."""
+    search.default_limit (config.rs:69) — per-invocation only: a
+    read-modify-save cycle must load with ``apply_env=False`` so the
+    transient env value is never persisted."""
     cfg = dict(DEFAULTS)
     path = config_path()
     if os.path.isfile(path):
@@ -66,7 +68,7 @@ def load() -> dict:
             stored = {}
         if isinstance(stored, dict):
             cfg.update(stored)
-    env_limit = os.environ.get("XF_LIMIT")
+    env_limit = os.environ.get("XF_LIMIT") if apply_env else None
     if env_limit:
         try:
             cfg["search.default_limit"] = int(env_limit)
@@ -120,10 +122,19 @@ def set_value(cfg: dict, raw: str) -> None:
             raise ValueError(f"{key} must be between 0.0 and 1.0.")
         cfg[key] = parsed
     elif key == "indexing.skip_types":
-        cfg[key] = [t.strip() for t in value.split(",") if t.strip()]
+        types = [t.strip() for t in value.split(",") if t.strip()]
+        # validate at SET time: a bad member would otherwise surface
+        # only after the expensive zip extraction, mid-import
+        bad = sorted(set(types) - {"tweet", "like", "dm", "grok"})
+        if bad:
+            raise ValueError(
+                f"{key}: unknown type(s) {bad} (valid: tweet,like,dm,grok)"
+            )
+        cfg[key] = types
     elif key == "output.format":
-        if not value:
-            raise ValueError("output.format cannot be empty.")
+        valid = ("text", "json", "json-pretty", "csv", "compact")
+        if value not in valid:
+            raise ValueError(f"{key} must be one of {','.join(valid)}.")
         cfg[key] = value
     elif isinstance(DEFAULTS[key], bool):
         cfg[key] = _parse_bool(value, key)

@@ -226,6 +226,23 @@ def prefix_terms(node) -> set[str]:
     return set()
 
 
+def fuzzy_term_leaves(node) -> set[str]:
+    """The term leaves expand_fuzzy_plan would rewrite — phrase and
+    prefix words excluded (they stay exact), unlike query_terms. Used
+    to prime the batched variant lookup with exactly the needed set."""
+    kind = node[0]
+    if kind == "term":
+        return {node[1]}
+    if kind in ("and", "or"):
+        out: set[str] = set()
+        for c in node[1]:
+            out |= fuzzy_term_leaves(c)
+        return out
+    if kind == "not":
+        return fuzzy_term_leaves(node[1]) | fuzzy_term_leaves(node[2])
+    return set()
+
+
 def expand_fuzzy_plan(plan, variants_fn):
     """Rewrite for fuzzy matching (the reference's `search.fuzzy` knob,
     config.rs:75): each ("term", t) leaf becomes an OR over the

@@ -42,6 +42,7 @@ from xf_spark.index.segments import K1, B, recover_compaction, term_bucket
 from xf_spark.query.parser import (
     parse_query,
     expand_fuzzy_plan,
+    fuzzy_term_leaves,
     parse_query_extract,
     prefix_terms,
     query_terms,
@@ -1229,10 +1230,12 @@ class SegmentIndex:
             )
         if fuzzy:
             # ONE vocabulary scan expands every member's term leaves
-            # (per-member expansion would pay the scan per novel term)
+            # (per-member expansion would pay the scan per novel term);
+            # phrase/prefix words excluded — they stay exact, and
+            # including them would only widen the scan's length windows
             batch_terms: set[str] = set()
             for pl, _qr in extracted.values():
-                batch_terms |= query_terms(pl)
+                batch_terms |= fuzzy_term_leaves(pl)
             self.fuzzy_variants_many(batch_terms)  # primes the memo
             extracted = {
                 q: (self._expand_fuzzy(pl), qr)
