@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks_stats": eq.pack_chunks_stats,
         "chunk_split_sample": eq.chunk_split_sample,
         "unigram_logprob_sample": eq.unigram_logprob_sample,
+        "split_report": eq.split_report,
     }.items()}
 
 

@@ -298,3 +298,49 @@ class TestPlanShapes:
         # the bucket-offset side arrives via broadcast, not exchange
         assert plan.count("Exchange hashpartitioning") == 1
         assert "BroadcastExchange" in plan
+
+
+class TestTrainValSplit:
+    """train_val_split: deterministic, group-aware, leakage-safe."""
+
+    def test_group_atomic_and_deterministic(self, spark):
+        from xf_spark.ops.pipeline import train_val_split
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        out = train_val_split(tr, val_frac=0.25)
+        # leakage-safe: one split value per conversation
+        leaks = (
+            out.groupBy("conv_id")
+            .agg(F.countDistinct("split").alias("k"))
+            .where(F.col("k") > 1)
+            .count()
+        )
+        assert leaks == 0
+        # deterministic: re-running yields the identical assignment
+        a = {r["conv_id"]: r["split"] for r in
+             out.select("conv_id", "split").distinct().collect()}
+        b = {r["conv_id"]: r["split"] for r in
+             train_val_split(tr, val_frac=0.25)
+             .select("conv_id", "split").distinct().collect()}
+        assert a == b
+        # fraction lands near the target at the GROUP level
+        n_val = sum(1 for s in a.values() if s == "val")
+        assert 0.1 < n_val / len(a) < 0.4
+        # a different seed reshuffles membership
+        c = {r["conv_id"]: r["split"] for r in
+             train_val_split(tr, val_frac=0.25, seed="other")
+             .select("conv_id", "split").distinct().collect()}
+        assert a != c
+
+    def test_edges_and_validation(self, spark):
+        import pytest as _pytest
+
+        from xf_spark.ops.pipeline import train_val_split
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        assert train_val_split(tr, 0.0).where(F.col("split") == "val").count() == 0
+        assert train_val_split(tr, 1.0).where(F.col("split") == "train").count() == 0
+        with _pytest.raises(ValueError):
+            train_val_split(tr, 1.5)

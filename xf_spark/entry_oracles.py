@@ -1399,3 +1399,16 @@ WHERE doc_id < 25
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# train/val split replay: same md5(seed||conv_id) 4-hex-char cut
+# (val_frac=0.25 -> cut '4000'), same conv derivation as _TR_BASE
+ORACLES["split_report"] = f"""
+WITH {_TR_BASE}
+SELECT CASE WHEN substr(md5('xfsplit' || conv_id), 1, 4) < '4000'
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_turns,
+       count(DISTINCT conv_id) AS n_convs
+FROM base
+GROUP BY 1
+ORDER BY split
+"""

@@ -1267,3 +1267,23 @@ def unigram_logprob_sample(spark, sf_dir):
         .where(F.col("doc_id") < 25)
         .orderBy("doc_id")
     )
+
+
+def split_report(spark, sf_dir):
+    """Leakage-safe deterministic train/val split over the derived
+    transcripts (group = conv_id): per-split turn and conversation
+    counts. Every turn of a conversation carries the same split by
+    construction (md5(seed||conv_id) hex-prefix cut, replayed
+    bit-identically in DuckDB)."""
+    from xf_spark.ops.pipeline import train_val_split
+
+    tr = _derived_transcripts(spark, sf_dir)
+    return (
+        train_val_split(tr, val_frac=0.25)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("conv_id").alias("n_convs"),
+        )
+        .orderBy("split")
+    )

@@ -363,3 +363,39 @@ def pack_summary(packed: DataFrame, seq_len: int = 2048) -> DataFrame:
             ),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def train_val_split(
+    df: DataFrame,
+    val_frac: float = 0.1,
+    group_col: str = "conv_id",
+    seed: str = "xfsplit",
+) -> DataFrame:
+    """Deterministic, group-aware train/val split: adds a ``split``
+    column ('train' | 'val'); every row of a group gets the same
+    value, so conversation context can never leak across the split —
+    the contamination guard `decontam` checks after the fact, this
+    enforces by construction.
+
+    Mechanics: the first 4 hex chars of md5(seed || group) compare
+    lexicographically against the fraction's hex cut — identical
+    strings and ordering in Spark and DuckDB, so the oracle replays it
+    exactly; granularity 1/65536.
+
+    100 TB shape: a pure narrow projection (md5 + substring +
+    compare) — zero shuffle, no RNG state, stable under resume,
+    re-partitioning, and engine version changes."""
+    if not 0.0 <= val_frac <= 1.0:
+        raise ValueError(f"val_frac must be in [0, 1], got {val_frac}")
+    cut_i = round(val_frac * 0x10000)
+    if cut_i >= 0x10000:
+        return df.withColumn("split", F.lit("val"))
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(group_col).cast("string"))), 1, 4
+    )
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(format(cut_i, "04x")), F.lit("val")).otherwise(
+            F.lit("train")
+        ),
+    )
