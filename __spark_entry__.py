@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_split_sample": eq.chunk_split_sample,
         "unigram_logprob_sample": eq.unigram_logprob_sample,
         "split_report": eq.split_report,
+        "sft_render_sample": eq.sft_render_sample,
     }.items()}
 
 

@@ -344,3 +344,21 @@ class TestTrainValSplit:
         assert train_val_split(tr, 1.0).where(F.col("split") == "train").count() == 0
         with _pytest.raises(ValueError):
             train_val_split(tr, 1.5)
+
+
+def test_render_conversations_order_and_template(spark):
+    from xf_spark.ops.pipeline import render_conversations
+
+    rows = [
+        ("c1", 1, "assistant", "world"),
+        ("c1", 0, "user", "hello"),
+        ("c2", 0, "user", "solo"),
+    ]
+    tr = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r["conv_id"]: r for r in render_conversations(tr).collect()}
+    assert out["c1"]["rendered"] == "user: hello\n\nassistant: world"
+    assert out["c1"]["n_turns"] == 2
+    assert out["c2"]["rendered"] == "user: solo"
+    custom = {r["conv_id"]: r["rendered"] for r in
+              render_conversations(tr, sep=" | ", role_sep="> ").collect()}
+    assert custom["c1"] == "user> hello | assistant> world"

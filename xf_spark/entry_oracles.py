@@ -1412,3 +1412,16 @@ FROM base
 GROUP BY 1
 ORDER BY split
 """
+
+# chat rendering replay: string_agg in turn order, same separators
+ORACLES["sft_render_sample"] = f"""
+WITH {_TR_BASE}
+SELECT conv_id,
+       count(*) AS n_turns,
+       string_agg(role || ': ' || text, e'\n\n' ORDER BY turn_idx)
+         AS rendered
+FROM base
+GROUP BY conv_id
+ORDER BY conv_id
+LIMIT 10
+"""

@@ -1287,3 +1287,19 @@ def split_report(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+def sft_render_sample(spark, sf_dir):
+    """Chat-template rendering for SFT prep: the first 10 derived
+    conversations as ordered 'role: text' blocks — the full rendered
+    string participates in the value hash, so turn ordering and
+    separator placement are oracled exactly."""
+    from xf_spark.ops.pipeline import render_conversations
+
+    tr = _derived_transcripts(spark, sf_dir)
+    return (
+        render_conversations(tr)
+        .orderBy("conv_id")
+        .limit(10)
+        .select("conv_id", "n_turns", "rendered")
+    )

@@ -399,3 +399,32 @@ def train_val_split(
             F.lit("train")
         ),
     )
+
+
+def render_conversations(
+    transcripts: DataFrame, sep: str = "\n\n", role_sep: str = ": "
+) -> DataFrame:
+    """SFT-prep chat rendering: one row per conversation with the
+    turns concatenated in turn order as ``role: text`` blocks —
+    (conv_id, n_turns, rendered). The string form a fine-tuning
+    pipeline tokenizes; swap the template by changing the separators
+    or mapping roles upstream.
+
+    100 TB shape: ONE partial-aggregating groupBy on conv_id (the
+    same key the doc store is range-partitioned by, so the shuffle is
+    narrow); ordering comes from sort_array over (turn_idx, ...)
+    structs — no window, no per-row Python. Conversation length bounds
+    the per-group state like conversations_grouped."""
+    ordered = F.sort_array(
+        F.collect_list(F.struct("turn_idx", "role", "text"))
+    )
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                ordered,
+                lambda s: F.concat(s.role, F.lit(role_sep), s.text),
+            ),
+            sep,
+        ).alias("rendered"),
+    )
