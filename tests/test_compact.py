@@ -466,6 +466,42 @@ class TestIndexDedup:
         got = _topk(ix, "machine", 10)
         assert got == _topk(ix, "machine", 10, exhaustive=True) and len(got) > 0
 
+    def test_embedding_dedup_over_own_store(self, spark, tmp_path):
+        """dedup('embedding'): the index's OWN embedding store drives
+        the hyperplane-LSH chain (the reference's embed-dedup analog);
+        post-purge the store and docs stay aligned and queries serve
+        exactly. Requires embeddings (error without)."""
+        import pytest as _pytest
+
+        from xf_spark.ops.dedup import embedding_near_dup_pairs
+
+        tr = load_transcripts(spark, 0.001)
+        path = str(tmp_path / "ed")
+        ix = XfIndex.build(tr, path, with_embeddings=True, slices=1)
+        ix.dedup("exact")
+        rep = ix.dedup("embedding", threshold=0.98)
+        assert rep["method"] == "embedding"
+        if rep["applied"]:
+            assert ix.segment_index.meta["n_docs"] == rep["n_docs_after"]
+            assert ix.embeddings.count() == rep["n_docs_after"]
+            # convergence at the same threshold
+            left = embedding_near_dup_pairs(
+                ix.embeddings.select("doc_id", "vec"),
+                threshold=0.98, id_col="doc_id", vec_col="vec",
+            ).count()
+            assert left == 0
+        got = _topk(ix, "machine", 10)
+        assert got == _topk(ix, "machine", 10, exhaustive=True) and len(got) > 0
+        # semantic path still serves post-purge
+        assert ix.search("stress", mode="semantic", limit=5).count() == 5
+
+        noemb = XfIndex.build(
+            load_transcripts(spark, 0.001), str(tmp_path / "ne"),
+            with_embeddings=False, slices=1,
+        )
+        with _pytest.raises(ValueError, match="embedding"):
+            noemb.dedup("embedding")
+
 
 class TestReviewFindings:
     """Regression pins for the round-3 compaction review findings."""

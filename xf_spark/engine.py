@@ -292,13 +292,18 @@ class XfIndex:
 
         methods: ``exact`` (content hash), ``minhash`` (shingle
         Jaccard >= threshold, LSH-bucketed, hot-bucket capped),
-        ``simhash`` (hamming <= max_hamming). For near-dup methods on
-        a corpus with many EXACT copies, run ``dedup("exact")`` first
-        — identical texts flood the LSH buckets the cap then drops.
+        ``simhash`` (hamming <= max_hamming), ``embedding`` (cosine >=
+        threshold over THIS index's own embedding store via hyperplane
+        LSH — the direct analog of the reference's embed-dedup reuse
+        chain, which keys on the embedding layer; requires
+        with_embeddings=True). For near-dup methods on a corpus with
+        many EXACT copies, run ``dedup("exact")`` first — identical
+        texts flood the LSH buckets the cap then drops.
 
         ``dry_run=True`` reports without modifying the index. Returns
         {method, n_docs_before, n_dropped, n_docs_after, applied}."""
         from xf_spark.ops.dedup import (
+            embedding_near_dup_pairs,
             exact_dedup,
             minhash_dedup_pairs,
             near_dup_groups,
@@ -311,19 +316,40 @@ class XfIndex:
             losers = docs.select("doc_id").join(
                 keep.select("doc_id"), "doc_id", "left_anti"
             )
-        elif method in ("minhash", "simhash"):
-            pairs = (
-                minhash_dedup_pairs(docs, threshold=threshold)
-                if method == "minhash"
-                else simhash_candidates(docs, max_hamming=max_hamming)
-            )
+        elif method in ("minhash", "simhash", "embedding"):
+            if method == "minhash":
+                pairs = minhash_dedup_pairs(docs, threshold=threshold)
+            elif method == "simhash":
+                pairs = simhash_candidates(docs, max_hamming=max_hamming)
+            else:
+                if self.embeddings is None:
+                    raise ValueError(
+                        "dedup('embedding') requires embeddings "
+                        "(build with with_embeddings=True)"
+                    )
+                emb = self.embeddings
+                if "vec16" in emb.columns:
+                    from xf_spark.query.semantic import decode_f16_udf
+
+                    emb = emb.select(
+                        "doc_id", decode_f16_udf(F.col("vec16")).alias("vec")
+                    )
+                # `threshold` is the COSINE floor here (vs Jaccard for
+                # minhash) — callers typically want it tighter, e.g.
+                # 0.95+, since hash embeddings cluster paraphrases
+                pairs = embedding_near_dup_pairs(
+                    emb.select("doc_id", "vec"),
+                    threshold=threshold,
+                    id_col="doc_id",
+                    vec_col="vec",
+                )
             groups = near_dup_groups(docs, pairs)
             losers = groups.where(F.col("doc_id") != F.col("keep_id")).select(
                 "doc_id"
             )
         else:
             raise ValueError(
-                f"method must be exact|minhash|simhash, got {method!r}"
+                f"method must be exact|minhash|simhash|embedding, got {method!r}"
             )
         n0 = int(self.segment_index.meta["n_docs"])
         # the loser set's lineage is the expensive half (LSH self-join +
