@@ -439,6 +439,11 @@ class TestRepl:
             "set mode semantic",      # valid set...
             "machine",                # ...but engine raises (no embeddings)
             "set mode lexical",
+            # fuzzy toggle: typo matches nothing exact, then resolves
+            "machin",
+            "set fuzzy maybe",        # invalid value
+            "set fuzzy on",
+            "machin",
             "stats",
             "quit",
         ]) + "\n"
@@ -456,6 +461,12 @@ class TestRepl:
         assert "set limit: expected an integer" in out
         assert "set mode: expected one of" in out
         assert "error: index built without embeddings" in out
+        assert "(no results)" in out                 # exact typo miss
+        assert "set fuzzy: expected on|off" in out
+        assert "fuzzy = on" in out
+        # post-toggle the typo resolves: a result line ("[<score>] (conv")
+        # prints after the toggle confirmation
+        assert out.rindex("] (conv") > out.rindex("fuzzy = on")
         assert "n_turns" in out            # stats — session survived all errors
 
 

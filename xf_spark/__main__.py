@@ -62,8 +62,12 @@ def cmd_repl(args) -> int:
         pin_docs_mb=args.pin_mb,
         warm_top_terms=256,
     )
-    state = {"mode": "lexical", "limit": 10, "roles": None,
-             "query": None, "offset": 0, "rows": []}
+    from xf_spark import config as _config
+
+    cfg = _config.load()
+    state = {"mode": "lexical", "limit": cfg["search.default_limit"],
+             "roles": None, "query": None, "offset": 0, "rows": [],
+             "fuzzy": bool(cfg["search.fuzzy"])}
     cols = ["conv_id", "turn_idx", "role", "text", "score"]
 
     def run_search():
@@ -71,7 +75,8 @@ def cmd_repl(args) -> int:
         if state["roles"]:
             kw["roles"] = state["roles"]
         df = ix.search(state["query"], mode=state["mode"],
-                       limit=state["limit"], offset=state["offset"], **kw)
+                       limit=state["limit"], offset=state["offset"],
+                       fuzzy=state["fuzzy"], **kw)
         state["rows"] = df.select(*cols).collect()
         _format_rows(state["rows"], "text", cols)
         if not state["rows"]:
@@ -101,7 +106,7 @@ _REPL_MODES = ("lexical", "semantic", "hybrid", "bm25", "vector", "rrf")
 def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
     if w in ("help", "h", "?"):
         print("commands: <query> | more | show N | similar N | "
-              "refine <terms> | stats | set mode|limit|roles <v> | "
+              "refine <terms> | stats | set mode|limit|roles|fuzzy <v> | "
               "export json|csv | quit")
     elif w == "similar":
         try:
@@ -158,6 +163,12 @@ def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
                 if value
                 else None
             )
+        elif name == "fuzzy":
+            low = value.strip().lower()
+            if low not in ("on", "off", "true", "false", "1", "0"):
+                print("set fuzzy: expected on|off")
+                return
+            state["fuzzy"] = low in ("on", "true", "1")
         else:
             print(f"set: unknown setting {name!r}")
             return
