@@ -410,3 +410,22 @@ def test_config_drives_cli_defaults(archive_zip, tmp_path):
             "--format", "json")
     rows = json.loads(r.stdout.strip().splitlines()[-1])
     assert {x["conv_id"] for x in rows} == {"tweet_100"}  # only 1 match
+
+    # paths.index serves EVERY index-taking command (get_index_path
+    # resolution), and indexing.threads supplies cores when --cores
+    # is absent
+    r = run("config", "--set", "indexing.threads=4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "stats"],  # no --index/--cores
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout[r.stdout.index("{"):])["n_turns"] == 2
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "doctor"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]

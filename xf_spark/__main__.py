@@ -21,9 +21,31 @@ import sys
 
 
 def _spark(args):
+    from xf_spark import config as _config
     from xf_spark.session import get_spark
 
-    return get_spark("xf_spark_cli", cores=args.cores)
+    cores = args.cores
+    if cores is None:
+        # indexing.threads config (0 = auto, i.e. all cores)
+        t = _config.load()["indexing.threads"]
+        if t:
+            cores = t
+    return get_spark("xf_spark_cli", cores=cores)
+
+
+def _resolve_index(args) -> str:
+    """--index flag, else the config paths.index default (the
+    get_index_path(cli) resolution order)."""
+    if getattr(args, "index", None):
+        return args.index
+    from xf_spark import config as _config
+
+    stored = _config.load()["paths.index"]
+    if stored:
+        return stored
+    raise SystemExit(
+        "this command requires --index (or `config --set paths.index=...`)"
+    )
 
 
 def cmd_index(args) -> int:
@@ -57,7 +79,7 @@ def cmd_repl(args) -> int:
     # interactive serving: pin vectors + docs under explicit budgets so
     # warm queries run zero Spark jobs (over budget -> distributed
     # paths serve identically)
-    ix = XfIndex.open(spark, args.index).cache(
+    ix = XfIndex.open(spark, _resolve_index(args)).cache(
         pin_vectors_mb=args.pin_mb,
         pin_docs_mb=args.pin_mb,
         warm_top_terms=256,
@@ -187,13 +209,14 @@ def cmd_append(args) -> int:
     from xf_spark.sources.tables import load_transcript_table
 
     spark = _spark(args)
-    ix = XfIndex.open(spark, args.index)
+    path = _resolve_index(args)
+    ix = XfIndex.open(spark, path)
     before = ix.segment_index.meta["n_docs"]
     ix = ix.append(
         load_transcript_table(spark, args.input), dedup=not args.no_dedup
     )
     after = ix.segment_index.meta["n_docs"]
-    print(f"appended {after - before} turns -> {args.index} (now {after})")
+    print(f"appended {after - before} turns -> {path} (now {after})")
     return 0
 
 
@@ -201,8 +224,9 @@ def cmd_compact(args) -> int:
     from xf_spark.engine import XfIndex
 
     spark = _spark(args)
-    ix = XfIndex.open(spark, args.index)
-    seg_root = os.path.join(args.index, "segments")
+    path = _resolve_index(args)
+    ix = XfIndex.open(spark, path)
+    seg_root = os.path.join(path, "segments")
     before = sum(1 for d in os.listdir(seg_root) if d.startswith("slice="))
     drop = None
     if args.drop:
@@ -275,7 +299,7 @@ def cmd_similar(args) -> int:
     from xf_spark.engine import XfIndex
 
     spark = _spark(args)
-    ix = XfIndex.open(spark, args.index)
+    ix = XfIndex.open(spark, _resolve_index(args))
     df = ix.more_like_this(
         args.conv_id,
         args.turn_idx,
@@ -301,7 +325,7 @@ def cmd_get(args) -> int:
     from xf_spark.query.results import get_by_id
 
     spark = _spark(args)
-    ix = XfIndex.open(spark, args.index)
+    ix = XfIndex.open(spark, _resolve_index(args))
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     if args.context:
         rows = (
@@ -421,13 +445,10 @@ def cmd_list(args) -> int:
                 print("  ".join(str(r[c]) for c in cols))
         return 0
 
-    if not args.index:
-        print(f"list {args.what} requires --index")
-        return 1
     from xf_spark.engine import XfIndex
 
     spark = _spark(args)
-    ix = XfIndex.open(spark, args.index)
+    ix = XfIndex.open(spark, _resolve_index(args))
     if args.what == "conversations":
         df = (
             ix.docs.groupBy("conv_id")
@@ -570,7 +591,7 @@ def cmd_stats(args) -> int:
     from xf_spark.engine import XfIndex
 
     spark = _spark(args)
-    ix = XfIndex.open(spark, args.index)
+    ix = XfIndex.open(spark, _resolve_index(args))
     out = ix.stats(detailed=args.detailed)
     if args.archive:
         # social-graph counts come off the extracted archive
@@ -659,11 +680,9 @@ def _export_member(spark, args, what):
     from pyspark.sql import functions as F
 
     if what in _EXPORT_PREFIXES:
-        if not args.index:
-            raise SystemExit(f"export {what} requires --index")
         from xf_spark.engine import XfIndex
 
-        ix = XfIndex.open(spark, args.index)
+        ix = XfIndex.open(spark, _resolve_index(args))
         return (
             ix.docs.where(F.col("conv_id").startswith(_EXPORT_PREFIXES[what]))
             .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
@@ -695,11 +714,9 @@ def cmd_export(args) -> int:
 
     spark = _spark(args)
     if args.what == "search":
-        if not args.index:
-            raise SystemExit("export search requires --index")
         from xf_spark.engine import XfIndex
 
-        ix = XfIndex.open(spark, args.index)
+        ix = XfIndex.open(spark, _resolve_index(args))
         df = ix.search(args.query or "", mode="lexical", limit=args.limit)
     elif args.what == "all":
         # combined export: one type-tagged JSON line per record
@@ -749,7 +766,7 @@ def cmd_doctor(args) -> int:
     from xf_spark.doctor import format_report, run_doctor
 
     spark = _spark(args)
-    checks = run_doctor(spark, args.index, repair=args.repair)
+    checks = run_doctor(spark, _resolve_index(args), repair=args.repair)
     print(format_report(checks))
     return 0 if all(c.ok for c in checks) else 1
 
@@ -777,7 +794,7 @@ def build_parser() -> argparse.ArgumentParser:
         "--input", required=True,
         help="new transcripts: parquet path or catalog identifier",
     )
-    pa.add_argument("--index", required=True, help="existing index dir")
+    pa.add_argument("--index", default=None, help="existing index dir")
     pa.add_argument(
         "--no-dedup", action="store_true",
         help="skip the known-rows anti-join (bulk loads of known-new data)",
@@ -787,7 +804,7 @@ def build_parser() -> argparse.ArgumentParser:
     pc = sub.add_parser(
         "compact", help="merge append slices; optionally purge a drop list"
     )
-    pc.add_argument("--index", required=True, help="existing index dir")
+    pc.add_argument("--index", default=None, help="existing index dir")
     pc.add_argument("--shards", type=int, default=None, help="target shard count")
     pc.add_argument(
         "--drop", default=None,
@@ -796,7 +813,7 @@ def build_parser() -> argparse.ArgumentParser:
     pc.set_defaults(fn=cmd_compact)
 
     pr = sub.add_parser("repl", help="interactive search session")
-    pr.add_argument("--index", required=True)
+    pr.add_argument("--index", default=None)
     pr.add_argument(
         "--pin-mb", dest="pin_mb", type=int, default=1024,
         help="driver memory budget (MB) for pinned vectors AND docs; "
@@ -839,7 +856,7 @@ def build_parser() -> argparse.ArgumentParser:
     pcfg.set_defaults(fn=cmd_config)
 
     pt = sub.add_parser("stats")
-    pt.add_argument("--index", required=True)
+    pt.add_argument("--index", default=None)
     pt.add_argument("--detailed", action="store_true")
     pt.add_argument("--archive", default=None,
                     help="extracted archive dir: include social-graph "
@@ -908,7 +925,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     psm.add_argument("conv_id")
     psm.add_argument("turn_idx", type=int)
-    psm.add_argument("--index", required=True)
+    psm.add_argument("--index", default=None)
     psm.add_argument("--limit", type=int, default=10)
     psm.add_argument("--roles", default=None)
     psm.add_argument("--since", default=None)
@@ -922,7 +939,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pg.add_argument("conv_id")
     pg.add_argument("turn_idx", type=int)
-    pg.add_argument("--index", required=True)
+    pg.add_argument("--index", default=None)
     pg.add_argument("--context", "-t", action="store_true",
                     help="show the whole conversation (thread analog)")
     pg.add_argument("--format", default="text",
@@ -947,7 +964,7 @@ def build_parser() -> argparse.ArgumentParser:
     pl.set_defaults(fn=cmd_list)
 
     pd_ = sub.add_parser("doctor")
-    pd_.add_argument("--index", required=True)
+    pd_.add_argument("--index", default=None)
     pd_.add_argument(
         "--repair", action="store_true",
         help="heal what is safely repairable (torn append commit window)",
