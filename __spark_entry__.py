@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": eq.simhash_pairs,
         "fingerprint_stats": eq.fingerprint_stats,
         "embedding_near_dup": eq.embedding_near_dup,
+        "semdedup_groups": eq.semdedup_groups,
         "multimodal_features": eq.multimodal_features,
         # text ops
         "lang_id_distribution": eq.lang_id_distribution,

@@ -286,6 +286,98 @@ class TestEmbeddingNearDup:
         assert np.round(scaled, 6).tolist() == [0.999998, -0.999998]  # banker's differs
 
 
+class TestSemDeDup:
+    # two orthogonal centroids; cluster 0 = x-axis family, cluster 1 =
+    # y-axis family
+    C = np.array([[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]])
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_duplicates_collapse_keep_farthest(self, spark):
+        # 0 and 1 are the same direction (dup pair); 1 sits farther
+        # from centroid 0 than 0 does -> keep rule picks... both have
+        # identical cent_sim (same direction), so tiebreak keeps min
+        # id. 2 is a distinct x-family doc with LOWER cent_sim than
+        # any dup member but not a duplicate -> stays its own keeper.
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 0.0, 0.0]),       # same direction as 0
+            (2, [0.8, 0.0, 0.6, 0.0]),       # x-family, not a dup of 0/1
+            (3, [0.0, 1.0, 0.0, 0.0]),       # y-family singleton
+        ]
+        got = {
+            r["vec_id"]: (r["cell"], r["keep_id"])
+            for r in D.semdedup(self._df(spark, rows), self.C, tau=0.95).collect()
+        }
+        assert got == {0: (0, 0), 1: (0, 0), 2: (0, 2), 3: (1, 3)}
+
+    def test_keep_rule_prefers_low_cent_sim(self, spark):
+        # duplicate pair straddling cent_sim: 1 is slightly off-axis
+        # (lower cosine to centroid 0) but still >= tau-similar to 0;
+        # the SemDeDup keep rule retains the LOW-cent_sim member (1)
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.1, 0.0, 0.0]),
+        ]
+        got = {
+            r["vec_id"]: r["keep_id"]
+            for r in D.semdedup(self._df(spark, rows), self.C, tau=0.99).collect()
+        }
+        assert got == {0: 1, 1: 1}
+
+    def test_transitive_component_single_keeper(self, spark):
+        # chain a~b, b~c where a!~c directly: connected components must
+        # still assign ONE keeper to all three
+        a = np.array([1.0, 0.0, 0.0, 0.0])
+        rot = np.array([np.cos(0.25), np.sin(0.25), 0.0, 0.0])
+        rot2 = np.array([np.cos(0.5), np.sin(0.5), 0.0, 0.0])
+        # cos(a,rot)=cos(.25)~.969, cos(rot,rot2)=cos(.25), cos(a,rot2)=cos(.5)~.878
+        rows = [(0, a), (1, rot), (2, rot2)]
+        out = D.semdedup(self._df(spark, rows), self.C, tau=0.95).collect()
+        keeps = {r["keep_id"] for r in out}
+        assert len(keeps) == 1, f"chain must form one component: {out}"
+        # keeper = farthest from centroid = rot2 (lowest cent_sim)
+        assert keeps == {2}
+
+    def test_max_cell_passthrough(self, spark):
+        # a cell above max_cell passes through undeduped (quadratic
+        # guard), others still dedup
+        rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)]  # 5 dups, cell 0
+        rows += [(10, [0.0, 1.0, 0.0, 0.0]), (11, [0.0, 2.0, 0.0, 0.0])]
+        got = {
+            r["vec_id"]: r["keep_id"]
+            for r in D.semdedup(
+                self._df(spark, rows), self.C, tau=0.95,
+                max_cell=4, log_dropped=False,
+            ).collect()
+        }
+        assert all(got[i] == i for i in range(5)), "hot cell must pass through"
+        assert got[10] == 10 and got[11] == 10, "cold cell still dedups"
+
+    def test_idempotent_on_kept_rows(self, spark, embeddings):
+        # components are maximal -> rerunning semdedup on the kept set
+        # drops nothing (the paper's fixed-point property)
+        from pyspark.sql import functions as F
+
+        emb = embeddings.select("vec_id", "embedding")
+        Cfull = np.array(
+            [r["embedding"] for r in
+             emb.where("vec_id < 4").orderBy("vec_id").collect()],
+            dtype=np.float64,
+        )
+        first = D.semdedup(emb, Cfull, tau=0.35).cache()
+        kept_ids = {r["vec_id"] for r in first.where("vec_id = keep_id").collect()}
+        assert 0 < len(kept_ids) < first.count()
+        kept = emb.where(F.col("vec_id").isin(list(kept_ids)))
+        second = D.semdedup(kept, Cfull, tau=0.35)
+        assert second.where("vec_id != keep_id").count() == 0
+        first.unpersist()
+
+
 class TestSimilarity:
     def test_brute_force_matches_numpy(self, embeddings):
         rows = embeddings.collect()

@@ -549,6 +549,85 @@ ORDER BY id_a, id_b
 
 ORACLES["embedding_near_dup"] = _near_dup_oracle_sql()
 
+
+def _semdedup_oracle_sql(tau: float = 0.35, n_cent: int = 4) -> str:
+    """Exact replay of ops/dedup.semdedup with the driver entry's
+    pinned centroids (embedding rows vec_id < 4): argmax-cosine cell
+    assignment (round 6dp BEFORE the argmax, ties -> lowest centroid
+    ordinal), within-cell duplicate pairs at tau (same 6dp rounding),
+    WITH RECURSIVE transitive closure, keep = component member with
+    the lowest (cent_sim, id) — the farthest-from-centroid rule.
+    Cells above LSH_MAX_BUCKET pass through undeduped, mirroring the
+    Spark-side quadratic guard."""
+    from xf_spark.ops.dedup import LSH_MAX_BUCKET
+
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS ord, v AS cv FROM e WHERE vec_id < {n_cent}
+),
+sims AS (
+  SELECT e.vec_id, c.ord,
+         round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
+  FROM e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, ord AS cell, cs AS cent_sim FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cs DESC, ord) AS rn
+    FROM sims) WHERE rn = 1
+),
+ok AS (
+  SELECT cell FROM a GROUP BY cell HAVING count(*) <= {LSH_MAX_BUCKET}
+),
+pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM a x
+  JOIN ok o ON o.cell = x.cell
+  JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+  JOIN e ex ON ex.vec_id = x.vec_id
+  JOIN e ey ON ey.vec_id = y.vec_id
+  WHERE round(list_dot_product(ex.v, ey.v)
+              / (sqrt(list_dot_product(ex.v, ex.v))
+                 * sqrt(list_dot_product(ey.v, ey.v))), 6) >= {tau}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+),
+members AS (
+  SELECT src AS vec_id, dst AS member FROM reach
+  UNION
+  SELECT DISTINCT src, src FROM edges
+),
+keep AS (
+  SELECT vec_id, member AS keep_id FROM (
+    SELECT m.vec_id, m.member,
+           row_number() OVER (
+             PARTITION BY m.vec_id
+             ORDER BY am.cent_sim, m.member) AS rn
+    FROM members m JOIN a am ON am.vec_id = m.member) WHERE rn = 1
+)
+SELECT a.vec_id, a.cell::INTEGER AS cell, a.cent_sim,
+       coalesce(k.keep_id, a.vec_id) AS keep_id
+FROM a LEFT JOIN keep k USING (vec_id)
+ORDER BY a.vec_id
+"""
+
+
+ORACLES["semdedup_groups"] = _semdedup_oracle_sql()
+
 # Multimodal metadata/feature differential: payload bytes == ascii
 # codes (corpus is pure ASCII, asserted by n_bytes == strlen matching);
 # np.resize tiles the payload to w*h*3, so its mean is

@@ -588,6 +588,25 @@ def embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.3)
 
 
+def semdedup_groups(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — cluster-then-prune semantic
+    dedup. Driver entry pins the centroids to the first 4 embedding
+    rows (so DuckDB replays cell assignment exactly, same pattern as
+    the literal LSH planes); tau=0.35 because the synthetic embeddings
+    are near-orthogonal (max pair cosine 0.51). Beyond-reference op:
+    the reference's embed-dedup chain (lib.rs:290-425) linear-scans
+    stored embeddings per doc; this is the published corpus-scale
+    formulation (cell = shuffle key, all-pairs only within a cell)."""
+    import numpy as np
+
+    from xf_spark.ops.dedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = emb.where(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    C = np.array([r["embedding"] for r in cent], dtype=np.float64)
+    return semdedup(emb, C, tau=0.35).orderBy("vec_id")
+
+
 def fingerprint_stats(spark, sf_dir):
     """Document fingerprinting (winnowed rolling-hash) — per-doc
     fingerprint count + min/max VALUE for the first 20 docs, pinning

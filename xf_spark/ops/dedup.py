@@ -579,3 +579,153 @@ def embedding_near_dup_pairs(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means-cluster-then-prune semantic dedup
+# ---------------------------------------------------------------------------
+
+def _round6_away(x: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero rounding to 6 dp (what F.round and DuckDB
+    ROUND do; numpy's default is half-to-even) — every rounded value
+    here feeds a threshold or a tiebreak, so the rounding convention
+    is part of the operator's contract."""
+    scaled = x * 1e6
+    return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / 1e6
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = LSH_MAX_BUCKET,
+    log_dropped: bool = True,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then prune
+    semantic duplicates WITHIN each cluster.
+
+    The reference's embed-dedup chain (lib.rs:290-425) compares every
+    new doc against all stored embeddings — linear scan per doc, fine
+    at archive scale, quadratic over a corpus. SemDeDup is the
+    published 100 TB-shape answer: the coarse quantizer (the same
+    ``similarity.train_centroids`` Lloyd pass the IVF layout uses)
+    partitions the corpus into cells, and the all-pairs cosine runs
+    only inside a cell — the cell is the shuffle key, so at scale
+    ``n_cells`` grows with the corpus and per-cell work stays bounded.
+
+    Per cell (one ``applyInPandas`` group):
+    - assignment: argmax over ``round(cos(x, c_i), 6)`` (ties -> the
+      lowest centroid ordinal — deterministic and replayable in SQL);
+    - duplicate graph: pairs with ``round(cos(x_a, x_b), 6) >= tau``,
+      connected components via union-find (components are maximal, so
+      a second pass over the kept rows drops nothing — tested);
+    - keep rule: per component keep the member FARTHEST from its
+      centroid (lowest ``cent_sim``, tiebreak lowest id) — the paper's
+      low-similarity-to-centroid choice keeps the least redundant
+      representative; singletons keep themselves.
+
+    A cell larger than ``max_cell`` passes through undeduped (keep_id
+    = own id) — the same quadratic guard as the LSH families, mirrored
+    in the DuckDB oracle; dropped mass is logged.
+
+    Returns one row per vector: (id, cell, cent_sim, keep_id). Drop
+    policy: keep rows WHERE id == keep_id.
+    """
+    spark = embeddings.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    cb = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf(T.IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        Cn = cb.value
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        # rounded BEFORE the argmax: assignment must agree with the
+        # SQL replay, where evaluation-order float noise could flip a
+        # near-tied argmax at full precision
+        sc = _round6_away(X @ Cn.T)
+        return pd.Series(np.argmax(sc, axis=1).astype(np.int32))
+
+    celled = embeddings.select(
+        F.col(id_col), F.col(vec_col).alias("v"), cell_of(F.col(vec_col)).alias("cell")
+    )
+
+    if log_dropped and max_cell is not None:
+        import logging
+
+        hot = (
+            celled.groupBy("cell")
+            .count()
+            .where(F.col("count") > max_cell)
+            .collect()
+        )
+        if hot:
+            logging.getLogger("xf_spark.dedup").warning(
+                "semdedup: %d cell(s) above max_cell=%d pass through "
+                "undeduped (%s rows)",
+                len(hot),
+                max_cell,
+                sum(r["count"] for r in hot),
+            )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cent_sim", T.DoubleType()),
+            T.StructField("keep_id", T.LongType()),
+        ]
+    )
+
+    def prune(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        Cn = cb.value
+        ids = pdf[id_col].to_numpy(np.int64)
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        cs = _round6_away(X @ Cn[int(key[0])])
+        m = len(ids)
+        keep = ids.copy()
+        if max_cell is None or m <= max_cell:
+            order = np.argsort(ids, kind="stable")
+            ids, X, cs = ids[order], X[order], cs[order]
+            keep = ids.copy()
+            S = _round6_away(X @ X.T)
+            ia, ib = np.nonzero(np.triu(S >= tau, k=1))
+            # union-find over the duplicate graph (cell-local, bounded
+            # by max_cell, so the python loop is over <= max_cell^2/2
+            # edges of a capped group — never the corpus)
+            parent = np.arange(m)
+
+            def find(i: int) -> int:
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            for a, b in zip(ia.tolist(), ib.tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+            roots = np.array([find(i) for i in range(m)])
+            # component rep = lexicographic min of (cent_sim, id):
+            # iterate members in that order, first member seen per
+            # root is the keeper
+            rep: dict[int, int] = {}
+            for i in np.lexsort((ids, cs)).tolist():
+                rep.setdefault(int(roots[i]), int(ids[i]))
+            keep = np.array([rep[int(r)] for r in roots], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": np.full(len(ids), int(key[0]), dtype=np.int32),
+                "cent_sim": cs,
+                "keep_id": keep,
+            }
+        )
+
+    return celled.groupBy("cell").applyInPandas(prune, schema=out_schema)
