@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # concat-and-chunk sequence packing (two-pass bucket prefix
         # sum — no single-partition window)
         "pii_redact_stats": eq.pii_redact_stats,
+        "dsir_weights_top": eq.dsir_weights_top,
+        "dsir_sample_top": eq.dsir_sample_top,
         "repetition_report": eq.repetition_report,
         "mixture_sample_report": eq.mixture_sample_report,
         "pack_chunks_sample": eq.pack_chunks_sample,

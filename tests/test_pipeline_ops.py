@@ -362,3 +362,101 @@ def test_render_conversations_order_and_template(spark):
     custom = {r["conv_id"]: r["rendered"] for r in
               render_conversations(tr, sep=" | ", role_sep="> ").collect()}
     assert custom["c1"] == "user> hello | assistant> world"
+
+
+class TestDsir:
+    """DSIR importance resampling vs a pure-Python replay of the
+    hashed-bucket LM ratio chain."""
+
+    def _docs(self, spark):
+        rows = [
+            # target domain: "alpha beta" style
+            (0, "alpha beta gamma", "tgt"),
+            (1, "alpha beta beta", "tgt"),
+            # raw-only domain
+            (2, "delta epsilon zeta", "raw"),
+            (3, "delta epsilon", "raw"),
+            # mixed: shares target grams
+            (4, "alpha beta delta", "raw"),
+            (5, "   ", "raw"),  # zero grams -> no weight row
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    @staticmethod
+    def _py_weights(rows, pred, n_buckets):
+        import hashlib
+        import math
+        import re
+        from collections import Counter
+
+        def grams(t):
+            t = t.strip().lower()
+            if not t:
+                return []
+            toks = re.split(r"\s+", t)
+            return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+        ct, cq = Counter(), Counter()
+        for did, text, src in rows:
+            for g in grams(text):
+                b = bucket(g)
+                cq[b] += 1
+                if pred(src):
+                    ct[b] += 1
+        nt = sum(ct.values()) + n_buckets
+        nq = sum(cq.values()) + n_buckets
+        lr = {
+            b: math.log((ct.get(b, 0) + 1) / nt) - math.log((cq[b] + 1) / nq)
+            for b in cq
+        }
+        out = {}
+        for did, text, src in rows:
+            gs = grams(text)
+            if gs:
+                out[did] = (len(gs), round(sum(lr[bucket(g)] for g in gs), 6))
+        return out
+
+    def test_weights_match_python(self, spark):
+        from xf_spark.ops.pipeline import DSIR_BUCKETS, dsir_weights
+
+        docs = self._docs(spark)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["log_w"])
+            for r in dsir_weights(docs, F.col("source") == "tgt").collect()
+        }
+        rows = [(r["doc_id"], r["text"], r["source"]) for r in docs.collect()]
+        want = self._py_weights(rows, lambda s: s == "tgt", DSIR_BUCKETS)
+        assert set(got) == set(want)
+        for did in want:
+            assert got[did][0] == want[did][0]
+            assert abs(got[did][1] - want[did][1]) < 1e-9, did
+
+    def test_target_docs_score_higher(self, spark):
+        from xf_spark.ops.pipeline import dsir_weights
+
+        docs = self._docs(spark)
+        w = {
+            r["doc_id"]: r["log_w"]
+            for r in dsir_weights(docs, F.col("source") == "tgt").collect()
+        }
+        # pure target docs outrank pure raw docs; the mixed doc sits
+        # between
+        assert min(w[0], w[1]) > w[4] > max(w[2], w[3])
+        assert 5 not in w  # whitespace-only doc emits nothing
+
+    def test_sample_is_deterministic_topk(self, spark):
+        from xf_spark.ops.pipeline import dsir_sample
+
+        docs = self._docs(spark)
+        pred = F.col("source") == "tgt"
+        a = [(r["doc_id"], r["gumbel_key"]) for r in dsir_sample(docs, pred, k=3).collect()]
+        b = [(r["doc_id"], r["gumbel_key"]) for r in dsir_sample(docs, pred, k=3).collect()]
+        assert a == b and len(a) == 3
+        keys = [k for _, k in a]
+        assert keys == sorted(keys, reverse=True)
+        # different seed -> (almost surely) different selection order
+        c = [r["doc_id"] for r in dsir_sample(docs, pred, k=3, seed="other").collect()]
+        assert set(c) <= {0, 1, 2, 3, 4}

@@ -1399,6 +1399,79 @@ FROM i LEFT JOIN k USING (lang)
 ORDER BY i.lang
 """
 
+# DSIR (Xie et al. 2023) differential: hashed unigram+bigram bucket
+# distributions (target = sources 0-2 vs raw = all), Laplace-smoothed
+# log ratios, per-doc log-weight sums, and the Gumbel-top-k selection
+# key — every stage replayed (same md5 bucket hash as mixture_sample,
+# same bigram construction as the repetition oracle).
+_DSIR_BASE = r"""
+tk AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+),
+uni AS (SELECT doc_id, source, unnest(w) AS gram FROM tk),
+bi AS (
+  SELECT doc_id, source, w[i + 1] || ' ' || w[i + 2] AS gram
+  FROM (SELECT doc_id, source, unnest(range(len(w) - 1)) AS i, w
+        FROM tk WHERE len(w) >= 2)
+),
+g AS (
+  SELECT doc_id, source, gram FROM uni
+  UNION ALL
+  SELECT doc_id, source, gram FROM bi
+),
+gb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(gram), 1, 8))::BIGINT % 1024 AS bucket
+  FROM g
+),
+agg AS (
+  SELECT bucket,
+         sum(CASE WHEN source IN ('src0', 'src1', 'src2')
+                  THEN 1 ELSE 0 END)::BIGINT AS ct,
+         count(*)::BIGINT AS cq
+  FROM gb GROUP BY bucket
+),
+tot AS (
+  SELECT sum(ct)::DOUBLE + 1024 AS nt, sum(cq)::DOUBLE + 1024 AS nq
+  FROM agg
+),
+lr AS (
+  SELECT bucket, ln((ct + 1) / nt) - ln((cq + 1) / nq) AS log_ratio
+  FROM agg, tot
+),
+dw AS (
+  SELECT gb.doc_id, count(*)::BIGINT AS n_grams,
+         round(sum(lr.log_ratio), 6) AS log_w
+  FROM gb JOIN lr USING (bucket) GROUP BY gb.doc_id
+)
+"""
+
+ORACLES["dsir_weights_top"] = f"""
+WITH {_DSIR_BASE}
+SELECT doc_id, n_grams, log_w FROM dw
+ORDER BY log_w DESC, doc_id LIMIT 20
+"""
+
+ORACLES["dsir_sample_top"] = f"""
+WITH {_DSIR_BASE},
+u AS (
+  SELECT doc_id,
+         (('0x' || substr(md5('dsir' || doc_id::VARCHAR), 1, 8))::BIGINT
+          + 0.5) / 4294967296.0 AS u
+  FROM dw
+),
+keyed AS (
+  SELECT dw.doc_id, dw.n_grams, dw.log_w,
+         round(dw.log_w + -ln(-ln(u.u)), 6) AS gumbel_key
+  FROM dw JOIN u USING (doc_id)
+)
+SELECT doc_id, n_grams, log_w, gumbel_key FROM keyed
+ORDER BY gumbel_key DESC, doc_id LIMIT 20
+"""
+
 _PACK_BASE = r"""
 ptok AS (
   SELECT doc_id,

@@ -1238,6 +1238,35 @@ def mixture_sample_report(spark, sf_dir):
     )
 
 
+def _dsir_target_pred():
+    # pinned target domain for the driver differential: 3 of the 20
+    # synthetic sources play the "high-quality target" corpus
+    return F.col("source").isin("src0", "src1", "src2")
+
+
+def dsir_weights_top(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+
+    bigram bucket LMs for target (sources 0-2) vs raw, per-doc
+    log-likelihood ratio. Top-20 most target-like docs; the DuckDB
+    oracle replays the full chain (md5 bucket hash, Laplace-smoothed
+    distributions, log-ratio sum)."""
+    from xf_spark.ops.pipeline import dsir_weights
+
+    docs = _read(spark, sf_dir, "documents")
+    w = dsir_weights(docs, _dsir_target_pred())
+    return w.orderBy(F.desc("log_w"), "doc_id").limit(20)
+
+
+def dsir_sample_top(spark, sf_dir):
+    """DSIR Gumbel-top-k resampling: selection key = log_w +
+    Gumbel(md5-derived uniform) — RNG-free, so DuckDB replays the
+    exact selected set, keys included."""
+    from xf_spark.ops.pipeline import dsir_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_sample(docs, _dsir_target_pred(), k=20)
+
+
 def pack_chunks_sample(spark, sf_dir):
     """Concat-and-chunk packing (seq_len=512) per-doc spans for
     doc_id < 20 — global token offsets via the two-pass bucket prefix

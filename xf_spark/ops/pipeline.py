@@ -428,3 +428,152 @@ def render_conversations(
             sep,
         ).alias("rendered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection with importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def _ws_gram_buckets(text_col: str, n_buckets: int):
+    """Hashed unigram+bigram bag over lowercased whitespace tokens.
+    Bucket = first-8-hex of md5(gram) mod n_buckets — the repo's
+    engine-portable hash (replays in DuckDB as
+    ``('0x' || substr(md5(g),1,8))::BIGINT``). Returns an int-array
+    column; empty/whitespace-only text yields an empty array."""
+    toks_raw = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(toks_raw)
+    n = F.size(toks)
+    bis = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        F.concat(toks, bis),
+        lambda g: (
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).cast("int"),
+    )
+
+
+def dsir_log_ratios(
+    docs: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """The DSIR bucket table: ``log p_target(b) - log q_raw(b)`` over
+    hashed n-gram buckets, Laplace-(+1)-smoothed. ``target_pred`` is a
+    boolean Column selecting the target-domain rows of ``docs`` (the
+    raw distribution is estimated over ALL rows).
+
+    100 TB shape: ONE exploded (bucket)-keyed partial aggregation
+    computes both distributions (the target counts ride as a
+    conditional sum — no second corpus scan); the result is n_buckets
+    rows, broadcastable by construction. The two normalizers are a
+    single-row agg collect (k-bounded driver traffic).
+    """
+    b = docs.select(
+        F.explode(_ws_gram_buckets(text_col, n_buckets)).alias("bucket"),
+        target_pred.alias("is_target"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cq"),
+    )
+    tot = agg.agg(
+        F.sum("ct").alias("nt"), F.sum("cq").alias("nq")
+    ).collect()[0]
+    nt = float((tot["nt"] or 0) + n_buckets)
+    nq = float((tot["nq"] or 0) + n_buckets)
+    return agg.select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1) / F.lit(nt))
+            - F.log((F.col("cq") + 1) / F.lit(nq))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR importance weight: ``log_w = sum over the
+    doc's hashed grams of log_ratio[bucket]`` (the log of the
+    n-gram-LM likelihood ratio target/raw). High log_w = looks like
+    the target domain. Emits ``(doc_id, n_grams, log_w)`` (log_w
+    rounded 6dp); zero-gram docs emit nothing.
+
+    100 TB shape: scoring joins the exploded grams against the
+    BROADCAST n_buckets-row ratio table (map-side, no shuffle), then
+    one partial-aggregated groupBy(doc_id). Two corpus scans total —
+    inherent to DSIR (estimate, then score).
+    """
+    ratios = dsir_log_ratios(docs, target_pred, text_col, n_buckets)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_ws_gram_buckets(text_col, n_buckets)).alias("bucket"),
+    )
+    return (
+        grams.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.round(F.sum("log_ratio"), 6).alias("log_w"),
+        )
+    )
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target_pred,
+    k: int = 100,
+    seed: str = "dsir",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling over the DSIR weights: the
+    paper's without-replacement sampler. key = log_w + Gumbel(u) with
+    ``u = (first-8-hex of md5(seed || doc_id) + 0.5) / 2^32`` — RNG-
+    free, so the selection is reproducible across engines and cluster
+    sizes (same property as mixture_sample). Returns the k selected
+    rows ``(doc_id, n_grams, log_w, gumbel_key)``.
+
+    100 TB shape: the key is a narrow projection over the weights
+    frame; selection is a TakeOrdered top-k (per-partition heaps, one
+    k-row merge), never a global sort.
+    """
+    w = dsir_weights(docs, target_pred, id_col, text_col, n_buckets)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.round(F.col("log_w") + -F.log(-F.log(u)), 6)
+    return (
+        w.select("doc_id", "n_grams", "log_w", key.alias("gumbel_key"))
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+        .limit(k)
+    )
