@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_stats": eq.fingerprint_stats,
         "embedding_near_dup": eq.embedding_near_dup,
         "semdedup_groups": eq.semdedup_groups,
+        "dup_span_report": eq.dup_span_report,
         "multimodal_features": eq.multimodal_features,
         # text ops
         "lang_id_distribution": eq.lang_id_distribution,

@@ -785,3 +785,75 @@ class TestDecontaminate:
         )
         kept, flagged = decontaminate(corpus, ref, n=5)
         assert flagged.count() == 0 and kept.count() == 2
+
+
+class TestDuplicateWindowSpans:
+    """ops/dedup.py::duplicate_window_spans — ExactSubstr-style stats
+    (the driver entry dup_span_report adds the DuckDB replay); these
+    pin the span-union arithmetic against a pure-Python model."""
+
+    @staticmethod
+    def _rows(df):
+        return {
+            r["doc_id"]: (r["n_tokens"], r["n_dup_windows"], r["dup_tokens"])
+            for r in df.collect()
+        }
+
+    def test_cross_doc_overlapping_union(self, spark):
+        # two docs share a 25-token run -> 6 windows each (win=20),
+        # overlapping; union per doc = 25 tokens, not 6*20.
+        shared = " ".join(f"s{i}" for i in range(25))
+        rows = [
+            (0, shared + " " + " ".join(f"a{i}" for i in range(10))),
+            (1, shared + " " + " ".join(f"b{i}" for i in range(10))),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = self._rows(D.duplicate_window_spans(docs, win=20))
+        assert got == {0: (35, 6, 25), 1: (35, 6, 25)}
+
+    def test_within_doc_repeat_disjoint_spans(self, spark):
+        # block A (20) + 20 distinct fillers + block A again: the two
+        # A-windows share a hash; spans [0,20) and [40,60) -> 40.
+        a = " ".join(f"x{i}" for i in range(20))
+        filler = " ".join(f"f{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [(7, f"{a} {filler} {a}")], "doc_id long, text string"
+        )
+        got = self._rows(D.duplicate_window_spans(docs, win=20))
+        assert got == {7: (60, 2, 40)}
+
+    def test_unique_and_short_docs_zero(self, spark):
+        rows = [
+            (0, " ".join(f"u{i}" for i in range(30))),   # unique, long
+            (1, "too short to window"),                   # < win tokens
+            (2, ""),                                      # empty
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = self._rows(D.duplicate_window_spans(docs, win=20))
+        assert got == {0: (30, 0, 0), 1: (4, 0, 0), 2: (0, 0, 0)}
+
+    def test_matches_python_model_on_documents(self, documents):
+        import collections
+
+        win = 10
+        docs = documents.select("doc_id", "text").where("doc_id % 3 = 0")
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        counts = collections.Counter()
+        wins = {}
+        for d, t in texts.items():
+            toks = t.strip().lower().split() if t.strip() else []
+            ws = [
+                " ".join(toks[i : i + win])
+                for i in range(len(toks) - win + 1)
+            ]
+            wins[d] = (len(toks), ws)
+            counts.update(ws)
+        want = {}
+        for d, (n, ws) in wins.items():
+            pos = [i for i, w in enumerate(ws) if counts[w] >= 2]
+            union = 0
+            for i, p in enumerate(pos):
+                union += win if i == 0 else min(win, p - pos[i - 1])
+            want[d] = (n, len(pos), union)
+        got = self._rows(D.duplicate_window_spans(docs, win=win))
+        assert got == want

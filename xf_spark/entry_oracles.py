@@ -1399,6 +1399,45 @@ FROM i LEFT JOIN k USING (lang)
 ORDER BY i.lang
 """
 
+# ExactSubstr-style duplicated-window differential (Lee et al. 2022):
+# same window construction as the Spark op (20-token windows over
+# lowercased ws tokens, md5 content hash), corpus-wide >= 2 occurrence
+# cut, per-doc span union via the lag-gap identity
+# |union| = win + sum(min(win, gap)).
+ORACLES["dup_span_report"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS w
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(w[i + 1:i + 20], ' ')) AS h
+  FROM (SELECT doc_id, unnest(range(len(w) - 19)) AS i, w
+        FROM tk WHERE len(w) >= 20)
+),
+hot AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT win.doc_id, pos FROM win JOIN hot USING (h)),
+gaps AS (
+  SELECT doc_id, pos,
+         pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+  FROM d
+),
+cov AS (
+  SELECT doc_id, count(*)::BIGINT AS n_dup_windows,
+         sum(CASE WHEN gap IS NULL THEN 20 ELSE least(20, gap) END)::BIGINT
+           AS dup_tokens
+  FROM gaps GROUP BY doc_id
+)
+SELECT tk.doc_id, len(tk.w)::BIGINT AS n_tokens,
+       coalesce(cov.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       coalesce(cov.dup_tokens, 0)::BIGINT AS dup_tokens,
+       round(coalesce(cov.dup_tokens, 0)
+             / greatest(len(tk.w), 1), 6) AS dup_frac
+FROM tk LEFT JOIN cov USING (doc_id)
+ORDER BY tk.doc_id
+"""
+
 # DSIR (Xie et al. 2023) differential: hashed unigram+bigram bucket
 # distributions (target = sources 0-2 vs raw = all), Laplace-smoothed
 # log ratios, per-doc log-weight sums, and the Gumbel-top-k selection

@@ -544,6 +544,18 @@ def simhash_pairs(spark, sf_dir):
     )
 
 
+def dup_span_report(spark, sf_dir):
+    """ExactSubstr-style duplicated-window stats (Lee et al. 2022):
+    one row per doc with the token count, duplicated 20-token-window
+    count, the union size of those windows (what a substring-dedup
+    pass would excise), and the duplicated-token fraction. The DuckDB
+    oracle replays the window hashes and the sorted-gap span union."""
+    from xf_spark.ops.dedup import duplicate_window_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_window_spans(docs, win=20).orderBy("doc_id")
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing with a driver-level differential: media
     derived from documents (payload = UTF-8 text bytes — pure ASCII in

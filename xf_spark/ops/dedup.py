@@ -729,3 +729,107 @@ def semdedup(
         )
 
     return celled.groupBy("cell").applyInPandas(prune, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-window detection (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+def duplicate_window_spans(
+    docs: DataFrame,
+    win: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-substring statistics, the distributed
+    analog of ExactSubstr dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): a ``win``-token window
+    whose text occurs >= ``min_count`` times ANYWHERE in the corpus
+    (across or within docs) is a duplicated window; per doc, the union
+    of its duplicated windows is the span a substring-dedup pass would
+    excise. Emits one row per doc:
+    ``(doc_id, n_tokens, n_dup_windows, dup_tokens, dup_frac)``.
+
+    The paper builds a monolithic suffix array — single-machine by
+    construction. The distributed standard is hash-windowing: explode
+    every window's 128-bit content hash (linear in corpus tokens),
+    ONE partially-aggregated groupBy(h) keeps hashes with >= min_count
+    occurrences (a boilerplate window occurring 10^6 times collapses
+    to one count row — skew-safe), join back on h, and the per-doc
+    span union is a sorted-positions fold bounded by the longest doc.
+    No Python, no quadratic stage; the hash key ships as 16-byte
+    binary (unhex), not the 32-char hex string.
+    """
+    toks_raw = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(toks_raw)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n = F.size("toks")
+    wins = (
+        base.where(n >= win)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - win),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.unhex(
+                            F.md5(
+                                F.array_join(
+                                    F.slice(F.col("toks"), i + 1, win), " "
+                                )
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.h")
+    )
+    hot = (
+        wins.groupBy("h").count().where(F.col("count") >= min_count).select("h")
+    )
+    dup = (
+        wins.join(hot, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sort_array(F.collect_list("pos")).alias("ps"),
+        )
+    )
+    sz = F.size("ps")
+    # |union of [p, p+win)| over sorted starts = win for the first
+    # window + min(win, gap) for each subsequent one
+    gaps = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice("ps", F.lit(1), sz - 1),
+            F.slice("ps", F.lit(2), sz - 1),
+            lambda a, b: F.least(F.lit(win), b - a),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    dup_tokens = F.aggregate(gaps, F.lit(0), lambda acc, x: acc + x) + win
+    spans = dup.select(
+        "doc_id",
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        dup_tokens.cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
