@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": eq.embedding_near_dup,
         "semdedup_groups": eq.semdedup_groups,
         "dup_span_report": eq.dup_span_report,
+        "dup_span_excise": eq.dup_span_excise,
         "multimodal_features": eq.multimodal_features,
         # text ops
         "lang_id_distribution": eq.lang_id_distribution,

@@ -857,3 +857,51 @@ class TestDuplicateWindowSpans:
             want[d] = (n, len(pos), union)
         got = self._rows(D.duplicate_window_spans(docs, win=win))
         assert got == want
+
+
+class TestExciseDuplicateSpans:
+    """ops/dedup.py::excise_duplicate_spans — the actual ExactSubstr
+    cut (driver entry dup_span_excise adds the DuckDB replay)."""
+
+    def test_within_doc_repeat_cut(self, spark):
+        a = " ".join(f"x{i}" for i in range(20))
+        filler = " ".join(f"f{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [(7, f"{a} {filler} {a}")], "doc_id long, text string"
+        )
+        r = D.excise_duplicate_spans(docs, win=20).collect()[0]
+        assert (r["n_tokens"], r["n_kept"]) == (60, 20)
+        assert r["text_clean"] == filler
+
+    def test_case_preserved_hash_case_folded(self, spark):
+        # duplicate detected across case variants (hash lowercases),
+        # but surviving tokens keep their original case
+        shared = " ".join(f"S{i}" for i in range(20))
+        rows = [
+            (0, shared + " KeepMe extra tail tokens here now"),
+            (1, shared.lower() + " other tail"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["text_clean"]
+            for r in D.excise_duplicate_spans(docs, win=20).collect()
+        }
+        assert got[0] == "KeepMe extra tail tokens here now"
+        assert got[1] == "other tail"
+
+    def test_report_excise_invariant_on_documents(self, documents):
+        # union-of-dup-windows size == tokens removed by the cut
+        docs = documents.select("doc_id", "text")
+        rep = {
+            r["doc_id"]: (r["n_tokens"], r["dup_tokens"])
+            for r in D.duplicate_window_spans(docs, win=10).collect()
+        }
+        cut = {
+            r["doc_id"]: (r["n_tokens"], r["n_kept"])
+            for r in D.excise_duplicate_spans(docs, win=10).collect()
+        }
+        assert rep.keys() == cut.keys()
+        for d, (n, dup) in rep.items():
+            cn, kept = cut[d]
+            assert cn == n and n - kept == dup, d
+        assert any(dup > 0 for _, dup in rep.values())

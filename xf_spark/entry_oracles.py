@@ -1438,6 +1438,47 @@ FROM tk LEFT JOIN cov USING (doc_id)
 ORDER BY tk.doc_id
 """
 
+# ExactSubstr cut differential: same hot-window detection as
+# dup_span_report, then the covered-position union (window start + 20
+# offsets, DISTINCT) anti-joins the token positions and the survivors
+# re-join order-preserving via string_agg ORDER BY i. Tokens keep
+# their original case; only the window HASH is lowercased.
+ORACLES["dup_span_excise"] = r"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos,
+         md5(lower(array_to_string(w[i + 1:i + 20], ' '))) AS h
+  FROM (SELECT doc_id, unnest(range(len(w) - 19)) AS i, w
+        FROM tk WHERE len(w) >= 20)
+),
+hot AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+d AS (SELECT win.doc_id, pos FROM win JOIN hot USING (h)),
+cov AS (
+  SELECT DISTINCT doc_id, pos + r AS i
+  FROM (SELECT doc_id, pos, unnest(range(20)) AS r FROM d)
+),
+tokpos AS (SELECT doc_id, unnest(range(len(w))) AS i, w FROM tk),
+kept AS (
+  SELECT doc_id, i, w[i + 1] AS tok
+  FROM tokpos ANTI JOIN cov USING (doc_id, i)
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id, len(tk.w)::BIGINT AS n_tokens,
+       coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(agg.text_clean, '') AS text_clean
+FROM tk LEFT JOIN agg USING (doc_id)
+ORDER BY tk.doc_id
+"""
+
 # DSIR (Xie et al. 2023) differential: hashed unigram+bigram bucket
 # distributions (target = sources 0-2 vs raw = all), Laplace-smoothed
 # log ratios, per-doc log-weight sums, and the Gumbel-top-k selection

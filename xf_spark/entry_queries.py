@@ -556,6 +556,18 @@ def dup_span_report(spark, sf_dir):
     return duplicate_window_spans(docs, win=20).orderBy("doc_id")
 
 
+def dup_span_excise(spark, sf_dir):
+    """ExactSubstr cut (Lee et al. 2022, drop-every-duplicate policy):
+    remove all tokens covered by a corpus-duplicated 20-token window
+    and re-join the survivors. The DuckDB oracle replays the window
+    hashes, the covered-position union, and the order-preserving
+    re-join (string_agg ORDER BY position) in SQL."""
+    from xf_spark.ops.dedup import excise_duplicate_spans
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return excise_duplicate_spans(docs, win=20).orderBy("doc_id")
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing with a driver-level differential: media
     derived from documents (payload = UTF-8 text bytes — pure ASCII in

@@ -735,6 +735,47 @@ def semdedup(
 # ExactSubstr-style duplicated-window detection (Lee et al. 2022)
 # ---------------------------------------------------------------------------
 
+def _window_hashes(docs, win, id_col, text_col):
+    """Shared window construction for the ExactSubstr family: returns
+    ``(base, wins)`` where base = (doc_id, toks) with original-case
+    whitespace tokens, and wins = (doc_id, pos, h) with a 16-byte md5
+    of each lowercased ``win``-token window. Linear in corpus tokens;
+    only (doc_id, pos, 16B hash) rows ever shuffle."""
+    toks_raw = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(toks_raw)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    n = F.size("toks")
+    wins = (
+        base.where(n >= win)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - win),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.unhex(
+                            F.md5(
+                                F.lower(
+                                    F.array_join(
+                                        F.slice(F.col("toks"), i + 1, win),
+                                        " ",
+                                    )
+                                )
+                            )
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.h")
+    )
+    return base, wins
+
+
 def duplicate_window_spans(
     docs: DataFrame,
     win: int = 20,
@@ -761,35 +802,7 @@ def duplicate_window_spans(
     No Python, no quadratic stage; the hash key ships as 16-byte
     binary (unhex), not the 32-char hex string.
     """
-    toks_raw = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    toks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0,
-        F.array().cast("array<string>"),
-    ).otherwise(toks_raw)
-    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
-    n = F.size("toks")
-    wins = (
-        base.where(n >= win)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n - win),
-                    lambda i: F.struct(
-                        i.alias("pos"),
-                        F.unhex(
-                            F.md5(
-                                F.array_join(
-                                    F.slice(F.col("toks"), i + 1, win), " "
-                                )
-                            )
-                        ).alias("h"),
-                    ),
-                )
-            ).alias("w"),
-        )
-        .select("doc_id", "w.pos", "w.h")
-    )
+    base, wins = _window_hashes(docs, win, id_col, text_col)
     hot = (
         wins.groupBy("h").count().where(F.col("count") >= min_count).select("h")
     )
@@ -831,5 +844,73 @@ def duplicate_window_spans(
                 / F.greatest(F.col("n_tokens"), F.lit(1)),
                 6,
             ).alias("dup_frac"),
+        )
+    )
+
+def excise_duplicate_spans(
+    docs: DataFrame,
+    win: int = 20,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Perform the ExactSubstr cut (Lee et al. 2022, "drop every
+    duplicated span" policy): remove every token covered by a
+    ``win``-token window whose lowercased text occurs >= ``min_count``
+    times anywhere in the corpus, in EVERY occurrence (self-repeats
+    included). Emits ``(doc_id, n_tokens, n_kept, text_clean)`` where
+    ``text_clean`` is the surviving original-case tokens re-joined
+    with single spaces (whitespace is normalized by construction).
+
+    Scale shape: same linear hash-windowing as
+    :func:`duplicate_window_spans`; the only per-doc state is the
+    sorted duplicated-window starts, folded JVM-side into DISJOINT
+    merged intervals, and tokens are filtered with an indexed lambda
+    against those intervals — no token-level shuffle, no Python.
+    """
+    base, wins = _window_hashes(docs, win, id_col, text_col)
+    hot = (
+        wins.groupBy("h").count().where(F.col("count") >= min_count).select("h")
+    )
+    starts = (
+        wins.join(hot, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
+    empty_ivs = F.array().cast("array<struct<s:int,e:int>>")
+    # fold sorted starts into merged [s, e) intervals: starts are
+    # increasing, so an overlapping window only ever extends the tail
+    merged = F.aggregate(
+        F.col("ps"),
+        empty_ivs,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + win).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + win).alias("e"))))
+        ),
+    )
+    ivs = F.coalesce(F.col("_ivs"), empty_ivs)
+    kept = F.filter(
+        F.col("toks"),
+        lambda tok, i: ~F.exists(
+            ivs, lambda iv: (i >= iv["s"]) & (i < iv["e"])
+        ),
+    )
+    return (
+        base.join(starts.select("doc_id", merged.alias("_ivs")), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("n_kept"),
+            F.array_join(kept, " ").alias("text_clean"),
         )
     )
