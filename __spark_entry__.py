@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_stats": eq.token_count_stats,
         # ANN
         "ann_ivf_full_probe": eq.ann_ivf_full_probe,
+        "knn_graph_full_probe": eq.knn_graph_full_probe,
         # text analysis
         "text_quality": eq.text_quality,
         "length_histogram": eq.length_histogram,

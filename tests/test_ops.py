@@ -905,3 +905,74 @@ class TestExciseDuplicateSpans:
             cn, kept = cut[d]
             assert cn == n and n - kept == dup, d
         assert any(dup > 0 for _, dup in rep.values())
+
+
+class TestKnnGraph:
+    """ops/similarity.py::knn_graph — IVF-celled cogroup kNN join
+    (driver entry knn_graph_full_probe adds the DuckDB cross-join
+    replay of the exact mode)."""
+
+    @staticmethod
+    def _brute(vecs, qids, k):
+        ids = sorted(vecs)
+        want = {}
+        for qid in qids:
+            q = np.asarray(vecs[qid], dtype=np.float64)
+            q /= max(np.linalg.norm(q), 1e-12)
+            scored = []
+            for i in ids:
+                if i == qid:
+                    continue
+                v = np.asarray(vecs[i], dtype=np.float64)
+                v /= max(np.linalg.norm(v), 1e-12)
+                scored.append((round(float(q @ v), 5), i))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            want[qid] = [i for _, i in scored[:k]]
+        return want
+
+    def test_full_probe_matches_brute_force(self, embeddings):
+        vecs = {
+            r["vec_id"]: r["embedding"]
+            for r in embeddings.select("vec_id", "embedding").collect()
+        }
+        got = {}
+        res = SIM.knn_graph(
+            embeddings.select("vec_id", "embedding"), k=3, n_cells=4
+        ).collect()
+        for r in sorted(res, key=lambda r: (r["vec_id"], r["rank"])):
+            got.setdefault(r["vec_id"], []).append(r["nb_id"])
+        assert got == self._brute(vecs, sorted(vecs), 3)
+
+    def test_probe_subset_recall(self, embeddings):
+        emb = embeddings.select("vec_id", "embedding")
+        vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        exact = self._brute(vecs, sorted(vecs), 3)
+        res = SIM.knn_graph(emb, k=3, n_cells=4, n_probe=2).collect()
+        got = {}
+        for r in res:
+            got.setdefault(r["vec_id"], set()).add(r["nb_id"])
+        hits = sum(
+            len(got.get(q, set()) & set(nbs)) for q, nbs in exact.items()
+        )
+        total = sum(len(nbs) for nbs in exact.values())
+        # 2 of 4 cells probed: clustered data keeps most true
+        # neighbors in the query's nearest cells
+        assert hits / total >= 0.6
+
+    def test_duplicate_vector_tiebreak(self, spark):
+        # three identical vectors: cosine 1.0 ties -> neighbor id asc
+        rows = [
+            (0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 0.0]),
+            (3, [0.0, 1.0]),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+        res = SIM.knn_graph(emb, k=2, n_cells=2).collect()
+        got = {
+            (r["vec_id"], r["rank"]): r["nb_id"]
+            for r in res
+        }
+        assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+        assert got[(1, 1)] == 0 and got[(1, 2)] == 2
+        assert got[(2, 1)] == 0 and got[(2, 2)] == 1

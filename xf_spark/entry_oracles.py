@@ -748,6 +748,33 @@ ORDER BY cosine DESC, vec_id
 LIMIT 15
 """
 
+# kNN-graph differential: the Spark side runs the IVF-celled cogroup
+# matmul with EVERY cell probed (exact); the replay is the plain
+# cross join with the identical round-5dp-before-rank and neighbor-id
+# tiebreak. Queries = every 10th vector; corpus = all vectors.
+ORACLES["knn_graph_full_probe"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+s AS (
+  SELECT q.vec_id AS vec_id, e.vec_id AS nb_id,
+         round(list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(e.v, e.v))),
+               5) AS cosine
+  FROM q CROSS JOIN e
+  WHERE e.vec_id <> q.vec_id
+),
+r AS (
+  SELECT vec_id, nb_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, nb_id) AS rank
+  FROM s
+)
+SELECT vec_id, nb_id, rank::BIGINT AS rank, cosine
+FROM r WHERE rank <= 3
+ORDER BY vec_id, rank
+"""
+
 # ---------------------------------------------------------------------------
 # Transcripts-engine differentials: a transcripts-shaped table is
 # derived from the documents view by PURE SQL (20 turns/conv,

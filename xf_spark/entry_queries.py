@@ -568,6 +568,22 @@ def dup_span_excise(spark, sf_dir):
     return excise_duplicate_spans(docs, win=20).orderBy("doc_id")
 
 
+def knn_graph_full_probe(spark, sf_dir):
+    """kNN GRAPH (top-3 cosine neighbors per query vector, self
+    excluded) in full-probe mode: every query probes every IVF cell,
+    so the celled cogroup matmul is EXACT and the DuckDB oracle is a
+    plain cross-join replay with the same round-5dp-before-rank,
+    neighbor-id tiebreak. Queries = every 10th vector (50 of 500);
+    corpus = the full table."""
+    from xf_spark.ops.similarity import knn_graph
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.where("vec_id % 10 = 0")
+    return knn_graph(emb, k=3, queries=q, n_cells=8, n_probe=None).orderBy(
+        "vec_id", "rank"
+    )
+
+
 def multimodal_features(spark, sf_dir):
     """Multimodal plumbing with a driver-level differential: media
     derived from documents (payload = UTF-8 text bytes — pure ASCII in

@@ -256,3 +256,114 @@ def ivf_topk(
         .limit(k)
         .withColumnRenamed("_id", id_col)
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    queries: DataFrame | None = None,
+    n_cells: int = 8,
+    n_probe: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 5,
+) -> DataFrame:
+    """k-nearest-neighbor join: for every query vector, its top-``k``
+    cosine neighbors in ``embeddings`` (self excluded by id). With
+    ``queries=None`` this is the kNN GRAPH of the table — the
+    substrate for SemDeDup-style pruning, graph clustering, and
+    connectivity curation. Emits ``(vec_id, nb_id, rank, cosine)``.
+
+    Scale shape: corpus vectors are IVF-celled (same distributed Lloyd
+    quantizer as ``ivf_topk``); each query probes its ``n_probe``
+    nearest cells (``None`` = all cells = EXACT, the oracle mode). The
+    per-cell work is one cogrouped NumPy matmul of (queries probing
+    the cell) x (cell members) — never an all-pairs crossJoin; shuffle
+    keys are the cell id then the query id, and per-cell memory is
+    bounded by the quantizer's cell balance. Cosine is rounded to
+    ``round_dp`` BEFORE every top-k cut with ties broken by neighbor
+    id, so per-cell cuts, the global merge, and a SQL replay agree
+    exactly.
+    """
+    cent = train_centroids(embeddings, n_cells=n_cells, vec_col=vec_col)
+    probe = len(cent) if n_probe is None else min(n_probe, len(cent))
+    celled = assign_cells(embeddings, cent, vec_col=vec_col).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"), "cell"
+    )
+    q = queries if queries is not None else embeddings
+    spark = q.sparkSession
+    cb = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        C = cb.value
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        top = np.argsort(-sims, axis=1)[:, :probe]
+        return pd.Series([row.astype("int32") for row in top])
+
+    qp = q.select(
+        F.col(id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_qid", T.LongType()),
+            T.StructField("nb_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def per_cell(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qdf) or not len(cdf):
+            return pd.DataFrame({"_qid": [], "nb_id": [], "cosine": []}).astype(
+                {"_qid": "int64", "nb_id": "int64", "cosine": "float64"}
+            )
+        Q = np.stack(qdf["_qv"].to_numpy()).astype(np.float64)
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        C = np.stack(cdf["_cv"].to_numpy()).astype(np.float64)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        sims = np.round(Q @ C.T, round_dp)
+        qids = qdf["_qid"].to_numpy(np.int64)
+        cids = cdf["_cid"].to_numpy(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for r in range(len(qids)):
+            row = sims[r]
+            mask = cids != qids[r]
+            ids, sc = cids[mask], row[mask]
+            # rounded-score desc, neighbor id asc — the pinned order
+            order = np.lexsort((ids, -sc))[:k]
+            out_q.append(np.full(len(order), qids[r], dtype=np.int64))
+            out_n.append(ids[order])
+            out_s.append(sc[order])
+        return pd.DataFrame(
+            {
+                "_qid": np.concatenate(out_q),
+                "nb_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_s),
+            }
+        )
+
+    partials = (
+        qp.groupBy("cell")
+        .cogroup(celled.groupBy("cell"))
+        .applyInPandas(lambda qdf, cdf: per_cell(qdf, cdf), schema=out_schema)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("nb_id"))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(id_col),
+            "nb_id",
+            F.col("rank").cast("long").alias("rank"),
+            "cosine",
+        )
+    )
