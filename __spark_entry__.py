@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": eq.ngram_jaccard_pairs,
         "minhash_dedup": eq.minhash_dedup,
         "near_dup_groups": eq.near_dup_groups,
+        "near_dup_groups_longest": eq.near_dup_groups_longest,
         "simhash_pairs": eq.simhash_pairs,
         "fingerprint_stats": eq.fingerprint_stats,
         "embedding_near_dup": eq.embedding_near_dup,
@@ -177,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample_top": eq.dsir_sample_top,
         "repetition_report": eq.repetition_report,
         "mixture_sample_report": eq.mixture_sample_report,
+        "token_budget_sample": eq.token_budget_sample,
         "pack_chunks_sample": eq.pack_chunks_sample,
         "pack_chunks_stats": eq.pack_chunks_stats,
         "chunk_split_sample": eq.chunk_split_sample,

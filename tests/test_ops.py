@@ -213,6 +213,24 @@ class TestNearDupGroups:
         }
         assert got == {1: 1, 2: 2}
 
+    def test_priority_keep_highest_tie_min_id(self, spark):
+        # comp {1,2,3}: 3 has the max priority -> everyone keeps 3;
+        # comp {7,8}: tie -> min id 7; singleton 5 keeps itself
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+        )
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 11), (3, 25), (5, 1), (7, 4), (8, 4)],
+            "doc_id long, n_tokens long",
+        )
+        got = {
+            r["doc_id"]: r["keep_id"]
+            for r in D.near_dup_groups(
+                docs, pairs, priority_col="n_tokens"
+            ).collect()
+        }
+        assert got == {1: 3, 2: 3, 3: 3, 5: 5, 7: 7, 8: 7}
+
 
 class TestSimHashBatch:
     def test_batch_equals_scalar(self):

@@ -460,3 +460,65 @@ class TestDsir:
         # different seed -> (almost surely) different selection order
         c = [r["doc_id"] for r in dsir_sample(docs, pred, k=3, seed="other").collect()]
         assert set(c) <= {0, 1, 2, 3, 4}
+
+
+class TestSampleTokenBudget:
+    """ops/pipeline.py::sample_token_budget (driver entry
+    token_budget_sample adds the global-window DuckDB replay)."""
+
+    @staticmethod
+    def _docs(spark):
+        rows = [(i, " ".join(f"t{i}_{j}" for j in range(5 + i % 7))) for i in range(60)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_minimal_prefix_covers_budget(self, spark):
+        import hashlib
+
+        from xf_spark.ops.pipeline import sample_token_budget
+
+        docs = self._docs(spark)
+        kept = sample_token_budget(docs, budget_tokens=100).collect()
+        total = sum(r["n_tokens"] for r in kept)
+        assert total >= 100  # budget reached
+        # dropping the LAST doc in md5 order leaves the prefix under
+        # budget (the sample is the minimal covering prefix)
+        last = max(
+            kept,
+            key=lambda r: hashlib.md5(f"42{r['doc_id']}".encode()).hexdigest(),
+        )
+        assert total - last["n_tokens"] < 100
+
+    def test_budget_extremes(self, spark):
+        from xf_spark.ops.pipeline import sample_token_budget
+
+        docs = self._docs(spark)
+        assert sample_token_budget(docs, 0).count() == 0
+        assert sample_token_budget(docs, 10**9).count() == 60
+
+    def test_partition_invariant(self, spark):
+        from xf_spark.ops.pipeline import sample_token_budget
+
+        docs = self._docs(spark)
+        a = {r["doc_id"] for r in sample_token_budget(docs.repartition(1), 150).collect()}
+        b = {r["doc_id"] for r in sample_token_budget(docs.repartition(16), 150).collect()}
+        assert a == b and 0 < len(a) < 60
+
+    def test_matches_sequential_model(self, spark):
+        import hashlib
+
+        from xf_spark.ops.pipeline import sample_token_budget
+
+        docs = self._docs(spark)
+        rows = docs.collect()
+        order = sorted(
+            rows,
+            key=lambda r: (hashlib.md5(f"42{r['doc_id']}".encode()).hexdigest(), r["doc_id"]),
+        )
+        want, cum = set(), 0
+        for r in order:
+            n = len(r["text"].split())
+            if cum < 200:
+                want.add(r["doc_id"])
+            cum += n
+        got = {r["doc_id"] for r in sample_token_budget(docs, 200).collect()}
+        assert got == want

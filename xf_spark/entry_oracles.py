@@ -439,6 +439,79 @@ ORDER BY d.doc_id
 
 ORACLES["near_dup_groups"] = _near_dup_groups_oracle_sql()
 
+
+def _near_dup_groups_longest_oracle_sql() -> str:
+    """Priority-keep differential: the same minhash-pair closure, but
+    the representative is the component member with the most
+    whitespace tokens (ties -> min doc_id)."""
+    pairs_sql = _minhash_oracle_sql()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({pairs_sql})
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS comp
+  FROM reach GROUP BY src
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS p
+  FROM documents
+),
+rep AS (
+  SELECT comp, doc_id AS keep_id
+  FROM (
+    SELECT c.comp, c.doc_id,
+           row_number() OVER (PARTITION BY c.comp
+                              ORDER BY t.p DESC, c.doc_id) AS rn
+    FROM comp c JOIN tok t USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, coalesce(rep.keep_id, d.doc_id) AS keep_id
+FROM documents d
+LEFT JOIN comp USING (doc_id)
+LEFT JOIN rep USING (comp)
+ORDER BY d.doc_id
+"""
+
+
+ORACLES["near_dup_groups_longest"] = _near_dup_groups_longest_oracle_sql()
+
+# Token-budget sampling differential: md5(seed||id) order, keep while
+# the cumulative token count BEFORE the doc is under the budget. The
+# oracle uses the sequential global-window cumsum; the Spark side must
+# reproduce it with its bucket-offset + per-bucket-window plan.
+ORACLES["token_budget_sample"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         md5('42' || doc_id::VARCHAR) AS key
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM tok
+)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens
+FROM c WHERE cum_before < 3000
+ORDER BY doc_id
+"""
+
 def _fingerprint_oracle_sql() -> str:
     """Exact replay of ops/textops.py rolling_fingerprints: md5 token
     hashes, degree-8 polynomial window hash mod 2^61-1 (HUGEINT

@@ -531,6 +531,26 @@ def near_dup_groups(spark, sf_dir):
     return groups_op(docs, pairs)
 
 
+def near_dup_groups_longest(spark, sf_dir):
+    """Priority-keep variant: same minhash components, but the kept
+    representative is the component member with the MOST whitespace
+    tokens (ties -> min id) — the "keep the longest copy" policy. The
+    oracle adds the token-count argmax (row_number over the closure's
+    components) on top of the near_dup_groups WITH RECURSIVE replay."""
+    from xf_spark.ops.dedup import minhash_dedup_pairs
+    from xf_spark.ops.dedup import near_dup_groups as groups_op
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    sized = docs.withColumn(
+        "n_tokens",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        ),
+    )
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    return groups_op(sized, pairs, priority_col="n_tokens")
+
+
 def simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 3) via the 4-block exact-join
     trick — the md5-derived 64-bit simhash is replayed verbatim in
@@ -566,6 +586,19 @@ def dup_span_excise(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return excise_duplicate_spans(docs, win=20).orderBy("doc_id")
+
+
+def token_budget_sample(spark, sf_dir):
+    """Deterministic token-budget sampling: md5(seed||id)-ordered scan
+    keeps each doc while the token mass before it is under 3000 (so
+    the sample fills the budget, overshooting at most one doc). Spark
+    computes the global cumsum as bucket offsets + a bucket-partitioned
+    window (no single-partition stage); the oracle is the plain global
+    window cumsum."""
+    from xf_spark.ops.pipeline import sample_token_budget
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample_token_budget(docs, budget_tokens=3000).orderBy("doc_id")
 
 
 def knn_graph_full_probe(spark, sf_dir):

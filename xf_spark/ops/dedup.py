@@ -325,21 +325,53 @@ def near_dup_groups(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    priority_col: str | None = None,
 ) -> DataFrame:
     """The keep/drop decision a training-data pipeline actually needs:
-    one row per doc, (doc_id, keep_id) with keep_id = min doc id of
-    the doc's near-dup component (docs in no pair keep themselves).
-    ``pairs`` is any verified candidate-pair frame (minhash_dedup_pairs
-    / simhash_candidates / embedding_near_dup_pairs) — all of them are
-    hot-bucket capped, so the component graph is linear in the corpus.
+    one row per doc, (doc_id, keep_id); docs in no pair keep
+    themselves. ``pairs`` is any verified candidate-pair frame
+    (minhash_dedup_pairs / simhash_candidates /
+    embedding_near_dup_pairs) — all of them are hot-bucket capped, so
+    the component graph is linear in the corpus.
+
+    Representative policy: with ``priority_col=None``, keep_id = min
+    doc id of the component (stable default). With a ``priority_col``
+    (a numeric column on ``docs`` — token count, quality score, source
+    rank), keep_id = the component member with the HIGHEST priority,
+    ties broken by min id — "keep the longest/best copy", the policy
+    production dedup actually ships. The rep selection is one extra
+    groupBy over (component, priority) longs.
+
     Drop policy: keep rows WHERE doc_id == keep_id."""
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)
-    return (
-        docs.select(id_col)
-        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
-        .select(
+    base = docs.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    if priority_col is None:
+        return base.select(
             F.col(id_col),
             F.coalesce("comp", F.col(id_col)).alias("keep_id"),
+        ).orderBy(id_col)
+    prio = docs.select(
+        F.col(id_col), F.col(priority_col).cast("double").alias("_p")
+    )
+    # per component: min over (-priority, id) == max priority, min id
+    rep = (
+        base.where(F.col("comp").isNotNull())
+        .join(prio, id_col)
+        .groupBy("comp")
+        .agg(
+            F.min(
+                F.struct((-F.col("_p")).alias("np"), F.col(id_col).alias("i"))
+            ).alias("best")
+        )
+        .select("comp", F.col("best.i").alias("_keep"))
+    )
+    return (
+        base.join(rep, "comp", "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_keep", F.col(id_col)).alias("keep_id"),
         )
         .orderBy(id_col)
     )

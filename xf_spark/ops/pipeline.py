@@ -577,3 +577,68 @@ def dsir_sample(
         .orderBy(F.desc("gumbel_key"), "doc_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling
+# ---------------------------------------------------------------------------
+
+def sample_token_budget(
+    docs: DataFrame,
+    budget_tokens: int,
+    seed: str = "42",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Select a deterministic pseudo-random subset of documents whose
+    whitespace-token counts fill ``budget_tokens``: docs are ordered
+    by md5(seed || id) (an RNG-free shuffle — same input, same sample,
+    any cluster size) and a doc is kept iff the token mass BEFORE it
+    in that order is still under the budget (so the budget is always
+    reached, overshooting by at most one document). This is how a
+    training run takes "exactly ~N tokens of X" from a larger corpus.
+    Emits ``(doc_id, n_tokens)``.
+
+    100 TB shape: a global cumulative sum is NOT a global window.
+    Rows hash into 4096 key-prefix buckets; one small agg computes
+    per-bucket token sums; the driver turns the (4096-row) bucket
+    cumsum into broadcast offsets; the exact within-bucket cumsum is a
+    window PARTITIONED BY bucket — one bounded shuffle, no
+    single-partition stage, same answer as the sequential scan.
+    """
+    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))).alias("key"),
+    ).withColumn("bucket", F.substring("key", 1, 3))
+    bsums = {
+        r["bucket"]: r["s"]
+        for r in keyed.groupBy("bucket").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(bsums):
+        offsets[b] = acc
+        acc += bsums[b]
+    spark = docs.sparkSession
+    off = spark.createDataFrame(
+        [(b, int(o)) for b, o in offsets.items()], "bucket string, off long"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        keyed.join(F.broadcast(off), "bucket")
+        .withColumn(
+            "_cum_before",
+            F.col("off") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0)),
+        )
+        .where(F.col("_cum_before") < F.lit(int(budget_tokens)))
+        .select("doc_id", "n_tokens")
+    )
