@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # concat-and-chunk sequence packing (two-pass bucket prefix
         # sum — no single-partition window)
         "pii_redact_stats": eq.pii_redact_stats,
+        "gopher_report": eq.gopher_report,
+        "c4_filter_report": eq.c4_filter_report,
         "dsir_weights_top": eq.dsir_weights_top,
         "dsir_sample_top": eq.dsir_sample_top,
         "repetition_report": eq.repetition_report,

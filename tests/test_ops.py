@@ -994,3 +994,42 @@ class TestKnnGraph:
         assert got[(0, 1)] == 1 and got[(0, 2)] == 2
         assert got[(1, 1)] == 0 and got[(1, 2)] == 2
         assert got[(2, 1)] == 0 and got[(2, 2)] == 1
+
+
+class TestFingerprintHotBucketCap:
+    """Round-3: the same quadratic guard for the winnowed-fingerprint
+    self-join — one boilerplate window shared by m docs is one hot
+    fingerprint bucket emitting ~m^2/2 pairs uncapped."""
+
+    def _df(self, spark):
+        boiler = (
+            "standard disclaimer text repeated across every document "
+            "body for compliance reasons"
+        )
+        distinct = (
+            "one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen"
+        )
+        rows = [(i, boiler) for i in range(500)]
+        rows += [(1000, distinct), (1001, distinct)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_hot_fingerprint_dropped_distinct_pairs_kept(self, spark):
+        df = self._df(spark)
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in TX.fingerprint_overlap_pairs(
+                df, min_common=1, max_bucket=50
+            ).collect()
+        }
+        assert (1000, 1001) in pairs
+        assert not any(a < 500 and b < 500 for a, b in pairs)
+        assert len(pairs) < 100
+
+    def test_uncapped_is_quadratic_baseline(self, spark):
+        df = self._df(spark)
+        n = (
+            TX.fingerprint_overlap_pairs(df, min_common=1, max_bucket=None)
+            .count()
+        )
+        assert n >= 500 * 499 / 2

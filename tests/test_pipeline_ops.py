@@ -522,3 +522,89 @@ class TestSampleTokenBudget:
             cum += n
         got = {r["doc_id"] for r in sample_token_budget(docs, 200).collect()}
         assert got == want
+
+
+class TestGopherRules:
+    def test_signals_and_verdict(self, spark):
+        good = "the cat sat to be of and that have with " + " ".join(
+            f"word{i} nice" for i in range(30)
+        )
+        df = spark.createDataFrame(
+            [
+                (0, good),                                  # passes everything
+                (1, "tiny doc"),                            # too few words
+                (2, "## " * 40 + "the be to of"),           # symbol + alpha fail
+                (3, ""),                                    # empty
+                (4, "\n".join("- bullet line" for _ in range(10))
+                    + "\nthe be to of and " + "filler " * 60),  # bullet frac
+            ],
+            "doc_id long, text string",
+        )
+        from xf_spark.ops.quality import gopher_rules
+
+        out = {
+            r["doc_id"]: r
+            for r in gopher_rules(df, min_words=20).collect()
+        }
+        assert out[0]["keep"] is True
+        assert out[0]["n_stop_hits"] == 8
+        assert out[1]["keep"] is False and out[1]["n_words"] == 2
+        assert out[2]["keep"] is False
+        assert out[2]["symbol_frac"] > 0.1
+        assert out[3]["n_words"] == 0 and out[3]["keep"] is False
+        # doc 4: 10 of 11 non-empty lines are bullets -> frac > 0.9
+        assert out[4]["bullet_frac"] > 0.9 and out[4]["keep"] is False
+
+    def test_mean_word_len_and_ellipsis(self, spark):
+        df = spark.createDataFrame(
+            [(0, "aa bb cc\nwell this trails off...\nanother line here...")],
+            "doc_id long, text string",
+        )
+        from xf_spark.ops.quality import gopher_rules
+
+        r = gopher_rules(df).collect()[0]
+        # 10 ws tokens: 3 + 4 + 3 (newlines are whitespace to the splitter)
+        assert r["n_words"] == 10
+        # 2 of 3 non-empty lines end with '...'
+        assert abs(r["ellipsis_frac"] - round(2 / 3, 6)) < 1e-9
+
+
+class TestC4LineFilter:
+    def test_line_and_page_rules(self, spark):
+        from xf_spark.ops.quality import c4_line_filter
+
+        df = spark.createDataFrame(
+            [
+                (0, "This sentence is long enough to keep.\n"
+                    "Another excellent sentence survives here too!\n"
+                    "no terminal punctuation on this line\n"
+                    "short.\n"
+                    "Please enable JavaScript to continue browsing now."),
+                (1, "Fine first sentence stays right here.\n"
+                    "Second good one is also kept around.\n"
+                    "lorem ipsum dolor sit amet consectetur adipiscing elit."),
+                (2, "Only one keepable sentence lives in this doc."),
+                (3, "A brace { ruins this page entirely now.\n"
+                    "Even though both lines would otherwise be kept."),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in c4_line_filter(df, min_kept_lines=2).collect()}
+        # doc 0: keeps lines 1+2 (javascript line dropped, short dropped,
+        # unterminated dropped)
+        assert out[0]["n_lines"] == 5 and out[0]["n_kept_lines"] == 2
+        assert out[0]["keep"] is True
+        assert out[0]["clean_text"] == (
+            "This sentence is long enough to keep.\n"
+            "Another excellent sentence survives here too!"
+        )
+        # doc 1: 3 kept lines but page contains lorem ipsum
+        assert out[1]["n_kept_lines"] == 3 and out[1]["keep"] is False
+        # doc 2: only 1 kept line < min_kept_lines
+        assert out[2]["n_kept_lines"] == 1 and out[2]["keep"] is False
+        # doc 3: '{' in page
+        assert out[3]["keep"] is False
+        # doc 4: empty
+        assert out[4]["n_lines"] == 0 and out[4]["keep"] is False
+        assert out[4]["clean_text"] == ""

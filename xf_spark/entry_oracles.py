@@ -1757,3 +1757,104 @@ GROUP BY conv_id
 ORDER BY conv_id
 LIMIT 10
 """
+
+# ---------------------------------------------------------------------------
+# Rule-based quality filters: Gopher rules + C4 line cleanup
+# ---------------------------------------------------------------------------
+
+# the deterministic augmentation shared by both entries (mirrors
+# entry_queries._quality_augmented exactly, chr(10) = \n)
+_QUALITY_AUG = """aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum' ELSE '' END
+         || chr(10) || 'This is a good long sentence for keeps.'
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || 'Another solid sentence stays here too!'
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN chr(10) || 'short line.' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'Please enable javascript to view this page.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'A config block { appears inside this sentence.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || '- bullet item' || chr(10) || '- another bullet'
+                 ELSE '' END
+         || CASE WHEN doc_id % 6 = 0
+                 THEN chr(10) || 'this trails off into silence...' ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN ' ## ## anchor…' ELSE '' END
+         || CASE WHEN doc_id % 8 = 0
+                 THEN ' to be of and that have with' ELSE '' END
+           AS t
+  FROM documents WHERE doc_id < 40
+)"""
+
+ORACLES["gopher_report"] = r"""
+WITH __AUG__,
+tk AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(t)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(t), '\s+') END AS w,
+         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM aug
+),
+sig AS (
+  SELECT doc_id,
+         len(w)::BIGINT AS n_words,
+         round(coalesce(list_sum(list_transform(w, x -> length(x))), 0)::DOUBLE
+               / greatest(len(w), 1), 6) AS mean_word_len,
+         round(len(list_filter(w, x -> contains(x, '#')
+                                    or contains(x, '...')
+                                    or contains(x, '…')))::DOUBLE
+               / greatest(len(w), 1), 6) AS symbol_frac,
+         round(len(list_filter(ls, x -> substring(x, 1, 1) in ('-', '*', '•')))::DOUBLE
+               / greatest(len(ls), 1), 6) AS bullet_frac,
+         round(len(list_filter(ls, x -> right(x, 3) = '...'
+                                     or right(x, 1) = '…'))::DOUBLE
+               / greatest(len(ls), 1), 6) AS ellipsis_frac,
+         round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / greatest(len(w), 1), 6) AS alpha_frac,
+         len(list_intersect(
+               list_distinct(list_transform(w, x -> lower(x))),
+               ['the','be','to','of','and','that','have','with']))::BIGINT
+           AS n_stop_hits
+  FROM tk
+)
+SELECT doc_id, n_words, mean_word_len, symbol_frac, bullet_frac,
+       ellipsis_frac, alpha_frac, n_stop_hits,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_frac <= 0.1 AND bullet_frac <= 0.9
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        AND n_stop_hits >= 2)::BIGINT AS keep
+FROM sig ORDER BY doc_id
+""".replace("__AUG__", _QUALITY_AUG)
+
+ORACLES["c4_filter_report"] = r"""
+WITH __AUG__,
+l AS (
+  SELECT doc_id, lower(t) AS lt,
+         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM aug
+),
+k AS (
+  SELECT doc_id, lt, ls,
+         list_filter(ls, x ->
+             right(x, 1) in ('.', '!', '?', '"')
+             and len(regexp_split_to_array(x, '\s+')) >= 5
+             and not contains(lower(x), 'javascript')) AS kept
+  FROM l
+)
+SELECT doc_id,
+       len(ls)::BIGINT AS n_lines,
+       len(kept)::BIGINT AS n_kept_lines,
+       (len(kept) >= 2 AND NOT contains(lt, 'lorem ipsum')
+        AND NOT contains(lt, '{'))::BIGINT AS keep,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM k ORDER BY doc_id
+""".replace("__AUG__", _QUALITY_AUG)

@@ -1424,3 +1424,81 @@ def sft_render_sample(spark, sf_dir):
         .limit(10)
         .select("conv_id", "n_turns", "rendered")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rule-based quality filters: Gopher rules + C4 line cleanup
+# ---------------------------------------------------------------------------
+
+def _quality_augmented(spark, sf_dir):
+    """documents (doc_id < 40) deterministically augmented with the
+    structures the rule sets react to: bullet lines, ellipsis lines,
+    symbol runs, Gopher stopwords, good/short/javascript sentences,
+    'lorem ipsum', and a curly brace — so both keep and drop branches
+    are exercised and the oracle replays the exact same text."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    did = F.col("doc_id")
+    aug = F.concat(
+        "text",
+        F.when(did % 7 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+        F.lit("\nThis is a good long sentence for keeps."),
+        F.when(
+            did % 2 == 0, F.lit("\nAnother solid sentence stays here too!")
+        ).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("\nshort line.")).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.lit("\nPlease enable javascript to view this page."),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.lit("\nA config block { appears inside this sentence."),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0, F.lit("\n- bullet item\n- another bullet")
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 0, F.lit("\nthis trails off into silence...")
+        ).otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.lit(" ## ## anchor…")).otherwise(F.lit("")),
+        F.when(
+            did % 8 == 0, F.lit(" to be of and that have with")
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", aug.alias("text"))
+
+
+def gopher_report(spark, sf_dir):
+    """Gopher rule signals + keep verdict (Rae et al. 2021 A1.1) over
+    the augmented table: word-count / mean-word-length bounds,
+    symbol / bullet / ellipsis fractions, alphabetic-word fraction,
+    required-stopword count — every signal and the verdict hashed
+    against a DuckDB list-lambda replay."""
+    from xf_spark.ops.quality import gopher_rules
+
+    return (
+        gopher_rules(_quality_augmented(spark, sf_dir), min_words=20)
+        .select(
+            "doc_id", "n_words", "mean_word_len", "symbol_frac",
+            "bullet_frac", "ellipsis_frac", "alpha_frac", "n_stop_hits",
+            F.col("keep").cast("long").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def c4_filter_report(spark, sf_dir):
+    """C4 line-level cleanup (Raffel et al. 2020 §2.2) over the
+    augmented table: per-doc line counts, the page verdict, and the
+    surviving text itself (clean_text participates in the hash, so
+    line selection and rejoin order are oracled exactly)."""
+    from xf_spark.ops.quality import c4_line_filter
+
+    return (
+        c4_line_filter(_quality_augmented(spark, sf_dir), min_kept_lines=2)
+        .select(
+            "doc_id", "n_lines", "n_kept_lines",
+            F.col("keep").cast("long").alias("keep"), "clean_text",
+        )
+        .orderBy("doc_id")
+    )

@@ -144,14 +144,27 @@ def fingerprint_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint_overlap_pairs(
-    docs: DataFrame, min_common: int = 2, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    min_common: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int | None = 2000,
+    log_dropped: bool = True,
 ) -> DataFrame:
     """Copy-detection candidate pairs: explode fingerprints ->
     self-join on fingerprint -> pairs with >= min_common shared
-    fingerprints. Same bucket-join shape as the other dedup ops."""
+    fingerprints. Same bucket-join shape as the other dedup ops,
+    including the hot-bucket guard: a fingerprint shared by m docs
+    emits m^2 pairs, so a boilerplate window (one hash, the whole
+    duplicate class) is exactly the quadratic exposure the LSH
+    families cap. ``max_bucket`` follows ``dedup.LSH_MAX_BUCKET``
+    semantics (None = exact / quadratic-risk behavior)."""
+    from xf_spark.ops.dedup import _cap_hot_buckets
+
     fp = fingerprint_docs(docs, text_col).select(
         id_col, F.explode("fingerprints").alias("fp")
     ).distinct()
+    fp = _cap_hot_buckets(fp, ["fp"], max_bucket, log_dropped, "fingerprint")
     a = fp.alias("a")
     b = fp.alias("b")
     return (
