@@ -187,6 +187,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_sample": eq.unigram_logprob_sample,
         "split_report": eq.split_report,
         "sft_render_sample": eq.sft_render_sample,
+        # pure-Python Iceberg v2 layer (sources/iceberg.py): commit ->
+        # read-back fidelity, snapshot time travel, partition pruning
+        "iceberg_roundtrip": eq.iceberg_roundtrip,
+        "iceberg_time_travel": eq.iceberg_time_travel,
+        "iceberg_partition_prune": eq.iceberg_partition_prune,
     }.items()}
 
 

@@ -1,0 +1,297 @@
+"""Pure-Python Iceberg v2 layer: Avro codec round-trips, snapshot
+commits, time travel, partition pruning, and the load_table seam.
+
+The layer is spec-derived (https://iceberg.apache.org/spec/); these
+tests pin the properties a real lakehouse relies on: read-your-commit,
+snapshot isolation under append/overwrite, manifest+file pruning that
+never changes results (only the file list), and loud failures on the
+unsupported surface (delete manifests)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xf_spark.sources import iceberg as ice
+from xf_spark.sources.avro_codec import read_avro_file, write_avro_file
+from xf_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Avro codec
+# ---------------------------------------------------------------------------
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": ["null", "long"]},
+        {"name": "b", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "d", "type": "double"},
+        {
+            "name": "arr",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": "int"}],
+                },
+            },
+        },
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+
+def _avro_rows(n):
+    return [
+        {
+            "s": f"row-{i} é漢",
+            "n": None if i % 3 == 0 else i * 12345678901,
+            "b": i % 2 == 0,
+            "raw": bytes([i % 256, 0, 255]),
+            "d": i / 7.0,
+            "arr": [{"x": i}, {"x": -i}],
+            "m": {"a": i, "b": -i},
+        }
+        for i in range(n)
+    ]
+
+
+class TestAvroCodec:
+    @pytest.mark.parametrize("codec", ["null", "deflate"])
+    def test_roundtrip(self, tmp_path, codec):
+        rows = _avro_rows(257)
+        p = str(tmp_path / "t.avro")
+        write_avro_file(p, AVRO_SCHEMA, rows, codec=codec)
+        schema, got = read_avro_file(p)
+        assert schema == AVRO_SCHEMA
+        assert got == rows
+
+    def test_empty_file(self, tmp_path):
+        p = str(tmp_path / "e.avro")
+        write_avro_file(p, AVRO_SCHEMA, [])
+        _, got = read_avro_file(p)
+        assert got == []
+
+    def test_negative_varints(self, tmp_path):
+        schema = {
+            "type": "record",
+            "name": "n",
+            "fields": [{"name": "v", "type": "long"}],
+        }
+        rows = [{"v": v} for v in (0, -1, 1, -(2**62), 2**62, 63, -64)]
+        p = str(tmp_path / "n.avro")
+        write_avro_file(p, schema, rows)
+        assert read_avro_file(p)[1] == rows
+
+
+# ---------------------------------------------------------------------------
+# Iceberg table commits
+# ---------------------------------------------------------------------------
+
+
+def _turns(spark, n, start_day=0):
+    return spark.range(n).select(
+        F.concat(F.lit("c"), (F.col("id") / 10).cast("long").cast("string"))
+        .alias("conv_id"),
+        (F.col("id") % 10).cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 2 == 0, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat(F.lit("turn text "), F.col("id").cast("string")).alias(
+            "text"
+        ),
+        F.lit("").alias("tool"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(days=F.lit(start_day) + F.col("id") % 6)
+        ).alias("ts"),
+    )
+
+
+def _sorted_rows(df):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"], r["ts"])
+        for r in df.collect()
+    )
+
+
+class TestIcebergTable:
+    def test_roundtrip_unpartitioned(self, spark, tmp_path):
+        root = str(tmp_path / "t1")
+        df = _turns(spark, 100)
+        snap = ice.write_iceberg(df, root)
+        assert snap == 1
+        got = ice.read_iceberg(spark, root)
+        assert got.columns == df.columns
+        assert _sorted_rows(got) == _sorted_rows(df)
+
+    def test_append_and_time_travel(self, spark, tmp_path):
+        root = str(tmp_path / "t2")
+        s1 = ice.write_iceberg(_turns(spark, 40), root)
+        s2 = ice.write_iceberg(_turns(spark, 25, start_day=50), root)
+        assert (s1, s2) == (1, 2)
+        assert ice.read_iceberg(spark, root).count() == 65
+        assert ice.read_iceberg(spark, root, snapshot_id=s1).count() == 40
+        # snapshot lineage recorded
+        meta = ice.load_metadata(root)
+        snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        assert snaps[s2]["parent-snapshot-id"] == s1
+        assert meta["current-snapshot-id"] == s2
+
+    def test_overwrite_replaces(self, spark, tmp_path):
+        root = str(tmp_path / "t3")
+        ice.write_iceberg(_turns(spark, 40), root)
+        ice.write_iceberg(_turns(spark, 7), root, mode="overwrite")
+        assert ice.read_iceberg(spark, root).count() == 7
+        # old snapshot still time-travelable
+        assert ice.read_iceberg(spark, root, snapshot_id=1).count() == 40
+
+    def test_day_partition_pruning(self, spark, tmp_path):
+        root = str(tmp_path / "t4")
+        df = _turns(spark, 120)  # ts spans 6 distinct days
+        ice.write_iceberg(df, root, partition_by=[("ts", "day")])
+        all_files = ice.plan_files(root)
+        d0 = ice.day_value("2024-01-02")
+        pruned = ice.plan_files(
+            root, partition_filter={"ts_day": (d0, d0 + 1)}
+        )
+        assert 0 < len(pruned) < len(all_files)
+        got = ice.read_iceberg(
+            spark, root, partition_filter={"ts_day": (d0, d0 + 1)}
+        )
+        want = df.where(
+            F.col("ts").cast("date").isin(["2024-01-02", "2024-01-03"])
+        )
+        assert _sorted_rows(got) == _sorted_rows(want)
+        # pruning is metadata-only: partition values in manifests
+        assert all(
+            d0 <= f["partition"]["ts_day"] <= d0 + 1 for f in pruned
+        )
+
+    def test_manifest_summary_pruning_skips_manifests(self, spark, tmp_path):
+        root = str(tmp_path / "t5")
+        ice.write_iceberg(
+            _turns(spark, 30), root, partition_by=[("ts", "day")]
+        )
+        ice.write_iceberg(
+            _turns(spark, 30, start_day=100),
+            root,
+            partition_by=[("ts", "day")],
+        )
+        meta = ice.load_metadata(root)
+        snap = [
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        ][0]
+        _, manifests = read_avro_file(snap["manifest-list"])
+        assert len(manifests) == 2
+        # range that only commit 2 covers -> files all from commit 2
+        d = ice.day_value("2024-01-01") + 100
+        files = ice.plan_files(root, partition_filter={"ts_day": (d, None)})
+        assert files and all(
+            f["partition"]["ts_day"] >= d for f in files
+        )
+
+    def test_empty_snapshot_and_missing_snapshot(self, spark, tmp_path):
+        root = str(tmp_path / "t6")
+        ice.write_iceberg(_turns(spark, 5), root)
+        with pytest.raises(ValueError, match="snapshot 999"):
+            ice.read_iceberg(spark, root, snapshot_id=999)
+
+    def test_schema_mismatch_rejected(self, spark, tmp_path):
+        root = str(tmp_path / "t7")
+        ice.write_iceberg(_turns(spark, 5), root)
+        with pytest.raises(ValueError, match="schema mismatch"):
+            ice.write_iceberg(
+                _turns(spark, 5).withColumnRenamed("tool", "tools"), root
+            )
+
+    def test_delete_manifest_fails_loudly(self, spark, tmp_path):
+        root = str(tmp_path / "t8")
+        ice.write_iceberg(_turns(spark, 5), root)
+        meta = ice.load_metadata(root)
+        snap = meta["snapshots"][-1]
+        schema, manifests = read_avro_file(snap["manifest-list"])
+        manifests[0]["content"] = 1  # pretend it's a delete manifest
+        write_avro_file(snap["manifest-list"], schema, manifests)
+        with pytest.raises(NotImplementedError, match="delete manifests"):
+            ice.plan_files(root)
+
+    def test_relocatable(self, spark, tmp_path):
+        """Table read from a moved directory (paths re-anchored)."""
+        root = str(tmp_path / "orig")
+        ice.write_iceberg(_turns(spark, 12), root)
+        moved = str(tmp_path / "moved")
+        os.rename(root, moved)
+        assert ice.read_iceberg(spark, moved).count() == 12
+
+    def test_load_table_seam(self, spark, tmp_path):
+        """tables.load_table routes Iceberg dirs through this layer,
+        including snapshot_id time travel on a path ref."""
+        root = str(tmp_path / "seam")
+        ice.write_iceberg(_turns(spark, 20), root)
+        ice.write_iceberg(_turns(spark, 5), root)
+        assert load_table(spark, root).count() == 25
+        assert load_table(spark, root, snapshot_id=1).count() == 20
+
+    def test_partition_transforms(self, spark, tmp_path):
+        df = _turns(spark, 60)
+        for transform, field in [
+            ("month", "ts_month"),
+            ("year", "ts_year"),
+        ]:
+            root = str(tmp_path / f"tr_{transform}")
+            ice.write_iceberg(df, root, partition_by=[("ts", transform)])
+            got = ice.read_iceberg(spark, root)
+            assert _sorted_rows(got) == _sorted_rows(df)
+        root = str(tmp_path / "tr_ident")
+        ice.write_iceberg(df, root, partition_by=[("role", "identity")])
+        files = ice.plan_files(
+            root, partition_filter={"role": ("user", "user")}
+        )
+        assert files
+        got = ice.read_iceberg(
+            spark, root, partition_filter={"role": ("user", "user")}
+        )
+        assert _sorted_rows(got) == _sorted_rows(df.where("role = 'user'"))
+
+    def test_append_inherits_partition_spec(self, spark, tmp_path):
+        root = str(tmp_path / "t9")
+        ice.write_iceberg(
+            _turns(spark, 30), root, partition_by=[("ts", "day")]
+        )
+        # second append: partition_by omitted -> inherited from the table
+        ice.write_iceberg(_turns(spark, 30, start_day=10), root)
+        files = ice.plan_files(root)
+        assert all(f["partition"].get("ts_day") is not None for f in files)
+
+    def test_metadata_is_valid_v2_json(self, spark, tmp_path):
+        root = str(tmp_path / "t10")
+        ice.write_iceberg(_turns(spark, 5), root)
+        with open(ice.current_metadata_path(root)) as fh:
+            meta = json.load(fh)
+        for key in (
+            "format-version",
+            "table-uuid",
+            "last-sequence-number",
+            "schemas",
+            "partition-specs",
+            "current-snapshot-id",
+            "snapshots",
+        ):
+            assert key in meta
+        assert meta["format-version"] == 2
+        snap = meta["snapshots"][0]
+        assert {"snapshot-id", "sequence-number", "manifest-list"} <= set(
+            snap
+        )

@@ -1858,3 +1858,27 @@ SELECT doc_id,
        array_to_string(kept, chr(10)) AS clean_text
 FROM k ORDER BY doc_id
 """.replace("__AUG__", _QUALITY_AUG)
+
+# ---------------------------------------------------------------------------
+# Iceberg table layer (write -> commit -> read back must equal source)
+# ---------------------------------------------------------------------------
+
+ORACLES["iceberg_roundtrip"] = """
+SELECT doc_id, text, lang, source
+FROM documents WHERE doc_id < 60 ORDER BY doc_id
+"""
+
+ORACLES["iceberg_time_travel"] = """
+SELECT doc_id, text, lang, source
+FROM documents WHERE doc_id < 40 ORDER BY doc_id
+"""
+
+ORACLES["iceberg_partition_prune"] = """
+SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       sum(length(text))::BIGINT AS sum_chars
+FROM documents
+WHERE doc_id < 60 AND lang = 'en'
+GROUP BY lang, source
+ORDER BY lang, source
+"""

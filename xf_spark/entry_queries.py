@@ -1502,3 +1502,75 @@ def c4_filter_report(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg table layer: commit/read/time-travel/pruning (sources/iceberg.py)
+# ---------------------------------------------------------------------------
+
+def _iceberg_fixture(spark, sf_dir):
+    """Deterministic two-commit Iceberg table built fresh per call:
+    commit 1 = documents doc_id<40, commit 2 (append) = 40<=doc_id<60.
+    Built under /tmp (the driver contract forbids writes elsewhere);
+    rebuilt from scratch so reruns can't see stale state."""
+    import hashlib
+    import shutil
+
+    from xf_spark.sources import iceberg as ice
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = f"/tmp/xf_spark_iceberg_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    ice.write_iceberg(
+        docs.where(F.col("doc_id") < 40),
+        root,
+        partition_by=[("lang", "identity")],
+    )
+    ice.write_iceberg(
+        docs.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)), root
+    )
+    return root
+
+
+def iceberg_roundtrip(spark, sf_dir):
+    """Write-then-read through the pure-Python Iceberg v2 layer (two
+    append commits, lang-partitioned); text/lang/source participate in
+    the hash so row fidelity is oracled exactly against the source
+    parquet the table was committed from."""
+    from xf_spark.sources import iceberg as ice
+
+    root = _iceberg_fixture(spark, sf_dir)
+    return ice.read_iceberg(spark, root).orderBy("doc_id")
+
+
+def iceberg_time_travel(spark, sf_dir):
+    """Snapshot isolation: reading snapshot 1 of the two-commit table
+    must see exactly the first commit's rows (doc_id < 40)."""
+    from xf_spark.sources import iceberg as ice
+
+    root = _iceberg_fixture(spark, sf_dir)
+    return ice.read_iceberg(spark, root, snapshot_id=1).orderBy("doc_id")
+
+
+def iceberg_partition_prune(spark, sf_dir):
+    """Partition pruning correctness: read only the lang='en' partition
+    via manifest partition values (metadata-plane pruning — the planner
+    returns a strict file subset; tests pin that) and aggregate. The
+    oracle replays the same predicate on the source table."""
+    from xf_spark.sources import iceberg as ice
+
+    root = _iceberg_fixture(spark, sf_dir)
+    pruned = ice.read_iceberg(
+        spark, root, partition_filter={"lang": ("en", "en")}
+    )
+    return (
+        pruned.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .orderBy("lang", "source")
+    )

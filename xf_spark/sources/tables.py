@@ -9,8 +9,12 @@ seam where a table reference becomes a DataFrame:
 - ``db.table`` / ``catalog.db.table`` identifiers -> the session
   catalog (Iceberg when configured — snapshot isolation, hidden
   partitioning, time travel via ``snapshot_id``);
-- everything else -> a parquet path (this sandbox has no Iceberg
-  runtime jar; the parquet fixtures mirror the table layout).
+- a path whose directory contains ``metadata/`` -> an Iceberg table
+  read through the pure-Python metadata layer (``sources/iceberg.py``:
+  snapshot resolution, manifest pruning, time travel — no runtime jar
+  needed; the data scan is still Spark's native parquet source);
+- everything else -> a parquet path (the test fixtures mirror the
+  table layout).
 
 Readers get pushdown/pruning either way: both the Iceberg source and
 the parquet source implement SupportsPushDownFilters — the plan-shape
@@ -62,8 +66,12 @@ def load_table(
                 .load(ref)
             )
         return spark.table(ref)
+    from xf_spark.sources import iceberg as ice
+
+    if ice.is_iceberg_table(ref):
+        return ice.read_iceberg(spark, ref, snapshot_id=snapshot_id)
     if snapshot_id is not None:
-        raise ValueError("snapshot_id requires an Iceberg table identifier")
+        raise ValueError("snapshot_id requires an Iceberg table")
     return spark.read.parquet(ref)
 
 
