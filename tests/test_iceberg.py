@@ -98,17 +98,20 @@ class TestAvroCodec:
 # ---------------------------------------------------------------------------
 
 
-def _turns(spark, n, start_day=0):
-    return spark.range(n).select(
+def _turns(spark, n, start_day=0, id_start=0):
+    return spark.range(id_start, id_start + n).select(
         F.concat(F.lit("c"), (F.col("id") / 10).cast("long").cast("string"))
         .alias("conv_id"),
         (F.col("id") % 10).cast("int").alias("turn_idx"),
         F.when(F.col("id") % 2 == 0, "user")
         .otherwise("assistant")
         .alias("role"),
-        F.concat(F.lit("turn text "), F.col("id").cast("string")).alias(
-            "text"
-        ),
+        F.concat(
+            F.lit("turn text "),
+            F.col("id").cast("string"),
+            F.when(F.col("id") % 7 == 0, " machine learning").otherwise(""),
+            F.when(F.col("id") % 5 == 0, " spark index build").otherwise(""),
+        ).alias("text"),
         F.lit("").alias("tool"),
         (
             F.to_timestamp(F.lit("2024-01-01 00:00:00"))
@@ -295,3 +298,85 @@ class TestIcebergTable:
         assert {"snapshot-id", "sequence-number", "manifest-list"} <= set(
             snap
         )
+
+
+# ---------------------------------------------------------------------------
+# snapshot-diff index maintenance
+# ---------------------------------------------------------------------------
+
+
+class TestSnapshotChanges:
+    def test_diff_append_and_overwrite(self, spark, tmp_path):
+        root = str(tmp_path / "diff")
+        ice.write_iceberg(_turns(spark, 30), root)
+        ice.write_iceberg(_turns(spark, 20, id_start=800), root)
+        added, removed = ice.snapshot_changes(root, 1, 2)
+        assert removed == []
+        assert sum(f["record_count"] for f in added) == 20
+        # from empty -> everything is added
+        added_all, _ = ice.snapshot_changes(root, None, 2)
+        assert sum(f["record_count"] for f in added_all) == 50
+        ice.write_iceberg(_turns(spark, 5), root, mode="overwrite")
+        added3, removed3 = ice.snapshot_changes(root, 2, 3)
+        assert removed3  # overwrite removed the old files
+        assert sum(f["record_count"] for f in added3) == 5
+
+
+class TestIcebergSnapshotSync:
+    """Index maintenance from Iceberg snapshots: sync appends exactly
+    the delta files and lands rank-identical to a full rebuild over
+    the whole table (the same soundness bar as XfIndex.append)."""
+
+    QUERIES = ["machine", "spark AND index", '"machine learning"', "text"]
+
+    def _hits(self, ix, q):
+        return [
+            (r["conv_id"], r["turn_idx"], round(r["score"], 9))
+            for r in ix.search(q, mode="lexical", limit=30).collect()
+        ]
+
+    def test_build_sync_equals_full_rebuild(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+
+        table = str(tmp_path / "tbl")
+        ice.write_iceberg(_turns(spark, 80), table)
+        ix = XfIndex.build_iceberg(
+            spark, table, str(tmp_path / "inc"), with_embeddings=False
+        )
+        assert ix.sync_iceberg(table) == 0  # already current
+        # new commit: conv ids sort after the base so doc_ids coincide
+        ice.write_iceberg(_turns(spark, 40, id_start=800), table)
+        assert ix.sync_iceberg(table) == 40
+        assert ix.sync_iceberg(table) == 0  # idempotent once synced
+        full = XfIndex.build(
+            ice.read_iceberg(spark, table),
+            str(tmp_path / "full"),
+            with_embeddings=False,
+        )
+        for q in self.QUERIES:
+            assert self._hits(ix, q) == self._hits(full, q), q
+
+    def test_unsynced_index_rejects_sync(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+
+        table = str(tmp_path / "tbl2")
+        ice.write_iceberg(_turns(spark, 20), table)
+        ix = XfIndex.build(
+            ice.read_iceberg(spark, table),
+            str(tmp_path / "plain"),
+            with_embeddings=False,
+        )
+        with pytest.raises(ValueError, match="build_iceberg"):
+            ix.sync_iceberg(table)
+
+    def test_overwrite_commit_demands_rebuild(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+
+        table = str(tmp_path / "tbl3")
+        ice.write_iceberg(_turns(spark, 20), table)
+        ix = XfIndex.build_iceberg(
+            spark, table, str(tmp_path / "inc3"), with_embeddings=False
+        )
+        ice.write_iceberg(_turns(spark, 5), table, mode="overwrite")
+        with pytest.raises(ValueError, match="rebuild"):
+            ix.sync_iceberg(table)

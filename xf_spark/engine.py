@@ -236,6 +236,84 @@ class XfIndex:
         self._centroids_cache = None
         return self
 
+    @classmethod
+    def build_iceberg(
+        cls, spark: SparkSession, table_root: str, path: str, **build_kw
+    ) -> "XfIndex":
+        """Build from an Iceberg transcripts table and record the
+        indexed snapshot, so later ``sync_iceberg`` calls can index
+        only the files new commits added (snapshot-diff maintenance:
+        at 10^12 turns a daily delta is the only thing you can afford
+        to tokenize — the diff is resolved from manifests, O(#files),
+        before any row is read)."""
+        from xf_spark.sources import iceberg as ice
+        from xf_spark.sources.tables import load_transcript_table
+
+        snap_id = ice.current_snapshot_id(table_root)
+        if snap_id is None:
+            raise ValueError(f"Iceberg table has no snapshot: {table_root}")
+        ix = cls.build(load_transcript_table(spark, table_root), path, **build_kw)
+        ix._write_iceberg_sync(snap_id)
+        return ix
+
+    def _iceberg_sync_path(self) -> str:
+        return os.path.join(self.path, "iceberg_sync.json")
+
+    def _write_iceberg_sync(self, snapshot_id: int) -> None:
+        import json as _json
+
+        tmp = self._iceberg_sync_path() + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"snapshot_id": snapshot_id}, f)
+        os.replace(tmp, self._iceberg_sync_path())
+
+    def sync_iceberg(self, table_root: str, dedup: bool = True) -> int:
+        """Catch the index up to the table's current Iceberg snapshot.
+
+        Appends ONLY the data files added since the last synced
+        snapshot (manifest diff — no full-table scan, no row-level
+        dedup join unless ``dedup``). Returns the number of rows in
+        the appended files (from manifest record counts, exact).
+
+        Overwrite/delete commits remove files; an incremental lexical
+        index cannot un-index rows, so that case raises with a rebuild
+        hint rather than serving stale turns silently. Idempotent:
+        crash after append but before the sync-state write re-appends
+        the same files, and ``append(dedup=True)``'s content dedup
+        drops the duplicates."""
+        import json as _json
+
+        from xf_spark.sources import iceberg as ice
+
+        try:
+            with open(self._iceberg_sync_path()) as f:
+                last = _json.load(f)["snapshot_id"]
+        except FileNotFoundError:
+            raise ValueError(
+                "index was not built from an Iceberg snapshot — build "
+                "with XfIndex.build_iceberg(...) to enable sync"
+            ) from None
+        cur = ice.current_snapshot_id(table_root)
+        if cur == last:
+            return 0
+        added, removed = ice.snapshot_changes(table_root, last, cur)
+        if removed:
+            raise ValueError(
+                f"snapshot {cur} removed {len(removed)} data file(s) "
+                f"(overwrite/delete commit) — an incremental index "
+                f"cannot drop rows; rebuild with build_iceberg()"
+            )
+        if added:
+            meta = ice.load_metadata(table_root)
+            schema = ice.spark_schema(meta)
+            cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            delta = self.spark.read.schema(schema).parquet(
+                *[f["file_path"] for f in added]
+            ).select(*cols)
+            self.append(delta, dedup=dedup)
+        self._write_iceberg_sync(cur)
+        return sum(f["record_count"] for f in added)
+
     def compact(
         self,
         target_shards: int | None = None,

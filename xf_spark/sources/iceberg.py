@@ -544,6 +544,38 @@ def read_iceberg(
     return df.select(*[f.name for f in schema.fields])
 
 
+def snapshot_changes(
+    root: str,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int | None = None,
+) -> tuple[list[dict], list[str]]:
+    """File-level diff between two snapshots: (added_files, removed_paths).
+
+    ``from_snapshot_id=None`` means "empty table" (everything in the
+    target snapshot is added). This is the primitive behind
+    snapshot-driven index maintenance: appends show up as added files
+    only; an overwrite also REMOVES files, which an incremental
+    consumer must treat as a rebuild signal. Metadata-plane only —
+    O(#files), no row data touched."""
+    new_files = {
+        f["file_path"]: f for f in plan_files(root, to_snapshot_id)
+    }
+    old_paths = (
+        {f["file_path"] for f in plan_files(root, from_snapshot_id)}
+        if from_snapshot_id is not None
+        else set()
+    )
+    added = [f for p, f in sorted(new_files.items()) if p not in old_paths]
+    removed = sorted(old_paths - set(new_files))
+    return added, removed
+
+
+def current_snapshot_id(root: str) -> int | None:
+    meta = load_metadata(root)
+    snap = _resolve_snapshot(meta, None)
+    return None if snap is None else snap["snapshot-id"]
+
+
 # ---------------------------------------------------------------------------
 # commit (write path)
 # ---------------------------------------------------------------------------
