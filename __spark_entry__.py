@@ -192,6 +192,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_roundtrip": eq.iceberg_roundtrip,
         "iceberg_time_travel": eq.iceberg_time_travel,
         "iceberg_partition_prune": eq.iceberg_partition_prune,
+        # snapshot-diff index maintenance: build at snapshot 1, commit
+        # a delta, sync (manifest diff appends ONLY the new files) —
+        # BM25 afterward must equal the flat SQL over the whole corpus
+        "transcripts_iceberg_sync_bm25": eq.transcripts_iceberg_sync_bm25,
     }.items()}
 
 

@@ -1145,6 +1145,8 @@ LIMIT 20
 
 ORACLES["transcripts_segment_bm25"] = ORACLES["transcripts_docs_bm25"]
 ORACLES["transcripts_lifecycle_bm25"] = ORACLES["transcripts_docs_bm25"]
+# Iceberg snapshot sync == full rebuild: same flat-SQL BM25 recompute
+ORACLES["transcripts_iceberg_sync_bm25"] = ORACLES["transcripts_docs_bm25"]
 
 # fuzzy expansion replay: the distance-1 vocabulary neighborhood of the
 # typo (df-ranked, capped at 50 — FUZZY_MAX_EXPANSIONS), then OR-BM25

@@ -1574,3 +1574,46 @@ def iceberg_partition_prune(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+def transcripts_iceberg_sync_bm25(spark, sf_dir):
+    """Snapshot-driven index maintenance end-to-end (the 10^12-turn
+    daily-delta shape): commit the doc_id<300 prefix of the derived
+    transcripts to an Iceberg table, ``XfIndex.build_iceberg`` (records
+    the indexed snapshot id), append-commit the remainder, then
+    ``sync_iceberg`` — a manifest diff that tokenizes ONLY the delta
+    files (O(#new files) metadata plan, no full-table rescan). BM25
+    'spark'@20 afterward must be rank/score/text-identical to the flat
+    SQL recomputation over the WHOLE corpus (same oracle as
+    transcripts_docs_bm25), i.e. sync == full rebuild."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from xf_spark.engine import XfIndex
+    from xf_spark.sources import iceberg as ice
+
+    key = (id(spark), sf_dir, "ice_sync")
+    if key not in _ENGINE_MEMO:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        table = f"/tmp/xf_spark_iceberg_sync_{tag}"
+        shutil.rmtree(table, ignore_errors=True)
+        ice.write_iceberg(
+            _derived_transcripts(spark, sf_dir, F.col("doc_id") < 300),
+            table,
+        )
+        path = os.path.join(tempfile.mkdtemp(prefix="xf_entry_ice_"), "ix")
+        ix = XfIndex.build_iceberg(
+            spark, table, path,
+            with_embeddings=False, n_shards=4, n_buckets=8, slices=1,
+        )
+        ice.write_iceberg(
+            _derived_transcripts(spark, sf_dir, F.col("doc_id") >= 300),
+            table,
+        )
+        n = ix.sync_iceberg(table)
+        assert n > 0 and ix.sync_iceberg(table) == 0
+        _ENGINE_MEMO[key] = ix
+    ix = _ENGINE_MEMO[key]
+    return _hydrated_hits(ix, ix.segment_index.search("spark", limit=20))
