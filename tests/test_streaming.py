@@ -350,3 +350,107 @@ class TestPruneVersionsSafety:
         (tmp_path / "idx" / "CURRENT").write_text(str(tmp_path / "idx" / "v9"))
         assert prune_versions(root, keep=1) == []
         assert all(os.path.isdir(d) for d in dirs)
+
+
+class TestStreamToIceberg:
+    """Exactly-once streaming commits into the Iceberg table layer:
+    one snapshot per micro-batch, checkpointed resume processes only
+    new files, and a replayed batch id (wiped checkpoint, same query
+    id) is skipped via the snapshot-summary ledger."""
+
+    def _count(self, spark, table):
+        from xf_spark.sources import iceberg as ice
+
+        return ice.read_iceberg(spark, table).count()
+
+    def test_exactly_once_commits_and_resume(self, spark, tmp_path):
+        from xf_spark.sources import iceberg as ice
+        from xf_spark.streaming import stream_to_iceberg
+
+        inp, table, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "tbl"),
+            str(tmp_path / "ckpt"),
+        )
+        _write_batch(inp, "a.parquet", _rows("s1", 0, 4, 0))
+        _write_batch(inp, "b.parquet", _rows("s2", 0, 3, 10))
+        q = stream_to_iceberg(
+            spark, inp, table, ckpt, max_files_per_trigger=1
+        )
+        q.awaitTermination()
+        assert self._count(spark, table) == 7
+        meta = ice.load_metadata(table)
+        snaps = meta["snapshots"]
+        assert len(snaps) == 2  # one atomic snapshot per micro-batch
+        assert all(
+            "streaming-batch-id" in s["summary"] for s in snaps
+        )
+
+        # resume with the same checkpoint: nothing new -> no snapshot
+        q = stream_to_iceberg(
+            spark, inp, table, ckpt, max_files_per_trigger=1
+        )
+        q.awaitTermination()
+        assert len(ice.load_metadata(table)["snapshots"]) == 2
+
+        # a new file -> exactly one more snapshot, delta rows only
+        _write_batch(inp, "c.parquet", _rows("s3", 0, 2, 20))
+        q = stream_to_iceberg(
+            spark, inp, table, ckpt, max_files_per_trigger=1
+        )
+        q.awaitTermination()
+        assert self._count(spark, table) == 9
+        assert len(ice.load_metadata(table)["snapshots"]) == 3
+
+    def test_replayed_batch_ids_are_skipped(self, spark, tmp_path):
+        import shutil
+
+        from xf_spark.sources import iceberg as ice
+        from xf_spark.streaming import stream_to_iceberg
+
+        inp, table, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "tbl"),
+            str(tmp_path / "ckpt"),
+        )
+        _write_batch(inp, "a.parquet", _rows("s1", 0, 4, 0))
+        _write_batch(inp, "b.parquet", _rows("s2", 0, 3, 10))
+        stream_to_iceberg(
+            spark, inp, table, ckpt, max_files_per_trigger=1
+        ).awaitTermination()
+        assert self._count(spark, table) == 7
+        assert ice.last_streaming_batch(
+            table, ice.load_metadata(table)["snapshots"][0]["summary"][
+                "streaming-query-id"
+            ]
+        ) == 1
+
+        # wipe the checkpoint: the file source replays EVERY file with
+        # batch ids restarting at 0 — same table+checkpoint paths mean
+        # the same query id, so the ledger classifies them as replays
+        shutil.rmtree(ckpt)
+        stream_to_iceberg(
+            spark, inp, table, ckpt, max_files_per_trigger=1
+        ).awaitTermination()
+        assert self._count(spark, table) == 7  # no duplicate rows
+        assert len(ice.load_metadata(table)["snapshots"]) == 2
+
+    def test_stream_feeds_snapshot_sync_index(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+        from xf_spark.streaming import stream_to_iceberg
+
+        inp, table, ckpt = (
+            str(tmp_path / "in"),
+            str(tmp_path / "tbl"),
+            str(tmp_path / "ckpt"),
+        )
+        _write_batch(inp, "a.parquet", _rows("s1", 0, 6, 0))
+        stream_to_iceberg(spark, inp, table, ckpt).awaitTermination()
+        ix = XfIndex.build_iceberg(
+            spark, table, str(tmp_path / "ix"), with_embeddings=False
+        )
+        _write_batch(inp, "b.parquet", _rows("s2", 0, 4, 10))
+        stream_to_iceberg(spark, inp, table, ckpt).awaitTermination()
+        assert ix.sync_iceberg(table) == 4
+        assert ix.docs.count() == 10
+        assert ix.search("indexing", mode="lexical", limit=20).count() == 10

@@ -576,6 +576,27 @@ def current_snapshot_id(root: str) -> int | None:
     return None if snap is None else snap["snapshot-id"]
 
 
+def last_streaming_batch(root: str, query_id: str) -> int | None:
+    """Highest streaming batch id this query has committed to the
+    table, read from snapshot summaries — the idempotence ledger for
+    exactly-once foreachBatch sinks (the upstream Iceberg Spark sink
+    records the same query-id/epoch pair for replay dedup). Returns
+    None for a missing table or a query that never committed."""
+    try:
+        meta = load_metadata(root)
+    except FileNotFoundError:
+        return None
+    best = None
+    for s in meta.get("snapshots", []):
+        smry = s.get("summary", {})
+        if smry.get("streaming-query-id") != query_id:
+            continue
+        b = int(smry.get("streaming-batch-id", -1))
+        if b >= 0 and (best is None or b > best):
+            best = b
+    return best
+
+
 # ---------------------------------------------------------------------------
 # commit (write path)
 # ---------------------------------------------------------------------------
@@ -586,6 +607,7 @@ def write_iceberg(
     root: str,
     mode: str = "append",
     partition_by: list[tuple[str, str]] | None = None,
+    extra_summary: dict[str, str] | None = None,
 ) -> int:
     """Commit ``df`` to the table at ``root``; returns the snapshot id.
 
@@ -650,7 +672,14 @@ def write_iceberg(
     commit_uuid = uuid.uuid4().hex
 
     # ---- data files: Spark writes, we inventory --------------------------
-    data_dir = os.path.join(root, "data", f"commit-{snapshot_id:05d}")
+    # the commit uuid in the path makes a retried commit (crash after
+    # the parquet write, before the version-hint swap) land in a FRESH
+    # dir instead of tripping errorifexists on the orphan; unreferenced
+    # orphan dirs are invisible to readers (manifests are the source of
+    # truth) and reclaimable by table maintenance
+    data_dir = os.path.join(
+        root, "data", f"commit-{snapshot_id:05d}-{commit_uuid[:8]}"
+    )
     part_cols = [
         f"_p_{pf['name']}" for pf in spec_fields
     ]
@@ -748,7 +777,8 @@ def write_iceberg(
         "sequence-number": seq,
         "timestamp-ms": now_ms,
         "summary": {
-            "operation": "append" if mode == "append" else "overwrite"
+            "operation": "append" if mode == "append" else "overwrite",
+            **(extra_summary or {}),
         },
         "manifest-list": mlist_path,
         "schema-id": 0,

@@ -4,6 +4,7 @@ from xf_spark.streaming.ingest import (  # noqa: F401
     current_index_path,
     prune_versions,
     stream_index,
+    stream_to_iceberg,
     transcript_stream,
     turns_per_window,
 )

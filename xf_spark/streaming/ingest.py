@@ -172,6 +172,68 @@ def stream_index(
     return writer.start()
 
 
+def stream_to_iceberg(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    query_id: str | None = None,
+    partition_by: list[tuple[str, str]] | None = None,
+    max_files_per_trigger: int = 16,
+):
+    """Stream transcript files into an Iceberg table, exactly-once.
+
+    foreachBatch is at-least-once: a crash between the table commit and
+    the checkpoint write replays the batch with the SAME batch_id. The
+    sink records (query-id, batch-id) in every snapshot's summary and
+    skips batches at or below the highest committed id — the upstream
+    Iceberg Spark sink's replay-dedup protocol. Combined with the file
+    source's checkpointed file ledger, every input row lands in exactly
+    one snapshot. Each micro-batch is one atomic snapshot commit, so a
+    concurrent ``XfIndex.sync_iceberg`` (manifest-diff index
+    maintenance) only ever sees whole batches.
+
+    ``query_id`` defaults to a stable hash of (table, checkpoint) — a
+    restart with the same checkpoint resumes the same ledger; a NEW
+    checkpoint (batch ids restart at 0) gets a new query id so its
+    batches are not mistaken for replays. batch-id monotonicity within
+    one query id is Spark's contract for a given checkpoint."""
+    import hashlib
+
+    from xf_spark.sources import iceberg as ice
+
+    qid = query_id or hashlib.md5(
+        f"{os.path.abspath(table_root)}|{os.path.abspath(checkpoint_dir)}"
+        .encode()
+    ).hexdigest()[:16]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = ice.last_streaming_batch(table_root, qid)
+        if last is not None and batch_id <= last:
+            return  # replayed batch: already a committed snapshot
+        ice.write_iceberg(
+            batch_df,
+            table_root,
+            partition_by=partition_by,
+            extra_summary={
+                "streaming-query-id": qid,
+                "streaming-batch-id": str(batch_id),
+            },
+        )
+
+    writer = (
+        transcript_stream(spark, input_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def prune_versions(index_root: str, keep: int = 2) -> list[str]:
     """Garbage-collect old index version dirs under ``index_root``.
 
