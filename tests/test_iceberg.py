@@ -380,3 +380,83 @@ class TestIcebergSnapshotSync:
         ice.write_iceberg(_turns(spark, 5), table, mode="overwrite")
         with pytest.raises(ValueError, match="rebuild"):
             ix.sync_iceberg(table)
+
+
+# ---------------------------------------------------------------------------
+# table maintenance: expire snapshots, orphan cleanup
+# ---------------------------------------------------------------------------
+
+
+class TestExpireSnapshots:
+    def test_append_history_expiry_keeps_shared_data(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        ice.write_iceberg(_turns(spark, 20), root)
+        ice.write_iceberg(_turns(spark, 10, id_start=800), root)
+        ice.write_iceberg(_turns(spark, 5, id_start=900), root)
+
+        expired = ice.expire_snapshots(root, keep_last=1)
+        assert expired == [1, 2]
+        # current read unchanged: append manifests are CARRIED, so the
+        # retained snapshot still reaches every data file
+        assert ice.read_iceberg(spark, root).count() == 35
+        # time travel to an expired snapshot stops resolving
+        with pytest.raises(ValueError, match="not found"):
+            ice.read_iceberg(spark, root, snapshot_id=1)
+        # idempotent
+        assert ice.expire_snapshots(root, keep_last=1) == []
+
+    def test_overwrite_expiry_reclaims_dead_data(self, spark, tmp_path):
+        import glob
+
+        root = str(tmp_path / "tbl2")
+        ice.write_iceberg(_turns(spark, 20), root)
+        ice.write_iceberg(_turns(spark, 5), root, mode="overwrite")
+        n_parquet_before = len(
+            glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                      recursive=True)
+        )
+        assert ice.expire_snapshots(root, keep_last=1) == [1]
+        n_parquet_after = len(
+            glob.glob(os.path.join(root, "data", "**", "*.parquet"),
+                      recursive=True)
+        )
+        # the pre-overwrite files are unreachable from the survivor
+        assert n_parquet_after < n_parquet_before
+        assert ice.read_iceberg(spark, root).count() == 5
+
+    def test_expired_sync_basis_demands_rebuild(self, spark, tmp_path):
+        from xf_spark.engine import XfIndex
+
+        table = str(tmp_path / "tbl3")
+        ice.write_iceberg(_turns(spark, 20), table)
+        ix = XfIndex.build_iceberg(
+            spark, table, str(tmp_path / "ix3"), with_embeddings=False
+        )
+        ice.write_iceberg(_turns(spark, 5, id_start=800), table)
+        ice.write_iceberg(_turns(spark, 5, id_start=900), table)
+        ice.expire_snapshots(table, keep_last=1)
+        with pytest.raises(ValueError, match="rebuild"):
+            ix.sync_iceberg(table)
+
+
+class TestRemoveOrphans:
+    def test_crashed_commit_dir_is_reclaimed(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        ice.write_iceberg(_turns(spark, 20), root)
+        # simulate a crashed commit attempt: data written, never
+        # referenced by any manifest
+        orphan = os.path.join(root, "data", "commit-00002-deadbeef")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "part-0.parquet"), "wb") as f:
+            f.write(b"not a real parquet")
+
+        listed = ice.remove_orphan_files(root, dry_run=True)
+        assert listed == [orphan]
+        assert os.path.isdir(orphan)  # dry run touches nothing
+
+        removed = ice.remove_orphan_files(root)
+        assert removed == [orphan]
+        assert not os.path.exists(orphan)
+        # live data untouched; table still reads
+        assert ice.read_iceberg(spark, root).count() == 20
+        assert ice.remove_orphan_files(root) == []

@@ -296,7 +296,14 @@ class XfIndex:
         cur = ice.current_snapshot_id(table_root)
         if cur == last:
             return 0
-        added, removed = ice.snapshot_changes(table_root, last, cur)
+        try:
+            added, removed = ice.snapshot_changes(table_root, last, cur)
+        except ValueError as e:
+            raise ValueError(
+                f"last synced snapshot {last} is gone from the table "
+                f"(expire_snapshots?) — the delta basis is lost; rebuild "
+                f"with build_iceberg()"
+            ) from e
         if removed:
             raise ValueError(
                 f"snapshot {cur} removed {len(removed)} data file(s) "

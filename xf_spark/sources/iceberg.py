@@ -825,6 +825,125 @@ def write_iceberg(
     return snapshot_id
 
 
+# ---------------------------------------------------------------------------
+# table maintenance (expire snapshots, orphan cleanup)
+# ---------------------------------------------------------------------------
+
+
+def _snapshot_reachable(
+    meta: dict, root: str, snapshot_ids: list[int]
+) -> tuple[set[str], set[str]]:
+    """(metadata avro paths, data file paths) reachable from the given
+    snapshots — both as realpaths. Metadata-plane only: O(#files)."""
+    avro: set[str] = set()
+    data: set[str] = set()
+    for sid in snapshot_ids:
+        snap = _resolve_snapshot(meta, sid)
+        mlist = _relocate(snap["manifest-list"], meta, root)
+        avro.add(os.path.realpath(mlist))
+        _, manifests = read_avro_file(mlist)
+        for mf in manifests:
+            avro.add(
+                os.path.realpath(_relocate(mf["manifest_path"], meta, root))
+            )
+        for f in plan_files(root, sid):
+            data.add(os.path.realpath(f["file_path"]))
+    return avro, data
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> list[int]:
+    """Expire all but the most recent ``keep_last`` snapshots (the
+    current snapshot is always retained): a new metadata version is
+    committed with the expired snapshots removed from ``snapshots`` /
+    ``snapshot-log``, then manifest-list/manifest avro files and DATA
+    files reachable ONLY from expired snapshots are deleted. Time
+    travel to an expired snapshot stops resolving — exactly upstream
+    ``expireSnapshots`` semantics. Metadata-plane planning throughout
+    (no row data read). Returns the expired snapshot ids."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = load_metadata(root)
+    snaps = sorted(meta.get("snapshots", []), key=lambda s: s["sequence-number"])
+    if len(snaps) <= keep_last:
+        return []
+    cur = meta.get("current-snapshot-id")
+    keep = {s["snapshot-id"] for s in snaps[-keep_last:]}
+    if cur is not None and cur != -1:
+        keep.add(cur)
+    expired = [s["snapshot-id"] for s in snaps if s["snapshot-id"] not in keep]
+    if not expired:
+        return []
+
+    keep_avro, keep_data = _snapshot_reachable(meta, root, sorted(keep))
+    exp_avro, exp_data = _snapshot_reachable(meta, root, expired)
+
+    # commit the pruned metadata FIRST (readers of the new version can
+    # never see the doomed files), then delete; a crash in between
+    # leaves unreferenced files for remove_orphan_files to reclaim
+    new_meta = dict(meta)
+    new_meta["snapshots"] = [
+        s for s in meta.get("snapshots", []) if s["snapshot-id"] in keep
+    ]
+    new_meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e["snapshot-id"] in keep
+    ]
+    mdir = _metadata_dir(root)
+    version = int(
+        os.path.basename(current_metadata_path(root))[1:].split(".")[0]
+    )
+    meta_path = os.path.join(mdir, f"v{version + 1}.metadata.json")
+    tmp = f"{meta_path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(new_meta, fh, indent=1)
+    os.replace(tmp, meta_path)
+    hint_tmp = os.path.join(mdir, f"version-hint.tmp-{os.getpid()}")
+    with open(hint_tmp, "w") as fh:
+        fh.write(str(version + 1))
+    os.replace(hint_tmp, os.path.join(mdir, "version-hint.text"))
+
+    for p in sorted((exp_avro - keep_avro) | (exp_data - keep_data)):
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return expired
+
+
+def remove_orphan_files(root: str, dry_run: bool = False) -> list[str]:
+    """Delete data directories no snapshot references (crashed commit
+    attempts — the write path gives every attempt a unique
+    ``commit-NNNNN-<uuid>`` dir, so a retry never collides and the
+    orphan is exactly the whole abandoned dir). Conservative contract:
+    a dir is removed only when NONE of its files are reachable from ANY
+    retained snapshot; partially-referenced dirs are left untouched.
+    Single-writer table semantics (HadoopTables without a lock manager):
+    run this only while no commit is in flight. Returns removed dirs."""
+    meta = load_metadata(root)
+    sids = [s["snapshot-id"] for s in meta.get("snapshots", [])]
+    _avro, reachable = _snapshot_reachable(meta, root, sids)
+    data_root = os.path.join(root, "data")
+    removed: list[str] = []
+    if not os.path.isdir(data_root):
+        return removed
+    for dirpath, _dirs, files in os.walk(data_root):
+        live = [
+            f
+            for f in files
+            if os.path.realpath(os.path.join(dirpath, f)) in reachable
+        ]
+        payload = [f for f in files if f.endswith(".parquet")]
+        if payload and not live:
+            removed.append(dirpath)
+    for d in sorted(removed, reverse=True):
+        if not dry_run:
+            import shutil as _sh
+
+            _sh.rmtree(d, ignore_errors=True)
+    return removed
+
+
 def _source_name(meta: dict, source_id: int) -> str:
     for s in meta["schemas"]:
         for f in s["fields"]:
