@@ -605,3 +605,57 @@ class TestCliCurate:
 
         n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
         assert n == int(m.group(2)) and 0 < n < int(m.group(1))
+
+
+class TestCliIceberg:
+    """CLI over the Iceberg surface: `index` auto-detects a table root
+    (build_iceberg → snapshot recorded), `sync` appends the manifest
+    diff, and the sparkless `table` maintenance subcommands."""
+
+    def _run(self, args, env):
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", *args],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, (r.stdout + r.stderr)[-2000:]
+        return r.stdout
+
+    def test_index_sync_and_table_ops(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from xf_spark.sources import iceberg as ice
+        from xf_spark.transcripts import load_transcripts
+
+        env = dict(os.environ, PYTHONPATH="/root/repo")
+        table, idx = str(tmp_path / "tbl"), str(tmp_path / "idx")
+        tr = load_transcripts(spark, SCALE)
+        ice.write_iceberg(tr.where(F.col("turn_idx") < 10), table)
+
+        out = self._run(
+            ["--cores", "4", "index", "--input", table, "--out", idx,
+             "--shards", "4", "--slices", "1", "--no-embeddings"],
+            env,
+        )
+        assert "indexed" in out
+
+        ice.write_iceberg(tr.where(F.col("turn_idx") >= 10), table)
+        out = self._run(
+            ["--cores", "4", "sync", "--table", table, "--index", idx],
+            env,
+        )
+        assert "synced" in out and "synced 0" not in out
+
+        out = self._run(["table", "snapshots", "--table", table], env)
+        lines = [ln for ln in out.splitlines() if ln.strip()]
+        assert len(lines) == 2 and sum(
+            1 for ln in lines if ln.startswith("*")
+        ) == 1
+
+        out = self._run(
+            ["table", "expire", "--table", table, "--keep", "1"], env
+        )
+        assert "expired 1 snapshot(s)" in out
+
+        out = self._run(["table", "orphans", "--table", table], env)
+        assert "removed 0 orphan dir(s)" in out

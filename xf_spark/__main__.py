@@ -50,21 +50,66 @@ def _resolve_index(args) -> str:
 
 def cmd_index(args) -> int:
     from xf_spark.engine import XfIndex
-
+    from xf_spark.sources import iceberg as ice
     from xf_spark.sources.tables import load_transcript_table
 
     spark = _spark(args)
-    transcripts = load_transcript_table(spark, args.input)
-    ix = XfIndex.build(
-        transcripts,
-        args.out,
+    kw = dict(
         with_embeddings=not args.no_embeddings,
         n_shards=args.shards,
         slices=args.slices,
     )
+    if ice.is_iceberg_table(args.input):
+        # record the indexed snapshot so `sync` can later append only
+        # the files new commits added (manifest-diff maintenance)
+        ix = XfIndex.build_iceberg(spark, args.input, args.out, **kw)
+    else:
+        ix = XfIndex.build(
+            load_transcript_table(spark, args.input), args.out, **kw
+        )
     n = ix.docs.count()
     print(f"indexed {n} turns -> {args.out}")
     return 0
+
+
+def cmd_sync(args) -> int:
+    from xf_spark.engine import XfIndex
+
+    spark = _spark(args)
+    path = _resolve_index(args)
+    ix = XfIndex.open(spark, path)
+    n = ix.sync_iceberg(args.table, dedup=not args.no_dedup)
+    print(f"synced {n} turns from {args.table} -> {path}")
+    return 0
+
+
+def cmd_table(args) -> int:
+    from xf_spark.sources import iceberg as ice
+
+    if args.table_op == "snapshots":
+        meta = ice.load_metadata(args.table)
+        cur = meta.get("current-snapshot-id")
+        for s in sorted(
+            meta.get("snapshots", []), key=lambda s: s["sequence-number"]
+        ):
+            mark = "*" if s["snapshot-id"] == cur else " "
+            print(
+                f"{mark} {s['snapshot-id']}  seq={s['sequence-number']}  "
+                f"{s['summary'].get('operation', '?')}"
+            )
+        return 0
+    if args.table_op == "expire":
+        expired = ice.expire_snapshots(args.table, keep_last=args.keep)
+        print(f"expired {len(expired)} snapshot(s): {expired}")
+        return 0
+    if args.table_op == "orphans":
+        removed = ice.remove_orphan_files(args.table, dry_run=args.dry_run)
+        verb = "would remove" if args.dry_run else "removed"
+        for d in removed:
+            print(d)
+        print(f"{verb} {len(removed)} orphan dir(s)")
+        return 0
+    raise ValueError(f"unknown table op {args.table_op}")
 
 
 def cmd_repl(args) -> int:
@@ -962,6 +1007,36 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--format", default="text",
                     choices=["text", "json", "json-pretty", "csv"])
     pl.set_defaults(fn=cmd_list)
+
+    psy = sub.add_parser(
+        "sync",
+        help="catch an Iceberg-built index up to the table's current "
+        "snapshot (manifest diff — appends only new files)",
+    )
+    psy.add_argument("--table", required=True, help="Iceberg table root")
+    psy.add_argument("--index", default=None, help="existing index dir")
+    psy.add_argument(
+        "--no-dedup", action="store_true",
+        help="skip the known-rows anti-join on the appended delta",
+    )
+    psy.set_defaults(fn=cmd_sync)
+
+    ptb = sub.add_parser("table", help="Iceberg table maintenance")
+    tsub = ptb.add_subparsers(dest="table_op", required=True)
+    tsnap = tsub.add_parser("snapshots", help="list snapshot history")
+    tsnap.add_argument("--table", required=True)
+    texp = tsub.add_parser(
+        "expire", help="expire old snapshots; reclaim unreachable files"
+    )
+    texp.add_argument("--table", required=True)
+    texp.add_argument("--keep", type=int, default=2,
+                      help="snapshots to retain (default 2)")
+    torph = tsub.add_parser(
+        "orphans", help="remove data dirs no snapshot references"
+    )
+    torph.add_argument("--table", required=True)
+    torph.add_argument("--dry-run", action="store_true")
+    ptb.set_defaults(fn=cmd_table)
 
     pd_ = sub.add_parser("doctor")
     pd_.add_argument("--index", default=None)

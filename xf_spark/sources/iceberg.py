@@ -262,6 +262,10 @@ _SPARK_TO_ICE = {
     T.DateType(): "date",
 }
 _ICE_TO_SPARK = {v: k for k, v in _SPARK_TO_ICE.items()}
+# Iceberg `timestamp` is zoneless — exactly Spark's TIMESTAMP_NTZ;
+# mapped after the dict inversion so TimestampType keeps timestamptz
+_SPARK_TO_ICE[T.TimestampNTZType()] = "timestamp"
+_ICE_TO_SPARK["timestamp"] = T.TimestampNTZType()
 
 
 def _iceberg_schema(df_schema: T.StructType) -> dict:
