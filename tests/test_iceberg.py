@@ -460,3 +460,100 @@ class TestRemoveOrphans:
         # live data untouched; table still reads
         assert ice.read_iceberg(spark, root).count() == 20
         assert ice.remove_orphan_files(root) == []
+
+
+class TestCheckTable:
+    def test_healthy_table(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        ice.write_iceberg(_turns(spark, 20), root)
+        ice.write_iceberg(_turns(spark, 10, id_start=800), root)
+        rep = ice.check_table(root)
+        assert rep["ok"] and rep["errors"] == []
+        assert rep["snapshots"] == 2 and rep["rows"] == 30
+
+    def test_detects_missing_file_and_orphan(self, spark, tmp_path):
+        import glob
+
+        root = str(tmp_path / "tbl2")
+        ice.write_iceberg(_turns(spark, 20), root)
+        victim = glob.glob(
+            os.path.join(root, "data", "**", "*.parquet"), recursive=True
+        )[0]
+        os.remove(victim)
+        orphan = os.path.join(root, "data", "commit-00009-dead")
+        os.makedirs(orphan)
+        open(os.path.join(orphan, "x.parquet"), "wb").write(b"junk")
+        rep = ice.check_table(root)
+        assert not rep["ok"]
+        assert any("missing data file" in e for e in rep["errors"])
+        assert rep["orphans"] == [orphan]
+
+    def test_not_a_table(self, tmp_path):
+        rep = ice.check_table(str(tmp_path / "nope"))
+        assert not rep["ok"] and rep["errors"]
+
+
+class TestTableOpSequences:
+    """Property test: any sequence of append/overwrite/expire/orphan
+    ops leaves the table readable with exactly the model's row count,
+    time travel working for every retained snapshot, and a clean
+    check_table audit."""
+
+    def test_random_op_sequences(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        op = st.one_of(
+            st.tuples(st.just("append"), st.integers(1, 4)),
+            st.tuples(st.just("overwrite"), st.integers(1, 4)),
+            st.tuples(st.just("expire"), st.integers(1, 2)),
+            st.tuples(st.just("orphans"), st.just(0)),
+        )
+        counter = [0]
+
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=list(HealthCheck),
+        )
+        @given(ops=st.lists(op, min_size=1, max_size=5))
+        def run(ops):
+            counter[0] += 1
+            root = str(tmp_path / f"t{counter[0]}")
+            ice.write_iceberg(_turns(spark, 2), root)
+            live = {}  # snapshot_id -> cumulative expected rows
+            sid, total = 1, 2
+            live[sid] = total
+            next_id = 100
+            for kind, arg in ops:
+                if kind == "append":
+                    ice.write_iceberg(
+                        _turns(spark, arg, id_start=next_id * 10), root
+                    )
+                    next_id += 1
+                    total += arg
+                    sid += 1
+                    live[sid] = total
+                elif kind == "overwrite":
+                    ice.write_iceberg(
+                        _turns(spark, arg, id_start=next_id * 10), root,
+                        mode="overwrite",
+                    )
+                    next_id += 1
+                    total = arg
+                    sid += 1
+                    live[sid] = total
+                elif kind == "expire":
+                    expired = ice.expire_snapshots(root, keep_last=arg)
+                    for e in expired:
+                        live.pop(e, None)
+                else:
+                    ice.remove_orphan_files(root)
+                assert ice.read_iceberg(spark, root).count() == total
+            for s, n in live.items():
+                assert ice.read_iceberg(
+                    spark, root, snapshot_id=s
+                ).count() == n
+            rep = ice.check_table(root)
+            assert rep["ok"], rep["errors"]
+
+        run()

@@ -109,6 +109,10 @@ def cmd_table(args) -> int:
             print(d)
         print(f"{verb} {len(removed)} orphan dir(s)")
         return 0
+    if args.table_op == "doctor":
+        report = ice.check_table(args.table)
+        print(json.dumps(report, indent=2))
+        return 0 if report["ok"] else 1
     raise ValueError(f"unknown table op {args.table_op}")
 
 
@@ -1036,6 +1040,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     torph.add_argument("--table", required=True)
     torph.add_argument("--dry-run", action="store_true")
+    tdoc = tsub.add_parser(
+        "doctor", help="audit metadata/manifest/data-file consistency"
+    )
+    tdoc.add_argument("--table", required=True)
     ptb.set_defaults(fn=cmd_table)
 
     pd_ = sub.add_parser("doctor")

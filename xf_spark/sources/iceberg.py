@@ -948,6 +948,72 @@ def remove_orphan_files(root: str, dry_run: bool = False) -> list[str]:
     return removed
 
 
+def check_table(root: str) -> dict:
+    """Metadata/file consistency audit (the `table doctor` command):
+
+    - version-hint resolves to a readable metadata file
+    - the current snapshot and every retained snapshot resolve, their
+      manifest lists and manifests are readable
+    - every live data file exists, and its parquet footer row count
+      equals the manifest's record_count (footer-only read — no data
+      pages touched, O(#files) like the rest of the metadata plane)
+    - orphan data dirs are reported (not removed)
+
+    Returns {"ok": bool, "snapshots": n, "files": n, "rows": n,
+    "errors": [...], "orphans": [...]}."""
+    import pyarrow.parquet as pq
+
+    errors: list[str] = []
+    try:
+        meta = load_metadata(root)
+    except (FileNotFoundError, ValueError, json.JSONDecodeError) as e:
+        return {
+            "ok": False, "snapshots": 0, "files": 0, "rows": 0,
+            "errors": [f"metadata unreadable: {e}"], "orphans": [],
+        }
+    snaps = meta.get("snapshots", [])
+    n_files = 0
+    n_rows = 0
+    seen: set[str] = set()
+    for s in snaps:
+        sid = s["snapshot-id"]
+        try:
+            files = plan_files(root, sid)
+        except Exception as e:  # unreadable manifest chain
+            errors.append(f"snapshot {sid}: plan failed: {e}")
+            continue
+        for f in files:
+            p = os.path.realpath(f["file_path"])
+            if p in seen:
+                continue
+            seen.add(p)
+            n_files += 1
+            if not os.path.exists(p):
+                errors.append(f"snapshot {sid}: missing data file {p}")
+                continue
+            try:
+                actual = pq.ParquetFile(p).metadata.num_rows
+            except Exception as e:
+                errors.append(f"{p}: unreadable parquet footer: {e}")
+                continue
+            if actual != f["record_count"]:
+                errors.append(
+                    f"{p}: manifest record_count {f['record_count']} "
+                    f"!= parquet footer {actual}"
+                )
+            else:
+                n_rows += actual
+    orphans = remove_orphan_files(root, dry_run=True)
+    return {
+        "ok": not errors,
+        "snapshots": len(snaps),
+        "files": n_files,
+        "rows": n_rows,
+        "errors": errors,
+        "orphans": orphans,
+    }
+
+
 def _source_name(meta: dict, source_id: int) -> str:
     for s in meta["schemas"]:
         for f in s["fields"]:
