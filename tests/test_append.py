@@ -364,3 +364,50 @@ class TestLifecycleFuzz:
             got = ranked(ix, query, limit)
             want = ranked(rebuilt, query, limit)
             assert got == want and len(want) > 0, (seed, query)
+
+
+class TestDedupRange:
+    """The conv-range-bounded dedup backstop (sync_iceberg's scale
+    contract): the anti-join scans ONLY the given conv_id range of the
+    stored docs, so at 10^12 turns a daily delta never pays a corpus
+    scan. Pinned behaviorally from both sides: duplicates inside the
+    range are dropped, duplicates outside it are NOT seen (misuse
+    demonstrates the scan really is bounded)."""
+
+    def test_range_bounds_the_backstop_scan(self, spark, tmp_path):
+        tr = load_transcripts(spark, 0.001)
+        base, delta = _split(tr)
+        path = str(tmp_path / "ix")
+        ix = XfIndex.build(base, path, with_embeddings=False,
+                           n_shards=4, slices=1)
+
+        # replayed delta WITH the correct range: all duplicates caught
+        b = delta.agg(F.min("conv_id").alias("lo"),
+                      F.max("conv_id").alias("hi")).first()
+        ix = ix.append(delta, dedup=True, dedup_range=(b["lo"], b["hi"]))
+        n1 = ix.docs.count()
+        ix = ix.append(delta, dedup=True, dedup_range=(b["lo"], b["hi"]))
+        assert ix.docs.count() == n1  # replay added nothing
+
+        # a range that EXCLUDES the duplicates: the bounded scan cannot
+        # see them, so they append — proof the filter reaches the scan
+        some_base = base.limit(20)
+        ix = ix.append(
+            some_base, dedup=True,
+            dedup_range=("zzzz", "zzzz"),  # empty scope
+        )
+        assert ix.docs.count() == n1 + 20
+
+    def test_meta_extra_commits_with_stats(self, spark, tmp_path):
+        tr = load_transcripts(spark, 0.001)
+        base, delta = _split(tr)
+        path = str(tmp_path / "ix2")
+        ix = XfIndex.build(base, path, with_embeddings=False,
+                           n_shards=4, slices=1)
+        ix = ix.append(delta, meta_extra={"iceberg_sync": {"snapshot_id": 7}})
+        assert ix.segment_index.meta["iceberg_sync"] == {"snapshot_id": 7}
+        # all-duplicate replay (m == 0) still advances caller state
+        ix = ix.append(delta, meta_extra={"iceberg_sync": {"snapshot_id": 8}})
+        assert json.load(open(os.path.join(path, "meta.json")))[
+            "iceberg_sync"
+        ] == {"snapshot_id": 8}

@@ -557,3 +557,44 @@ class TestTableOpSequences:
             assert rep["ok"], rep["errors"]
 
         run()
+
+
+class TestSyncCrashWindows:
+    def test_torn_sync_heals_without_duplicates(self, spark, tmp_path):
+        """Simulate the one remaining sync crash window: slice + docs
+        delta written, the atomic meta rename (stats + synced snapshot
+        id) lost. The retry must reconcile the orphan rows, dedup the
+        replayed delta (conv-range-bounded backstop), commit the
+        snapshot id, and land rank-identical to a full rebuild."""
+        from xf_spark.engine import XfIndex
+
+        table = str(tmp_path / "tbl")
+        ice.write_iceberg(_turns(spark, 60), table)
+        path = str(tmp_path / "ix")
+        ix = XfIndex.build_iceberg(
+            spark, table, path, with_embeddings=False
+        )
+        ice.write_iceberg(_turns(spark, 20, id_start=800), table)
+
+        meta_before = open(os.path.join(path, "meta.json")).read()
+        assert ix.sync_iceberg(table) == 20
+        # crash simulation: the meta rename never happened
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            f.write(meta_before)
+
+        ix2 = XfIndex.open(spark, path)
+        ix2.sync_iceberg(table)  # heals: reconcile + dedup + state
+        assert ix2.docs.count() == 80
+        assert ix2.docs.select("conv_id", "turn_idx").distinct().count() == 80
+        assert ix2.sync_iceberg(table) == 0  # state committed
+
+        full = XfIndex.build(
+            ice.read_iceberg(spark, table), str(tmp_path / "full"),
+            with_embeddings=False,
+        )
+        for q in ["machine", '"machine learning"', "text"]:
+            a = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+                 for r in ix2.search(q, mode="lexical", limit=30).collect()]
+            b = [(r["conv_id"], r["turn_idx"], round(r["score"], 9))
+                 for r in full.search(q, mode="lexical", limit=30).collect()]
+            assert a == b, q

@@ -161,19 +161,32 @@ class XfIndex:
             self._centroids_cache = np.asarray(_json.load(f), dtype=np.float64)
         return self._centroids_cache
 
-    def append(self, new_transcripts: DataFrame, dedup: bool = True) -> "XfIndex":
+    def append(
+        self,
+        new_transcripts: DataFrame,
+        dedup: bool = True,
+        dedup_range: tuple[str, str] | None = None,
+        meta_extra: dict | None = None,
+    ) -> "XfIndex":
         """INCREMENTAL append: tokenizes/encodes ONLY the new turns into
         a fresh segment slice (existing segments untouched — see
         segments.append_index for the stats-soundness argument),
         appends the docs delta, updates global stats, and extends the
-        embeddings store for the new docs. Returns self, reloaded."""
+        embeddings store for the new docs. Returns self, reloaded.
+
+        ``dedup_range``/``meta_extra`` pass through to ``append_index``
+        (conv_id-bounded dedup scan; state committed atomically with
+        the stats rename — the sync_iceberg contract)."""
         from xf_spark.index.segments import append_index
 
         # pre-append id ceiling (NOT n_docs: after a drop-compaction the
         # count is smaller than the highest id + 1)
         meta0 = self.segment_index.meta
         old_n = int(meta0.get("doc_id_bound", meta0["n_docs"]))
-        n_added, _stats = append_index(new_transcripts, self.path, dedup=dedup)
+        n_added, _stats = append_index(
+            new_transcripts, self.path, dedup=dedup,
+            dedup_range=dedup_range, meta_extra=meta_extra,
+        )
         docs = self.spark.read.parquet(os.path.join(self.path, "docs"))
         if self.embeddings is not None:
             emb_path = os.path.join(self.path, "embeddings")
@@ -256,43 +269,68 @@ class XfIndex:
         ix._write_iceberg_sync(snap_id)
         return ix
 
-    def _iceberg_sync_path(self) -> str:
-        return os.path.join(self.path, "iceberg_sync.json")
-
     def _write_iceberg_sync(self, snapshot_id: int) -> None:
+        """Record the synced snapshot id in meta.json (tmp+rename).
+        Used where no append carries it (initial build, empty commits);
+        a sync WITH rows commits the id atomically inside the append's
+        own stats rename instead (meta_extra)."""
         import json as _json
 
-        tmp = self._iceberg_sync_path() + ".tmp"
+        meta_path = os.path.join(self.path, "meta.json")
+        with open(meta_path) as f:
+            meta = _json.load(f)
+        meta["iceberg_sync"] = {"snapshot_id": snapshot_id}
+        tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump({"snapshot_id": snapshot_id}, f)
-        os.replace(tmp, self._iceberg_sync_path())
+            _json.dump(meta, f)
+        os.replace(tmp, meta_path)
+        if self.segment_index is not None:
+            self.segment_index.meta["iceberg_sync"] = {
+                "snapshot_id": snapshot_id
+            }
+
+    def _last_iceberg_sync(self) -> int | None:
+        import json as _json
+
+        state = self.segment_index.meta.get("iceberg_sync")
+        if state:
+            return state["snapshot_id"]
+        # legacy location (pre meta.json state): sidecar file
+        try:
+            with open(os.path.join(self.path, "iceberg_sync.json")) as f:
+                return _json.load(f)["snapshot_id"]
+        except FileNotFoundError:
+            return None
 
     def sync_iceberg(self, table_root: str, dedup: bool = True) -> int:
         """Catch the index up to the table's current Iceberg snapshot.
 
         Appends ONLY the data files added since the last synced
-        snapshot (manifest diff — no full-table scan, no row-level
-        dedup join unless ``dedup``). Returns the number of rows in
-        the appended files (from manifest record counts, exact).
+        snapshot (manifest diff — no full-table scan). Returns the
+        number of rows in the appended files (manifest record counts,
+        exact).
+
+        Scale contract (10^12-turn daily delta): every job here is
+        delta-sized. The dedup backstop's corpus scan takes the delta's
+        (min, max) conv_id as a pushed parquet range predicate
+        (``dedup_range``), so it reads the row groups the delta could
+        collide with, not the corpus; the synced snapshot id commits
+        ATOMICALLY with the append's stats rename (``meta_extra``), so
+        a completed sync is never re-appended. The remaining
+        crash window (docs written, meta rename lost) is healed by
+        reconcile_meta roll-forward + this dedup backstop.
 
         Overwrite/delete commits remove files; an incremental lexical
         index cannot un-index rows, so that case raises with a rebuild
-        hint rather than serving stale turns silently. Idempotent:
-        crash after append but before the sync-state write re-appends
-        the same files, and ``append(dedup=True)``'s content dedup
-        drops the duplicates."""
-        import json as _json
-
+        hint rather than serving stale turns silently."""
         from xf_spark.sources import iceberg as ice
 
-        try:
-            with open(self._iceberg_sync_path()) as f:
-                last = _json.load(f)["snapshot_id"]
-        except FileNotFoundError:
+        last = self._last_iceberg_sync()
+        if last is None:
             raise ValueError(
                 "index was not built from an Iceberg snapshot — build "
                 "with XfIndex.build_iceberg(...) to enable sync"
-            ) from None
+            )
         cur = ice.current_snapshot_id(table_root)
         if cur == last:
             return 0
@@ -317,8 +355,22 @@ class XfIndex:
             delta = self.spark.read.schema(schema).parquet(
                 *[f["file_path"] for f in added]
             ).select(*cols)
-            self.append(delta, dedup=dedup)
-        self._write_iceberg_sync(cur)
+            rng = None
+            if dedup:
+                # one delta-sized job bounds the backstop's corpus scan
+                b = delta.agg(
+                    F.min("conv_id").alias("lo"), F.max("conv_id").alias("hi")
+                ).first()
+                if b["lo"] is not None:
+                    rng = (b["lo"], b["hi"])
+            self.append(
+                delta,
+                dedup=dedup,
+                dedup_range=rng,
+                meta_extra={"iceberg_sync": {"snapshot_id": cur}},
+            )
+        else:
+            self._write_iceberg_sync(cur)
         return sum(f["record_count"] for f in added)
 
     def compact(

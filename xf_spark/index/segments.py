@@ -757,7 +757,13 @@ def reconcile_meta(spark, path: str) -> bool:
     return True
 
 
-def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
+def append_index(
+    new_transcripts: DataFrame,
+    path: str,
+    dedup: bool = True,
+    dedup_range: tuple[str, str] | None = None,
+    meta_extra: dict | None = None,
+):
     """INCREMENTAL append: index only the new turns; existing segments
     are never rewritten.
 
@@ -811,8 +817,18 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
         # the anti-join scans the stored docs' 2-column projection —
         # O(corpus) but columnar; bulk loaders with known-new deltas
         # pass dedup=False to skip it (streaming keeps it on as the
-        # exactly-once backstop for replayed micro-batches)
+        # exactly-once backstop for replayed micro-batches).
+        # ``dedup_range`` = the delta's (min, max) conv_id: duplicates
+        # can only exist inside it, so the corpus scan takes a pushed
+        # range predicate — with conv-sorted docs parquet that prunes
+        # to the row groups the delta could touch, O(delta-shaped)
+        # instead of O(corpus) (the sync_iceberg daily-delta path)
         old_docs = spark.read.parquet(docs_path)
+        if dedup_range is not None:
+            lo, hi = dedup_range
+            old_docs = old_docs.where(
+                (F.col("conv_id") >= lo) & (F.col("conv_id") <= hi)
+            )
         fresh = fresh.join(
             old_docs.select("conv_id", "turn_idx"),
             ["conv_id", "turn_idx"],
@@ -838,6 +854,14 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
     m = int(row["n"] or 0)
     if m == 0:
         full.unpersist()
+        if meta_extra:
+            # an all-duplicates delta still advances caller state
+            # (e.g. the synced Iceberg snapshot id) atomically
+            meta.update(meta_extra)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, meta_path)
         return 0, CorpusStats(meta["n_docs"], meta["avgdl"])
     new_tokens = int(row["total"] or 0)
     old_total = int(meta.get("total_tokens", round(meta["avgdl"] * meta["n_docs"])))
@@ -905,6 +929,11 @@ def append_index(new_transcripts: DataFrame, path: str, dedup: bool = True):
         next_slice=slice_id + 1,
         slice_avgdl=slice_avgdl,
     )
+    if meta_extra:
+        # rides the SAME atomic rename as the stats commit: the caller's
+        # state (synced snapshot id) and the appended rows become
+        # visible together or not at all
+        meta.update(meta_extra)
     tmp = meta_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f)
