@@ -45,6 +45,40 @@ class TestXfIndex:
             # msearch accepts the SAME mode vocabulary as search()
             assert len(ix.msearch(["rust"], limit=3, mode=mode)["rust"]) == 3
 
+    def test_fast_path_matches_dataframe_route(self, xfindex):
+        # search() serves unfiltered relevance queries via the msearch
+        # fast path (one Arrow round-trip); the DataFrame route must
+        # stay rank- and score-identical for every query shape
+        ix, _, _ = xfindex
+        shapes = [
+            ("machine", "lexical"),
+            ("machine learning", "lexical"),
+            ('"machine learning"', "lexical"),
+            ("rust NOT python", "lexical"),
+            ("mach*", "lexical"),
+            ("machine", "semantic"),
+            ("machine", "hybrid"),
+        ]
+        for q, mode in shapes:
+            fast = ix.search(q, mode=mode, limit=10).collect()
+            hits = ix._search_hits(
+                q, mode=mode, limit=10, roles=None, since=None,
+                until=None, offset=0, fuzzy=False, ann=False,
+                n_probe=None,
+            )
+            slow, _ = ix._hydrate(hits)
+            srows = slow.collect()
+            assert [(r["doc_id"], round(r["score"], 9)) for r in fast] == [
+                (r["doc_id"], round(r["score"], 9)) for r in srows
+            ], (q, mode)
+
+    def test_fast_path_raises_on_parse_error(self, xfindex):
+        # msearch isolates bad batch members as empty results, but the
+        # single-query facade must keep the loud-raise contract
+        ix, _, _ = xfindex
+        with pytest.raises(ValueError):
+            ix.search("NOT type:assistant machine", mode="lexical", limit=5)
+
     def test_context_view_shape(self, xfindex):
         # context REPLACES hydration/snippets (different output shape:
         # every turn of each matched conversation, turn order)

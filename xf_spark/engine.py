@@ -805,6 +805,45 @@ class XfIndex:
         of scanning every vector — approximate, partition-pruned; in
         hybrid mode only the semantic branch changes (lexical + RRF
         fusion identical). Filters fall back to the exact path."""
+        mode_n = {"bm25": "lexical", "vector": "semantic", "rrf": "hybrid"}.get(
+            mode, mode
+        )
+        if (
+            mode_n in ("lexical", "semantic", "hybrid")
+            and not context
+            and not ann
+            and offset == 0
+            and sort == "relevance"
+            and roles is None
+            and since is None
+            and until is None
+            and query.strip()
+            and not (
+                mode_n in ("semantic", "hybrid") and self.embeddings is None
+            )
+        ):
+            # rows fast path: serve via the msearch machinery (driver
+            # -side WAND / pinned matmul / local RRF — identical
+            # results, tested) and hydrate the ranked pairs directly.
+            # The DataFrame route materializes 2-3 intermediate local
+            # relations per query (lexical hits, fused hits, hydrated
+            # rows) at ~10-30 ms of Arrow round-trip EACH; this path
+            # pays exactly one. Filters/offset/ann/context keep the
+            # DataFrame route (they need distributed plans or
+            # different output shapes).
+            from xf_spark.query.parser import parse_query_extract
+
+            # loud parse errors, same as the DataFrame route — msearch
+            # isolates unparseable BATCH members as empty results, but
+            # the single-query facade must raise (e.g. `NOT type:x`)
+            parse_query_extract(query)
+            pairs = self.msearch([query], limit=limit, mode=mode_n, fuzzy=fuzzy)[
+                query
+            ]
+            out = self._hydrate_rows(pairs)
+            if snippets:
+                out = add_snippets(out, query)
+            return out
         hits = self._search_hits(
             query,
             mode=mode,
@@ -1011,6 +1050,18 @@ class XfIndex:
         rows = hits.collect()  # local relation: no cluster job
         if not rows:
             return self.docs.join(F.broadcast(hits), "doc_id"), False
+        return (
+            self._hydrate_rows(
+                [(r["doc_id"], float(r["score"])) for r in rows]
+            ),
+            True,
+        )
+
+    def _hydrate_rows(self, pairs: list[tuple[int, float]]) -> DataFrame:
+        """Driver-side hydration of ranked (doc_id, score) pairs into
+        ONE local relation (the single Arrow round-trip of a warm
+        query). Pairs are already in relevance order; row order is
+        preserved, so no DataFrame orderBy runs."""
         from pyspark.sql import types as T
 
         cols = ["doc_id"] + [c for c in self.docs.columns if c != "doc_id"]
@@ -1018,13 +1069,11 @@ class XfIndex:
             # pinned doc store: pure dict lookups, zero Spark jobs
             pcols, store = self._pinned_docs
             data = [
-                store[r["doc_id"]] + (float(r["score"]),)
-                for r in rows
-                if r["doc_id"] in store
+                store[d] + (float(s),) for d, s in pairs if d in store
             ]
             cols = pcols
         else:
-            score_ids = [r["doc_id"] for r in rows]
+            score_ids = [d for d, _s in pairs]
             got = {
                 r["doc_id"]: r
                 for r in self.docs.where(
@@ -1032,21 +1081,23 @@ class XfIndex:
                 ).collect()
             }
             data = [
-                tuple(got[r["doc_id"]][c] for c in cols) + (float(r["score"]),)
-                for r in rows
-                if r["doc_id"] in got
+                tuple(got[d][c] for c in cols) + (float(s),)
+                for d, s in pairs
+                if d in got
             ]
         schema = T.StructType(
             [self.docs.schema[c] for c in cols]
             + [T.StructField("score", T.DoubleType())]
         )
+        if not data:
+            return self.spark.createDataFrame([], schema=schema)
         import pandas as pd
 
         # pandas (Arrow) local relation: ~30 ms round trip vs ~250 ms
         # for the list-backed one (measured; the Arrow path skips the
         # per-row pickle plan evaluation on collect)
         pdf = pd.DataFrame(data, columns=cols + ["score"])
-        return self.spark.createDataFrame(pdf, schema=schema), True
+        return self.spark.createDataFrame(pdf, schema=schema)
 
     def _pinned_topk_block(
         self, queries: list[str], k: int

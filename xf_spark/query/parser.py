@@ -110,6 +110,12 @@ def parse_query_extract(query: str):
             # leading / dangling operators are syntax noise, not terms
             if acc is not None:
                 pending_op = raw
+            elif raw == "NOT":
+                # a LEADING Not has no term operand to bind, but if the
+                # next atom is a field filter it still reads as intent
+                # to exclude that role -- remember it so the filter
+                # branch can reject instead of silently inverting
+                pending_op = "NOT"
             continue
         fm = _FIELD_RE.match(raw)
         if fm and fm[1].lower() in _TYPE_FIELDS:
