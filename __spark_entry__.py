@@ -161,6 +161,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_lifecycle_bm25": eq.transcripts_lifecycle_bm25,
         "transcripts_purge_bm25": eq.transcripts_purge_bm25,
         "transcripts_purge_stats": eq.transcripts_purge_stats,
+        # aggregation query surfaces over the match set: facet counts
+        # (Lucene facet collector), date histograms, and field
+        # collapsing (best turn per conversation); plus per-doc tf-idf
+        # keyword extraction
+        "transcripts_facet_role": eq.transcripts_facet_role,
+        "transcripts_facet_day": eq.transcripts_facet_day,
+        "transcripts_collapse_best": eq.transcripts_collapse_best,
+        "tfidf_keywords_top": eq.tfidf_keywords_top,
         # composed curation pipeline (quality gate -> exact dedup):
         # stage counts + kept membership, both SQL-replayed
         "curate_report": eq.curate_report,

@@ -1,0 +1,266 @@
+"""Facet aggregation + field collapsing + tf-idf keywords.
+
+Facet counts and collapsed search are verified against a pure-Python
+recomputation over the collected corpus (shared tokenizer), and the
+driver / distributed / pinned serving paths are pinned identical to
+each other; tfidf_keywords against a hand-rolled replay.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from xf_spark.functions.textcore import tokenize
+from xf_spark.index.builder import build_engine
+from xf_spark.index.segments import build_segment_index
+from xf_spark.oracle import OracleIndex
+from xf_spark.query.segment_search import SegmentIndex
+from xf_spark.transcripts import load_transcripts
+
+SCALE = 0.001
+TOL = 1e-9
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("facetidx"))
+    transcripts = load_transcripts(spark, SCALE)
+    eng = build_engine(transcripts)
+    build_segment_index(
+        eng.postings,
+        n_docs=eng.stats.n_docs,
+        avgdl=eng.stats.avgdl,
+        path=path,
+        prefix_postings=eng.prefix_postings,
+        n_shards=4,
+        n_buckets=16,
+        slices=2,
+    )
+    ix = SegmentIndex.load(spark, path, docs=eng.docs)
+    rows = eng.docs.select(
+        "doc_id", "conv_id", "role", "text", "ts"
+    ).collect()
+    oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in rows])
+    meta = {
+        r["doc_id"]: (r["conv_id"], r["role"], r["ts"]) for r in rows
+    }
+    return ix, eng, oracle, meta
+
+
+def _matching_ids(meta, oracle, query):
+    """Full match set via the python oracle (limit = corpus size)."""
+    return [d for d, _ in oracle.search(query, limit=len(meta) + 1)]
+
+
+def _facet_rows(df):
+    return {(r["value"], r["n_docs"]) for r in df.collect()}
+
+
+def test_facet_role_vs_python(built):
+    ix, _, oracle, meta = built
+    got = _facet_rows(ix.facet_counts("machine", facet="role"))
+    want = Counter(meta[d][1] for d in _matching_ids(meta, oracle, "machine"))
+    assert got == {(k, v) for k, v in want.items()}
+
+
+def test_facet_boolean_and_phrase(built):
+    ix, _, oracle, meta = built
+    for q in ("rust AND async", '"machine learning"', "python NOT snake"):
+        got = _facet_rows(ix.facet_counts(q, facet="role"))
+        want = Counter(meta[d][1] for d in _matching_ids(meta, oracle, q))
+        assert got == {(k, v) for k, v in want.items()}, q
+
+
+def test_facet_date_month_vs_python(built):
+    ix, _, oracle, meta = built
+    got = _facet_rows(ix.facet_counts("machine", facet="date:month"))
+    want = Counter(
+        meta[d][2].strftime("%Y-%m")
+        for d in _matching_ids(meta, oracle, "machine")
+    )
+    assert got == {(k, v) for k, v in want.items()}
+
+
+def test_facet_filtered(built):
+    ix, _, oracle, meta = built
+    got = _facet_rows(
+        ix.facet_counts("machine", facet="date:year", roles=["assistant"])
+    )
+    want = Counter(
+        meta[d][2].strftime("%Y")
+        for d in _matching_ids(meta, oracle, "machine")
+        if meta[d][1] == "assistant"
+    )
+    assert got == {(k, v) for k, v in want.items()}
+
+
+def test_facet_paths_identical(built):
+    """driver fast path == distributed cogroup path == pinned path."""
+    ix, _, _, meta = built
+    base = _facet_rows(ix.facet_counts("machine", facet="role"))
+    old = ix.driver_topk_threshold
+    try:
+        ix.driver_topk_threshold = 0  # force distributed
+        assert _facet_rows(ix.facet_counts("machine", facet="role")) == base
+    finally:
+        ix.driver_topk_threshold = old
+    # pinned-attrs zero-job path
+    ids = sorted(meta)
+    ix.pin_doc_attrs(
+        ids, [meta[d][1] for d in ids], [meta[d][2] for d in ids]
+    )
+    try:
+        assert _facet_rows(ix.facet_counts("machine", facet="role")) == base
+    finally:
+        ix._pinned_attrs = None
+
+
+def test_facet_match_all_and_contradiction(built):
+    ix, _, _, meta = built
+    got = _facet_rows(ix.facet_counts("", facet="role"))
+    want = Counter(v[1] for v in meta.values())
+    assert got == {(k, v) for k, v in want.items()}
+    # contradictory role intersection matches nothing
+    assert (
+        ix.facet_counts("role:assistant machine", roles=["user"]).count() == 0
+    )
+
+
+def test_facet_limit_and_order(built):
+    ix, _, _, _ = built
+    rows = ix.facet_counts("machine", facet="role").collect()
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    top1 = ix.facet_counts("machine", facet="role", limit=1).collect()
+    assert len(top1) == 1 and top1[0]["n_docs"] == counts[0]
+
+
+def _python_collapse(meta, oracle, query, limit):
+    pairs = oracle.search(query, limit=len(meta) + 1)  # (score desc, id asc)
+    best, seen = [], set()
+    for d, s in pairs:
+        g = meta[d][0]
+        if g not in seen:
+            seen.add(g)
+            best.append((g, d, s))
+        if len(best) == limit:
+            break
+    return best
+
+
+def test_collapse_vs_python(built):
+    ix, _, oracle, meta = built
+    want = _python_collapse(meta, oracle, "machine", 10)
+    got = [
+        (r["conv_id"], r["doc_id"], r["score"])
+        for r in ix.search_collapsed("machine", limit=10).collect()
+    ]
+    assert [(g, d) for g, d, _ in got] == [(g, d) for g, d, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-6)
+
+
+def test_collapse_pinned_path_identical(built):
+    ix, _, oracle, meta = built
+    base = [
+        (r["conv_id"], r["doc_id"])
+        for r in ix.search_collapsed("machine", limit=10).collect()
+    ]
+    ids = sorted(meta)
+    ix.pin_doc_groups(ids, [meta[d][0] for d in ids])
+    try:
+        pinned = [
+            (r["conv_id"], r["doc_id"])
+            for r in ix.search_collapsed("machine", limit=10).collect()
+        ]
+        assert pinned == base
+    finally:
+        ix._pinned_groups = None
+
+
+def test_collapse_filtered_and_boolean(built):
+    ix, _, oracle, meta = built
+    got = [
+        (r["conv_id"], r["doc_id"])
+        for r in ix.search_collapsed(
+            "rust AND async", limit=5, roles=["assistant"]
+        ).collect()
+    ]
+    pairs = oracle.search("rust AND async", limit=len(meta) + 1)
+    best, seen = [], set()
+    for d, s in pairs:
+        if meta[d][1] != "assistant":
+            continue
+        g = meta[d][0]
+        if g not in seen:
+            seen.add(g)
+            best.append((g, d))
+        if len(best) == 5:
+            break
+    assert got == best
+
+
+def test_collapse_one_row_per_group(built):
+    ix, _, _, _ = built
+    rows = ix.search_collapsed("machine", limit=50).collect()
+    groups = [r["conv_id"] for r in rows]
+    assert len(groups) == len(set(groups))
+
+
+def test_bm25_engine_twins_match_segment_paths(built):
+    ix, eng, _, _ = built
+    seg_f = _facet_rows(ix.facet_counts("machine", facet="role"))
+    df_f = _facet_rows(eng.facet_counts("machine", facet="role"))
+    assert seg_f == df_f
+    seg_c = [
+        (r["conv_id"], r["doc_id"])
+        for r in ix.search_collapsed("machine", limit=10).collect()
+    ]
+    df_c = [
+        (r["conv_id"], r["doc_id"])
+        for r in eng.search_collapsed("machine", limit=10).collect()
+    ]
+    assert seg_c == df_c
+
+
+def test_tfidf_keywords(spark):
+    from xf_spark.ops.textops import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana apple cherry"),
+            (1, "banana banana date"),
+            (2, "cherry date elder fig"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = defaultdict(list)
+    for r in tfidf_keywords(docs, top_n=2).collect():
+        got[r["doc_id"]].append((r["rank"], r["term"], r["tfidf"]))
+    texts = {
+        0: "apple banana apple cherry",
+        1: "banana banana date",
+        2: "cherry date elder fig",
+    }
+    dfs = Counter()
+    for t in texts.values():
+        dfs.update(set(tokenize(t)))
+    n = len(texts)
+    for did, t in texts.items():
+        tf = Counter(tokenize(t))
+        scored = sorted(
+            (
+                (
+                    -tf[w] * (math.log((1.0 + n) / (1.0 + dfs[w])) + 1.0),
+                    w,
+                )
+                for w in tf
+            ),
+        )[:2]
+        want = [
+            (i + 1, w, round(-s, 6)) for i, (s, w) in enumerate(scored)
+        ]
+        assert sorted(got[did]) == want, did

@@ -587,19 +587,42 @@ def cmd_search(args) -> int:
     fmt = args.format or cfg["output.format"]
     spark = _spark(args)
     ix = XfIndex.open(spark, index)
-    df = ix.search(
-        args.query,
-        mode=args.mode,
-        limit=limit,
-        offset=args.offset,
-        roles=args.roles.split(",") if args.roles else None,
-        since=args.since,
-        until=args.until,
-        sort=args.sort,
-        snippets=fmt == "text",
-        context=args.context,
-        fuzzy=fuzzy,
-    )
+    roles = args.roles.split(",") if args.roles else None
+    if getattr(args, "facet", None):
+        # facet aggregation replaces the hit list: (value, n_docs)
+        # counts over the FULL match set (mode is lexical-only here)
+        df = ix.facet_counts(
+            args.query,
+            facet=args.facet,
+            roles=roles,
+            since=args.since,
+            until=args.until,
+            fuzzy=fuzzy,
+            limit=limit,
+        )
+    elif getattr(args, "collapse", False):
+        df = ix.search_collapsed(
+            args.query,
+            limit=limit,
+            roles=roles,
+            since=args.since,
+            until=args.until,
+            fuzzy=fuzzy,
+        )
+    else:
+        df = ix.search(
+            args.query,
+            mode=args.mode,
+            limit=limit,
+            offset=args.offset,
+            roles=roles,
+            since=args.since,
+            until=args.until,
+            sort=args.sort,
+            snippets=fmt == "text",
+            context=args.context,
+            fuzzy=fuzzy,
+        )
     rows = df.collect()
     cols = df.columns
     min_score = cfg["search.min_score"]
@@ -884,6 +907,11 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--sort", default="relevance",
                     choices=["relevance", "date", "date_desc", "engagement"])
     ps.add_argument("--context", action="store_true")
+    ps.add_argument("--facet", default=None, metavar="COL|date:UNIT",
+                    help="facet counts over the match set instead of "
+                         "hits (e.g. role, tool, date:month)")
+    ps.add_argument("--collapse", action="store_true",
+                    help="best hit per conversation (field collapsing)")
     ps.add_argument("--fuzzy", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="typo tolerance: expand terms to edit-distance-1 "

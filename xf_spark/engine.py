@@ -655,6 +655,14 @@ class XfIndex:
                         [r["role"] for r in rows],
                         [r["ts"] for r in rows],
                     )
+                if "conv_id" in cols:
+                    # and (doc_id -> conv_id) for collapsed search:
+                    # warm best-per-conversation queries run zero
+                    # Spark jobs too
+                    self.segment_index.pin_doc_groups(
+                        [r["doc_id"] for r in rows],
+                        [r["conv_id"] for r in rows],
+                    )
         return self
 
     _pinned_vecs = None
@@ -869,6 +877,66 @@ class XfIndex:
         if snippets:
             out = add_snippets(out, query)
         return out
+
+    def facet_counts(
+        self,
+        query: str,
+        facet: str = "role",
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Facet aggregation over the lexical match set (Lucene facet-
+        collector analog): (value, n_docs) per value of a docs column
+        or a ``date:{year|month|day|hour}`` ts histogram. Accepts the
+        same natural-language since/until as search."""
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        return self.segment_index.facet_counts(
+            query,
+            facet=facet,
+            roles=roles,
+            since=since_dt,
+            until=until_dt,
+            fuzzy=fuzzy,
+            limit=limit,
+        )
+
+    def search_collapsed(
+        self,
+        query: str,
+        limit: int = 20,
+        group_col: str = "conv_id",
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+        hydrate: bool = True,
+    ) -> DataFrame:
+        """Field collapsing: the best-matching turn of each of the
+        top-``limit`` conversations (Elasticsearch collapse analog).
+        ``hydrate=True`` joins the k-row result back to the doc store
+        (broadcast of the hits, never the docs)."""
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        hits = self.segment_index.search_collapsed(
+            query,
+            limit=limit,
+            group_col=group_col,
+            roles=roles,
+            since=since_dt,
+            until=until_dt,
+            fuzzy=fuzzy,
+        )
+        if not hydrate:
+            return hits
+        return (
+            self.docs.drop(group_col, "shard")
+            .join(F.broadcast(hits), "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
 
     def _search_hits(
         self,

@@ -1884,3 +1884,72 @@ WHERE doc_id < 60 AND lang = 'en'
 GROUP BY lang, source
 ORDER BY lang, source
 """
+
+# ---------------------------------------------------------------------------
+# Facet aggregation + field collapsing + keyword extraction (round 3)
+# ---------------------------------------------------------------------------
+
+# Facet counts = membership (not top-k) per facet value: count each
+# doc once however many times the term occurs.
+ORACLES["transcripts_facet_role"] = f"""
+WITH {_TR_BASE}
+SELECT b.role AS value, count(DISTINCT t.did) AS n_docs
+FROM ttok t JOIN base b ON b.did = t.did
+WHERE t.term = 'spark'
+GROUP BY b.role
+ORDER BY n_docs DESC, value
+"""
+
+# Date-histogram facet over the phrase candidates (adjacency replay).
+ORACLES["transcripts_facet_day"] = f"""
+WITH {_TR_BASE},
+{_tr_phrase_block("hash", "join")}
+SELECT strftime(b.ts, '%Y-%m-%d') AS value, count(*) AS n_docs
+FROM pcand JOIN base b ON b.did = pcand.did
+GROUP BY 1
+ORDER BY n_docs DESC, value
+"""
+
+# Field collapsing: best scored turn per conversation, top-10 convs
+# ranked by their best hit (score desc, did asc everywhere).
+ORACLES["transcripts_collapse_best"] = f"""
+WITH {_TR_BASE}, {_tr_scored("merge")},
+best AS (
+  SELECT b.conv_id, b.turn_idx, t.score, t.did,
+         row_number() OVER (
+           PARTITION BY b.conv_id ORDER BY t.score DESC, t.did
+         ) AS rn
+  FROM tscored t JOIN base b ON b.did = t.did
+)
+SELECT conv_id, turn_idx, round(score, 4) AS score
+FROM best WHERE rn = 1
+ORDER BY score DESC, did
+LIMIT 10
+"""
+
+# Smooth tf-idf keyword extraction: rank on the 6-dp-rounded score
+# (the engine does the same — cross-engine double log arithmetic can
+# differ in the last ulp; rounding pins the ordering).
+ORACLES["tfidf_keywords_top"] = f"""
+WITH {_TOK},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM tok GROUP BY doc_id, term),
+idf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM tok GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((1 + nn.n) / (1 + idf.df)) + 1), 6) AS tfidf
+  FROM tf JOIN idf USING (term) CROSS JOIN nn
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term
+         ) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rn::INT AS kw_rank
+FROM ranked WHERE rn <= 3 AND doc_id < 20
+ORDER BY doc_id, kw_rank
+"""

@@ -1617,3 +1617,49 @@ def transcripts_iceberg_sync_bm25(spark, sf_dir):
         _ENGINE_MEMO[key] = ix
     ix = _ENGINE_MEMO[key]
     return _hydrated_hits(ix, ix.segment_index.search("spark", limit=20))
+
+
+# ---------------------------------------------------------------------------
+# Facet aggregation + field collapsing + keyword extraction (round 3)
+# ---------------------------------------------------------------------------
+
+def transcripts_facet_role(spark, sf_dir):
+    """Facet aggregation (Lucene/Tantivy facet-collector analog):
+    matching-document counts per role over the FULL match set of
+    'spark' — not the top-k page — through the persisted segment
+    index (query/segment_search.py::facet_counts)."""
+    ix = _segment_tr_index(spark, sf_dir)
+    return ix.facet_counts("spark", facet="role")
+
+
+def transcripts_facet_day(spark, sf_dir):
+    """Date-histogram facet (Kibana-style) over the positional-phrase
+    match set of '"hash join"': matching-doc counts per day bucket."""
+    ix = _segment_tr_index(spark, sf_dir)
+    return ix.facet_counts('"hash join"', facet="date:day")
+
+
+def transcripts_collapse_best(spark, sf_dir):
+    """Field collapsing (Elasticsearch collapse analog): the single
+    best-matching turn of each of the top-10 conversations for
+    'merge' (one row per conv_id, ranked by its best hit)."""
+    ix = _segment_tr_index(spark, sf_dir)
+    hits = ix.search_collapsed("merge", limit=10)
+    return hits.join(ix.docs.select("doc_id", "turn_idx"), "doc_id").select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+def tfidf_keywords_top(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by smooth tf-idf
+    (rank resolved on the 6-dp-rounded score so ordering is
+    reproducible across engines), shown for doc_id < 20; df/N come
+    from the FULL corpus."""
+    from xf_spark.ops.textops import tfidf_keywords
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        tfidf_keywords(docs, top_n=3)
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", "term", "tfidf", F.col("rank").alias("kw_rank"))
+    )

@@ -180,3 +180,62 @@ def fingerprint_overlap_pairs(
         .where(F.col("n_common") >= min_common)
         .orderBy("id_a", "id_b")
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: top-``top_n`` terms by tf-idf.
+
+    -> (doc_id, term, tfidf, rank), rank 1..top_n per doc, ordered
+    deterministically (tfidf desc, term asc within a doc). Uses the
+    engine tokenizer (split / RemoveLong40 / lower) and the smooth
+    sklearn-style idf ``ln((1+N)/(1+df)) + 1`` so a corpus-wide term
+    still scores > 0 (replayed verbatim in the DuckDB oracle).
+
+    Scale shape: ONE tokenize pass (the same Arrow UDF as the index
+    build — no per-row Python), per-(doc, term) tf comes out of the
+    UDF pre-aggregated (no shuffle), df is a term-keyed partial
+    aggregate (vocabulary-sized output), and the final rank is a
+    window partitioned by doc_id — per-partition state is one doc's
+    terms, so no skew beyond the longest document. The df join is
+    vocabulary-sized per side; AQE picks broadcast when it fits."""
+    from xf_spark.index.postings import build_postings
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    n_docs = base.count()
+    postings = build_postings(base, with_positions=False)
+    dfs = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = postings.join(dfs, "term").select(
+        "doc_id",
+        "term",
+        (
+            F.col("tf").cast("double")
+            * (
+                F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df")))
+                + F.lit(1.0)
+            )
+        ).alias("tfidf_raw"),
+    )
+    from pyspark.sql import Window
+
+    # rank on the ROUNDED score: double log/product arithmetic can
+    # differ in the last ulp across engines, and rank must be
+    # reproducible (near-ties resolve identically everywhere; exact
+    # 6-dp ties break on term asc)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("tfidf_raw", 6)), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            "doc_id",
+            "term",
+            F.round("tfidf_raw", 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -132,6 +132,110 @@ class BM25Engine:
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
 
+    def _filtered_scored(self, query, roles, since, until, fuzzy):
+        """Shared front half of the aggregation surfaces: parsed +
+        fuzzy-expanded plan evaluated to the FULL (doc_id, score)
+        match set, role/ts filters applied as a pre-aggregation
+        semi-join. Returns None when the merged role set is
+        contradictory (matches nothing)."""
+        from xf_spark.query.parser import expand_fuzzy_plan, parse_query_extract
+        from xf_spark.query.segment_search import _attr_cond
+
+        plan, qroles = parse_query_extract(query)
+        if qroles:
+            if roles:
+                roles = sorted(set(roles) & set(qroles))
+                if not roles:
+                    return None
+            else:
+                roles = qroles
+        if fuzzy and plan != ("all",):
+            plan = expand_fuzzy_plan(plan, self.fuzzy_variants)
+        scored = self._eval(plan)
+        if roles or since is not None or until is not None:
+            attrs = self.docs.select("doc_id", "role", "ts")
+            scored = scored.join(
+                attrs.where(_attr_cond(roles, since, until)),
+                "doc_id",
+                "left_semi",
+            )
+        return scored
+
+    def facet_counts(
+        self,
+        query: str,
+        facet: str = "role",
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Facet aggregation over the FULL match set (the DataFrame-
+        path twin of SegmentIndex.facet_counts — same spec, same
+        output contract): (value, n_docs) per facet value, ordered
+        (n_docs desc, value asc). Fully declarative: match set ->
+        broadcast-or-shuffle join to the facet column -> groupBy, all
+        inside Catalyst (partial aggregation is free)."""
+        from xf_spark.query.segment_search import _facet_expr
+
+        vexpr = _facet_expr(facet)
+        scored = self._filtered_scored(query, roles, since, until, fuzzy)
+        if scored is None:
+            out = self._empty_scored().select(
+                F.lit(None).cast("string").alias("value"),
+                F.lit(0).cast("long").alias("n_docs"),
+            )
+        else:
+            out = (
+                scored.select("doc_id")
+                .join(self.docs.select("doc_id", vexpr.alias("value")), "doc_id")
+                .groupBy("value")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+            )
+        out = out.orderBy(F.desc("n_docs"), F.asc_nulls_last("value"))
+        return out.limit(limit) if limit else out
+
+    def search_collapsed(
+        self,
+        query: str,
+        limit: int = 20,
+        group_col: str = "conv_id",
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Field collapsing (DataFrame-path twin of
+        SegmentIndex.search_collapsed): best hit per ``group_col``
+        value, top-``limit`` groups by their best hit. One groupBy
+        max_by over the match set (map-side combine) + a k-bounded
+        TakeOrdered — no window over the full corpus."""
+        scored = self._filtered_scored(query, roles, since, until, fuzzy)
+        if scored is None:
+            scored = self._empty_scored()
+        g = scored.join(
+            self.docs.select(
+                "doc_id", F.col(group_col).cast("string").alias(group_col)
+            ),
+            "doc_id",
+        )
+        best = g.groupBy(group_col).agg(
+            F.max_by(
+                F.struct("doc_id", "score"),
+                F.struct(F.col("score"), (-F.col("doc_id")).alias("nd")),
+            ).alias("b")
+        )
+        return (
+            best.select(
+                group_col,
+                F.col("b.doc_id").alias("doc_id"),
+                F.col("b.score").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(limit)
+        )
+
     # -- AST evaluation ---------------------------------------------------
 
     def _eval(self, node) -> DataFrame:

@@ -548,6 +548,82 @@ def eval_plan_on_data(
     return pd.DataFrame({"doc_id": ids, "score": scores})
 
 
+def match_set_on_data(
+    data: dict, plan, idfs: dict, avgdl: float, allowed: np.ndarray | None = None
+) -> pd.DataFrame:
+    """FULL (untruncated) match set of the plan — every matching
+    (doc_id, score), ordered (score desc, doc_id asc).
+
+    Feeds the AGGREGATION surfaces (facet counts, collapsed search),
+    where the full-match-set output that top-k must avoid is not a
+    hazard: callers reduce the set to per-value counts or per-group
+    maxima BEFORE anything leaves the evaluating task, so emitted rows
+    stay bounded by group cardinality, not match count."""
+    if not data:
+        return pd.DataFrame(
+            {
+                "doc_id": np.empty(0, dtype=np.int64),
+                "score": np.empty(0, dtype=np.float64),
+            }
+        )
+    bound = sum(len(d["ids"]) for d in data.values()) + 1
+    return eval_plan_on_data(
+        data, plan, idfs, avgdl, bound, exhaustive=True, allowed=allowed
+    )
+
+
+# facet aggregation output: (value, n_docs)
+FACET_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+    ]
+)
+
+# date-histogram facet spec "date:<unit>": Spark date_format pattern +
+# the matching numpy datetime_as_string unit (driver fast path). The
+# 'T' separator keeps the two renderings byte-identical.
+_FACET_DATE = {
+    "year": ("yyyy", "Y"),
+    "month": ("yyyy-MM", "M"),
+    "day": ("yyyy-MM-dd", "D"),
+    "hour": ("yyyy-MM-dd'T'HH", "h"),
+}
+
+
+def _facet_expr(facet: str):
+    """facet spec -> (facet value Column). A plain name is a docs
+    column (cast to string); ``date:{year|month|day|hour}`` is a ts
+    histogram bucket."""
+    if facet.startswith("date:"):
+        unit = facet.split(":", 1)[1]
+        if unit not in _FACET_DATE:
+            raise ValueError(
+                f"unknown date facet unit {unit!r} (use {sorted(_FACET_DATE)})"
+            )
+        return F.date_format("ts", _FACET_DATE[unit][0])
+    return F.col(facet).cast("string")
+
+
+def _facet_counts_pdf(values: pd.Series, limit: int | None) -> pd.DataFrame:
+    """Value series -> (value, n_docs) partial/final counts; nulls form
+    their own group (SQL GROUP BY semantics)."""
+    vc = values.value_counts(dropna=False)
+    pdf = pd.DataFrame(
+        {
+            "value": [None if pd.isna(v) else str(v) for v in vc.index],
+            "n_docs": vc.to_numpy(np.int64),
+        }
+    )
+    pdf = pdf.sort_values(
+        ["n_docs", "value"],
+        ascending=[False, True],
+        na_position="last",
+        kind="stable",
+    ).reset_index(drop=True)
+    return pdf.head(limit) if limit else pdf
+
+
 # ---------------------------------------------------------------------------
 # SegmentIndex — load + search
 # ---------------------------------------------------------------------------
@@ -584,6 +660,10 @@ class SegmentIndex:
     # fits pin_docs_mb); lets the driver fast path resolve role/date
     # filters in NumPy with zero Spark jobs
     _pinned_attrs: tuple | None = field(default=None, repr=False)
+    # driver-pinned (doc_id -> collapse group) arrays, sorted by
+    # doc_id — set via pin_doc_groups; lets search_collapsed resolve
+    # best-hit-per-group in NumPy with zero Spark jobs
+    _pinned_groups: tuple | None = field(default=None, repr=False)
     # legacy-index shard derivation: sorted (upper_doc_id, shard_id)
     # pairs computed once from the segments' block metadata (see
     # _shard_for_docs); None until first needed
@@ -982,6 +1062,372 @@ class SegmentIndex:
             seg.groupBy("shard")
             .cogroup(attrs.groupBy("shard"))
             .applyInPandas(run_cg, schema=TOPK_SCHEMA)
+        )
+
+    # -- aggregation surfaces: facets + field collapsing -------------------
+
+    def _resolve_match_plan(self, query: str, roles, fuzzy: bool):
+        """Parse + merge query-embedded role filters + fuzzy-expand +
+        resolve idfs — the shared front half of every query surface.
+        Returns (plan, roles, idfs, tterms, pterms, total_postings);
+        plan is None when the merged role set is contradictory
+        (matches nothing)."""
+        plan, qroles = parse_query_extract(query)
+        if qroles:
+            if roles:
+                roles = sorted(set(roles) & set(qroles))
+                if not roles:
+                    return None, [], {}, set(), set(), 0
+            else:
+                roles = qroles
+        if plan == ("all",):
+            return plan, roles, {}, set(), set(), 0
+        if fuzzy:
+            plan = self._expand_fuzzy(plan)
+        tterms = query_terms(plan)
+        pterms = prefix_terms(plan)
+        n = self.meta["n_docs"]
+        idfs = {
+            ("text", t): idf_for(n, df)
+            for t, df in self.term_dfs(tterms, "text").items()
+        }
+        idfs.update(
+            {
+                ("prefix", t): idf_for(n, df)
+                for t, df in self.term_dfs(pterms, "prefix").items()
+            }
+        )
+        total = sum(self._df_memo.get(("text", t), 0) for t in tterms) + sum(
+            self._df_memo.get(("prefix", t), 0) for t in pterms
+        )
+        return plan, roles, idfs, tterms, pterms, total
+
+    def _attrs_with_shard(self, base: DataFrame, *cols) -> DataFrame:
+        """Doc attributes keyed by the segment shard (shard column when
+        present and current, else derived from the segments' own block
+        metadata — see _shard_for_docs)."""
+        if "shard" in self.docs.columns and not self.meta.get("docs_shard_stale"):
+            return base.select("shard", *cols)
+        return base.select(self._shard_for_docs().alias("shard"), *cols)
+
+    def _empty_local(self, schema) -> DataFrame:
+        return self.spark.createDataFrame(
+            pd.DataFrame({f.name: [] for f in schema.fields}), schema=schema
+        )
+
+    def facet_counts(
+        self,
+        query: str,
+        facet: str = "role",
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Search-engine facet aggregation (the Lucene/Tantivy facet-
+        collector analog): MATCHING-document counts per facet value
+        over the query's FULL match set — not the top-k page — under
+        the same plan semantics, role/ts filters, and fuzzy expansion
+        as ``search``.
+
+        ``facet`` is a docs-table column name ("role", "tool", ...) or
+        a ts histogram spec ``date:{year|month|day|hour}``. Returns
+        (value, n_docs) ordered (n_docs desc, value asc), optionally
+        limited; null facet values form their own group (SQL GROUP BY).
+
+        Scale shape: counting is an AGGREGATION, so the full-match-set
+        fanout top-k must avoid is not a hazard — each shard task
+        reduces its matches to one partial row per distinct facet
+        value (map-side combine), the global sum shuffles only those
+        partials, and a high-cardinality facet degrades like any
+        groupBy (AQE-managed), never quadratically. Driver fast path:
+        postings under driver_topk_threshold resolve role/date facets
+        from pinned attrs in NumPy — zero Spark jobs warm."""
+        plan, roles, idfs, tterms, pterms, total = self._resolve_match_plan(
+            query, roles, fuzzy
+        )
+        if plan is None:
+            return self._empty_local(FACET_SCHEMA)
+        vexpr = _facet_expr(facet)  # validate the spec before any work
+        filtered = bool(roles) or since is not None or until is not None
+        if plan == ("all",):
+            if self.docs is None:
+                raise ValueError("facets require a docs table")
+            out = (
+                self.docs.where(_attr_cond(roles, since, until))
+                .groupBy(vexpr.alias("value"))
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+            )
+            return self._facet_order(out, limit)
+        avgdl = self.meta["avgdl"]
+        if total <= self.driver_topk_threshold:
+            data = self._term_data_for(tterms, pterms)
+            allowed = None
+            if filtered and data:
+                if self.docs is None and self._pinned_attrs is None:
+                    raise ValueError("filters require a docs table")
+                allowed = self._allowed_ids(data, roles, since, until)
+            ids = (
+                match_set_on_data(data, plan, idfs, avgdl, allowed)["doc_id"]
+                .to_numpy(np.int64)
+            )
+            ids = np.sort(ids)
+            return self._facet_of_ids(ids, facet, vexpr, limit)
+        if self.docs is None:
+            raise ValueError("facets require a docs table")
+        seg = self._pruned_scan(tterms, pterms)
+        base = (
+            self.docs.where(_attr_cond(roles, since, until))
+            if filtered
+            else self.docs
+        )
+        attrs = self._attrs_with_shard(
+            base.withColumn("__fv", vexpr), "doc_id", "__fv"
+        )
+        plan_b, idfs_b, lim_b = plan, idfs, limit
+
+        def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(seg_pdf) or not len(attr_pdf):
+                return pd.DataFrame({"value": pd.Series([], dtype=object),
+                                     "n_docs": pd.Series([], dtype=np.int64)})
+            aid = attr_pdf["doc_id"].to_numpy(np.int64)
+            order = np.argsort(aid)
+            aid = aid[order]
+            afv = attr_pdf["__fv"].to_numpy(object)[order]
+            data = build_term_data(seg_pdf)
+            # attrs are already filter-pruned, so they double as the
+            # allowed-id set under filters
+            mp = match_set_on_data(
+                data, plan_b, idfs_b, avgdl, aid if filtered else None
+            )
+            ids = np.sort(mp["doc_id"].to_numpy(np.int64))
+            if not len(ids):
+                return pd.DataFrame({"value": pd.Series([], dtype=object),
+                                     "n_docs": pd.Series([], dtype=np.int64)})
+            pos = np.searchsorted(aid, ids)
+            np.clip(pos, 0, len(aid) - 1, out=pos)
+            m = aid[pos] == ids
+            return _facet_counts_pdf(pd.Series(afv[pos[m]]), None)
+
+        out = (
+            seg.groupBy("shard")
+            .cogroup(attrs.groupBy("shard"))
+            .applyInPandas(run_cg, schema=FACET_SCHEMA)
+            .groupBy("value")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+        return self._facet_order(out, lim_b)
+
+    def _facet_order(self, out: DataFrame, limit: int | None) -> DataFrame:
+        out = out.orderBy(F.desc("n_docs"), F.asc_nulls_last("value"))
+        return out.limit(limit) if limit else out
+
+    def _facet_of_ids(
+        self, ids: np.ndarray, facet: str, vexpr, limit: int | None
+    ) -> DataFrame:
+        """Driver-path facet resolution for a (sorted, candidate-
+        bounded) matched-id array: pinned attrs answer role/date
+        facets in NumPy with zero Spark jobs; anything else is one
+        broadcast join of the k-bounded id set against the docs scan."""
+        if not len(ids):
+            return self._empty_local(FACET_SCHEMA)
+        if self._pinned_attrs is not None and len(self._pinned_attrs[0]):
+            aid, arole, ats = self._pinned_attrs
+            pos = np.searchsorted(aid, ids)
+            np.clip(pos, 0, len(aid) - 1, out=pos)
+            m = aid[pos] == ids
+            ser = None
+            if facet == "role":
+                ser = pd.Series(arole[pos[m]])
+            elif facet.startswith("date:"):
+                unit = _FACET_DATE[facet.split(":", 1)[1]][1]
+                tv = ats[pos[m]]
+                vals = np.empty(len(tv), dtype=object)
+                ok = ~np.isnat(tv)
+                vals[ok] = np.datetime_as_string(tv[ok], unit=unit)
+                vals[~ok] = None
+                ser = pd.Series(vals)
+            if ser is not None:
+                return self.spark.createDataFrame(
+                    _facet_counts_pdf(ser, limit), schema=FACET_SCHEMA
+                )
+        if self.docs is None:
+            raise ValueError("facets require a docs table")
+        iddf = self.spark.createDataFrame(
+            pd.DataFrame({"doc_id": ids}), schema="doc_id long"
+        )
+        out = (
+            self.docs.join(F.broadcast(iddf), "doc_id")
+            .groupBy(vexpr.alias("value"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        return self._facet_order(out, limit)
+
+    def pin_doc_groups(self, ids, groups) -> None:
+        """Pin (doc_id -> collapse-group) arrays on the coordinator —
+        the collapse analog of pin_doc_attrs: a warm collapsed query
+        then resolves best-hit-per-group entirely in NumPy."""
+        ids = np.asarray(ids, dtype=np.int64)
+        order = np.argsort(ids)
+        self._pinned_groups = (
+            ids[order],
+            np.asarray(groups, dtype=object)[order],
+        )
+
+    def search_collapsed(
+        self,
+        query: str,
+        limit: int = 20,
+        group_col: str = "conv_id",
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Field collapsing (the Lucene/Elasticsearch collapse
+        operator): the single best hit per ``group_col`` value
+        (score desc, doc_id asc within the group), top-``limit``
+        groups ranked by their best hit. For transcripts this answers
+        "the best-matching TURN of each of the top conversations".
+
+        Output: (group_col string, doc_id, score), ordered
+        (score desc, doc_id asc).
+
+        Scale shape: collapse is an AGGREGATION over the match set —
+        each shard task reduces its matches to one row per distinct
+        group (map-side combine; groups that straddle shards — e.g. a
+        conversation split across appended slices — are re-reduced by
+        the global max_by), so shuffled rows are bounded by group
+        cardinality, and the final top-k is a k-bounded TakeOrdered.
+        Driver fast path: postings under driver_topk_threshold with
+        pinned groups (pin_doc_groups) collapse in NumPy — zero Spark
+        jobs warm."""
+        plan, roles, idfs, tterms, pterms, total = self._resolve_match_plan(
+            query, roles, fuzzy
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField(group_col, T.StringType()),
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        if plan is None:
+            return self._empty_local(out_schema)
+        filtered = bool(roles) or since is not None or until is not None
+        if plan == ("all",):
+            if self.docs is None:
+                raise ValueError("match-all requires a docs table")
+            best = (
+                self.docs.where(_attr_cond(roles, since, until))
+                .groupBy(F.col(group_col).cast("string").alias(group_col))
+                .agg(F.min("doc_id").alias("doc_id"))
+                .withColumn("score", F.lit(1.0))
+            )
+            return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+        avgdl = self.meta["avgdl"]
+        if total <= self.driver_topk_threshold and self._pinned_groups is not None:
+            data = self._term_data_for(tterms, pterms)
+            allowed = None
+            if filtered and data:
+                if self.docs is None and self._pinned_attrs is None:
+                    raise ValueError("filters require a docs table")
+                allowed = self._allowed_ids(data, roles, since, until)
+            mp = match_set_on_data(data, plan, idfs, avgdl, allowed)
+            gid, ggrp = self._pinned_groups
+            ids = mp["doc_id"].to_numpy(np.int64)
+            sub = pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+            if len(gid) and len(ids):
+                pos = np.searchsorted(gid, ids)
+                np.clip(pos, 0, len(gid) - 1, out=pos)
+                m = gid[pos] == ids
+                sub = pd.DataFrame(
+                    {
+                        group_col: ggrp[pos[m]],
+                        "doc_id": ids[m],
+                        "score": mp["score"].to_numpy(np.float64)[m],
+                    }
+                )
+            # mp rows are (score desc, doc_id asc): first per group is
+            # its best, and head(limit) is the group top-k
+            sub = sub.drop_duplicates(group_col, keep="first").head(limit)
+            return self.spark.createDataFrame(
+                sub.reset_index(drop=True), schema=out_schema
+            )
+        if self.docs is None:
+            raise ValueError("collapse requires a docs table")
+        seg = self._pruned_scan(tterms, pterms)
+        base = (
+            self.docs.where(_attr_cond(roles, since, until))
+            if filtered
+            else self.docs
+        )
+        attrs = self._attrs_with_shard(
+            base.withColumn("__gv", F.col(group_col).cast("string")),
+            "doc_id",
+            "__gv",
+        )
+        plan_b, idfs_b = plan, idfs
+
+        def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    group_col: pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+            if not len(seg_pdf) or not len(attr_pdf):
+                return empty
+            aid = attr_pdf["doc_id"].to_numpy(np.int64)
+            order = np.argsort(aid)
+            aid = aid[order]
+            agv = attr_pdf["__gv"].to_numpy(object)[order]
+            data = build_term_data(seg_pdf)
+            mp = match_set_on_data(
+                data, plan_b, idfs_b, avgdl, aid if filtered else None
+            )
+            ids = mp["doc_id"].to_numpy(np.int64)
+            if not len(ids):
+                return empty
+            pos = np.searchsorted(aid, ids)
+            np.clip(pos, 0, len(aid) - 1, out=pos)
+            m = aid[pos] == ids
+            sub = pd.DataFrame(
+                {
+                    group_col: agv[pos[m]],
+                    "doc_id": ids[m],
+                    "score": mp["score"].to_numpy(np.float64)[m],
+                }
+            )
+            return sub.drop_duplicates(group_col, keep="first")
+
+        partial = (
+            seg.groupBy("shard")
+            .cogroup(attrs.groupBy("shard"))
+            .applyInPandas(run_cg, schema=out_schema)
+        )
+        best = partial.groupBy(group_col).agg(
+            F.max_by(
+                F.struct("doc_id", "score"),
+                F.struct(F.col("score"), (-F.col("doc_id")).alias("nd")),
+            ).alias("b")
+        )
+        return (
+            best.select(
+                group_col,
+                F.col("b.doc_id").alias("doc_id"),
+                F.col("b.score").alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(limit)
         )
 
     def _pruned_scan(self, tterms: set[str], pterms: set[str]) -> DataFrame:
