@@ -169,6 +169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_facet_day": eq.transcripts_facet_day,
         "transcripts_collapse_best": eq.transcripts_collapse_best,
         "tfidf_keywords_top": eq.tfidf_keywords_top,
+        # match-set count (_count analog) + search_after cursor
+        # pagination (page 2 strictly-after the page-1 cursor ==
+        # the OFFSET replay)
+        "transcripts_count_assistant": eq.transcripts_count_assistant,
+        "transcripts_search_after_page2": eq.transcripts_search_after_page2,
         # composed curation pipeline (quality gate -> exact dedup):
         # stage counts + kept membership, both SQL-replayed
         "curate_report": eq.curate_report,

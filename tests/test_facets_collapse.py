@@ -264,3 +264,100 @@ def test_tfidf_keywords(spark):
             (i + 1, w, round(-s, 6)) for i, (s, w) in enumerate(scored)
         ]
         assert sorted(got[did]) == want, did
+
+
+# ---------------------------------------------------------------------------
+# count_matches + search_after cursor pagination
+# ---------------------------------------------------------------------------
+
+def test_count_matches_vs_python(built):
+    ix, eng, oracle, meta = built
+    for q in ("machine", "rust AND async", '"machine learning"', "progr*"):
+        want = len(_matching_ids(meta, oracle, q))
+        assert ix.count_matches(q) == want, q
+        assert eng.count_matches(q) == want, q
+    # filtered
+    want = sum(
+        1
+        for d in _matching_ids(meta, oracle, "machine")
+        if meta[d][1] == "assistant"
+    )
+    assert ix.count_matches("machine", roles=["assistant"]) == want
+    # match-all
+    assert ix.count_matches("") == len(meta)
+    # contradiction
+    assert ix.count_matches("role:assistant machine", roles=["user"]) == 0
+
+
+def test_count_matches_paths_identical(built):
+    ix, _, _, _ = built
+    base = ix.count_matches("machine")
+    basef = ix.count_matches("machine", roles=["user"])
+    old = ix.driver_topk_threshold
+    try:
+        ix.driver_topk_threshold = 0
+        assert ix.count_matches("machine") == base
+        assert ix.count_matches("machine", roles=["user"]) == basef
+    finally:
+        ix.driver_topk_threshold = old
+
+
+def _pages_by_cursor(ix, query, page, n_pages, **kw):
+    out, after = [], None
+    for _ in range(n_pages):
+        rows = ix.search(query, limit=page, after=after, **kw).collect()
+        if not rows:
+            break
+        out.extend((r["doc_id"], r["score"]) for r in rows)
+        after = (rows[-1]["score"], rows[-1]["doc_id"])
+    return out
+
+
+def test_search_after_pages_equal_single_topk(built):
+    ix, _, oracle, meta = built
+    for q in ("machine", "rust async patterns", '"machine learning"'):
+        paged = _pages_by_cursor(ix, q, 5, 5)
+        whole = [
+            (r["doc_id"], r["score"])
+            for r in ix.search(q, limit=25).collect()
+        ]
+        assert paged == whole, q
+
+
+def test_search_after_distributed_and_filtered(built):
+    ix, _, _, _ = built
+    whole = [
+        (r["doc_id"], r["score"])
+        for r in ix.search("machine", limit=20, roles=["user"]).collect()
+    ]
+    paged = _pages_by_cursor(ix, "machine", 4, 5, roles=["user"])
+    assert paged == whole
+    old = ix.driver_topk_threshold
+    try:
+        ix.driver_topk_threshold = 0  # distributed WAND path
+        paged_d = _pages_by_cursor(ix, "machine", 4, 5, roles=["user"])
+        assert paged_d == whole
+        paged_u = _pages_by_cursor(ix, "machine", 5, 4)
+        whole_u = [
+            (r["doc_id"], r["score"])
+            for r in ix.search("machine", limit=20).collect()
+        ]
+        assert paged_u == whole_u
+    finally:
+        ix.driver_topk_threshold = old
+
+
+def test_search_after_validation_and_bm25_twin(built):
+    ix, eng, _, _ = built
+    with pytest.raises(ValueError):
+        ix.search("machine", limit=5, offset=5, after=(1.0, 0))
+    whole = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("machine", limit=15).collect()
+    ]
+    out, after = [], None
+    for _ in range(3):
+        rows = eng.search("machine", limit=5, after=after).collect()
+        out.extend((r["doc_id"], r["score"]) for r in rows)
+        after = (rows[-1]["score"], rows[-1]["doc_id"])
+    assert out == whole

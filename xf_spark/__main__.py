@@ -588,6 +588,16 @@ def cmd_search(args) -> int:
     spark = _spark(args)
     ix = XfIndex.open(spark, index)
     roles = args.roles.split(",") if args.roles else None
+    if getattr(args, "count", False):
+        n = ix.count_matches(
+            args.query,
+            roles=roles,
+            since=args.since,
+            until=args.until,
+            fuzzy=fuzzy,
+        )
+        print(n)
+        return 0
     if getattr(args, "facet", None):
         # facet aggregation replaces the hit list: (value, n_docs)
         # counts over the FULL match set (mode is lexical-only here)
@@ -912,6 +922,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "hits (e.g. role, tool, date:month)")
     ps.add_argument("--collapse", action="store_true",
                     help="best hit per conversation (field collapsing)")
+    ps.add_argument("--count", action="store_true",
+                    help="print the match-set size instead of hits")
     ps.add_argument("--fuzzy", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="typo tolerance: expand terms to edit-distance-1 "

@@ -797,10 +797,16 @@ class XfIndex:
         ann: bool = False,
         n_probe: int = 4,
         fuzzy: bool = False,
+        after: tuple | None = None,
     ) -> DataFrame:
         """Mode dispatch lexical | semantic | hybrid (aliases bm25 |
         vector | rrf, hybrid.rs:51-85); natural-language since/until;
         post sort; optional snippets / conversation context.
+
+        ``after=(score, doc_id)`` (lexical mode only): cursor
+        pagination — the next page strictly after the cursor in
+        (score desc, doc_id asc) order; every page stays k-bounded
+        where offset pagination costs O(offset + limit).
 
         ``fuzzy=True`` (the reference's `search.fuzzy` knob,
         config.rs:75-76) expands each lexical term to its
@@ -816,10 +822,13 @@ class XfIndex:
         mode_n = {"bm25": "lexical", "vector": "semantic", "rrf": "hybrid"}.get(
             mode, mode
         )
+        if after is not None and mode_n != "lexical":
+            raise ValueError("after (cursor pagination) is lexical-only")
         if (
             mode_n in ("lexical", "semantic", "hybrid")
             and not context
             and not ann
+            and after is None
             and offset == 0
             and sort == "relevance"
             and roles is None
@@ -863,6 +872,7 @@ class XfIndex:
             ann=ann,
             n_probe=n_probe,
             fuzzy=fuzzy,
+            after=after,
         )
         if context:
             # conversation-context view: a different output SHAPE
@@ -902,6 +912,23 @@ class XfIndex:
             until=until_dt,
             fuzzy=fuzzy,
             limit=limit,
+        )
+
+    def count_matches(
+        self,
+        query: str,
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+    ) -> int:
+        """Match-set size (Elasticsearch ``_count`` analog) with
+        natural-language since/until — a pure aggregation: one count
+        row per shard, never a top-k fanout."""
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        return self.segment_index.count_matches(
+            query, roles=roles, since=since_dt, until=until_dt, fuzzy=fuzzy
         )
 
     def search_collapsed(
@@ -950,6 +977,7 @@ class XfIndex:
         ann: bool = False,
         n_probe: int = 4,
         fuzzy: bool = False,
+        after: tuple | None = None,
     ) -> DataFrame:
         """search() up to the ranked (doc_id, score) hits — no
         hydration/sort/snippets. msearch's filtered members use this
@@ -1004,7 +1032,8 @@ class XfIndex:
             )
         elif mode == "lexical":
             hits = self.segment_index.search(
-                query, limit=limit, offset=offset, fuzzy=fuzzy, **common
+                query, limit=limit, offset=offset, fuzzy=fuzzy, after=after,
+                **common
             )
         elif mode == "semantic":
             if self.embeddings is None:

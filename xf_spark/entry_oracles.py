@@ -1953,3 +1953,20 @@ SELECT doc_id, term, tfidf, rn::INT AS kw_rank
 FROM ranked WHERE rn <= 3 AND doc_id < 20
 ORDER BY doc_id, kw_rank
 """
+
+# Match-set count: membership (count each matching doc once).
+ORACLES["transcripts_count_assistant"] = f"""
+WITH {_TR_BASE}
+SELECT count(DISTINCT t.did)::BIGINT AS n_matches
+FROM ttok t JOIN base b ON b.did = t.did
+WHERE t.term = 'spark' AND b.role = 'assistant'
+"""
+
+# Cursor pagination == OFFSET under a deterministic total order.
+ORACLES["transcripts_search_after_page2"] = f"""
+WITH {_TR_BASE}, {_tr_scored("spark")}
+SELECT b.conv_id, b.turn_idx, round(t.score, 4) AS score
+FROM tscored t JOIN base b ON b.did = t.did
+ORDER BY t.score DESC, t.did
+LIMIT 10 OFFSET 10
+"""

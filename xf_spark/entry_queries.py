@@ -1663,3 +1663,29 @@ def tfidf_keywords_top(spark, sf_dir):
         .where(F.col("doc_id") < 20)
         .select("doc_id", "term", "tfidf", F.col("rank").alias("kw_rank"))
     )
+
+
+def transcripts_count_assistant(spark, sf_dir):
+    """Match-set count (the Elasticsearch _count analog): how many
+    assistant turns match 'spark' — an aggregation (one count row per
+    shard), replayed as COUNT(DISTINCT) membership in DuckDB."""
+    import pandas as pd
+
+    ix = _segment_tr_index(spark, sf_dir)
+    n = ix.count_matches("spark", roles=["assistant"])
+    return spark.createDataFrame(
+        pd.DataFrame({"n_matches": [n]}), schema="n_matches long"
+    )
+
+
+def transcripts_search_after_page2(spark, sf_dir):
+    """Cursor pagination (search_after): page 2 of 'spark' fetched
+    strictly-after the page-1 cursor must equal the OFFSET replay —
+    cursor paging keeps every page k-bounded where OFFSET costs
+    O(offset + limit)."""
+    ix = _segment_tr_index(spark, sf_dir)
+    p1 = ix.search("spark", limit=10).collect()
+    cur = (p1[-1]["score"], p1[-1]["doc_id"])
+    return _hydrated_hits(
+        ix, ix.search("spark", limit=10, after=cur), with_text=False
+    )

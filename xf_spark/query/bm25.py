@@ -86,13 +86,19 @@ class BM25Engine:
         since=None,
         until=None,
         fuzzy: bool = False,
+        after: tuple | None = None,
     ) -> DataFrame:
         """-> (doc_id, score) top-k, pinned order (score desc, doc_id
         asc). Filters applied pre-top-k; scores stay global. Query-
         embedded ``type:``/``role:`` filters AND with the roles kwarg.
         ``fuzzy=True`` expands each term to its edit-distance-1
         vocabulary neighbors, each scored with its own idf (the
-        reference's `search.fuzzy` knob, config.rs:75)."""
+        reference's `search.fuzzy` knob, config.rs:75).
+        ``after=(score, doc_id)``: cursor pagination — the next page
+        STRICTLY after the cursor in result order (search_after
+        semantics; mutually exclusive with offset)."""
+        if after is not None and offset:
+            raise ValueError("after and offset are mutually exclusive")
         from xf_spark.query.parser import expand_fuzzy_plan, parse_query_extract
 
         plan, qroles = parse_query_extract(query)
@@ -117,10 +123,29 @@ class BM25Engine:
                 "doc_id",
                 "left_semi",
             )
+        if after is not None:
+            cs, cd = float(after[0]), int(after[1])
+            scored = scored.where(
+                (F.col("score") < cs)
+                | ((F.col("score") == cs) & (F.col("doc_id") > cd))
+            )
         ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             ranked = ranked.offset(offset)
         return ranked.limit(limit)
+
+    def count_matches(
+        self,
+        query: str,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> int:
+        """Match-set size (Elasticsearch ``_count`` analog) — one
+        count over the evaluated plan, filters pre-applied."""
+        scored = self._filtered_scored(query, roles, since, until, fuzzy)
+        return 0 if scored is None else scored.count()
 
     def search_hydrated(self, query: str, limit: int = 20, **kw) -> DataFrame:
         """Top-k joined back to the doc table (text/hydration join,

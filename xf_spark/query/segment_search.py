@@ -218,21 +218,45 @@ def _or_exhaustive(parts: list) -> tuple[np.ndarray, np.ndarray]:
     return uids, out
 
 
-def wand_or_topk(term_entries: list, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _after_mask(
+    ids: np.ndarray, sc: np.ndarray, after: tuple
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cursor filter for search_after pagination: keep only docs
+    STRICTLY after (cursor_score, cursor_doc_id) in the result order
+    (score desc, doc_id asc). Exact float comparison is sound — the
+    cursor is a score this same pipeline computed."""
+    cs, cd = after
+    m = (sc < cs) | ((sc == cs) & (ids > cd))
+    return ids[m], sc[m]
+
+
+def wand_or_topk(
+    term_entries: list, k: int, after: tuple | None = None
+) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND (window variant) for OR-of-terms.
 
     term_entries: [(ids, scores, block_last, block_ub)] with block_ub
     already idf-multiplied. Returns the exact same (ids, scores) top-k
     as exhaustive evaluation — block bounds only skip work, never
-    change results."""
+    change results.
+
+    ``after``: search_after cursor — candidates at-or-before it are
+    masked out before entering the heap. Block bounds stay valid upper
+    bounds (masking only removes candidates), so the θ cutoff and the
+    descending-bound early exit are unchanged."""
     total = sum(len(t[0]) for t in term_entries)
     if len(term_entries) == 1:
         # single posting list: scores are final — exact top-k directly
         # (the window machinery would re-touch every posting per chunk)
         ids, sc, _bl, _bu = term_entries[0]
+        if after is not None:
+            ids, sc = _after_mask(ids, sc, after)
         return _topk(ids, sc, k)
     if total <= 4 * k or total < 4096:
-        return _topk(*_or_exhaustive([(t[0], t[1]) for t in term_entries]), k)
+        ids, sc = _or_exhaustive([(t[0], t[1]) for t in term_entries])
+        if after is not None:
+            ids, sc = _after_mask(ids, sc, after)
+        return _topk(ids, sc, k)
 
     # windows = union of all block boundaries (right edges, inclusive)
     bounds = np.unique(np.concatenate([t[2] for t in term_entries]))
@@ -278,6 +302,8 @@ def wand_or_topk(term_entries: list, k: int) -> tuple[np.ndarray, np.ndarray]:
         if not parts:
             continue
         cids, csc = _or_exhaustive(parts)
+        if after is not None:
+            cids, csc = _after_mask(cids, csc, after)
         best_ids, best_sc = _topk(
             np.concatenate([best_ids, cids]), np.concatenate([best_sc, csc]), k
         )
@@ -324,6 +350,7 @@ def eval_shard(
     k: int,
     exhaustive: bool = False,
     allowed: np.ndarray | None = None,
+    after: tuple | None = None,
 ) -> pd.DataFrame:
     """Evaluate the query AST over segment rows.
 
@@ -333,7 +360,7 @@ def eval_shard(
     one valid posting list (ids stay sorted, block boundaries stay
     monotone) — one evaluation instead of a per-shard loop."""
     return eval_plan_on_data(
-        build_term_data(pdf), plan, idfs, avgdl, k, exhaustive, allowed
+        build_term_data(pdf), plan, idfs, avgdl, k, exhaustive, allowed, after
     )
 
 
@@ -345,6 +372,7 @@ def eval_plan_on_data(
     k: int,
     exhaustive: bool = False,
     allowed: np.ndarray | None = None,
+    after: tuple | None = None,
 ) -> pd.DataFrame:
     """``allowed``: optional SORTED doc_id array — the pre-resolved
     role/ts filter. Applied at the posting leaves (before top-k /
@@ -541,9 +569,11 @@ def eval_plan_on_data(
             ids = np.empty(0, dtype=np.int64)
             scores = np.empty(0, dtype=np.float64)
         else:
-            ids, scores = wand_or_topk(entries, k)
+            ids, scores = wand_or_topk(entries, k, after)
     else:
         ids, scores = ev(plan)
+        if after is not None:
+            ids, scores = _after_mask(ids, scores, after)
         ids, scores = _topk(ids, scores, k)
     return pd.DataFrame({"doc_id": ids, "score": scores})
 
@@ -917,7 +947,19 @@ class SegmentIndex:
         until=None,
         exhaustive: bool = False,
         fuzzy: bool = False,
+        after: tuple | None = None,
     ) -> DataFrame:
+        """``after=(score, doc_id)``: cursor pagination (Elasticsearch
+        search_after) — return the next ``limit`` hits STRICTLY after
+        the cursor in (score desc, doc_id asc) order. Unlike offset
+        pagination (whose cost grows as O(offset + limit) per page),
+        the cursor keeps every page k-bounded: inside WAND it only
+        masks candidates, so block-max pruning still applies. Mutually
+        exclusive with ``offset``."""
+        if after is not None:
+            if offset:
+                raise ValueError("after and offset are mutually exclusive")
+            after = (float(after[0]), int(after[1]))
         _t0 = time.time()  # perf-budget clock (driver-resolved paths)
         plan, qroles = parse_query_extract(query)
         if qroles:
@@ -985,7 +1027,8 @@ class SegmentIndex:
                 allowed = self._allowed_ids(data, roles, since, until)
             if data:
                 out = eval_plan_on_data(
-                    data, plan_b, idfs_b, avgdl, k_page, exhaustive, allowed
+                    data, plan_b, idfs_b, avgdl, k_page, exhaustive, allowed,
+                    after,
                 )
                 ids = out["doc_id"].to_numpy(np.int64)[offset : offset + limit]
                 sc = out["score"].to_numpy(np.float64)[offset : offset + limit]
@@ -1017,19 +1060,23 @@ class SegmentIndex:
                 raise ValueError("filters require a docs table")
             scored = self._scored_filtered_distributed(
                 pruned_seg(), plan_b, idfs_b, avgdl, k_page, exhaustive,
-                roles, since, until,
+                roles, since, until, after,
             )
             return self._rank_page(scored, limit, offset)
 
+        after_b = after
+
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            return eval_shard(pdf, plan_b, idfs_b, avgdl, k_page, exhaustive)
+            return eval_shard(
+                pdf, plan_b, idfs_b, avgdl, k_page, exhaustive, None, after_b
+            )
 
         scored = pruned_seg().groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
         return self._rank_page(scored, limit, offset)
 
     def _scored_filtered_distributed(
         self, seg, plan_b, idfs_b, avgdl, k_page, exhaustive,
-        roles, since, until,
+        roles, since, until, after=None,
     ) -> DataFrame:
         """Cogroup (segments x filtered doc attrs) by shard; evaluate
         with the shard-local allowed set; k rows out per shard."""
@@ -1055,7 +1102,8 @@ class SegmentIndex:
                 )
             allowed = np.sort(attr_pdf["doc_id"].to_numpy(np.int64))
             return eval_shard(
-                seg_pdf, plan_b, idfs_b, avgdl, k_page, exhaustive, allowed
+                seg_pdf, plan_b, idfs_b, avgdl, k_page, exhaustive, allowed,
+                after,
             )
 
         return (
@@ -1263,6 +1311,85 @@ class SegmentIndex:
             .agg(F.count(F.lit(1)).alias("n_docs"))
         )
         return self._facet_order(out, limit)
+
+    def count_matches(
+        self,
+        query: str,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> int:
+        """Total number of matching documents (the Elasticsearch
+        ``_count`` analog) under the same plan semantics and filters
+        as ``search`` — the match-set size, not a top-k.
+
+        Scale shape: pure aggregation — each shard task reduces its
+        matches to ONE count row; nothing match-set-sized ever leaves
+        a task. Driver fast path counts the candidate-bounded match
+        set in NumPy (zero Spark jobs warm)."""
+        plan, roles, idfs, tterms, pterms, total = self._resolve_match_plan(
+            query, roles, fuzzy
+        )
+        if plan is None:
+            return 0
+        filtered = bool(roles) or since is not None or until is not None
+        if plan == ("all",):
+            if self.docs is None:
+                raise ValueError("match-all requires a docs table")
+            return self.docs.where(_attr_cond(roles, since, until)).count()
+        avgdl = self.meta["avgdl"]
+        if total <= self.driver_topk_threshold:
+            data = self._term_data_for(tterms, pterms)
+            allowed = None
+            if filtered and data:
+                if self.docs is None and self._pinned_attrs is None:
+                    raise ValueError("filters require a docs table")
+                allowed = self._allowed_ids(data, roles, since, until)
+            return int(len(match_set_on_data(data, plan, idfs, avgdl, allowed)))
+        plan_b, idfs_b = plan, idfs
+        cnt_schema = T.StructType([T.StructField("n", T.LongType())])
+        if filtered:
+            if self.docs is None:
+                raise ValueError("filters require a docs table")
+            attrs = self._attrs_with_shard(
+                self.docs.where(_attr_cond(roles, since, until)), "doc_id"
+            )
+
+            def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame):
+                if not len(seg_pdf) or not len(attr_pdf):
+                    return pd.DataFrame({"n": pd.Series([], dtype=np.int64)})
+                aid = np.sort(attr_pdf["doc_id"].to_numpy(np.int64))
+                n = len(
+                    match_set_on_data(
+                        build_term_data(seg_pdf), plan_b, idfs_b, avgdl, aid
+                    )
+                )
+                return pd.DataFrame({"n": np.array([n], dtype=np.int64)})
+
+            partial = (
+                self._pruned_scan(tterms, pterms)
+                .groupBy("shard")
+                .cogroup(attrs.groupBy("shard"))
+                .applyInPandas(run_cg, schema=cnt_schema)
+            )
+        else:
+
+            def run(seg_pdf: pd.DataFrame):
+                n = len(
+                    match_set_on_data(
+                        build_term_data(seg_pdf), plan_b, idfs_b, avgdl, None
+                    )
+                )
+                return pd.DataFrame({"n": np.array([n], dtype=np.int64)})
+
+            partial = (
+                self._pruned_scan(tterms, pterms)
+                .groupBy("shard")
+                .applyInPandas(run, schema=cnt_schema)
+            )
+        row = partial.agg(F.sum("n").alias("n")).first()
+        return int(row["n"] or 0)
 
     def pin_doc_groups(self, ids, groups) -> None:
         """Pin (doc_id -> collapse-group) arrays on the coordinator —
