@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the OFFSET replay)
         "transcripts_count_assistant": eq.transcripts_count_assistant,
         "transcripts_search_after_page2": eq.transcripts_search_after_page2,
+        # significant-terms aggregation (lift vs corpus background)
+        "transcripts_significant_terms": eq.transcripts_significant_terms,
         # composed curation pipeline (quality gate -> exact dedup):
         # stage counts + kept membership, both SQL-replayed
         "curate_report": eq.curate_report,

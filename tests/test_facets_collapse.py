@@ -45,7 +45,8 @@ def built(spark, tmp_path_factory):
     ).collect()
     oracle = OracleIndex.build([(r["doc_id"], r["text"]) for r in rows])
     meta = {
-        r["doc_id"]: (r["conv_id"], r["role"], r["ts"]) for r in rows
+        r["doc_id"]: (r["conv_id"], r["role"], r["ts"], r["text"])
+        for r in rows
     }
     return ix, eng, oracle, meta
 
@@ -361,3 +362,73 @@ def test_search_after_validation_and_bm25_twin(built):
         out.extend((r["doc_id"], r["score"]) for r in rows)
         after = (rows[-1]["score"], rows[-1]["doc_id"])
     assert out == whole
+
+
+# ---------------------------------------------------------------------------
+# significant_terms
+# ---------------------------------------------------------------------------
+
+def _python_significant(meta, oracle, query, limit, min_count):
+    matched = _matching_ids(meta, oracle, query)
+    total = len(matched)
+    fg = Counter(t for d in matched for t in set(tokenize(meta[d][3])))
+    dfs = Counter(t for d in meta for t in set(tokenize(meta[d][3])))
+    n = len(meta)
+    rows = [
+        (t, c, dfs[t], (c / total) / (dfs[t] / n))
+        for t, c in fg.items()
+        if c >= min_count
+    ]
+    rows.sort(key=lambda r: (-round(r[3], 6), r[0]))
+    return rows[:limit]
+
+
+def test_significant_terms_vs_python(built):
+    ix, _, oracle, meta = built
+    want = _python_significant(meta, oracle, "merge", 15, 2)
+    got = [
+        (r["term"], r["n_match"], r["df"], r["lift"])
+        for r in ix.significant_terms("merge", limit=15).collect()
+    ]
+    assert [(t, m, d) for t, m, d, _ in got] == [
+        (t, m, d) for t, m, d, _ in want
+    ]
+    for (_, _, _, a), (_, _, _, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-5)
+
+
+def test_significant_terms_paths_and_twin(built):
+    ix, eng, _, _ = built
+    base = [
+        (r["term"], r["n_match"], r["df"])
+        for r in ix.significant_terms("merge", limit=10).collect()
+    ]
+    old = ix.driver_topk_threshold
+    try:
+        ix.driver_topk_threshold = 0  # distributed match-set feeder
+        assert [
+            (r["term"], r["n_match"], r["df"])
+            for r in ix.significant_terms("merge", limit=10).collect()
+        ] == base
+    finally:
+        ix.driver_topk_threshold = old
+    assert [
+        (r["term"], r["n_match"], r["df"])
+        for r in eng.significant_terms("merge", limit=10).collect()
+    ] == base
+
+
+def test_significant_terms_filtered(built):
+    ix, _, oracle, meta = built
+    got = [
+        (r["term"], r["n_match"])
+        for r in ix.significant_terms(
+            "merge", limit=10, roles=["user"]
+        ).collect()
+    ]
+    matched = [
+        d for d in _matching_ids(meta, oracle, "merge")
+        if meta[d][1] == "user"
+    ]
+    fg = Counter(t for d in matched for t in set(tokenize(meta[d][3])))
+    assert all(fg[t] == m for t, m in got)

@@ -931,6 +931,31 @@ class XfIndex:
             query, roles=roles, since=since_dt, until=until_dt, fuzzy=fuzzy
         )
 
+    def significant_terms(
+        self,
+        query: str,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+        min_count: int = 2,
+    ) -> DataFrame:
+        """Terms over-represented in the match set vs the corpus
+        (Elasticsearch significant_terms analog), lift-scored; accepts
+        natural-language since/until."""
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        return self.segment_index.significant_terms(
+            query,
+            limit=limit,
+            roles=roles,
+            since=since_dt,
+            until=until_dt,
+            fuzzy=fuzzy,
+            min_count=min_count,
+        )
+
     def search_collapsed(
         self,
         query: str,

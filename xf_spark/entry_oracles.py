@@ -1970,3 +1970,24 @@ FROM tscored t JOIN base b ON b.did = t.did
 ORDER BY t.score DESC, t.did
 LIMIT 10 OFFSET 10
 """
+
+# Significant terms: foreground = per-term distinct-doc counts inside
+# the match set, background = corpus df; lift ranked on the rounded
+# value (term asc tiebreak) on both sides.
+ORACLES["transcripts_significant_terms"] = f"""
+WITH {_TR_BASE},
+matched AS (SELECT DISTINCT did FROM ttok WHERE term = 'merge'),
+tot AS (SELECT count(*)::DOUBLE AS m FROM matched),
+fg AS (
+  SELECT t.term, count(DISTINCT t.did)::BIGINT AS n_match
+  FROM ttok t JOIN matched USING (did)
+  GROUP BY t.term
+),
+bg AS (SELECT term, count(DISTINCT did)::BIGINT AS df FROM ttok GROUP BY term)
+SELECT fg.term, fg.n_match, bg.df,
+       round((fg.n_match / tot.m) / (bg.df / s.n), 6) AS lift
+FROM fg JOIN bg USING (term) CROSS JOIN tot CROSS JOIN tstats s
+WHERE fg.n_match >= 3
+ORDER BY lift DESC, fg.term
+LIMIT 15
+"""

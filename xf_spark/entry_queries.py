@@ -1689,3 +1689,13 @@ def transcripts_search_after_page2(spark, sf_dir):
     return _hydrated_hits(
         ix, ix.search("spark", limit=10, after=cur), with_text=False
     )
+
+
+def transcripts_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (Elasticsearch significant_terms
+    analog): terms over-represented in the 'merge' match set vs the
+    corpus, lift = (n_match/|matches|)/(df/N) rounded to 6 dp before
+    ranking; foreground counts re-tokenize ONLY matched docs,
+    background df is the segments vocabulary aggregate."""
+    ix = _segment_tr_index(spark, sf_dir)
+    return ix.significant_terms("merge", limit=15, min_count=3)

@@ -261,6 +261,64 @@ class BM25Engine:
             .limit(limit)
         )
 
+    def significant_terms(
+        self,
+        query: str,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+        min_count: int = 2,
+    ) -> DataFrame:
+        """Significant-terms aggregation (DataFrame-path twin of
+        SegmentIndex.significant_terms — same contract). Foreground
+        counts come straight off the postings table (one row per
+        (doc, term) already), semi-joined to the match set; background
+        df is the vocabulary aggregate."""
+        scored = self._filtered_scored(query, roles, since, until, fuzzy)
+        if scored is None:
+            scored = self._empty_scored()
+        mdf = scored.select("doc_id")
+        total = mdf.count()
+        if total == 0:
+            return (
+                self.postings.select(
+                    "term",
+                    F.lit(0).cast("long").alias("n_match"),
+                    F.lit(0).cast("long").alias("df"),
+                    F.lit(0.0).alias("lift"),
+                ).limit(0)
+            )
+        fg = (
+            self.postings.join(mdf, "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n_match"))
+        )
+        if self.vocab is not None:
+            bg = self.vocab.select("term", F.col("df"))
+        else:
+            bg = self.postings.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+        n = self.stats.n_docs
+        return (
+            fg.join(bg, "term")
+            .where(F.col("n_match") >= min_count)
+            .select(
+                "term",
+                F.col("n_match").cast("long").alias("n_match"),
+                F.col("df").cast("long").alias("df"),
+                F.round(
+                    (F.col("n_match") / F.lit(float(total)))
+                    / (F.col("df") / F.lit(float(n))),
+                    6,
+                ).alias("lift"),
+            )
+            .orderBy(F.desc("lift"), F.asc("term"))
+            .limit(limit)
+        )
+
     # -- AST evaluation ---------------------------------------------------
 
     def _eval(self, node) -> DataFrame:

@@ -1312,6 +1312,160 @@ class SegmentIndex:
         )
         return self._facet_order(out, limit)
 
+    def match_ids_df(
+        self,
+        query: str,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """The FULL match set as a (doc_id) DataFrame — the feeder for
+        aggregation analytics (significant_terms and friends). NOT a
+        serving surface: its size is the match count (bounded by the
+        query terms' postings), so callers must REDUCE it (aggregate /
+        semi-join) — never collect it to the driver."""
+        plan, roles, idfs, tterms, pterms, total = self._resolve_match_plan(
+            query, roles, fuzzy
+        )
+        id_schema = T.StructType([T.StructField("doc_id", T.LongType())])
+        if plan is None:
+            return self._empty_local(id_schema)
+        filtered = bool(roles) or since is not None or until is not None
+        if plan == ("all",):
+            if self.docs is None:
+                raise ValueError("match-all requires a docs table")
+            return self.docs.where(_attr_cond(roles, since, until)).select(
+                "doc_id"
+            )
+        avgdl = self.meta["avgdl"]
+        if total <= self.driver_topk_threshold:
+            data = self._term_data_for(tterms, pterms)
+            allowed = None
+            if filtered and data:
+                if self.docs is None and self._pinned_attrs is None:
+                    raise ValueError("filters require a docs table")
+                allowed = self._allowed_ids(data, roles, since, until)
+            ids = match_set_on_data(data, plan, idfs, avgdl, allowed)[
+                "doc_id"
+            ].to_numpy(np.int64)
+            return self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": np.sort(ids)}), schema=id_schema
+            )
+        plan_b, idfs_b = plan, idfs
+        if filtered:
+            if self.docs is None:
+                raise ValueError("filters require a docs table")
+            attrs = self._attrs_with_shard(
+                self.docs.where(_attr_cond(roles, since, until)), "doc_id"
+            )
+
+            def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame):
+                if not len(seg_pdf) or not len(attr_pdf):
+                    return pd.DataFrame(
+                        {"doc_id": pd.Series([], dtype=np.int64)}
+                    )
+                aid = np.sort(attr_pdf["doc_id"].to_numpy(np.int64))
+                mp = match_set_on_data(
+                    build_term_data(seg_pdf), plan_b, idfs_b, avgdl, aid
+                )
+                return mp[["doc_id"]]
+
+            return (
+                self._pruned_scan(tterms, pterms)
+                .groupBy("shard")
+                .cogroup(attrs.groupBy("shard"))
+                .applyInPandas(run_cg, schema=id_schema)
+            )
+
+        def run(seg_pdf: pd.DataFrame):
+            mp = match_set_on_data(
+                build_term_data(seg_pdf), plan_b, idfs_b, avgdl, None
+            )
+            return mp[["doc_id"]]
+
+        return (
+            self._pruned_scan(tterms, pterms)
+            .groupBy("shard")
+            .applyInPandas(run, schema=id_schema)
+        )
+
+    def significant_terms(
+        self,
+        query: str,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+        min_count: int = 2,
+    ) -> DataFrame:
+        """Significant-terms aggregation (the Elasticsearch
+        significant_terms analog): terms over-represented in the
+        query's match set relative to the whole corpus, scored by
+        lift = (n_match/|matches|) / (df/N) and rounded to 6 dp BEFORE
+        ranking (cross-engine-reproducible order: lift desc, term asc).
+
+        Output: (term, n_match, df, lift), terms with n_match >=
+        ``min_count``, top ``limit``.
+
+        Scale shape: two aggregations joined on term. Foreground =
+        ONE tokenize pass over MATCHED docs only (left-semi prune of
+        the docs scan, Arrow UDF, per-doc distinct terms, term-keyed
+        partial agg); background df = the columnar (term, n_docs)
+        vocabulary aggregate off the segments table. Nothing
+        match-set-sized reaches the driver."""
+        if self.docs is None:
+            raise ValueError("significant_terms requires a docs table")
+        from xf_spark.functions.udfs import tokenize_udf
+
+        mdf = self.match_ids_df(
+            query, roles=roles, since=since, until=until, fuzzy=fuzzy
+        )
+        total = mdf.count()
+        out_schema = T.StructType(
+            [
+                T.StructField("term", T.StringType()),
+                T.StructField("n_match", T.LongType()),
+                T.StructField("df", T.LongType()),
+                T.StructField("lift", T.DoubleType()),
+            ]
+        )
+        if total == 0:
+            return self._empty_local(out_schema)
+        fg = (
+            self.docs.join(mdf, "doc_id", "left_semi")
+            .select(
+                F.explode(
+                    F.array_distinct(tokenize_udf(F.col("text")))
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n_match"))
+        )
+        bg = (
+            self._segments.where(F.col("field") == "text")
+            .groupBy("term")
+            .agg(F.sum("n_docs").alias("df"))
+        )
+        n = self.meta["n_docs"]
+        return (
+            fg.join(bg, "term")
+            .where(F.col("n_match") >= min_count)
+            .select(
+                "term",
+                F.col("n_match").cast("long").alias("n_match"),
+                F.col("df").cast("long").alias("df"),
+                F.round(
+                    (F.col("n_match") / F.lit(float(total)))
+                    / (F.col("df") / F.lit(float(n))),
+                    6,
+                ).alias("lift"),
+            )
+            .orderBy(F.desc("lift"), F.asc("term"))
+            .limit(limit)
+        )
+
     def count_matches(
         self,
         query: str,
