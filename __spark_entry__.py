@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_search_after_page2": eq.transcripts_search_after_page2,
         # significant-terms aggregation (lift vs corpus background)
         "transcripts_significant_terms": eq.transcripts_significant_terms,
+        # did-you-mean spell correction (levenshtein vocab replay)
+        "transcripts_suggest": eq.transcripts_suggest,
         # composed curation pipeline (quality gate -> exact dedup):
         # stage counts + kept membership, both SQL-replayed
         "curate_report": eq.curate_report,

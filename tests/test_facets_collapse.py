@@ -432,3 +432,25 @@ def test_significant_terms_filtered(built):
     ]
     fg = Counter(t for d in matched for t in set(tokenize(meta[d][3])))
     assert all(fg[t] == m for t, m in got)
+
+
+# ---------------------------------------------------------------------------
+# did-you-mean suggest
+# ---------------------------------------------------------------------------
+
+def test_suggest(built):
+    ix, eng, _, meta = built
+    # vocabulary neighbor: 'machina' is nobody's term, distance 1
+    # from 'machine' (the fixture corpus's flagship word)
+    got = ix.suggest("machina AND learning")
+    assert got is not None and "machine" in got and "learning" in got
+    assert eng.suggest("machina AND learning") == got
+    # every term known -> nothing to correct
+    assert ix.suggest("machine learning") is None
+    # no neighbor within distance 1 -> None
+    assert ix.suggest("zzzzqqqq") is None
+    # match-all / empty -> None
+    assert ix.suggest("") is None
+    # replacement is word-bounded and case-insensitive
+    got2 = ix.suggest("MACHINA")
+    assert got2 == "machine"

@@ -638,6 +638,11 @@ def cmd_search(args) -> int:
     min_score = cfg["search.min_score"]
     if min_score > 0 and "score" in cols:
         rows = [r for r in rows if r["score"] >= min_score]
+    if not rows and fmt == "text" and not args.facet:
+        # zero-hit UX: spell-check unknown terms against the vocabulary
+        sugg = ix.suggest(args.query)
+        if sugg:
+            print(f"no results — did you mean: {sugg}")
     _format_rows(rows, fmt, cols)
     return 0
 

@@ -18,6 +18,18 @@ from xf_spark.query.segment_search import SegmentIndex
 from xf_spark.query.semantic import build_embeddings, semantic_topk
 
 
+def _norm_roles(roles):
+    """Lowercase/trim a caller roles filter (stored roles are
+    lowercase per the input_hint contract); an all-blank filter is a
+    refused misconfiguration, not an implicit match-all."""
+    if not roles:
+        return None
+    norm = [r.strip().lower() for r in roles if r.strip()]
+    if not norm:
+        raise ValueError(f"roles filter has no usable names: {roles!r}")
+    return norm
+
+
 def _parquet_complete(path: str) -> bool:
     """A parquet store counts as written only when the committer's
     _SUCCESS marker landed — a directory alone may be a crashed
@@ -902,6 +914,7 @@ class XfIndex:
         collector analog): (value, n_docs) per value of a docs column
         or a ``date:{year|month|day|hour}`` ts histogram. Accepts the
         same natural-language since/until as search."""
+        roles = _norm_roles(roles)
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
         return self.segment_index.facet_counts(
@@ -925,11 +938,18 @@ class XfIndex:
         """Match-set size (Elasticsearch ``_count`` analog) with
         natural-language since/until — a pure aggregation: one count
         row per shard, never a top-k fanout."""
+        roles = _norm_roles(roles)
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
         return self.segment_index.count_matches(
             query, roles=roles, since=since_dt, until=until_dt, fuzzy=fuzzy
         )
+
+    def suggest(self, query: str) -> str | None:
+        """Did-you-mean correction for misspelled query terms (highest
+        -df edit-distance-1 neighbor per unknown term); None when
+        nothing to correct."""
+        return self.segment_index.suggest(query)
 
     def significant_terms(
         self,
@@ -944,6 +964,7 @@ class XfIndex:
         """Terms over-represented in the match set vs the corpus
         (Elasticsearch significant_terms analog), lift-scored; accepts
         natural-language since/until."""
+        roles = _norm_roles(roles)
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
         return self.segment_index.significant_terms(
@@ -971,6 +992,7 @@ class XfIndex:
         top-``limit`` conversations (Elasticsearch collapse analog).
         ``hydrate=True`` joins the k-row result back to the doc store
         (broadcast of the hits, never the docs)."""
+        roles = _norm_roles(roles)
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
         hits = self.segment_index.search_collapsed(

@@ -1991,3 +1991,18 @@ WHERE fg.n_match >= 3
 ORDER BY lift DESC, fg.term
 LIMIT 15
 """
+
+# Did-you-mean: highest-df (df desc, term asc) edit-distance-1 vocab
+# neighbor of the misspelled term, substituted into the query string.
+ORACLES["transcripts_suggest"] = f"""
+WITH {_TR_BASE},
+vocab AS (SELECT term, count(DISTINCT did) AS df FROM ttok GROUP BY term),
+best AS (
+  SELECT term FROM vocab
+  WHERE levenshtein(term, 'sparl') <= 1
+  ORDER BY df DESC, term
+  LIMIT 1
+)
+SELECT replace('sparl AND merge', 'sparl', (SELECT term FROM best))
+       AS suggestion
+"""

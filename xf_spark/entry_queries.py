@@ -1699,3 +1699,17 @@ def transcripts_significant_terms(spark, sf_dir):
     background df is the segments vocabulary aggregate."""
     ix = _segment_tr_index(spark, sf_dir)
     return ix.significant_terms("merge", limit=15, min_count=3)
+
+
+def transcripts_suggest(spark, sf_dir):
+    """Did-you-mean spell correction (Lucene DirectSpellChecker UX):
+    'sparl' is in nobody's vocabulary; the highest-df edit-distance-1
+    neighbor replaces it — replayed via DuckDB levenshtein over the
+    tokenized corpus vocabulary."""
+    import pandas as pd
+
+    ix = _segment_tr_index(spark, sf_dir)
+    s = ix.suggest("sparl AND merge")
+    return spark.createDataFrame(
+        pd.DataFrame({"suggestion": [s]}), schema="suggestion string"
+    )

@@ -261,6 +261,35 @@ class BM25Engine:
             .limit(limit)
         )
 
+    def suggest(self, query: str) -> str | None:
+        """Did-you-mean suggestion (DataFrame-path twin of
+        SegmentIndex.suggest — same contract and ranking)."""
+        import re as _re
+
+        from xf_spark.query.parser import parse_query_extract, query_terms
+
+        plan, _roles = parse_query_extract(query)
+        if plan == ("all",):
+            return None
+        terms = query_terms(plan)
+        if not terms:
+            return None
+        dfs = self._term_dfs(sorted(terms))
+        missing = sorted(t for t in terms if not dfs.get(t))
+        if not missing:
+            return None
+        out = query
+        for t in missing:
+            cand = [v for v in self.fuzzy_variants(t) if v != t]
+            if not cand:
+                continue
+            out = _re.sub(
+                rf"(?i)(?<![0-9A-Za-z]){_re.escape(t)}(?![0-9A-Za-z])",
+                cand[0],
+                out,
+            )
+        return out if out != query else None
+
     def significant_terms(
         self,
         query: str,

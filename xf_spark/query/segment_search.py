@@ -883,6 +883,39 @@ class SegmentIndex:
         parser.expand_fuzzy_plan for the semantics)."""
         return expand_fuzzy_plan(plan, self.fuzzy_variants)
 
+    def suggest(self, query: str) -> str | None:
+        """Did-you-mean suggestion (the zero-hit UX of Lucene's
+        DirectSpellChecker): every query term ABSENT from the
+        vocabulary is replaced in the query string by its highest-df
+        edit-distance-1 neighbor (df desc, term asc — the fuzzy
+        ranking). Returns the corrected query, or None when every
+        term is known or no neighbor exists. One batched vocabulary
+        scan serves all misspelled terms (fuzzy_variants_many)."""
+        import re as _re
+
+        plan, _roles = parse_query_extract(query)
+        if plan == ("all",):
+            return None
+        terms = query_terms(plan)
+        if not terms:
+            return None
+        dfs = self.term_dfs(terms, "text")
+        missing = sorted(t for t in terms if not dfs.get(t))
+        if not missing:
+            return None
+        variants = self.fuzzy_variants_many(set(missing))
+        out = query
+        for t in missing:
+            cand = [v for v in variants[t] if v != t]
+            if not cand:
+                continue
+            out = _re.sub(
+                rf"(?i)(?<![0-9A-Za-z]){_re.escape(t)}(?![0-9A-Za-z])",
+                cand[0],
+                out,
+            )
+        return out if out != query else None
+
     @staticmethod
     def _entry_bytes(d: dict) -> int:
         n = len(d.get("positions_bin") or b"")
