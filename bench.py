@@ -204,6 +204,34 @@ def query_phase(cores: int, seg_path: str):
             ts.append(time.time() - s)
         queries["lexical_hydrated_p50"] = round(sorted(ts)[RUNS // 2], 4)
 
+        # aggregation surfaces (round 3): facet counts, field
+        # collapsing, and filtered match counts — with the doc pins
+        # above these serve from the zero-Spark-job driver paths
+        # (pinned attrs / pinned groups), which is the serving shape
+        for name, fn in [
+            (
+                "facet_role_p50",
+                lambda: fx.facet_counts("machine", facet="role").collect(),
+            ),
+            (
+                "collapse_p50",
+                lambda: fx.search_collapsed(
+                    "machine", limit=20, hydrate=False
+                ).collect(),
+            ),
+            (
+                "count_filtered_p50",
+                lambda: fx.count_matches("machine", roles=["assistant"]),
+            ),
+        ]:
+            fn()  # warm
+            ts = []
+            for _ in range(RUNS):
+                s = time.time()
+                fn()
+                ts.append(time.time() - s)
+            queries[name] = round(sorted(ts)[RUNS // 2], 4)
+
         # pinned-matrix serving tier (vectors-in-RAM, the reference
         # vector.rs shape): exact semantic + hybrid RRF, hydrated
         for name, mode in [
