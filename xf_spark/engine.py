@@ -1074,9 +1074,9 @@ class XfIndex:
                 raise ValueError("index built without embeddings")
             if mode not in ("lexical", "semantic", "hybrid"):
                 raise ValueError(f"unknown mode {mode}")
-            hits = self.spark.createDataFrame(
-                [], schema="doc_id long, score double"
-            )
+            from xf_spark.query.segment_search import empty_local
+
+            hits = empty_local(self.spark, "doc_id long, score double")
         elif mode == "lexical":
             hits = self.segment_index.search(
                 query, limit=limit, offset=offset, fuzzy=fuzzy, after=after,
@@ -1234,7 +1234,9 @@ class XfIndex:
             + [T.StructField("score", T.DoubleType())]
         )
         if not data:
-            return self.spark.createDataFrame([], schema=schema)
+            from xf_spark.query.segment_search import empty_local
+
+            return empty_local(self.spark, schema)
         import pandas as pd
 
         # pandas (Arrow) local relation: ~30 ms round trip vs ~250 ms

@@ -545,5 +545,8 @@ class BM25Engine:
         )
 
     def _empty_scored(self) -> DataFrame:
-        spark = self.postings.sparkSession
-        return spark.createDataFrame([], "doc_id long, score double")
+        from xf_spark.query.segment_search import empty_local
+
+        return empty_local(
+            self.postings.sparkSession, "doc_id long, score double"
+        )

@@ -77,6 +77,21 @@ def idf_for(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def empty_local(spark: SparkSession, schema) -> DataFrame:
+    """0-row DataFrame as LIMIT 0 over a one-row Arrow local relation.
+
+    A 0-row createDataFrame (empty pandas or []) falls off the Arrow
+    local-relation path onto parallelize([]) with defaultParallelism
+    EMPTY partitions — i.e. a real 16-task Spark job on every collect
+    (measured 0.32 s at local[16]). The one-row + limit(0)
+    construction stays a pure local relation (0.03 s) — a 10x cut on
+    every zero-hit query."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    one = pd.DataFrame({f.name: [None] for f in schema.fields})
+    return spark.createDataFrame(one, schema=schema).limit(0)
+
+
 def _attr_cond(roles, since, until):
     """Role/ts predicate over the docs attribute columns (pushed down
     to the docs parquet scan wherever it is applied)."""
@@ -1001,10 +1016,7 @@ class SegmentIndex:
             if roles:
                 roles = sorted(set(roles) & set(qroles))
                 if not roles:
-                    return self.spark.createDataFrame(
-                        pd.DataFrame({"doc_id": [], "score": []}),
-                        schema=TOPK_SCHEMA,
-                    )
+                    return empty_local(self.spark, TOPK_SCHEMA)
             else:
                 roles = qroles
         if plan == ("all",):
@@ -1076,6 +1088,8 @@ class SegmentIndex:
             perf.record(
                 perf.budget_for_plan(plan, filtered), time.time() - _t0
             )
+            if not len(ids):
+                return empty_local(self.spark, TOPK_SCHEMA)
             return self.spark.createDataFrame(
                 pd.DataFrame({"doc_id": ids, "score": sc}), schema=TOPK_SCHEMA
             )
@@ -1192,9 +1206,7 @@ class SegmentIndex:
         return base.select(self._shard_for_docs().alias("shard"), *cols)
 
     def _empty_local(self, schema) -> DataFrame:
-        return self.spark.createDataFrame(
-            pd.DataFrame({f.name: [] for f in schema.fields}), schema=schema
-        )
+        return empty_local(self.spark, schema)
 
     def facet_counts(
         self,
@@ -1330,9 +1342,10 @@ class SegmentIndex:
                 vals[~ok] = None
                 ser = pd.Series(vals)
             if ser is not None:
-                return self.spark.createDataFrame(
-                    _facet_counts_pdf(ser, limit), schema=FACET_SCHEMA
-                )
+                pdf = _facet_counts_pdf(ser, limit)
+                if not len(pdf):
+                    return self._empty_local(FACET_SCHEMA)
+                return self.spark.createDataFrame(pdf, schema=FACET_SCHEMA)
         if self.docs is None:
             raise ValueError("facets require a docs table")
         iddf = self.spark.createDataFrame(
@@ -1382,6 +1395,8 @@ class SegmentIndex:
             ids = match_set_on_data(data, plan, idfs, avgdl, allowed)[
                 "doc_id"
             ].to_numpy(np.int64)
+            if not len(ids):
+                return self._empty_local(id_schema)
             return self.spark.createDataFrame(
                 pd.DataFrame({"doc_id": np.sort(ids)}), schema=id_schema
             )
@@ -1672,6 +1687,8 @@ class SegmentIndex:
             # mp rows are (score desc, doc_id asc): first per group is
             # its best, and head(limit) is the group top-k
             sub = sub.drop_duplicates(group_col, keep="first").head(limit)
+            if not len(sub):
+                return self._empty_local(out_schema)
             return self.spark.createDataFrame(
                 sub.reset_index(drop=True), schema=out_schema
             )
