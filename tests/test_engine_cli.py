@@ -495,7 +495,9 @@ class TestRepl:
         assert "set limit: expected an integer" in out
         assert "set mode: expected one of" in out
         assert "error: index built without embeddings" in out
-        assert "(no results)" in out                 # exact typo miss
+        # exact typo miss: zero hits, plus the did-you-mean hint
+        # ('machin' sits at edit distance 1 of 'machine')
+        assert "(no results — did you mean: machine)" in out
         assert "set fuzzy: expected on|off" in out
         assert "fuzzy = on" in out
         # post-toggle the typo resolves: a result line ("[<score>] (conv")

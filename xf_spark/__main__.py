@@ -151,7 +151,9 @@ def cmd_repl(args) -> int:
         state["rows"] = df.select(*cols).collect()
         _format_rows(state["rows"], "text", cols)
         if not state["rows"]:
-            print("(no results)")
+            sugg = ix.suggest(state["query"])
+            print(f"(no results — did you mean: {sugg})"
+                  if sugg else "(no results)")
 
     print("xf_spark repl — type a query, 'help', or 'quit'")
     for line in _sys.stdin:
@@ -177,8 +179,23 @@ _REPL_MODES = ("lexical", "semantic", "hybrid", "bm25", "vector", "rrf")
 def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
     if w in ("help", "h", "?"):
         print("commands: <query> | more | show N | similar N | "
-              "refine <terms> | stats | set mode|limit|roles|fuzzy <v> | "
+              "refine <terms> | facet <col> [query] | count [query] | "
+              "stats | set mode|limit|roles|fuzzy <v> | "
               "export json|csv | quit")
+    elif w == "facet":
+        col, _, fq = rest.partition(" ")
+        if not col:
+            print("facet: usage: facet <col|date:unit> [query]")
+            return
+        q = fq.strip() or state["query"] or ""
+        rows = ix.facet_counts(
+            q, facet=col, roles=state["roles"], limit=20
+        ).collect()
+        _format_rows(rows, "text", ["value", "n_docs"])
+    elif w == "count":
+        q = rest.strip() or state["query"] or ""
+        print(ix.count_matches(q, roles=state["roles"],
+                               fuzzy=state["fuzzy"]))
     elif w == "similar":
         try:
             r = state["rows"][int(rest)]
@@ -562,6 +579,12 @@ def _format_rows(rows, fmt: str, columns: list[str]):
         for r in rows:
             print(f"{r['conv_id']}/{r['turn_idx']} {_score(r)}")
     else:  # text
+        if "text" not in columns:
+            # tabular rows without a text column (facet counts,
+            # collapse hits without hydration): plain aligned values
+            for r in rows:
+                print("  ".join(str(r[c]) for c in columns))
+            return
         for r in rows:
             text = (r["text"] or "").replace("\n", " ")
             snippet = r["snippet"] if "snippet" in columns else text[:100]
