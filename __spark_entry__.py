@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_significant_terms": eq.transcripts_significant_terms,
         # did-you-mean spell correction (levenshtein vocab replay)
         "transcripts_suggest": eq.transcripts_suggest,
+        # multi-facet request: one match set, several aggregations
+        "transcripts_facets_multi": eq.transcripts_facets_multi,
         # composed curation pipeline (quality gate -> exact dedup):
         # stage counts + kept membership, both SQL-replayed
         "curate_report": eq.curate_report,

@@ -454,3 +454,32 @@ def test_suggest(built):
     # replacement is word-bounded and case-insensitive
     got2 = ix.suggest("MACHINA")
     assert got2 == "machine"
+
+
+def test_facet_counts_multi(built):
+    ix, _, oracle, meta = built
+    rows = ix.facet_counts_multi(
+        "machine", facets=["role", "date:year"]
+    ).collect()
+    got = {(r["facet"], r["value"], r["n_docs"]) for r in rows}
+    matched = _matching_ids(meta, oracle, "machine")
+    want = {("role", k, v) for k, v in Counter(meta[d][1] for d in matched).items()}
+    want |= {
+        ("date:year", k, v)
+        for k, v in Counter(
+            meta[d][2].strftime("%Y") for d in matched
+        ).items()
+    }
+    assert got == want
+    # per-facet limit
+    top = ix.facet_counts_multi(
+        "machine", facets=["role", "date:year"], limit=1
+    ).collect()
+    assert len(top) == 2 and {r["facet"] for r in top} == {"role", "date:year"}
+    # single-facet agreement with facet_counts
+    single = _facet_rows(ix.facet_counts("machine", facet="role"))
+    multi = {
+        (r["value"], r["n_docs"])
+        for r in ix.facet_counts_multi("machine", facets=["role"]).collect()
+    }
+    assert single == multi

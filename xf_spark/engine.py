@@ -927,6 +927,31 @@ class XfIndex:
             limit=limit,
         )
 
+    def facet_counts_multi(
+        self,
+        query: str,
+        facets: list[str] = ("role",),
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Several facets from one match-set resolution:
+        (facet, value, n_docs), limit per facet."""
+        roles = _norm_roles(roles)
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        return self.segment_index.facet_counts_multi(
+            query,
+            facets=facets,
+            roles=roles,
+            since=since_dt,
+            until=until_dt,
+            fuzzy=fuzzy,
+            limit=limit,
+        )
+
     def count_matches(
         self,
         query: str,

@@ -2006,3 +2006,17 @@ best AS (
 SELECT replace('sparl AND merge', 'sparl', (SELECT term FROM best))
        AS suggestion
 """
+
+# Multi-facet: one matched set, two groupings, UNION ALL.
+ORACLES["transcripts_facets_multi"] = f"""
+WITH {_TR_BASE},
+matched AS (SELECT DISTINCT did FROM ttok WHERE term = 'spark')
+SELECT 'role' AS facet, b.role AS value, count(*) AS n_docs
+FROM matched JOIN base b ON b.did = matched.did
+GROUP BY b.role
+UNION ALL
+SELECT 'date:year' AS facet, strftime(b.ts, '%Y') AS value,
+       count(*) AS n_docs
+FROM matched JOIN base b ON b.did = matched.did
+GROUP BY strftime(b.ts, '%Y')
+"""

@@ -1713,3 +1713,12 @@ def transcripts_suggest(spark, sf_dir):
     return spark.createDataFrame(
         pd.DataFrame({"suggestion": [s]}), schema="suggestion string"
     )
+
+
+def transcripts_facets_multi(spark, sf_dir):
+    """Multi-facet request (one match-set resolution feeding several
+    facet aggregations — the standard search-UI shape): role facet +
+    year histogram for 'spark', replayed as a UNION ALL of membership
+    counts in DuckDB."""
+    ix = _segment_tr_index(spark, sf_dir)
+    return ix.facet_counts_multi("spark", facets=["role", "date:year"])

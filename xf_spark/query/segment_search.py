@@ -1312,6 +1312,67 @@ class SegmentIndex:
         )
         return self._facet_order(out, lim_b)
 
+    def facet_counts_multi(
+        self,
+        query: str,
+        facets: list[str] = ("role",),
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Several facets from ONE match-set resolution (the
+        multi-facet request shape every search UI sends): the match
+        set is evaluated once, then every facet aggregates off the
+        same doc set — N facets cost one query evaluation plus one
+        grouped count, not N query evaluations.
+
+        -> (facet, value, n_docs); ``limit`` applies per facet.
+        Ordering inside a facet: (n_docs desc, value asc)."""
+        vexprs = [(f, _facet_expr(f)) for f in facets]  # validate all
+        multi_schema = T.StructType(
+            [
+                T.StructField("facet", T.StringType()),
+                T.StructField("value", T.StringType()),
+                T.StructField("n_docs", T.LongType()),
+            ]
+        )
+        if self.docs is None:
+            raise ValueError("facets require a docs table")
+        mdf = self.match_ids_df(
+            query, roles=roles, since=since, until=until, fuzzy=fuzzy
+        )
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(f).alias("facet"), ve.alias("value"))
+                    for f, ve in vexprs
+                ]
+            )
+        ).alias("p")
+        out = (
+            self.docs.join(mdf, "doc_id", "left_semi")
+            .select(pairs)
+            .select("p.facet", "p.value")
+            .groupBy("facet", "value")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        if limit:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("facet").orderBy(
+                F.desc("n_docs"), F.asc_nulls_last("value")
+            )
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= limit)
+                .drop("__rn")
+            )
+        return out.orderBy(
+            F.asc("facet"), F.desc("n_docs"), F.asc_nulls_last("value")
+        )
+
     def _facet_order(self, out: DataFrame, limit: int | None) -> DataFrame:
         out = out.orderBy(F.desc("n_docs"), F.asc_nulls_last("value"))
         return out.limit(limit) if limit else out
