@@ -31,7 +31,14 @@ import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALE = 0.25
+SCALE = float(os.environ.get("XF_CLUSTER_SCALE", "0.25"))
+# Efficiency is scale-sensitive on the HI side: the build carries a
+# roughly constant ~10 s of driver-side stages (range-partitioner
+# sampling, per-slice commit, meta writes) that more executors cannot
+# shrink — at scale 0.25 that is ~25% of the 4-executor wall clock and
+# caps measured efficiency near 0.75 even when the parallel fraction
+# scales perfectly. Larger XF_CLUSTER_SCALE amortizes it (Amdahl), at
+# the cost of a longer lo-side run.
 RUNS = 1  # one timed build per submit; the parent interleaves
 # lo/hi rounds and takes best-of-2 per side (variance handling)
 
