@@ -348,6 +348,72 @@ def test_search_after_distributed_and_filtered(built):
         ix.driver_topk_threshold = old
 
 
+def test_search_after_match_all_pages(built):
+    """Match-all (and filter-only) queries must honor the cursor too —
+    score is constant 1.0, so pages advance purely on doc_id and a
+    dropped cursor would loop the first page forever."""
+    ix, _, _, meta = built
+    whole = [
+        (r["doc_id"], r["score"])
+        for r in ix.search("", limit=12).collect()
+    ]
+    paged = _pages_by_cursor(ix, "", 4, 3)
+    assert paged == whole
+    assert len(set(d for d, _ in paged)) == len(paged)
+    # filter-only query (match-all + role filter)
+    whole_f = [
+        (r["doc_id"], r["score"])
+        for r in ix.search("", limit=12, roles=["user"]).collect()
+    ]
+    paged_f = _pages_by_cursor(ix, "", 4, 3, roles=["user"])
+    assert paged_f == whole_f
+
+
+def test_collapse_other_column_ignores_conv_pins(built):
+    """pin_doc_groups pins (doc_id -> conv_id); collapsing by a
+    DIFFERENT column must take the distributed path, not serve conv_id
+    values under the other column's name."""
+    ix, _, _, meta = built
+    base = [
+        (r["role"], r["doc_id"])
+        for r in ix.search_collapsed(
+            "machine", limit=10, group_col="role"
+        ).collect()
+    ]
+    ids = sorted(meta)
+    ix.pin_doc_groups(ids, [meta[d][0] for d in ids])  # conv_id pins
+    try:
+        got = [
+            (r["role"], r["doc_id"])
+            for r in ix.search_collapsed(
+                "machine", limit=10, group_col="role"
+            ).collect()
+        ]
+        assert got == base
+        # and the values really are roles, not conv ids
+        assert all(g in ("user", "assistant", "tool") for g, _ in got)
+    finally:
+        ix._pinned_groups = None
+        ix._pinned_groups_col = None
+
+
+def test_msearch_filtered_member_keeps_fuzzy(built):
+    """A role-filtered batch member under the driver threshold is
+    re-dispatched through search(); fuzzy (and exhaustive) must ride
+    along — a typo'd term would otherwise silently return []."""
+    ix, _, _, _ = built
+    q = "role:user machin"  # 'machin' = edit-distance-1 of 'machine'
+    got = ix.search_many([q], limit=10, fuzzy=True)[q]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in ix.search(q, limit=10, fuzzy=True).collect()
+    ]
+    assert got == want
+    assert got, "fuzzy expansion dropped on the filtered member"
+    # and without fuzzy the typo matches nothing (guards the fixture)
+    assert ix.search_many([q], limit=10)[q] == []
+
+
 def test_search_after_validation_and_bm25_twin(built):
     ix, eng, _, _ = built
     with pytest.raises(ValueError):

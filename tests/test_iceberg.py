@@ -299,6 +299,101 @@ class TestIcebergTable:
             snap
         )
 
+    def test_partition_spec_evolution(self, spark, tmp_path):
+        """An append under a DIFFERENT partition_by evolves the spec
+        (new spec-id, all specs retained) instead of re-meaning
+        spec-id 0 under the carried manifests' feet — old manifests
+        keep pruning under the spec they were written with."""
+        root = str(tmp_path / "t_evo")
+        df1 = _turns(spark, 60)
+        ice.write_iceberg(df1, root, partition_by=[("ts", "day")])
+        df2 = _turns(spark, 40, start_day=50)
+        ice.write_iceberg(
+            df2, root, partition_by=[("conv_id", "truncate[4]")]
+        )
+        meta = ice.load_metadata(root)
+        specs = {s["spec-id"] for s in meta["partition-specs"]}
+        assert specs == {0, 1}
+        assert meta["default-spec-id"] == 1
+        # partition field-ids never collide across specs
+        fids = [
+            pf["field-id"]
+            for s in meta["partition-specs"]
+            for pf in s["fields"]
+        ]
+        assert len(fids) == len(set(fids))
+        # full read sees both commits
+        got = ice.read_iceberg(spark, root)
+        assert _sorted_rows(got) == _sorted_rows(df1.unionByName(df2))
+        # pruning on the ORIGINAL spec's field still resolves the
+        # carried manifests correctly: spec-0 files outside the day are
+        # pruned; spec-1 files have no ts_day value, so (correct
+        # conservative Iceberg planning) they survive — pruning narrows
+        # the file list, the reader's residual filter finishes the job
+        d0 = ice.day_value("2024-01-02")
+        files = ice.plan_files(root, partition_filter={"ts_day": (d0, d0)})
+        assert files
+        for f in files:
+            if "ts_day" in f["partition"]:
+                assert f["partition"]["ts_day"] == d0
+        pruned = ice.read_iceberg(
+            spark, root, partition_filter={"ts_day": (d0, d0)}
+        ).where(F.col("ts").cast("date") == "2024-01-02")
+        want = df1.unionByName(df2).where(
+            F.col("ts").cast("date") == "2024-01-02"
+        )
+        assert _sorted_rows(pruned) == _sorted_rows(want)
+        # a third commit matching the FIRST spec reuses spec-id 0
+        ice.write_iceberg(
+            _turns(spark, 10, start_day=90), root,
+            partition_by=[("ts", "day")],
+        )
+        meta3 = ice.load_metadata(root)
+        assert {s["spec-id"] for s in meta3["partition-specs"]} == {0, 1}
+        assert meta3["default-spec-id"] == 0
+
+    def test_identity_date_partition_commit(self, spark, tmp_path):
+        """Identity partitioning on a DATE column: Spark writes ISO
+        dirs; the inventory must encode them as int days-since-epoch
+        (the Iceberg date partition encoding), not crash."""
+        root = str(tmp_path / "t_identdate")
+        df = spark.range(30).select(
+            F.col("id").cast("long").alias("id"),
+            F.date_add(
+                F.lit("2024-01-01").cast("date"), (F.col("id") % 3).cast("int")
+            ).alias("d"),
+        )
+        ice.write_iceberg(df, root, partition_by=[("d", "identity")])
+        got = ice.read_iceberg(spark, root)
+        assert got.count() == 30
+        d1 = ice.day_value("2024-01-02")
+        files = ice.plan_files(root, partition_filter={"d": (d1, d1)})
+        assert files
+        pruned = ice.read_iceberg(
+            spark, root, partition_filter={"d": (d1, d1)}
+        )
+        assert pruned.count() == df.where("d = '2024-01-02'").count()
+
+    def test_append_reordered_columns_keeps_schema_ids(self, spark, tmp_path):
+        """Appending the same columns in a different DataFrame order
+        must not re-derive field ids (partition source-ids would
+        silently re-point); type mismatches are refused loudly."""
+        root = str(tmp_path / "t_reorder")
+        df = _turns(spark, 20)
+        ice.write_iceberg(df, root, partition_by=[("ts", "day")])
+        schema_before = ice.load_metadata(root)["schemas"]
+        ice.write_iceberg(
+            _turns(spark, 10, start_day=30).select(df.columns[::-1]), root
+        )
+        meta = ice.load_metadata(root)
+        assert meta["schemas"] == schema_before
+        assert ice.read_iceberg(spark, root).count() == 30
+        bad = _turns(spark, 5).withColumn(
+            "turn_idx", F.col("turn_idx").cast("long")
+        )
+        with pytest.raises(ValueError, match="type mismatch"):
+            ice.write_iceberg(bad, root)
+
 
 # ---------------------------------------------------------------------------
 # snapshot-diff index maintenance

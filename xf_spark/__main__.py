@@ -189,7 +189,9 @@ def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
             return
         q = fq.strip() or state["query"] or ""
         rows = ix.facet_counts(
-            q, facet=col, roles=state["roles"], limit=20
+            q, facet=col, roles=state["roles"], limit=20,
+            fuzzy=state["fuzzy"],  # same match set the session's
+            # searches and `count` resolve — aggregates must agree
         ).collect()
         _format_rows(rows, "text", ["value", "n_docs"])
     elif w == "count":

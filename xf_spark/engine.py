@@ -753,13 +753,7 @@ class XfIndex:
         qv = self._vector_for(target)
         if qv is None:
             raise KeyError(f"no embedding for turn ({conv_id!r}, {turn_idx})")
-        if roles:
-            norm = [r.strip().lower() for r in roles if r.strip()]
-            if not norm:
-                raise ValueError(f"roles filter has no usable names: {roles!r}")
-            roles = norm
-        else:
-            roles = None
+        roles = _norm_roles(roles)
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
         flt = self._doc_filter(roles=roles, since=since_dt, until=until_dt)
@@ -1060,16 +1054,7 @@ class XfIndex:
         # roles are stored lowercase (input_hint contract) and the query
         # parser lowercases `role:` filters — normalize caller input the
         # same way so `--roles Assistant` intersects, not silently-empty
-        if roles:
-            norm = [r.strip().lower() for r in roles if r.strip()]
-            if not norm:
-                # the caller DID pass a filter; serving everything
-                # would silently invert intent (e.g. an empty CLI arg
-                # split) — refuse instead
-                raise ValueError(f"roles filter has no usable names: {roles!r}")
-            roles = norm
-        else:
-            roles = None
+        roles = _norm_roles(roles)
         mode = {"bm25": "lexical", "vector": "semantic", "rrf": "hybrid"}.get(
             mode, mode
         )

@@ -47,6 +47,20 @@ def idf_for(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _det_sum_by(key_col: str, val_col: str):
+    """Aggregate expression: sum ``val_col`` per group in ``key_col``
+    order — a float sum whose addition order is pinned, so the value
+    is bit-identical across re-evaluations regardless of partial-agg
+    arrival order (collect_list alone is order-nondeterministic;
+    array_sort pins it). Group sizes here are bounded by the query's
+    term/branch count, so the list is a few elements."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(key_col, val_col))),
+        F.lit(0.0),
+        lambda acc, x: acc + x[val_col],
+    )
+
+
 def _score_col(idf_col, stats: CorpusStats):
     """BM25 expression over (tf, dl) columns — pure Catalyst, codegen'd."""
     tf = F.col("tf").cast("double")
@@ -308,7 +322,9 @@ class BM25Engine:
         scored = self._filtered_scored(query, roles, since, until, fuzzy)
         if scored is None:
             scored = self._empty_scored()
-        mdf = scored.select("doc_id")
+        # persist so the count and the foreground semi-join share one
+        # match-set evaluation (ids only; ContextCleaner reclaims it)
+        mdf = scored.select("doc_id").persist()
         total = mdf.count()
         if total == 0:
             return (
@@ -371,10 +387,15 @@ class BM25Engine:
             parts.extend(self._eval(c) for c in others)
             if len(parts) == 1:
                 return parts[0]
-            union = parts[0]
-            for p in parts[1:]:
-                union = union.unionByName(p)
-            return union.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            # tag each OR branch so the per-doc sum folds in pinned
+            # branch order (same cross-evaluation determinism contract
+            # as _terms_scored)
+            union = parts[0].withColumn("_pi", F.lit(0))
+            for i, p in enumerate(parts[1:], 1):
+                union = union.unionByName(p.withColumn("_pi", F.lit(i)))
+            return union.groupBy("doc_id").agg(
+                _det_sum_by("_pi", "score").alias("score")
+            )
         if kind == "and":
             if all(c[0] == "term" for c in node[1]):
                 return self._terms_scored(
@@ -478,7 +499,13 @@ class BM25Engine:
         hits = src.where(F.col("term").isin(present)).withColumn(
             "tscore", _score_col(idf_map[F.col("term")], self.stats)
         )
-        aggs = [F.sum("tscore").alias("score")]
+        # sum term contributions in SORTED term order, not partial-agg
+        # arrival order: float addition is order-sensitive at the ulp,
+        # and the search_after cursor compares this score across two
+        # independent evaluations (page N collects it, page N+1
+        # recomputes it) — a nondeterministic sum order makes the
+        # boundary doc flicker between pages (duplicate or skipped row)
+        aggs = [_det_sum_by("term", "tscore").alias("score")]
         if require_all:
             aggs.append(F.countDistinct("term").alias("_nt"))
         out = hits.groupBy("doc_id").agg(*aggs)

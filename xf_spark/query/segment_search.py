@@ -709,6 +709,10 @@ class SegmentIndex:
     # doc_id — set via pin_doc_groups; lets search_collapsed resolve
     # best-hit-per-group in NumPy with zero Spark jobs
     _pinned_groups: tuple | None = field(default=None, repr=False)
+    # the column the pinned groups were built from (pin_doc_groups'
+    # ``col``): the collapse fast path must not serve a DIFFERENT
+    # group_col from conv_id-keyed pins
+    _pinned_groups_col: str | None = field(default=None, repr=False)
     # legacy-index shard derivation: sorted (upper_doc_id, shard_id)
     # pairs computed once from the segments' block metadata (see
     # _shard_for_docs); None until first needed
@@ -1023,7 +1027,7 @@ class SegmentIndex:
             if self.docs is None:
                 raise ValueError("match-all requires a docs table")
             out = self.docs.select("doc_id", F.lit(1.0).alias("score"))
-            return self._finish(out, limit, offset, roles, since, until)
+            return self._finish(out, limit, offset, roles, since, until, after)
 
         if fuzzy:
             plan = self._expand_fuzzy(plan)
@@ -1530,7 +1534,11 @@ class SegmentIndex:
 
         mdf = self.match_ids_df(
             query, roles=roles, since=since, until=until, fuzzy=fuzzy
-        )
+        ).persist()
+        # the count MATERIALIZES the persisted match set, so the
+        # foreground semi-join below reuses it instead of re-running
+        # the whole match evaluation (ids only — 8 B/row); the cache is
+        # reclaimed by Spark's ContextCleaner when the plan is dropped
         total = mdf.count()
         out_schema = T.StructType(
             [
@@ -1654,16 +1662,20 @@ class SegmentIndex:
         row = partial.agg(F.sum("n").alias("n")).first()
         return int(row["n"] or 0)
 
-    def pin_doc_groups(self, ids, groups) -> None:
+    def pin_doc_groups(self, ids, groups, col: str = "conv_id") -> None:
         """Pin (doc_id -> collapse-group) arrays on the coordinator —
         the collapse analog of pin_doc_attrs: a warm collapsed query
-        then resolves best-hit-per-group entirely in NumPy."""
+        then resolves best-hit-per-group entirely in NumPy. ``col``
+        names the source column the groups came from; the fast path
+        only fires when a collapsed query asks for THAT column
+        (collapsing by any other column keeps the distributed path)."""
         ids = np.asarray(ids, dtype=np.int64)
         order = np.argsort(ids)
         self._pinned_groups = (
             ids[order],
             np.asarray(groups, dtype=object)[order],
         )
+        self._pinned_groups_col = col
 
     def search_collapsed(
         self,
@@ -1717,7 +1729,11 @@ class SegmentIndex:
             )
             return best.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
         avgdl = self.meta["avgdl"]
-        if total <= self.driver_topk_threshold and self._pinned_groups is not None:
+        if (
+            total <= self.driver_topk_threshold
+            and self._pinned_groups is not None
+            and self._pinned_groups_col == group_col
+        ):
             data = self._term_data_for(tterms, pterms)
             allowed = None
             if filtered and data:
@@ -2168,9 +2184,17 @@ class SegmentIndex:
             chunks.append(cur)
         out: dict[str, list[tuple[int, float]]] = {q: [] for q in rejected}
         for q in filtered_qs:
+            # fuzzy/exhaustive must survive this re-dispatch: the
+            # member's expanded plan was computed above, but search()
+            # re-parses the raw string — pass the knobs through so a
+            # role-filtered light member is served with the SAME
+            # semantics as the rest of the batch (the fuzzy variant
+            # memo is already primed, so the re-expansion is free)
             out[q] = [
                 (r["doc_id"], r["score"])
-                for r in self.search(q, limit=limit).collect()
+                for r in self.search(
+                    q, limit=limit, exhaustive=exhaustive, fuzzy=fuzzy
+                ).collect()
             ]
         if heavy:
             out.update(self._search_many_distributed(heavy, limit, exhaustive))
@@ -2217,7 +2241,9 @@ class SegmentIndex:
         df = self.search(query, limit=limit, exhaustive=exhaustive)
         return [(r["doc_id"], r["score"]) for r in df.collect()]
 
-    def _finish(self, scored, limit, offset, roles, since, until) -> DataFrame:
+    def _finish(
+        self, scored, limit, offset, roles, since, until, after=None
+    ) -> DataFrame:
         filtered = roles or since is not None or until is not None
         if filtered and self.docs is None:
             raise ValueError("filters require a docs table")
@@ -2227,6 +2253,14 @@ class SegmentIndex:
                 attrs.where(_attr_cond(roles, since, until)),
                 "doc_id",
                 "left_semi",
+            )
+        if after is not None:
+            # cursor mask in (score desc, doc_id asc) order — the same
+            # strictly-after predicate the scored paths apply
+            cs, cd = float(after[0]), int(after[1])
+            scored = scored.where(
+                (F.col("score") < cs)
+                | ((F.col("score") == cs) & (F.col("doc_id") > cd))
             )
         ranked = scored.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:

@@ -648,28 +648,79 @@ def write_iceberg(
         partition_by = partition_by or []
 
     ice_schema = _iceberg_schema(df.schema)
+    if meta is not None:
+        # commits against an existing table REUSE its schema (stable
+        # field ids — re-deriving ids from the DataFrame's column order
+        # would silently re-point partition source-ids); names AND
+        # types must match exactly
+        existing_schema = next(
+            s
+            for s in meta["schemas"]
+            if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+        )
+        ours = {f["name"]: f["type"] for f in ice_schema["fields"]}
+        theirs = {f["name"]: f["type"] for f in existing_schema["fields"]}
+        if set(ours) != set(theirs):
+            raise ValueError(
+                f"schema mismatch with existing table: {sorted(ours)} "
+                f"vs {sorted(theirs)}"
+            )
+        wrong = sorted(n for n in ours if ours[n] != theirs[n])
+        if wrong:
+            raise ValueError(
+                f"column type mismatch with existing table: {wrong}"
+            )
+        ice_schema = existing_schema
     col_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
-    spec_fields = []
-    for i, (src, transform) in enumerate(partition_by):
+    for src, _transform in partition_by:
         if src not in col_ids:
             raise ValueError(f"partition source column missing: {src}")
-        spec_fields.append(
+
+    # ---- partition-spec resolution (Iceberg spec evolution) --------------
+    # Every spec the table has EVER written under stays in the metadata
+    # with its own spec-id; each manifest records the spec-id it was
+    # written under, and plan_files resolves per-manifest. A commit
+    # whose partition_by matches an existing spec reuses that spec-id;
+    # a genuinely new layout gets spec-id = max+1 with partition
+    # field-ids continuing from last-partition-id (never re-meaning an
+    # old spec's fields — the bug this replaces re-wrote spec-id 0 and
+    # left carried manifests resolving against the wrong spec).
+    existing_specs = list((meta or {}).get("partition-specs", []))
+    sig = list(partition_by)
+    spec_id = None
+    spec_fields: list[dict] = []
+    for s in existing_specs:
+        s_sig = [
+            (_source_name(meta, pf["source-id"]), pf["transform"])
+            for pf in s["fields"]
+        ]
+        if s_sig == sig:
+            spec_id = s["spec-id"]
+            spec_fields = s["fields"]
+            break
+    if spec_id is None:
+        next_fid = (meta or {}).get("last-partition-id", 999) + 1
+        spec_fields = [
             {
                 "name": _partition_field_name(src, transform),
                 "transform": transform,
                 "source-id": col_ids[src],
-                "field-id": 1000 + i,
+                "field-id": next_fid + i,
             }
+            for i, (src, transform) in enumerate(partition_by)
+        ]
+        spec_id = (
+            max((s["spec-id"] for s in existing_specs), default=-1) + 1
         )
-
-    if meta is not None:
-        existing = {f["name"] for s in meta["schemas"] for f in s["fields"]}
-        ours = {f["name"] for f in ice_schema["fields"]}
-        if ours != existing:
-            raise ValueError(
-                f"schema mismatch with existing table: {sorted(ours)} "
-                f"vs {sorted(existing)}"
-            )
+        all_specs = existing_specs + [
+            {"spec-id": spec_id, "fields": spec_fields}
+        ]
+    else:
+        all_specs = existing_specs
+    last_partition_id = max(
+        (pf["field-id"] for s in all_specs for pf in s["fields"]),
+        default=999,
+    )
 
     seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
     snapshot_id = seq  # deterministic, unique within the table
@@ -728,7 +779,7 @@ def write_iceberg(
         metadata={
             "schema": json.dumps(ice_schema).encode(),
             "partition-spec": json.dumps(spec_fields).encode(),
-            "partition-spec-id": b"0",
+            "partition-spec-id": str(spec_id).encode(),
             "format-version": b"2",
             "content": b"data",
         },
@@ -737,7 +788,7 @@ def write_iceberg(
     new_manifest = {
         "manifest_path": manifest_path,
         "manifest_length": os.path.getsize(manifest_path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": 0,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -802,11 +853,9 @@ def write_iceberg(
         "last-column-id": len(ice_schema["fields"]),
         "current-schema-id": 0,
         "schemas": [ice_schema],
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-        "last-partition-id": 1000 + len(spec_fields) - 1
-        if spec_fields
-        else 999,
+        "default-spec-id": spec_id,
+        "partition-specs": all_specs,
+        "last-partition-id": last_partition_id,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
@@ -1029,6 +1078,17 @@ def _source_name_from_ids(col_ids: dict[str, int], source_id: int) -> str:
     raise ValueError(f"source column id {source_id} not in schema")
 
 
+def _int_part_value(v: str) -> int:
+    """Hive-dir string -> int partition value. Identity partitioning on
+    a DATE column writes ISO 'YYYY-MM-DD' dirs (Spark renders the date
+    value); the Iceberg encoding for a date partition value is int
+    days-since-epoch — convert rather than crash the commit inventory."""
+    try:
+        return int(v)
+    except ValueError:
+        return day_value(v)
+
+
 def _inventory_parquet(
     data_dir: str,
     spec_fields: list[dict],
@@ -1057,7 +1117,7 @@ def _inventory_parquet(
                     part_vals[pf["name"]] = (
                         None
                         if v == "__HIVE_DEFAULT_PARTITION__"
-                        else int(v)
+                        else _int_part_value(unquote(v))
                         if kinds[idx] in ("int", "long")
                         else unquote(v)
                     )
