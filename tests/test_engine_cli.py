@@ -244,6 +244,28 @@ class TestCli:
         assert len(payload) == 3
         assert all("score" in row for row in payload)
 
+    def test_cli_search_explain(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine learning", "--index", idx, "--limit", "3",
+             "--explain", "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert payload
+        assert {"doc_id", "term", "field", "tf", "df", "idf", "contrib",
+                "score"} <= set(payload[0])
+        # per-doc contributions sum to the doc score
+        by_doc = {}
+        for row in payload:
+            s, total = by_doc.get(row["doc_id"], (0.0, row["score"]))
+            by_doc[row["doc_id"]] = (s + row["contrib"], total)
+        for s, total in by_doc.values():
+            assert abs(s - total) < 1e-6
+
     def test_cli_list_and_get(self, cli_index):
         # list conversations -> pick one -> get a turn, then the whole
         # conversation (the reference `tweet <id> [--thread]` analog)
@@ -478,6 +500,8 @@ class TestRepl:
             "set fuzzy maybe",        # invalid value
             "set fuzzy on",
             "machin",
+            "explain machine",        # score breakdown rows
+            'explain "machine learning"',  # refused loudly, continues
             "stats",
             "quit",
         ]) + "\n"
@@ -503,6 +527,8 @@ class TestRepl:
         # post-toggle the typo resolves: a result line ("[<score>] (conv")
         # prints after the toggle confirmation
         assert out.rindex("] (conv") > out.rindex("fuzzy = on")
+        assert "contrib" in out            # explain breakdown printed
+        assert "explain: explain does not support phrase queries" in out
         assert "n_turns" in out            # stats — session survived all errors
 
 

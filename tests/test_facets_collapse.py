@@ -414,6 +414,67 @@ def test_msearch_filtered_member_keeps_fuzzy(built):
     assert ix.search_many([q], limit=10)[q] == []
 
 
+# ---------------------------------------------------------------------------
+# explain (score breakdown)
+# ---------------------------------------------------------------------------
+
+def _explain_rows(df):
+    return [
+        (
+            r["doc_id"], r["term"], r["field"], r["tf"], r["df"],
+            round(r["idf"], 9), round(r["contrib"], 9), round(r["score"], 9),
+        )
+        for r in df.collect()
+    ]
+
+
+def test_explain_paths_identical_and_sums_to_score(built):
+    ix, eng, _, _ = built
+    for q in ("machine", "rust async", "rust AND async", "python NOT snake",
+              "progr* machine"):
+        seg = _explain_rows(ix.explain(q, limit=8))
+        twin = _explain_rows(eng.explain(q, limit=8))
+        assert seg == twin, q
+        assert seg, q
+        # per-doc contributions sum to the doc's total score
+        by_doc: dict = {}
+        for d, _t, _f, _tf, _df, _idf, contrib, score in seg:
+            by_doc.setdefault(d, [0.0, score])[0] += contrib
+        for d, (s, total) in by_doc.items():
+            assert s == pytest.approx(total, abs=1e-9), (q, d)
+        # NOT-excluded terms never appear as contribution rows
+        if "NOT" in q:
+            assert all(t != "snake" for _, t, *_ in seg)
+
+
+def test_explain_filtered_fuzzy_and_refusals(built):
+    ix, eng, _, meta = built
+    rows = _explain_rows(ix.explain("machine", limit=6, roles=["user"]))
+    assert rows == _explain_rows(eng.explain("machine", limit=6, roles=["user"]))
+    assert all(meta[d][1] == "user" for d, *_ in rows)
+    # fuzzy: the typo'd leaf expands to vocabulary variants
+    frows = _explain_rows(ix.explain("machin", limit=6, fuzzy=True))
+    assert frows and all(t != "machin" for _, t, *_ in frows)
+    assert frows == _explain_rows(eng.explain("machin", limit=6, fuzzy=True))
+    # refusals: phrase (not a per-term sum) and match-all (no score)
+    with pytest.raises(ValueError):
+        ix.explain('"machine learning"')
+    with pytest.raises(ValueError):
+        eng.explain('"machine learning"')
+    with pytest.raises(ValueError):
+        ix.explain("")
+
+
+def test_explain_repeated_term_doubles_idf(built):
+    ix, _, _, _ = built
+    one = {d: c for d, _t, _f, _tf, _df, _i, c, _s
+           in _explain_rows(ix.explain("machine", limit=5))}
+    two = {d: c for d, _t, _f, _tf, _df, _i, c, _s
+           in _explain_rows(ix.explain("machine machine", limit=5))}
+    for d in set(one) & set(two):
+        assert two[d] == pytest.approx(2 * one[d], rel=1e-9)
+
+
 def test_search_after_validation_and_bm25_twin(built):
     ix, eng, _, _ = built
     with pytest.raises(ValueError):

@@ -180,7 +180,7 @@ def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
     if w in ("help", "h", "?"):
         print("commands: <query> | more | show N | similar N | "
               "refine <terms> | facet <col> [query] | count [query] | "
-              "stats | set mode|limit|roles|fuzzy <v> | "
+              "explain [query] | stats | set mode|limit|roles|fuzzy <v> | "
               "export json|csv | quit")
     elif w == "facet":
         col, _, fq = rest.partition(" ")
@@ -198,6 +198,20 @@ def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
         q = rest.strip() or state["query"] or ""
         print(ix.count_matches(q, roles=state["roles"],
                                fuzzy=state["fuzzy"]))
+    elif w == "explain":
+        q = rest.strip() or state["query"] or ""
+        try:
+            rows = ix.explain(
+                q, limit=state["limit"], roles=state["roles"],
+                fuzzy=state["fuzzy"],
+            ).collect()
+        except ValueError as exc:
+            print(f"explain: {exc}")
+            return
+        cols_e = ["doc_id", "term", "field", "tf", "df", "idf",
+                  "contrib", "score"]
+        print("  ".join(cols_e))
+        _format_rows(rows, "text", cols_e)
     elif w == "similar":
         try:
             r = state["rows"][int(rest)]
@@ -635,6 +649,17 @@ def cmd_search(args) -> int:
             fuzzy=fuzzy,
             limit=limit,
         )
+    elif getattr(args, "explain", False):
+        # score breakdown replaces the hit list: one row per
+        # (top-k doc, matched term) with the BM25 pieces
+        df = ix.explain(
+            args.query,
+            limit=limit,
+            roles=roles,
+            since=args.since,
+            until=args.until,
+            fuzzy=fuzzy,
+        )
     elif getattr(args, "collapse", False):
         df = ix.search_collapsed(
             args.query,
@@ -954,6 +979,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="best hit per conversation (field collapsing)")
     ps.add_argument("--count", action="store_true",
                     help="print the match-set size instead of hits")
+    ps.add_argument("--explain", action="store_true",
+                    help="BM25 score breakdown per (top-k doc, matched "
+                         "term): tf, df, idf, contribution, total")
     ps.add_argument("--fuzzy", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="typo tolerance: expand terms to edit-distance-1 "

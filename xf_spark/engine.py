@@ -970,6 +970,27 @@ class XfIndex:
         nothing to correct."""
         return self.segment_index.suggest(query)
 
+    def explain(
+        self,
+        query: str,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+    ):
+        """BM25 score breakdown for the top-``limit`` hits (the
+        Lucene/Tantivy ``explain`` analog): one row per (doc, matched
+        term leaf) — tf, df, idf, contribution, total score. Phrase
+        queries are refused (positional scores are not per-term sums)."""
+        roles = _norm_roles(roles)
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        return self.segment_index.explain(
+            query, limit=limit, roles=roles, since=since_dt,
+            until=until_dt, fuzzy=fuzzy,
+        )
+
     def significant_terms(
         self,
         query: str,

@@ -85,6 +85,48 @@ ORACLES["bm25_or_terms"] = _bm25_sql(["spark", "join", "window"])
 ORACLES["bm25_and_terms"] = _bm25_sql(["spark", "join"], require_all=True)
 ORACLES["bm25_not_terms"] = _bm25_sql(["spark"], exclude="window")
 
+ORACLES["bm25_explain"] = f"""
+WITH {_TOK}, {_STATS},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN ('spark', 'join') GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok WHERE term IN ('spark', 'join') GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+top AS (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 10
+)
+SELECT tf.doc_id,
+       tf.term,
+       'text' AS field,
+       tf.tf,
+       df.df::BIGINT AS df,
+       round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)), 6) AS idf,
+       round(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)), 4) AS contrib,
+       round(top.score, 4) AS score
+FROM tf
+JOIN df USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+JOIN top ON top.doc_id = tf.doc_id
+CROSS JOIN stats s
+ORDER BY score DESC, tf.doc_id, tf.term
+"""
+
 ORACLES["term_doc_freq"] = f"""
 WITH {_TOK}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf

@@ -76,6 +76,24 @@ def bm25_not_terms(spark, sf_dir):
     )
 
 
+def bm25_explain(spark, sf_dir):
+    """Score breakdown for the top-10 'spark join' hits (the
+    Lucene/Tantivy explain analog): one row per (doc, matched term)
+    with tf, df, idf, the term's BM25 contribution, and the doc's
+    total score — the full chain replayed per-term in DuckDB SQL."""
+    df = _doc_engine(spark, sf_dir).explain("spark join", limit=10)
+    return df.select(
+        "doc_id",
+        "term",
+        "field",
+        "tf",
+        "df",
+        F.round(F.col("idf"), 6).alias("idf"),
+        F.round(F.col("contrib"), 4).alias("contrib"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
 def term_doc_freq(spark, sf_dir):
     """Top-20 terms by document frequency (SURVEY.md §2.8 top-hashtags
     analog: explode -> lower -> groupBy -> count -> orderBy/limit)."""

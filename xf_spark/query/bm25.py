@@ -275,6 +275,107 @@ class BM25Engine:
             .limit(limit)
         )
 
+    def explain(
+        self,
+        query: str,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Score breakdown (the Lucene/Tantivy ``explain`` analog,
+        beyond the reference's surface): one row per (top-``limit``
+        doc, matched term leaf) with the BM25 pieces — tf, df, idf and
+        the leaf's contribution — plus the doc's total score. Phrase
+        plans are refused loudly (a positional score is not a
+        per-term sum). NOT exclusions appear only through their
+        effect on the top-k (an excluded doc can't be a hit, so its
+        rows never materialize).
+
+        Output: (doc_id, term, field, tf, df, idf, contrib, score),
+        ordered (score desc, doc_id asc, field, term asc); contrib
+        sums to score per doc (term plans; idf carries multiplicity
+        for repeated query terms, matching search()).
+
+        Scale shape: the top-k is the ordinary search; the breakdown
+        joins the postings scan to the BROADCAST k-row top set, so
+        output is bounded by k * n_leaves regardless of df."""
+        from xf_spark.query.parser import (
+            expand_fuzzy_plan,
+            parse_query_extract,
+            term_leaf_counts,
+        )
+
+        plan, qroles = parse_query_extract(query)
+        if fuzzy:
+            plan = expand_fuzzy_plan(plan, self.fuzzy_variants)
+        t_counts, p_counts = term_leaf_counts(plan)
+        top = self.search(
+            query, limit=limit, roles=roles, since=since, until=until,
+            fuzzy=fuzzy,
+        ).select("doc_id", F.col("score").alias("_total"))
+        parts = []
+        for counts, prefix, fld in (
+            (t_counts, False, "text"),
+            (p_counts, True, "prefix"),
+        ):
+            if not counts:
+                continue
+            src = self.prefix_postings if prefix else self.postings
+            if src is None:
+                raise ValueError("prefix postings not built")
+            terms = list(counts.elements())  # multiplicity-weighted
+            dfs = self._term_dfs(terms, prefix)
+            present = [t for t in counts if dfs.get(t)]
+            if not present:
+                continue
+            idf_map = self._idf_map_col(terms, dfs)
+            df_map = F.create_map(
+                *[
+                    x
+                    for t in present
+                    for x in (F.lit(t), F.lit(int(dfs[t])))
+                ]
+            )
+            parts.append(
+                src.where(F.col("term").isin(present))
+                .join(F.broadcast(top), "doc_id")
+                .select(
+                    "doc_id",
+                    "term",
+                    F.lit(fld).alias("field"),
+                    F.col("tf").cast("double").alias("tf"),
+                    df_map[F.col("term")].cast("long").alias("df"),
+                    (
+                        idf_map[F.col("term")].cast("double")
+                    ).alias("idf"),
+                    _score_col(idf_map[F.col("term")], self.stats).alias(
+                        "contrib"
+                    ),
+                    F.col("_total").alias("score"),
+                )
+            )
+        if not parts:
+            return (
+                self.postings.select(
+                    "doc_id",
+                    "term",
+                    F.lit("text").alias("field"),
+                    F.lit(0.0).alias("tf"),
+                    F.lit(0).cast("long").alias("df"),
+                    F.lit(0.0).alias("idf"),
+                    F.lit(0.0).alias("contrib"),
+                    F.lit(0.0).alias("score"),
+                ).limit(0)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy(
+            F.desc("score"), F.asc("doc_id"), F.asc("field"), F.asc("term")
+        )
+
     def suggest(self, query: str) -> str | None:
         """Did-you-mean suggestion (DataFrame-path twin of
         SegmentIndex.suggest — same contract and ranking)."""

@@ -249,6 +249,37 @@ def fuzzy_term_leaves(node) -> set[str]:
     return set()
 
 
+def term_leaf_counts(node):
+    """(Counter of text-term leaves, Counter of prefix leaves) in the
+    SCORED part of a plan — multiplicity preserved ('rust rust' is two
+    should-clauses whose idf doubles, matching search()); a NOT's
+    exclusion branch contributes nothing (it only removes docs).
+    Raises on phrase nodes: a positional score is not a per-term sum,
+    so explain() refuses rather than fabricating a breakdown."""
+    from collections import Counter
+
+    kind = node[0]
+    if kind == "term":
+        return Counter({node[1]: 1}), Counter()
+    if kind == "prefix":
+        return Counter(), Counter({node[1]: 1})
+    if kind == "phrase":
+        raise ValueError(
+            "explain does not support phrase queries (positional "
+            "scores are not a per-term sum)"
+        )
+    if kind in ("and", "or"):
+        t, p = Counter(), Counter()
+        for c in node[1]:
+            ct, cp = term_leaf_counts(c)
+            t += ct
+            p += cp
+        return t, p
+    if kind == "not":
+        return term_leaf_counts(node[1])
+    return Counter(), Counter()  # all / none
+
+
 def expand_fuzzy_plan(plan, variants_fn):
     """Rewrite for fuzzy matching (the reference's `search.fuzzy` knob,
     config.rs:75): each ("term", t) leaf becomes an OR over the

@@ -1662,6 +1662,132 @@ class SegmentIndex:
         row = partial.agg(F.sum("n").alias("n")).first()
         return int(row["n"] or 0)
 
+    def explain(
+        self,
+        query: str,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Score breakdown (the Lucene/Tantivy ``explain`` analog,
+        beyond the reference's surface; same contract as
+        BM25Engine.explain): one row per (top-``limit`` doc, matched
+        term leaf) with tf, df, idf (multiplicity-weighted), the
+        leaf's contribution, and the doc's total score. Phrase plans
+        are refused loudly.
+
+        Scale shape: top-k via the ordinary search; the breakdown
+        re-reads the pruned postings scan with the k doc ids in the
+        task closure — per-shard output is bounded by k * n_leaves,
+        and head terms are never decoded on the coordinator."""
+        from xf_spark.query.parser import term_leaf_counts
+
+        plan, m_roles, idfs, tterms, pterms, _total = (
+            self._resolve_match_plan(query, roles, fuzzy)
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("term", T.StringType()),
+                T.StructField("field", T.StringType()),
+                T.StructField("tf", T.DoubleType()),
+                T.StructField("df", T.LongType()),
+                T.StructField("idf", T.DoubleType()),
+                T.StructField("contrib", T.DoubleType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        if plan is None:
+            return self._empty_local(out_schema)
+        if plan == ("all",):
+            raise ValueError("explain requires a scored query")
+        t_counts, p_counts = term_leaf_counts(plan)
+        top = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in self.search(
+                query, limit=limit, roles=roles, since=since, until=until,
+                fuzzy=fuzzy,
+            ).collect()
+        ]
+        if not top:
+            return self._empty_local(out_schema)
+        top_ids = np.array(sorted(d for d, _ in top), dtype=np.int64)
+        score_by_id = dict(top)
+        raw_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("field", T.StringType()),
+                T.StructField("term", T.StringType()),
+                T.StructField("tf", T.DoubleType()),
+                T.StructField("dl", T.DoubleType()),
+            ]
+        )
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            data = build_term_data(pdf)
+            outs = []
+            for (fld, term), d in data.items():
+                pos = np.searchsorted(d["ids"], top_ids)
+                np.clip(pos, 0, max(len(d["ids"]) - 1, 0), out=pos)
+                if not len(d["ids"]):
+                    continue
+                m = d["ids"][pos] == top_ids
+                if not m.any():
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": top_ids[m],
+                            "field": fld,
+                            "term": term,
+                            "tf": d["tfs"][pos[m]].astype(np.float64),
+                            "dl": d["dls"][pos[m]].astype(np.float64),
+                        }
+                    )
+                )
+            if not outs:
+                return pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype=np.int64),
+                        "field": pd.Series([], dtype=object),
+                        "term": pd.Series([], dtype=object),
+                        "tf": pd.Series([], dtype=np.float64),
+                        "dl": pd.Series([], dtype=np.float64),
+                    }
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        raw = (
+            self._pruned_scan(tterms, pterms)
+            .groupBy("shard")
+            .applyInPandas(run, schema=raw_schema)
+            .toPandas()  # <= k * n_leaves rows by construction
+        )
+        avgdl = self.meta["avgdl"]
+        rows = []
+        for r in raw.itertuples(index=False):
+            counts = t_counts if r.field == "text" else p_counts
+            mult = counts.get(r.term, 0)
+            if not mult:
+                continue  # NOT-exclusion leaf: never contributes
+            idf = idfs.get((r.field, r.term), 0.0) * mult
+            contrib = idf * r.tf * (K1 + 1.0) / (
+                r.tf + K1 * (1.0 - B + B * r.dl / avgdl)
+            )
+            rows.append(
+                (
+                    int(r.doc_id), r.term, r.field, float(r.tf),
+                    int(self._df_memo.get((r.field, r.term), 0)),
+                    idf, contrib, score_by_id[int(r.doc_id)],
+                )
+            )
+        if not rows:
+            return self._empty_local(out_schema)
+        rows.sort(key=lambda x: (-x[7], x[0], x[2], x[1]))
+        return self.spark.createDataFrame(rows, schema=out_schema)
+
     def pin_doc_groups(self, ids, groups, col: str = "conv_id") -> None:
         """Pin (doc_id -> collapse-group) arrays on the coordinator —
         the collapse analog of pin_doc_attrs: a warm collapsed query
