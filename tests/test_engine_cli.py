@@ -501,7 +501,7 @@ class TestRepl:
             "set fuzzy on",
             "machin",
             "explain machine",        # score breakdown rows
-            'explain "machine learning"',  # refused loudly, continues
+            'explain rust "machine learning"',  # nested phrase: refused
             "stats",
             "quit",
         ]) + "\n"
@@ -528,7 +528,7 @@ class TestRepl:
         # prints after the toggle confirmation
         assert out.rindex("] (conv") > out.rindex("fuzzy = on")
         assert "contrib" in out            # explain breakdown printed
-        assert "explain: explain does not support phrase queries" in out
+        assert "explain: explain does not support phrases nested" in out
         assert "n_turns" in out            # stats — session survived all errors
 
 

@@ -287,11 +287,12 @@ class BM25Engine:
         """Score breakdown (the Lucene/Tantivy ``explain`` analog,
         beyond the reference's surface): one row per (top-``limit``
         doc, matched term leaf) with the BM25 pieces — tf, df, idf and
-        the leaf's contribution — plus the doc's total score. Phrase
-        plans are refused loudly (a positional score is not a
-        per-term sum). NOT exclusions appear only through their
-        effect on the top-k (an excluded doc can't be a hit, so its
-        rows never materialize).
+        the leaf's contribution — plus the doc's total score. A PURE
+        phrase query breaks down per member term (the pinned phrase
+        score is exactly that sum over adjacency-matching docs);
+        phrases nested in a larger plan are refused loudly. NOT
+        exclusions appear only through their effect on the top-k (an
+        excluded doc can't be a hit, so its rows never materialize).
 
         Output: (doc_id, term, field, tf, df, idf, contrib, score),
         ordered (score desc, doc_id asc, field, term asc); contrib
@@ -310,7 +311,18 @@ class BM25Engine:
         plan, qroles = parse_query_extract(query)
         if fuzzy:
             plan = expand_fuzzy_plan(plan, self.fuzzy_variants)
-        t_counts, p_counts = term_leaf_counts(plan)
+        if plan[0] == "phrase":
+            # PURE phrase: every top-k doc satisfies the adjacency by
+            # construction, and the pinned phrase score IS the sum of
+            # member-term BM25 (dupes double-count) — so the per-term
+            # breakdown is exact. Phrases nested in a larger plan stay
+            # refused (a doc can reach the top-k without the adjacency,
+            # and its member-term rows would overstate the score).
+            from collections import Counter
+
+            t_counts, p_counts = Counter(plan[1]), Counter()
+        else:
+            t_counts, p_counts = term_leaf_counts(plan)
         top = self.search(
             query, limit=limit, roles=roles, since=since, until=until,
             fuzzy=fuzzy,

@@ -265,8 +265,10 @@ def term_leaf_counts(node):
         return Counter(), Counter({node[1]: 1})
     if kind == "phrase":
         raise ValueError(
-            "explain does not support phrase queries (positional "
-            "scores are not a per-term sum)"
+            "explain does not support phrases nested in a larger plan "
+            "(a doc can reach the top-k without the adjacency, so "
+            "member-term rows would overstate its score); a pure "
+            "phrase query IS supported"
         )
     if kind in ("and", "or"):
         t, p = Counter(), Counter()

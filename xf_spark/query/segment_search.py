@@ -1675,8 +1675,9 @@ class SegmentIndex:
         beyond the reference's surface; same contract as
         BM25Engine.explain): one row per (top-``limit`` doc, matched
         term leaf) with tf, df, idf (multiplicity-weighted), the
-        leaf's contribution, and the doc's total score. Phrase plans
-        are refused loudly.
+        leaf's contribution, and the doc's total score. A pure phrase
+        query breaks down per member term; phrases nested in a larger
+        plan are refused loudly.
 
         Scale shape: top-k via the ordinary search; the breakdown
         re-reads the pruned postings scan with the k doc ids in the
@@ -1703,7 +1704,15 @@ class SegmentIndex:
             return self._empty_local(out_schema)
         if plan == ("all",):
             raise ValueError("explain requires a scored query")
-        t_counts, p_counts = term_leaf_counts(plan)
+        if plan[0] == "phrase":
+            # pure phrase: the pinned phrase score is the sum of
+            # member-term BM25 over adjacency-matching docs, so the
+            # per-term breakdown is exact (see BM25Engine.explain)
+            from collections import Counter
+
+            t_counts, p_counts = Counter(plan[1]), Counter()
+        else:
+            t_counts, p_counts = term_leaf_counts(plan)
         top = [
             (int(r["doc_id"]), float(r["score"]))
             for r in self.search(
