@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_phrase_hash_join": eq.transcripts_phrase_hash_join,
         "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,
         "hybrid_ann_full_probe": eq.hybrid_ann_full_probe,
+        "hybrid_explain_rrf": eq.hybrid_explain_rrf,
         "transcripts_context_expansion": eq.transcripts_context_expansion,
         # PERSISTED segment-index path (delta+varint codec, block-max
         # WAND, batched msearch, incremental append -> compact, and

@@ -204,6 +204,41 @@ class TestIvfServing:
         assert ix2.search("stress", mode="semantic", ann=True, limit=5).count() == 5
 
 
+class TestExplainHybrid:
+    def test_breakdown_matches_hybrid_and_sums(self, spark, tmp_path):
+        """explain_hybrid's fused (doc_id, score) must equal hybrid
+        search's top-k; contributions sum to the fused score; ranks
+        are null exactly when the doc is missing from that list; the
+        pinned-vector path yields the identical breakdown."""
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        tr = load_transcripts(spark, 0.001)
+        ix = XfIndex.build(tr, str(tmp_path / "hx"), slices=1)
+        rows = ix.explain_hybrid("machine learning", limit=15).collect()
+        assert rows
+        hybrid = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search(
+                "machine learning", mode="hybrid", limit=15
+            ).select("doc_id", "score").collect()
+        ]
+        assert [(r["doc_id"], round(r["score"], 9)) for r in rows] == hybrid
+        for r in rows:
+            assert r["contrib_lex"] + r["contrib_sem"] == pytest.approx(
+                r["score"], abs=1e-12
+            )
+            assert (r["lex_rank"] is None) == (r["contrib_lex"] == 0.0)
+            assert (r["sem_rank"] is None) == (r["contrib_sem"] == 0.0)
+        ix.cache(pin_vectors_mb=512)
+        assert ix._pinned_vecs is not None
+        pinned = [tuple(r) for r in
+                  ix.explain_hybrid("machine learning", limit=15).collect()]
+        assert pinned == [tuple(r) for r in rows]
+        with pytest.raises(ValueError):
+            ix.explain_hybrid("role:user machine")
+
+
 class TestPinnedVectors:
     def test_pinned_equals_distributed(self, spark, tmp_path):
         from xf_spark.engine import XfIndex

@@ -991,6 +991,61 @@ class XfIndex:
             until=until_dt, fuzzy=fuzzy,
         )
 
+    def explain_hybrid(self, query: str, limit: int = 20):
+        """Fusion breakdown for a hybrid query (the RRF analog of
+        ``explain``): per fused top-``limit`` doc, its 0-based rank in
+        the lexical and semantic candidate lists (null when absent)
+        and each source's 1/(K+rank+1) contribution — contributions
+        sum to the fused score. Candidate fetch is identical to the
+        hybrid serving path (3x multiplier, pinned matrix when warm).
+        Query-embedded role filters are refused here: the breakdown
+        mirrors the UNFILTERED fusion the plain hybrid mode runs."""
+        from xf_spark.query.parser import parse_query_extract
+        from xf_spark.query.hybrid import candidate_count, rrf_explain_local
+
+        _, qroles = parse_query_extract(query)
+        if qroles:
+            raise ValueError(
+                "explain_hybrid does not take query-embedded filters"
+            )
+        n = candidate_count(limit)
+        lex = self.segment_index.search_many([query], limit=n)[query]
+        if self._pinned_vecs is not None:
+            sem = self._pinned_topk_block([query], n)[query]
+        else:
+            if self.embeddings is None:
+                raise ValueError(
+                    "hybrid explain requires embeddings "
+                    "(build with with_embeddings=True)"
+                )
+            from xf_spark.query.semantic import semantic_topk_many
+
+            sem = semantic_topk_many(self.embeddings, [query], limit=n)[
+                query
+            ]
+        rows = rrf_explain_local(lex, sem, limit=limit)
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("lex_rank", T.LongType()),
+                T.StructField("sem_rank", T.LongType()),
+                T.StructField("contrib_lex", T.DoubleType()),
+                T.StructField("contrib_sem", T.DoubleType()),
+                T.StructField("score", T.DoubleType()),
+            ]
+        )
+        if not rows:
+            from xf_spark.query.segment_search import empty_local
+
+            return empty_local(self.spark, schema)
+        # list-backed local relation: lex/sem_rank are nullable longs
+        # (None when a doc is in only one list) — a pandas round-trip
+        # would coerce them to NaN floats; this is a debug surface, the
+        # extra materialization cost is irrelevant
+        return self.spark.createDataFrame(rows, schema=schema)
+
     def significant_terms(
         self,
         query: str,

@@ -1090,6 +1090,50 @@ LIMIT 20
 # the IVF candidate path breaks the hash.
 ORACLES["hybrid_ann_full_probe"] = ORACLES["transcripts_hybrid_rrf"]
 
+# Fusion breakdown (hybrid explain): same candidate CTEs, but the
+# fused select exposes each source's rank and 1/(K+rank+1)
+# contribution instead of only the sum.
+ORACLES["hybrid_explain_rrf"] = f"""
+WITH {_TR_BASE}, {_tr_scored("filter")},
+lex AS (
+  SELECT did, row_number() OVER (ORDER BY score DESC, did) - 1 AS r
+  FROM tscored ORDER BY score DESC, did LIMIT 60
+),
+e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+               5) AS c
+  FROM e CROSS JOIN q
+),
+sem AS (
+  SELECT vec_id AS did, row_number() OVER (ORDER BY c DESC, vec_id) - 1 AS r
+  FROM cos ORDER BY c DESC, vec_id LIMIT 60
+),
+fused AS (
+  SELECT coalesce(l.did, s.did) AS doc_id,
+         l.r AS lex_rank,
+         s.r AS sem_rank,
+         coalesce(1.0 / (60 + l.r + 1), 0.0) AS contrib_lex,
+         coalesce(1.0 / (60 + s.r + 1), 0.0) AS contrib_sem,
+         coalesce(1.0 / (60 + l.r + 1), 0.0)
+           + coalesce(1.0 / (60 + s.r + 1), 0.0) AS score,
+         CASE WHEN l.did IS NOT NULL AND s.did IS NOT NULL
+              THEN 1 ELSE 0 END AS in_both
+  FROM lex l FULL OUTER JOIN sem s ON l.did = s.did
+)
+SELECT doc_id, lex_rank, sem_rank,
+       round(contrib_lex, 6) AS contrib_lex,
+       round(contrib_sem, 6) AS contrib_sem,
+       round(score, 6) AS score
+FROM fused
+ORDER BY fused.score DESC, in_both DESC, doc_id
+LIMIT 20
+"""
+
 ORACLES["transcripts_docs_context"] = f"""
 WITH {_TR_BASE}, {_TR_SCORED_SPARK},
 hits AS (SELECT did FROM tscored ORDER BY score DESC, did LIMIT 5),

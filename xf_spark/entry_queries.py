@@ -963,6 +963,34 @@ def transcripts_hybrid_rrf(spark, sf_dir):
     ).select("doc_id", F.round("score", 6).alias("score"))
 
 
+def hybrid_explain_rrf(spark, sf_dir):
+    """Fusion breakdown for the flagship hybrid query (the RRF analog
+    of bm25_explain): per fused top-20 doc, its 0-based rank in each
+    candidate list (null when absent) and each source's 1/(K+rank+1)
+    contribution — the whole decomposition replayed in DuckDB."""
+    from xf_spark.query.hybrid import candidate_count, rrf_explain_local
+
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    n = candidate_count(20)
+    lex = [
+        (r["doc_id"], r["score"])
+        for r in eng.search("filter", limit=n).collect()
+    ]
+    sem = [
+        (r["doc_id"], r["score"])
+        for r in _embeddings_semantic_candidates(spark, sf_dir, n).collect()
+    ]
+    rows = [
+        (d, lr, sr, round(cl, 6), round(cs, 6), round(s, 6))
+        for d, lr, sr, cl, cs, s in rrf_explain_local(lex, sem, limit=20)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema="doc_id long, lex_rank long, sem_rank long, "
+               "contrib_lex double, contrib_sem double, score double",
+    )
+
+
 def hybrid_ann_full_probe(spark, sf_dir):
     """Hybrid with the semantic branch served by the IVF machinery at
     full probe + full k (== exact, so the plain hybrid DuckDB oracle

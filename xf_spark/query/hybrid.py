@@ -126,6 +126,44 @@ def hybrid_search(
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def rrf_explain_local(
+    lex: list, sem: list, limit: int, offset: int = 0
+) -> list[tuple]:
+    """Fusion breakdown (the hybrid analog of the BM25 ``explain``):
+    for each of the top-``limit`` fused docs, the 0-based rank it held
+    in each source list (None when absent) and each source's RRF
+    contribution 1/(K + rank + 1) — contributions sum to the fused
+    score. Same pinned semantics and tiebreaks as _rrf_fuse_local
+    (rank by (score desc, doc_id asc), K=60, score desc / in-both /
+    doc_id asc).
+
+    Returns rows (doc_id, lex_rank, sem_rank, contrib_lex,
+    contrib_sem, score) in fused order."""
+
+    def ranks(rows):
+        order = sorted(rows, key=lambda kv: (-kv[1], kv[0]))
+        return {d: i for i, (d, _s) in enumerate(order)}
+
+    rl, rs = ranks(lex), ranks(sem)
+    fused = []
+    for d in set(rl) | set(rs):
+        cl = 1.0 / (RRF_K + rl[d] + 1) if d in rl else 0.0
+        cs = 1.0 / (RRF_K + rs[d] + 1) if d in rs else 0.0
+        fused.append(
+            (
+                int(d),
+                rl.get(d),
+                rs.get(d),
+                cl,
+                cs,
+                cl + cs,
+                1 if (d in rl and d in rs) else 0,
+            )
+        )
+    fused.sort(key=lambda r: (-r[5], -r[6], r[0]))
+    return [r[:6] for r in fused[offset : offset + limit]]
+
+
 def _rrf_fuse_local(
     lex: list, sem: list, limit: int, offset: int = 0
 ) -> list[tuple[int, float]]:
