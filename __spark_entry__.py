@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_terms": eq.bm25_and_terms,
         "bm25_not_terms": eq.bm25_not_terms,
         "bm25_explain": eq.bm25_explain,
+        "term_complete": eq.term_complete,
         "term_doc_freq": eq.term_doc_freq,
         "corpus_stats_row": eq.corpus_stats_row,
         "doc_token_lengths": eq.doc_token_lengths,

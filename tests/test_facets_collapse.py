@@ -478,6 +478,30 @@ def test_explain_repeated_term_doubles_idf(built):
         assert two[d] == pytest.approx(2 * one[d], rel=1e-9)
 
 
+def test_complete_vs_python(built):
+    """Autocomplete: both engine paths equal a pure-Python df count
+    over the collected corpus (df desc, term asc); malformed prefixes
+    are refused."""
+    ix, eng, _, meta = built
+    df_count: Counter = Counter()
+    for _d, (_conv, _role, _ts, text) in meta.items():
+        for t in set(tokenize(text)):
+            df_count[t] += 1
+    want = sorted(
+        ((t, c) for t, c in df_count.items() if t.startswith("ma")),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got_ix = [(r["term"], r["df"]) for r in ix.complete("ma").collect()]
+    got_eng = [(r["term"], r["df"]) for r in eng.complete("ma").collect()]
+    assert got_ix == want
+    assert got_eng == want
+    for bad in ("two words", "!!!"):
+        with pytest.raises(ValueError):
+            ix.complete(bad)
+        with pytest.raises(ValueError):
+            eng.complete(bad)
+
+
 def test_search_after_validation_and_bm25_twin(built):
     ix, eng, _, _ = built
     with pytest.raises(ValueError):

@@ -180,8 +180,8 @@ def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
     if w in ("help", "h", "?"):
         print("commands: <query> | more | show N | similar N | "
               "refine <terms> | facet <col> [query] | count [query] | "
-              "explain [query] | stats | set mode|limit|roles|fuzzy <v> | "
-              "export json|csv | quit")
+              "explain [query] | complete <prefix> | stats | "
+              "set mode|limit|roles|fuzzy <v> | export json|csv | quit")
     elif w == "facet":
         col, _, fq = rest.partition(" ")
         if not col:
@@ -198,6 +198,18 @@ def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
         q = rest.strip() or state["query"] or ""
         print(ix.count_matches(q, roles=state["roles"],
                                fuzzy=state["fuzzy"]))
+    elif w == "complete":
+        p = rest.strip()
+        if not p:
+            print("complete: usage: complete <prefix>")
+            return
+        try:
+            rows = ix.complete(p, limit=10).collect()
+        except ValueError as exc:
+            print(f"complete: {exc}")
+            return
+        for r in rows:
+            print(f"{r['term']}  {r['df']}")
     elif w == "explain":
         q = rest.strip() or state["query"] or ""
         try:

@@ -991,6 +991,12 @@ class XfIndex:
             until=until_dt, fuzzy=fuzzy,
         )
 
+    def complete(self, prefix: str, limit: int = 10):
+        """Term autocomplete over the index vocabulary (Lucene
+        suggester UX): terms starting with the analyzed ``prefix``,
+        ranked df desc / term asc — (term, df) rows."""
+        return self.segment_index.complete(prefix, limit=limit)
+
     def explain_hybrid(self, query: str, limit: int = 20):
         """Fusion breakdown for a hybrid query (the RRF analog of
         ``explain``): per fused top-``limit`` doc, its 0-based rank in

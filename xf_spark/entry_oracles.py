@@ -127,6 +127,16 @@ CROSS JOIN stats s
 ORDER BY score DESC, tf.doc_id, tf.term
 """
 
+ORACLES["term_complete"] = f"""
+WITH {_TOK}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+FROM tok
+WHERE starts_with(term, 's')
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 15
+"""
+
 ORACLES["term_doc_freq"] = f"""
 WITH {_TOK}
 SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf

@@ -94,6 +94,13 @@ def bm25_explain(spark, sf_dir):
     )
 
 
+def term_complete(spark, sf_dir):
+    """Term autocomplete (Lucene suggester UX): vocabulary terms
+    starting with 's', ranked df desc / term asc — the suggest-as-
+    you-type surface, replayed as a grouped prefix filter in DuckDB."""
+    return _doc_engine(spark, sf_dir).complete("s", limit=15)
+
+
 def term_doc_freq(spark, sf_dir):
     """Top-20 terms by document frequency (SURVEY.md §2.8 top-hashtags
     analog: explode -> lower -> groupBy -> count -> orderBy/limit)."""

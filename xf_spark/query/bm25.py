@@ -388,6 +388,31 @@ class BM25Engine:
             F.desc("score"), F.asc("doc_id"), F.asc("field"), F.asc("term")
         )
 
+    def complete(self, prefix: str, limit: int = 10) -> DataFrame:
+        """Term autocomplete (DataFrame-path twin of
+        SegmentIndex.complete — same contract and ranking): vocabulary
+        terms starting with the analyzed ``prefix``, df desc/term asc.
+        Output: (term string, df long)."""
+        from xf_spark.functions.textcore import tokenize
+
+        toks = tokenize(prefix)
+        if len(toks) != 1:
+            raise ValueError(
+                f"complete expects one analyzable term, got {prefix!r}"
+            )
+        p = toks[0]
+        if self.vocab is not None:
+            vocab = self.vocab.where(F.col("term").startswith(p)).select(
+                "term", F.col("df").cast("long").alias("df")
+            )
+        else:
+            vocab = (
+                self.postings.where(F.col("term").startswith(p))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            )
+        return vocab.orderBy(F.desc("df"), F.asc("term")).limit(limit)
+
     def suggest(self, query: str) -> str | None:
         """Did-you-mean suggestion (DataFrame-path twin of
         SegmentIndex.suggest — same contract and ranking)."""

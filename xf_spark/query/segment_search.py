@@ -935,6 +935,33 @@ class SegmentIndex:
             )
         return out if out != query else None
 
+    def complete(self, prefix: str, limit: int = 10) -> DataFrame:
+        """Term autocomplete (the Lucene suggester UX, beyond the
+        reference's surface): vocabulary terms starting with
+        ``prefix`` (analyzed with the index tokenizer), ranked df
+        desc / term asc. Output: (term string, df long).
+
+        Scale shape: one columnar aggregate over the segments table's
+        (term, n_docs) metadata — no posting decode, no row data; the
+        same scan shape as the fuzzy vocabulary pass. Output is
+        limit-bounded via TakeOrdered."""
+        from xf_spark.functions.textcore import tokenize
+
+        toks = tokenize(prefix)
+        if len(toks) != 1:
+            raise ValueError(
+                f"complete expects one analyzable term, got {prefix!r}"
+            )
+        p = toks[0]
+        vocab = (
+            self._segments.where(
+                (F.col("field") == "text") & F.col("term").startswith(p)
+            )
+            .groupBy("term")
+            .agg(F.sum("n_docs").cast("long").alias("df"))
+        )
+        return vocab.orderBy(F.desc("df"), F.asc("term")).limit(limit)
+
     @staticmethod
     def _entry_bytes(d: dict) -> int:
         n = len(d.get("positions_bin") or b"")
