@@ -149,6 +149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_field_query": eq.transcripts_field_query,
         "transcripts_bm25_merge": eq.transcripts_bm25_merge,
         "transcripts_phrase_hash_join": eq.transcripts_phrase_hash_join,
+        # round-3 query-language extensions: sloppy phrase, boosts,
+        # minimum-should-match (Lucene staples, beyond-reference)
+        "transcripts_near_slop": eq.transcripts_near_slop,
+        "transcripts_boosted_or": eq.transcripts_boosted_or,
+        "transcripts_min_should_match": eq.transcripts_min_should_match,
         "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,
         "hybrid_ann_full_probe": eq.hybrid_ann_full_probe,
         "hybrid_explain_rrf": eq.hybrid_explain_rrf,

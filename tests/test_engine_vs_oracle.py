@@ -28,6 +28,14 @@ QUERY_SET = [
     ("prefix", "progr*", 20),
     ("empty_matchall", "", 20),
     ("unicode_cjk", "日本語のテキストも検索できます", 20),
+    # beyond-reference query-language extensions (round 3): sloppy
+    # phrase, boosted atoms — same rank-identity gate
+    ("near_ml_slop2", '"machine learning"~2', 20),
+    ("near_ml_slop5", '"machine learning"~5', 100),
+    ("near_widening", '"coding rustlang"~3', 50),
+    ("boost_or", "machine^2 OR rust", 20),
+    ("boost_phrase", '"machine learning"^1.5', 20),
+    ("boost_fractional", "machine^0.5 rust", 20),
 ]
 
 
@@ -82,6 +90,65 @@ def test_offset_pagination(built):
     full = oracle.search("rust", limit=30)
     page = _ranks_and_scores(engine.search("rust", limit=10, offset=10))
     assert [d for d, _ in page] == [d for d, _ in full[10:20]]
+
+
+def test_min_should_match(built):
+    """msm=2 over a 3-term OR: rank-identity vs the oracle evaluating
+    the rewritten ("msm", ...) plan; every msm hit matches >= 2 terms
+    and scores exactly its matching-terms sum."""
+    from xf_spark.query.parser import apply_min_should_match, parse_query
+
+    engine, oracle, _ = built
+    q = "rust async machine"
+    plan = apply_min_should_match(parse_query(q), 2)
+    scored = oracle._eval(plan)
+    want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = _ranks_and_scores(engine.search(q, limit=20, min_should_match=2))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (gd, gs, ws)
+    # msm=2 hits are a strict subset of the plain OR's match set, and
+    # every hit matches >= 2 of the terms
+    per_term = {t: oracle._eval(("term", t)) for t in q.split()}
+    for d, _s in got:
+        assert sum(d in p for p in per_term.values()) >= 2
+
+
+def test_min_should_match_unsatisfiable(built):
+    engine, oracle, _ = built
+    assert engine.search("rust", limit=20, min_should_match=2).count() == 0
+    assert (
+        engine.search("rust async", limit=20, min_should_match=3).count() == 0
+    )
+    with pytest.raises(ValueError, match="min_should_match"):
+        engine.search("rust AND async", limit=20, min_should_match=2)
+
+
+def test_near_slop_zero_equals_phrase(built):
+    engine, _, _ = built
+    a = _ranks_and_scores(engine.search('"machine learning"~0', limit=50))
+    b = _ranks_and_scores(engine.search('"machine learning"', limit=50))
+    assert a == b
+
+
+def test_near_widens_phrase(built):
+    """Slop matches are a superset of exact-phrase matches, and grow
+    monotonically with slop."""
+    engine, _, _ = built
+    phrase = {d for d, _ in _ranks_and_scores(engine.search('"coding rustlang"', limit=1000))}
+    near2 = {d for d, _ in _ranks_and_scores(engine.search('"coding rustlang"~2', limit=1000))}
+    near5 = {d for d, _ in _ranks_and_scores(engine.search('"coding rustlang"~5', limit=1000))}
+    assert phrase <= near2 <= near5
+    assert len(near2) > len(phrase)  # fixture corpus has non-adjacent pairs
+
+
+def test_boost_scales_scores(built):
+    engine, _, _ = built
+    base = dict(_ranks_and_scores(engine.search("machine", limit=50)))
+    boosted = dict(_ranks_and_scores(engine.search("machine^2", limit=50)))
+    assert set(base) == set(boosted)
+    for d, s in base.items():
+        assert abs(boosted[d] - 2.0 * s) <= TOL * max(1.0, abs(s))
 
 
 def test_hydration_preserves_turn_text(built):

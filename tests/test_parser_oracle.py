@@ -144,6 +144,80 @@ class TestParser:
         node = parse_query("rust NOT snake")
         assert query_terms(node) == {"rust", "snake"}
 
+    def test_sloppy_phrase(self):
+        assert parse_query('"hash join"~2') == ("near", ["hash", "join"], 2)
+        # ~0 is exact adjacency == a plain phrase node
+        assert parse_query('"hash join"~0') == ("phrase", ["hash", "join"])
+        # single surviving token: slop is meaningless -> plain term
+        assert parse_query('"hash"~3') == ("term", "hash")
+        assert query_terms(parse_query('"a b"~1')) == {"a", "b"}
+
+    def test_boost(self):
+        assert parse_query("rust^2") == ("boost", ("term", "rust"), 2.0)
+        assert parse_query("rust^2.5") == ("boost", ("term", "rust"), 2.5)
+        # ^1 is the identity and unwraps
+        assert parse_query("rust^1") == ("term", "rust")
+        assert parse_query('"hash join"^1.5') == (
+            "boost",
+            ("phrase", ["hash", "join"]),
+            1.5,
+        )
+        assert parse_query('"hash join"~2^1.5') == (
+            "boost",
+            ("near", ["hash", "join"], 2),
+            1.5,
+        )
+        assert parse_query("spark^2 OR join") == (
+            "or",
+            [("boost", ("term", "spark"), 2.0), ("term", "join")],
+        )
+        assert query_terms(parse_query("spark^2 OR join")) == {"spark", "join"}
+        import pytest
+
+        with pytest.raises(ValueError, match="boost"):
+            parse_query("rust^0")
+
+    def test_boost_on_field_default(self):
+        assert parse_query("text:rust^2") == ("boost", ("term", "rust"), 2.0)
+
+    def test_non_numeric_caret_is_not_boost(self):
+        # 'a^b' has no numeric weight -> tokenizes as before (phrase
+        # of the alnum runs), no behavior change for old queries
+        assert parse_query("a^b") == ("phrase", ["a", "b"])
+
+    def test_min_should_match_rewrite(self):
+        from xf_spark.query.parser import apply_min_should_match
+
+        plan = parse_query("a b c")
+        assert apply_min_should_match(plan, 1) == plan
+        assert apply_min_should_match(plan, 2) == (
+            "msm",
+            [("term", "a"), ("term", "b"), ("term", "c")],
+            2,
+        )
+        # more required clauses than present -> matches nothing
+        assert apply_min_should_match(plan, 4) == ("none",)
+        assert apply_min_should_match(parse_query("a"), 2) == ("none",)
+        import pytest
+
+        with pytest.raises(ValueError, match="min_should_match"):
+            apply_min_should_match(parse_query("a AND b"), 2)
+        with pytest.raises(ValueError, match="min_should_match"):
+            apply_min_should_match(parse_query(""), 2)
+
+    def test_msm_fuzzy_expansion_counts_clauses(self):
+        from xf_spark.query.parser import (
+            apply_min_should_match,
+            expand_fuzzy_plan,
+        )
+
+        plan = apply_min_should_match(parse_query("cat dog"), 2)
+        expanded = expand_fuzzy_plan(plan, lambda t: [t, t + "s"])
+        # each clause became an OR of its variants, but the clause
+        # COUNT (and the m bar) is unchanged
+        assert expanded[0] == "msm" and expanded[2] == 2
+        assert [c[0] for c in expanded[1]] == ["or", "or"]
+
 
 DOCS = [
     (0, "rust is a systems programming language"),

@@ -28,6 +28,12 @@ QUERIES = [
     ("python NOT snake", 20),
     ("progr*", 20),
     ("rust rust", 20),
+    # round-3 query-language extensions: sloppy phrase + boosts ride
+    # the same rank-identity gate (oracle shares the grammar)
+    ('"machine learning"~2', 20),
+    ('"coding rustlang"~3', 50),
+    ("machine^2 OR rust", 20),
+    ('"machine learning"^1.5', 20),
 ]
 
 
@@ -686,6 +692,194 @@ def test_filtered_driver_path_pinned_attrs(built):
         ix.docs = saved
         ix._pinned_attrs = None
     assert got == want
+
+
+def test_near_randomized_encode_decode_isomorphism():
+    """Near (sloppy-phrase) twin of the phrase randomized test: 25
+    seeded mini-corpora, real codec encode -> vectorized near DP
+    (eval_plan_on_data) vs a brute-force Python forward DP — covers
+    K=2 and K=3 phrases, slop 1..4, duplicate terms, and the
+    boost/msm node algebra on the same data."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from xf_spark.index.segments import _encode_term
+    from xf_spark.query.segment_search import build_term_data, eval_plan_on_data
+
+    K1, B = 1.2, 0.75
+    rng = random.Random(7)
+
+    def brute_near(toks, terms, slop):
+        pos = {t: [i for i, w in enumerate(toks) if w == t] for t in set(terms)}
+        if any(not pos[t] for t in terms):
+            return False
+        reach = list(pos[terms[0]])
+        for t in terms[1:]:
+            reach = [
+                q for q in pos[t] if any(1 <= q - r <= slop + 1 for r in reach)
+            ]
+            if not reach:
+                return False
+        return True
+
+    for case in range(25):
+        n_docs = rng.randint(1, 40)
+        vocab = ["aa", "bb", "cc", "dd"]
+        docs = {
+            d: [vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(0, 30))]
+            for d in range(n_docs)
+        }
+        total = sum(len(t) for t in docs.values())
+        avgdl = total / n_docs if n_docs else 0.0
+        rows, df_by_term = [], {}
+        for t in vocab:
+            ids, tfs, dls, pos = [], [], [], []
+            for d in sorted(docs):
+                p = [i for i, w in enumerate(docs[d]) if w == t]
+                if p:
+                    ids.append(d)
+                    tfs.append(len(p))
+                    dls.append(len(docs[d]))
+                    pos.append(np.asarray(p, dtype=np.int64))
+            if not ids:
+                continue
+            df_by_term[t] = len(ids)
+            row = _encode_term(
+                t, 0, 0,
+                np.asarray(ids, dtype=np.int64),
+                np.asarray(tfs, dtype=np.int64),
+                np.asarray(dls, dtype=np.int64),
+                pos, avgdl,
+            )
+            row["field"] = "text"
+            rows.append(row)
+        if not rows:
+            continue
+        pdf = pd.DataFrame(rows)
+        data = build_term_data(pdf)
+        idfs = {
+            ("text", t): math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+            for t, df in df_by_term.items()
+        }
+
+        k_terms = 3 if rng.random() < 0.4 else 2
+        terms = [vocab[rng.randrange(len(vocab))] for _ in range(k_terms)]
+        slop = rng.randint(1, 4)
+
+        out = eval_plan_on_data(data, ("near", terms, slop), idfs, avgdl, 100)
+        got = {int(d): round(float(s), 9) for d, s in zip(out["doc_id"], out["score"])}
+        want = {}
+        for d, toks in docs.items():
+            if brute_near(toks, terms, slop):
+                s = 0.0
+                for t in terms:
+                    tf = float(toks.count(t))
+                    dl = float(len(toks))
+                    s += idfs.get(("text", t), 0.0) * tf * (K1 + 1.0) / (
+                        tf + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+                want[d] = round(s, 9)
+        assert got == want, f"case {case} near{terms}~{slop}: {got} != {want}"
+
+        # boost algebra: boost(node, w) == w * node, on a term leaf
+        t0 = terms[0]
+        base = eval_plan_on_data(data, ("term", t0), idfs, avgdl, 100)
+        boosted = eval_plan_on_data(
+            data, ("boost", ("term", t0), 2.5), idfs, avgdl, 100
+        )
+        assert list(boosted["doc_id"]) == list(base["doc_id"])
+        assert np.allclose(boosted["score"], 2.5 * base["score"])
+
+        # msm: m-of-n over all vocab terms vs brute-force count
+        present = sorted(df_by_term)
+        if len(present) >= 2:
+            m = rng.randint(2, len(present))
+            node = ("msm", [("term", t) for t in present], m)
+            out = eval_plan_on_data(data, node, idfs, avgdl, 1000)
+            got_ids = {int(d) for d in out["doc_id"]}
+            want_ids = {
+                d
+                for d, toks in docs.items()
+                if sum(t in toks for t in present) >= m
+            }
+            assert got_ids == want_ids, f"case {case} msm{m}: {got_ids} != {want_ids}"
+
+
+def test_near_scalar_fallback_matches_vectorized(monkeypatch):
+    """Forcing the key bound low (positions + slop >= _POS_B) drops
+    ev_near to the per-candidate scalar DP — results must be identical
+    to the vectorized path on the same encoded postings."""
+    import math
+    import random
+
+    import pandas as pd
+
+    import xf_spark.query.segment_search as ss
+    from xf_spark.index.segments import _encode_term
+    from xf_spark.query.segment_search import build_term_data, eval_plan_on_data
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc"]
+    docs = {
+        d: [vocab[rng.randrange(3)] for _ in range(rng.randint(5, 30))]
+        for d in range(30)
+    }
+    avgdl = sum(len(t) for t in docs.values()) / len(docs)
+    rows, df_by_term = [], {}
+    for t in vocab:
+        ids, tfs, dls, pos = [], [], [], []
+        for d in sorted(docs):
+            p = [i for i, w in enumerate(docs[d]) if w == t]
+            if p:
+                ids.append(d)
+                tfs.append(len(p))
+                dls.append(len(docs[d]))
+                pos.append(np.asarray(p, dtype=np.int64))
+        df_by_term[t] = len(ids)
+        rows.append(
+            dict(
+                _encode_term(
+                    t, 0, 0,
+                    np.asarray(ids, dtype=np.int64),
+                    np.asarray(tfs, dtype=np.int64),
+                    np.asarray(dls, dtype=np.int64),
+                    pos, avgdl,
+                ),
+                field="text",
+            )
+        )
+    data = build_term_data(pd.DataFrame(rows))
+    idfs = {
+        ("text", t): math.log(1 + (30 - df + 0.5) / (df + 0.5))
+        for t, df in df_by_term.items()
+    }
+    plan = ("near", ["aa", "bb"], 2)
+    vec = eval_plan_on_data(dict(data), plan, idfs, avgdl, 100)
+    assert len(vec) > 0  # the fixture must actually match something
+    monkeypatch.setattr(ss, "_POS_B", 8)  # max dl is 30 -> forces scalar
+    # fresh data dict: the _pos memo is fine to share, keys are not cached
+    scal = eval_plan_on_data(dict(data), plan, idfs, avgdl, 100)
+    assert list(vec["doc_id"]) == list(scal["doc_id"])
+    assert np.allclose(vec["score"], scal["score"])
+
+
+def test_segment_min_should_match(built):
+    """SegmentIndex.search(min_should_match=2) == oracle msm plan."""
+    from xf_spark.query.parser import apply_min_should_match, parse_query
+
+    ix, oracle, _, _ = built
+    q = "rust machine language"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in ix.search(q, limit=20, min_should_match=2).collect()
+    ]
+    scored = oracle._eval(apply_min_should_match(parse_query(q), 2))
+    want = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (gd, gs, ws)
 
 
 def test_phrase_randomized_encode_decode_isomorphism():

@@ -1024,6 +1024,108 @@ LIMIT 20
 ORACLES["transcripts_docs_phrase"] = _tr_phrase_sql("spark", "join")
 ORACLES["transcripts_phrase_hash_join"] = _tr_phrase_sql("hash", "join")
 
+
+def _tr_near_sql(first: str, second: str, slop: int) -> str:
+    """Sloppy-phrase oracle ('"a b"~slop' — ordered proximity, gap in
+    [1, slop+1]): the adjacency lambda becomes a nested list_filter
+    scanning the window t[i+1 .. i+1+slop] for the second member;
+    scoring identical to the phrase block (summed per-term BM25)."""
+    return f"""
+WITH {_TR_BASE},
+ptoks AS (
+  SELECT did,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                          x -> lower(x)),
+           x -> x <> '' AND strlen(x) < 40) AS t
+  FROM base
+),
+pcand AS (
+  SELECT did FROM ptoks
+  WHERE len(list_filter(range(1, len(t) + 1),
+            i -> t[i] = '{first}' AND
+                 len(list_filter(range(i + 1, least(i + 1 + {slop}, len(t)) + 1),
+                     j -> t[j] = '{second}')) > 0)) > 0
+),
+ptf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
+        WHERE term IN ('{first}', '{second}') GROUP BY did, term),
+pdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
+        WHERE term IN ('{first}', '{second}') GROUP BY term),
+pscored AS (
+  SELECT ptf.did,
+         sum( ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))
+              * ptf.tf * 2.2
+              / (ptf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
+  FROM ptf
+  JOIN pdf USING (term)
+  JOIN tdl ON tdl.did = ptf.did
+  JOIN pcand ON pcand.did = ptf.did
+  CROSS JOIN tstats s
+  GROUP BY ptf.did
+)
+SELECT b.conv_id, b.turn_idx, round(p.score, 4) AS score
+FROM pscored p JOIN base b ON b.did = p.did
+ORDER BY p.score DESC, p.did
+LIMIT 20
+"""
+
+
+ORACLES["transcripts_near_slop"] = _tr_near_sql("hash", "join", 2)
+
+# boosted OR 'hash^2 OR join': weighted per-term BM25 sum over docs
+# matching ANY member (weights ride the sum; absent terms contribute 0)
+ORACLES["transcripts_boosted_or"] = f"""
+WITH {_TR_BASE},
+wtf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
+        WHERE term IN ('hash', 'join') GROUP BY did, term),
+wdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
+        WHERE term IN ('hash', 'join') GROUP BY term),
+wts AS (SELECT 'hash' AS term, 2.0 AS wt UNION ALL SELECT 'join', 1.0),
+wscored AS (
+  SELECT wtf.did,
+         sum( wts.wt
+              * ln(1 + (s.n - wdf.df + 0.5) / (wdf.df + 0.5))
+              * wtf.tf * 2.2
+              / (wtf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
+  FROM wtf
+  JOIN wdf USING (term)
+  JOIN wts USING (term)
+  JOIN tdl ON tdl.did = wtf.did
+  CROSS JOIN tstats s
+  GROUP BY wtf.did
+)
+SELECT b.conv_id, b.turn_idx, round(w.score, 4) AS score
+FROM wscored w JOIN base b ON b.did = w.did
+ORDER BY w.score DESC, w.did
+LIMIT 20
+"""
+
+# min_should_match=2 over 'spark merge filter': docs matching >= 2 of
+# the should clauses, scored over their MATCHING clauses only
+ORACLES["transcripts_min_should_match"] = f"""
+WITH {_TR_BASE},
+mtf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
+        WHERE term IN ('spark', 'merge', 'filter') GROUP BY did, term),
+mdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
+        WHERE term IN ('spark', 'merge', 'filter') GROUP BY term),
+mscored AS (
+  SELECT mtf.did,
+         sum( ln(1 + (s.n - mdf.df + 0.5) / (mdf.df + 0.5))
+              * mtf.tf * 2.2
+              / (mtf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
+  FROM mtf
+  JOIN mdf USING (term)
+  JOIN tdl ON tdl.did = mtf.did
+  CROSS JOIN tstats s
+  GROUP BY mtf.did
+  HAVING count(DISTINCT mtf.term) >= 2
+)
+SELECT b.conv_id, b.turn_idx, round(m.score, 4) AS score
+FROM mscored m JOIN base b ON b.did = m.did
+ORDER BY m.score DESC, m.did
+LIMIT 20
+"""
+
 # Query-embedded field filter: role:assistant + scored term.
 ORACLES["transcripts_field_query"] = f"""
 WITH {_TR_BASE}, {_tr_scored("spark")}

@@ -922,6 +922,42 @@ def transcripts_phrase_hash_join(spark, sf_dir):
     )
 
 
+def transcripts_near_slop(spark, sf_dir):
+    """Sloppy phrase '"hash join"~2' (beyond-reference; Lucene sloppy-
+    phrase analog restricted to in-order matches): ordered proximity
+    with <= 2 intervening tokens between the members — ~3x the exact
+    phrase's match set on this corpus, so the oracle genuinely
+    discriminates slop from adjacency (DuckDB nested-lambda positional
+    replay)."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated('"hash join"~2', limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+def transcripts_boosted_or(spark, sf_dir):
+    """Boosted OR 'hash^2 OR join' (beyond-reference; Lucene boost):
+    the boosted term's BM25 contribution doubles while the plain
+    term's stands — rides the WAND fast path with the upper bound
+    scaled alongside the scores. Oracle: weighted per-term sum in
+    DuckDB."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated("hash^2 OR join", limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+def transcripts_min_should_match(spark, sf_dir):
+    """min_should_match=2 over 'spark merge filter' (Lucene
+    setMinimumNumberShouldMatch): docs matching >= 2 of the 3 should
+    clauses, scored over their MATCHING clauses only. Oracle: HAVING
+    count(DISTINCT term) >= 2 over the per-term BM25 sum."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated(
+        "spark merge filter", limit=20, min_should_match=2
+    ).select("conv_id", "turn_idx", F.round("score", 4).alias("score"))
+
+
 def _embeddings_semantic_candidates(spark, sf_dir, n):
     """Semantic candidate list for the hybrid differential: cosine
     top-n vs the vec_id=0 embedding from the driver's embeddings table

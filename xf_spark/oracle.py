@@ -130,6 +130,20 @@ class OracleIndex:
             return self._term_scores(node[1], prefix=True)
         if kind == "phrase":
             return self._phrase_scores(node[1])
+        if kind == "near":
+            return self._near_scores(node[1], node[2])
+        if kind == "boost":
+            return {d: s * node[2] for d, s in self._eval(node[1]).items()}
+        if kind == "msm":
+            parts = [self._eval(c) for c in node[1]]
+            m = node[2]
+            out: dict = {}
+            counts: dict = {}
+            for p in parts:
+                for d, s in p.items():
+                    out[d] = out.get(d, 0.0) + s
+                    counts[d] = counts.get(d, 0) + 1
+            return {d: s for d, s in out.items() if counts[d] >= m}
         if kind == "and":
             parts = [self._eval(c) for c in node[1]]
             if not parts:
@@ -170,6 +184,34 @@ class OracleIndex:
             first = plists[0][d]
             rest = [set(p[d]) for p in plists[1:]]
             if any(all((pos + i + 1) in rest[i] for i in range(len(rest))) for pos in first):
+                out[d] = sum(per_term[t].get(d, 0.0) for t in terms)
+        return out
+
+    def _near_scores(self, terms: list[str], slop: int) -> dict:
+        """Ordered proximity ("a b"~slop): terms in query order with at
+        most ``slop`` intervening tokens between CONSECUTIVE members.
+        Forward DP over positions: reach_0 = positions(t0); reach_i =
+        {q in positions(ti) : exists p in reach_{i-1}, 1 <= q-p <=
+        slop+1}. Scoring identical to phrase (summed per-term BM25)."""
+        if not terms:
+            return {}
+        plists = [self.postings.get(t, {}) for t in terms]
+        cand = set(plists[0])
+        for p in plists[1:]:
+            cand &= set(p)
+        per_term = {t: self._term_scores(t) for t in set(terms)}
+        out = {}
+        for d in cand:
+            reach = list(plists[0][d])
+            for p in plists[1:]:
+                nxt = p[d]
+                reach = [
+                    q for q in nxt
+                    if any(1 <= q - r <= slop + 1 for r in reach)
+                ]
+                if not reach:
+                    break
+            if reach:
                 out[d] = sum(per_term[t].get(d, 0.0) for t in terms)
         return out
 

@@ -95,19 +95,21 @@ def budget_for_plan(plan, filtered: bool) -> str:
 
     def kinds(node, acc):
         acc.add(node[0])
-        if node[0] in ("and", "or"):
+        if node[0] in ("and", "or", "msm"):
             for c in node[1]:
                 kinds(c, acc)
         elif node[0] == "not":
             kinds(node[1], acc)
             kinds(node[2], acc)
+        elif node[0] == "boost":
+            kinds(node[1], acc)
         return acc
 
     ks = kinds(plan, set())
-    if "phrase" in ks:
+    if "phrase" in ks or "near" in ks:
         return "search_phrase"
     if "prefix" in ks:
         return "search_wildcard"
-    if ks & {"and", "or", "not"}:
+    if ks & {"and", "or", "not", "msm"}:
         return "search_complex"
     return "search_simple"

@@ -101,6 +101,7 @@ class BM25Engine:
         until=None,
         fuzzy: bool = False,
         after: tuple | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """-> (doc_id, score) top-k, pinned order (score desc, doc_id
         asc). Filters applied pre-top-k; scores stay global. Query-
@@ -110,12 +111,21 @@ class BM25Engine:
         reference's `search.fuzzy` knob, config.rs:75).
         ``after=(score, doc_id)``: cursor pagination — the next page
         STRICTLY after the cursor in result order (search_after
-        semantics; mutually exclusive with offset)."""
+        semantics; mutually exclusive with offset).
+        ``min_should_match=m``: docs must match >= m of a root OR's
+        clauses, scored over matching clauses only (applied before
+        fuzzy expansion — a clause's variant family counts as one)."""
         if after is not None and offset:
             raise ValueError("after and offset are mutually exclusive")
-        from xf_spark.query.parser import expand_fuzzy_plan, parse_query_extract
+        from xf_spark.query.parser import (
+            apply_min_should_match,
+            expand_fuzzy_plan,
+            parse_query_extract,
+        )
 
         plan, qroles = parse_query_extract(query)
+        if min_should_match > 1:
+            plan = apply_min_should_match(plan, min_should_match)
         if fuzzy:
             plan = expand_fuzzy_plan(plan, self.fuzzy_variants)
         if qroles:
@@ -516,6 +526,30 @@ class BM25Engine:
             return self._terms_scored([node[1]], prefix=True)
         if kind == "phrase":
             return self._phrase_scored(node[1])
+        if kind == "near":
+            return self._phrase_scored(node[1], slop=node[2])
+        if kind == "boost":
+            child = self._eval(node[1])
+            return child.select(
+                "doc_id", (F.col("score") * F.lit(node[2])).alias("score")
+            )
+        if kind == "msm":
+            # m-of-n should clauses: OR-style pinned-order union sum
+            # plus a matched-clause count (each clause's doc_ids are
+            # unique, so count(*) per doc == clauses matched)
+            parts = [self._eval(c) for c in node[1]]
+            union = parts[0].withColumn("_pi", F.lit(0))
+            for i, p in enumerate(parts[1:], 1):
+                union = union.unionByName(p.withColumn("_pi", F.lit(i)))
+            return (
+                union.groupBy("doc_id")
+                .agg(
+                    _det_sum_by("_pi", "score").alias("score"),
+                    F.count(F.lit(1)).alias("_nc"),
+                )
+                .where(F.col("_nc") >= node[2])
+                .select("doc_id", "score")
+            )
         if kind == "or":
             flat_terms = [c[1] for c in node[1] if c[0] == "term"]
             others = [c for c in node[1] if c[0] != "term"]
@@ -651,7 +685,12 @@ class BM25Engine:
             out = out.where(F.col("_nt") == len(set(terms))).drop("_nt")
         return out
 
-    def _phrase_scored(self, terms: list[str]) -> DataFrame:
+    def _phrase_scored(self, terms: list[str], slop: int = 0) -> DataFrame:
+        """Positional phrase match; ``slop > 0`` relaxes adjacency to
+        ordered proximity (consecutive gaps in [1, slop+1] — the
+        ("near", terms, slop) node) via a forward DP over the
+        candidate doc's position lists. Candidates and scoring are
+        identical to the exact-phrase path."""
         if "positions" not in self.postings.columns:
             raise ValueError(
                 "phrase queries require postings built with positions "
@@ -681,12 +720,23 @@ class BM25Engine:
         @F.pandas_udf(T.DoubleType())
         def phrase_score(pmaps: pd.Series, dls: pd.Series) -> pd.Series:
             def one(pmap, dl):
-                first = pmap[phrase[0]]
-                rest = [set(pmap[t]) for t in phrase[1:]]
-                ok = any(
-                    all((p + i + 1) in rest[i] for i in range(len(rest)))
-                    for p in first
-                )
+                if slop == 0:
+                    first = pmap[phrase[0]]
+                    rest = [set(pmap[t]) for t in phrase[1:]]
+                    ok = any(
+                        all((p + i + 1) in rest[i] for i in range(len(rest)))
+                        for p in first
+                    )
+                else:
+                    reach = list(pmap[phrase[0]])
+                    for t in phrase[1:]:
+                        reach = [
+                            q for q in pmap[t]
+                            if any(1 <= q - r <= slop + 1 for r in reach)
+                        ]
+                        if not reach:
+                            break
+                    ok = bool(reach)
                 if not ok:
                     return None
                 # score = sum of member-term BM25 (phrase order, dupes

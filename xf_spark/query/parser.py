@@ -37,10 +37,28 @@ dual-field score sum depends on Tantivy-internal per-field stats we
 deliberately don't replicate. Engine and oracle share THIS grammar, so
 they cannot diverge from each other.)
 
+Beyond-reference extensions (Lucene/Tantivy query-language staples the
+reference's parser subset lacks; each is oracled independently):
+
+- sloppy phrase: ``"hash join"~2`` — ordered proximity: the terms
+  appear in query order with at most ``slop`` intervening tokens
+  between CONSECUTIVE members (slop 0 == exact phrase; ``~0`` parses
+  to a plain phrase node). Scoring matches phrase scoring (summed
+  per-term BM25 over matching docs).
+- boost: ``spark^2`` / ``"hash join"^1.5`` — multiplies the atom's
+  score contribution by the (positive) weight. ``^1`` is the
+  identity and unwraps at parse time.
+- minimum-should-match is an API knob (``min_should_match=m`` on the
+  search surfaces), not query syntax — it rewrites a root OR into an
+  ("msm", children, m) node: docs matching >= m of the OR's clauses,
+  scored over their MATCHING clauses only (Lucene BooleanQuery
+  setMinimumNumberShouldMatch semantics).
+
 AST nodes (plain tuples, picklable into Spark closures):
   ("all",) | ("none",) | ("term", t) | ("prefix", p)
-  | ("phrase", [t...]) | ("and", [n...]) | ("or", [n...])
-  | ("not", base, excl)
+  | ("phrase", [t...]) | ("near", [t...], slop) | ("and", [n...])
+  | ("or", [n...]) | ("not", base, excl) | ("boost", node, w)
+  | ("msm", [n...], m)
 """
 
 from __future__ import annotations
@@ -49,12 +67,46 @@ import re
 
 from xf_spark.functions.textcore import tokenize
 
-_TOKEN_RE = re.compile(r'\w+:"[^"]*"|"[^"]*"|\S+')
+_TOKEN_RE = re.compile(
+    r'\w+:"[^"]*"|"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+'
+)
+# trailing ^W boost on any atom (quoted or bare); W = positive decimal
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$", re.DOTALL)
+# "..."~N sloppy-phrase suffix (after any boost has been stripped)
+_SLOP_RE = re.compile(r'^("[^"]*")~(\d+)$', re.DOTALL)
 
 
 def _atom(raw: str):
     """One non-operator token -> AST node (or None if it tokenizes to
-    nothing, e.g. punctuation-only)."""
+    nothing, e.g. punctuation-only). Trailing ``^W`` wraps the atom in
+    a boost node; ``"..."~N`` builds a sloppy phrase."""
+    bm = _BOOST_RE.match(raw)
+    boost = None
+    if bm:
+        w = float(bm[2])
+        if w <= 0:
+            raise ValueError(f"boost must be positive: {raw!r}")
+        raw, boost = bm[1], w
+    node = _atom_base(raw)
+    if node is None:
+        return None
+    if boost is not None and boost != 1.0:
+        node = ("boost", node, boost)
+    return node
+
+
+def _atom_base(raw: str):
+    sm = _SLOP_RE.match(raw)
+    if sm:
+        terms = tokenize(sm[1][1:-1])
+        slop = int(sm[2])
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return ("term", terms[0])
+        if slop == 0:
+            return ("phrase", terms)
+        return ("near", terms, slop)
     if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
         terms = tokenize(raw[1:-1])
         if not terms:
@@ -166,6 +218,28 @@ def parse_query_extract(query: str):
     return acc, (qroles or None)
 
 
+def apply_min_should_match(plan, m: int):
+    """Rewrite a parsed plan for ``min_should_match=m`` (Lucene
+    BooleanQuery setMinimumNumberShouldMatch semantics): a root OR's
+    clauses become m-of-n should clauses; a single-clause plan with
+    m > 1 can never satisfy the bar (-> none); AND/NOT/match-all roots
+    have no should clauses to count — refused loudly rather than
+    silently ignored."""
+    if m <= 1:
+        return plan
+    kind = plan[0]
+    if kind == "or":
+        return ("none",) if m > len(plan[1]) else ("msm", plan[1], m)
+    if kind in ("term", "prefix", "phrase", "near", "boost"):
+        return ("none",)
+    if kind == "none":
+        return plan
+    raise ValueError(
+        f"min_should_match={m} requires an OR query (should clauses); "
+        f"got a {kind!r} root"
+    )
+
+
 def strip_type_filters(query: str) -> str:
     """The raw query text with type:/role: atoms removed — what the
     semantic branch should EMBED when the query carries a doc-type
@@ -206,15 +280,17 @@ def query_terms(node) -> set[str]:
     kind = node[0]
     if kind == "term":
         return {node[1]}
-    if kind == "phrase":
+    if kind in ("phrase", "near"):
         return set(node[1])
-    if kind in ("and", "or"):
+    if kind in ("and", "or", "msm"):
         out: set[str] = set()
         for c in node[1]:
             out |= query_terms(c)
         return out
     if kind == "not":
         return query_terms(node[1]) | query_terms(node[2])
+    if kind == "boost":
+        return query_terms(node[1])
     return set()
 
 
@@ -222,13 +298,15 @@ def prefix_terms(node) -> set[str]:
     kind = node[0]
     if kind == "prefix":
         return {node[1]}
-    if kind in ("and", "or"):
+    if kind in ("and", "or", "msm"):
         out: set[str] = set()
         for c in node[1]:
             out |= prefix_terms(c)
         return out
     if kind == "not":
         return prefix_terms(node[1]) | prefix_terms(node[2])
+    if kind == "boost":
+        return prefix_terms(node[1])
     return set()
 
 
@@ -239,13 +317,15 @@ def fuzzy_term_leaves(node) -> set[str]:
     kind = node[0]
     if kind == "term":
         return {node[1]}
-    if kind in ("and", "or"):
+    if kind in ("and", "or", "msm"):
         out: set[str] = set()
         for c in node[1]:
             out |= fuzzy_term_leaves(c)
         return out
     if kind == "not":
         return fuzzy_term_leaves(node[1]) | fuzzy_term_leaves(node[2])
+    if kind == "boost":
+        return fuzzy_term_leaves(node[1])
     return set()
 
 
@@ -263,12 +343,18 @@ def term_leaf_counts(node):
         return Counter({node[1]: 1}), Counter()
     if kind == "prefix":
         return Counter(), Counter({node[1]: 1})
-    if kind == "phrase":
+    if kind in ("phrase", "near"):
         raise ValueError(
             "explain does not support phrases nested in a larger plan "
             "(a doc can reach the top-k without the adjacency, so "
             "member-term rows would overstate its score); a pure "
             "phrase query IS supported"
+        )
+    if kind == "msm":
+        raise ValueError(
+            "explain does not support min_should_match plans (a doc's "
+            "score sums only its MATCHING clauses, so flat member-term "
+            "rows would overstate it)"
         )
     if kind in ("and", "or"):
         t, p = Counter(), Counter()
@@ -279,6 +365,16 @@ def term_leaf_counts(node):
         return t, p
     if kind == "not":
         return term_leaf_counts(node[1])
+    if kind == "boost":
+        # boost w == w should-copies of the child: scale its leaf
+        # multiplicities (explain's math multiplies idf*tf by count,
+        # which is exactly the boost semantics)
+        t, p = term_leaf_counts(node[1])
+        w = node[2]
+        return (
+            Counter({k: v * w for k, v in t.items()}),
+            Counter({k: v * w for k, v in p.items()}),
+        )
     return Counter(), Counter()  # all / none
 
 
@@ -314,5 +410,16 @@ def expand_fuzzy_plan(plan, variants_fn):
             "not",
             expand_fuzzy_plan(plan[1], variants_fn),
             expand_fuzzy_plan(plan[2], variants_fn),
+        )
+    if kind == "boost":
+        return ("boost", expand_fuzzy_plan(plan[1], variants_fn), plan[2])
+    if kind == "msm":
+        # each CLAUSE expands independently; the m-of-n count is over
+        # clauses, so a clause becoming an OR of variants still counts
+        # as one (matches iff any variant matches)
+        return (
+            "msm",
+            [expand_fuzzy_plan(c, variants_fn) for c in plan[1]],
+            plan[2],
         )
     return plan

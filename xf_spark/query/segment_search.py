@@ -462,7 +462,147 @@ def eval_plan_on_data(
             return bids[m], bsc[m]
         if kind == "phrase":
             return ev_phrase(node[1])
+        if kind == "near":
+            return ev_near(node[1], node[2])
+        if kind == "boost":
+            bids, bsc = ev(node[1])
+            return bids, bsc * node[2]
+        if kind == "msm":
+            # m-of-n should clauses: union-sum like OR, then keep docs
+            # matched by >= m clauses, scored over MATCHING clauses
+            # only (the union sum already is — absent clauses
+            # contribute nothing)
+            m = node[2]
+            parts = [p for p in (ev(c) for c in node[1]) if len(p[0])]
+            if len(parts) < m:
+                return empty
+            uids, total = _or_exhaustive(parts)
+            cnt = np.zeros(len(uids), dtype=np.int64)
+            for ids, _sc in parts:
+                # each part's ids are sorted unique -> membership adds 1
+                idx = np.searchsorted(uids, ids)
+                cnt[idx] += 1
+            keep = cnt >= m
+            return uids[keep], total[keep]
         raise ValueError(f"unknown node {kind}")
+
+    def _phrase_datas(terms: list[str]):
+        """Shared posting/position gathering for phrase-family nodes:
+        -> (datas, pos, tfp) or None if any member term is absent or
+        position-less in this shard."""
+        uniq = sorted(set(terms))
+        datas = {}
+        for t in uniq:
+            d = data.get(("text", t))
+            if d is None or d.get("positions_bin") in (None, b""):
+                return None
+            datas[t] = d
+        from xf_spark.index.codec import decode_positions
+
+        pos = {}
+        for t in uniq:
+            d = datas[t]
+            if "_pos" not in d:
+                d["_pos"] = decode_positions(d["positions_bin"], len(d["ids"]))
+            pos[t] = d["_pos"]
+        tfp = {
+            t: idfs.get(("text", t), 0.0) * _tf_part_memo(datas[t], avgdl)
+            for t in uniq
+        }
+        return datas, pos, tfp
+
+    def _finish_positional(matched: np.ndarray, datas, tfp, terms):
+        """Allowed-mask + summed per-term BM25 for a positional match
+        set (phrase order, dupes double-count — the phrase pin)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if allowed is not None and matched.size:
+            matched = matched[_allowed_mask(matched)]
+        if matched.size == 0:
+            return empty
+        sc = np.zeros(matched.shape, dtype=np.float64)
+        for t in terms:
+            ti = np.searchsorted(datas[t]["ids"], matched)
+            sc += tfp[t][ti]
+        return matched, sc
+
+    def ev_near(terms: list[str], slop: int):
+        """Ordered proximity ("a b"~slop, beyond-reference — Lucene
+        sloppy-phrase analog restricted to in-order matches): terms in
+        query order, each consecutive gap in [1, slop+1]. Vectorized
+        forward DP over occurrence keys doc*B + pos — reach_i =
+        keys(t_i) ∩ (reach_{i-1} + {1..slop+1}); the doc*B framing
+        makes cross-doc reach impossible while positions stay below
+        B - slop - 1 (the same guard as the phrase path, falling back
+        to a per-candidate scalar DP beyond it). Transient memory is
+        |reach|*(slop+1) keys — slop is user-bounded and small."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        got = _phrase_datas(terms)
+        if got is None:
+            return empty
+        datas, pos, tfp = got
+        W = slop + 1
+
+        def keys_of(t: str) -> np.ndarray | None:
+            d = datas[t]
+            plist = pos[t]
+            lens = np.fromiter(
+                (len(p) for p in plist), dtype=np.int64, count=len(plist)
+            )
+            flat = (
+                np.concatenate(plist).astype(np.int64)
+                if len(plist)
+                else np.empty(0, dtype=np.int64)
+            )
+            if flat.size and int(flat.max()) + W >= _POS_B:
+                return None  # scalar fallback
+            docs_rep = np.repeat(d["ids"].astype(np.int64), lens)
+            return docs_rep * _POS_B + flat
+
+        reach = keys_of(terms[0])
+        matched = None
+        if reach is not None:
+            ok = True
+            for t in terms[1:]:
+                if reach.size == 0:
+                    break
+                tk = keys_of(t)
+                if tk is None:
+                    ok = False
+                    break
+                shifted = (
+                    reach[:, None] + np.arange(1, W + 1, dtype=np.int64)
+                ).ravel()
+                reach = tk[np.isin(tk, shifted)]
+            if ok:
+                matched = (
+                    np.unique(reach // _POS_B)
+                    if reach.size
+                    else np.empty(0, dtype=np.int64)
+                )
+        if matched is None:
+            # scalar per-candidate DP (positions beyond the key bound)
+            common = datas[sorted(set(terms))[0]]["ids"]
+            for t in sorted(set(terms))[1:]:
+                common = common[np.isin(common, datas[t]["ids"])]
+            out = []
+            for doc in common:
+                reach_p = pos[terms[0]][
+                    int(np.searchsorted(datas[terms[0]]["ids"], doc))
+                ].tolist()
+                for t in terms[1:]:
+                    nxt = pos[t][
+                        int(np.searchsorted(datas[t]["ids"], doc))
+                    ].tolist()
+                    reach_p = [
+                        q for q in nxt
+                        if any(1 <= q - r <= W for r in reach_p)
+                    ]
+                    if not reach_p:
+                        break
+                if reach_p:
+                    out.append(int(doc))
+            matched = np.asarray(out, dtype=np.int64)
+        return _finish_positional(matched, datas, tfp, terms)
 
     def ev_phrase(terms: list[str]):
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
@@ -563,18 +703,36 @@ def eval_plan_on_data(
         )
 
     # WAND fast path: plan root is a term/prefix leaf or an OR of them
+    def leaf_entry(node):
+        """term/prefix leaf, optionally boost-wrapped, -> WAND entry
+        (scores AND block-max upper bound scaled by the boost, so
+        block-max pruning stays a valid upper bound) — None if the
+        node shape is not WAND-able, [] if the term is absent."""
+        w = 1.0
+        if node[0] == "boost":
+            w = node[2]
+            node = node[1]
+        if node[0] not in ("term", "prefix"):
+            return None
+        fld = "prefix" if node[0] == "prefix" else "text"
+        e = term_entry(fld, node[1])
+        if e is None:
+            return []
+        if w != 1.0:
+            e = (e[0], e[1] * w, e[2], e[3] * w)
+        return [e]
+
     def wand_entries(node):
-        if node[0] in ("term", "prefix"):
-            fld = "prefix" if node[0] == "prefix" else "text"
-            e = term_entry(fld, node[1])
-            return [e] if e is not None else []
-        if node[0] == "or" and all(c[0] in ("term", "prefix") for c in node[1]):
+        le = leaf_entry(node)
+        if le is not None:
+            return le
+        if node[0] == "or":
             out = []
             for c in node[1]:
-                fld = "prefix" if c[0] == "prefix" else "text"
-                e = term_entry(fld, c[1])
-                if e is not None:
-                    out.append(e)
+                le = leaf_entry(c)
+                if le is None:
+                    return None
+                out.extend(le)
             return out
         return None
 
@@ -1027,6 +1185,7 @@ class SegmentIndex:
         exhaustive: bool = False,
         fuzzy: bool = False,
         after: tuple | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """``after=(score, doc_id)``: cursor pagination (Elasticsearch
         search_after) — return the next ``limit`` hits STRICTLY after
@@ -1034,7 +1193,12 @@ class SegmentIndex:
         pagination (whose cost grows as O(offset + limit) per page),
         the cursor keeps every page k-bounded: inside WAND it only
         masks candidates, so block-max pruning still applies. Mutually
-        exclusive with ``offset``."""
+        exclusive with ``offset``.
+
+        ``min_should_match=m``: docs must match >= m of a root OR's
+        clauses (Lucene setMinimumNumberShouldMatch); scored over
+        their matching clauses only. Applied BEFORE fuzzy expansion,
+        so each clause's variant family still counts as one clause."""
         if after is not None:
             if offset:
                 raise ValueError("after and offset are mutually exclusive")
@@ -1051,11 +1215,19 @@ class SegmentIndex:
             else:
                 roles = qroles
         if plan == ("all",):
+            if min_should_match > 1:
+                from xf_spark.query.parser import apply_min_should_match
+
+                apply_min_should_match(plan, min_should_match)  # raises
             if self.docs is None:
                 raise ValueError("match-all requires a docs table")
             out = self.docs.select("doc_id", F.lit(1.0).alias("score"))
             return self._finish(out, limit, offset, roles, since, until, after)
 
+        if min_should_match > 1:
+            from xf_spark.query.parser import apply_min_should_match
+
+            plan = apply_min_should_match(plan, min_should_match)
         if fuzzy:
             plan = self._expand_fuzzy(plan)
         tterms = query_terms(plan)
