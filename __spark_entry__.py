@@ -154,6 +154,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_near_slop": eq.transcripts_near_slop,
         "transcripts_boosted_or": eq.transcripts_boosted_or,
         "transcripts_min_should_match": eq.transcripts_min_should_match,
+        # dictionary-resolved atoms + synonyms (round 3, ES/Lucene
+        # staples): wildcard, ~d fuzzy syntax, phrase-prefix, synonyms
+        "transcripts_wildcard": eq.transcripts_wildcard,
+        "transcripts_fuzzy_syntax": eq.transcripts_fuzzy_syntax,
+        "transcripts_phrase_prefix": eq.transcripts_phrase_prefix,
+        "transcripts_synonyms": eq.transcripts_synonyms,
         "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,
         "hybrid_ann_full_probe": eq.hybrid_ann_full_probe,
         "hybrid_explain_rrf": eq.hybrid_explain_rrf,

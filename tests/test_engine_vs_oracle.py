@@ -36,6 +36,19 @@ QUERY_SET = [
     ("boost_or", "machine^2 OR rust", 20),
     ("boost_phrase", '"machine learning"^1.5', 20),
     ("boost_fractional", "machine^0.5 rust", 20),
+    # dictionary-resolved atoms (round 3): wildcard, ~d fuzzy syntax,
+    # phrase-prefix — engine expands via Spark vocabulary scans, the
+    # oracle via fnmatch/Levenshtein over its postings keys; ranks and
+    # scores must still match exactly
+    ("wildcard_mid", "ma?hine", 20),
+    ("wildcard_star", "mach*ne rust", 20),
+    ("wildcard_leading", "*earning", 20),
+    ("fuzzy_syntax_d1", "machne~1", 20),
+    ("fuzzy_syntax_d2", "machne~2", 50),
+    ("fuzzy_syntax_bare", "machinz~", 20),
+    ("phrase_prefix", '"machine lear*"', 20),
+    ("wildcard_boosted", "te?t^2 OR rust", 20),
+    ("wildcard_not", "rust NOT lear*ng", 20),
 ]
 
 
@@ -140,6 +153,74 @@ def test_near_widens_phrase(built):
     near5 = {d for d, _ in _ranks_and_scores(engine.search('"coding rustlang"~5', limit=1000))}
     assert phrase <= near2 <= near5
     assert len(near2) > len(phrase)  # fixture corpus has non-adjacent pairs
+
+
+def test_synonyms_expand_match_set(built):
+    """Query-time synonyms: rank-identity vs the oracle with the same
+    map, the synonym-expanded match set is a superset of the plain
+    one, and a multi-word synonym behaves as a PHRASE (matches its
+    exact-phrase result set)."""
+    engine, oracle, _ = built
+    syn = {"ml": ["machine learning", "ai"], "rust": ["rustlang"]}
+    for q in ("ml", "rust systems", "ml AND rust"):
+        got = _ranks_and_scores(engine.search(q, limit=30, synonyms=syn))
+        want = oracle.search(q, limit=30, synonyms=syn)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (q, gd, gs, ws)
+    plain = {d for d, _ in _ranks_and_scores(engine.search("rust", limit=1000))}
+    wide = {
+        d
+        for d, _ in _ranks_and_scores(
+            engine.search("rust", limit=1000, synonyms=syn)
+        )
+    }
+    assert plain <= wide
+    # 'ml' is absent from the corpus: with the multi-word synonym the
+    # match set IS the exact-phrase match set
+    ml = {
+        d
+        for d, _ in _ranks_and_scores(engine.search("ml", limit=1000, synonyms=syn))
+        }
+    phrase = {
+        d
+        for d, _ in _ranks_and_scores(engine.search('"machine learning"', limit=1000))
+    }
+    ai = {d for d, _ in _ranks_and_scores(engine.search("ai", limit=1000))}
+    assert ml == phrase | ai
+
+
+def test_wildcard_is_dictionary_or(built):
+    """A wildcard's result equals the explicit OR of its dictionary
+    expansions (the top-terms rewrite contract)."""
+    engine, oracle, _ = built
+    exps = oracle._dictionary_expand("wildcard", "ma?hine")
+    assert exps  # fixture corpus must actually match
+    explicit = " OR ".join(exps)
+    a = _ranks_and_scores(engine.search("ma?hine", limit=30))
+    b = _ranks_and_scores(engine.search(explicit, limit=30))
+    assert a == b
+
+
+def test_fuzzy_syntax_matches_knob(built):
+    """term~1 on a single-term query == fuzzy=True on the same query
+    (same d=1 vocabulary expansion, same ranking)."""
+    engine, _, _ = built
+    a = _ranks_and_scores(engine.search("machne~1", limit=30))
+    b = _ranks_and_scores(engine.search("machne", limit=30, fuzzy=True))
+    assert a == b
+
+
+def test_fuzzy_distance_validation(built):
+    engine, _, _ = built
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fuzzy distance"):
+        engine.search("machne~3", limit=5)
+    # ~0 is the exact term
+    a = _ranks_and_scores(engine.search("machine~0", limit=20))
+    b = _ranks_and_scores(engine.search("machine", limit=20))
+    assert a == b
 
 
 def test_boost_scales_scores(built):

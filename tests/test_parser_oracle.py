@@ -205,6 +205,136 @@ class TestParser:
         with pytest.raises(ValueError, match="min_should_match"):
             apply_min_should_match(parse_query(""), 2)
 
+    def test_wildcard_atoms(self):
+        assert parse_query("te*m") == ("wildcard", "te*m")
+        assert parse_query("t?st") == ("wildcard", "t?st")
+        assert parse_query("*ing") == ("wildcard", "*ing")
+        assert parse_query("TE*M") == ("wildcard", "te*m")  # analyzed
+        # a lone trailing * stays the (cheaper) prefix-field node
+        assert parse_query("te*") == ("prefix", "te")
+        # wildcard-only / no literal char -> dissolves like punctuation
+        assert parse_query("*") == ("none",)
+        assert parse_query("?*?") == ("none",)
+        # non-word chars around wildcards: not a wildcard atom, falls
+        # back to plain tokenization (unchanged old behavior)
+        assert parse_query("a-b*c!") == ("phrase", ["a", "b", "c"])
+        assert parse_query("te?t^2") == ("boost", ("wildcard", "te?t"), 2.0)
+        assert parse_query("rust NOT te*m") == (
+            "not",
+            ("term", "rust"),
+            ("wildcard", "te*m"),
+        )
+
+    def test_fuzzy_atoms(self):
+        assert parse_query("machne~") == ("fuzzy", "machne", 1)
+        assert parse_query("machne~1") == ("fuzzy", "machne", 1)
+        assert parse_query("machne~2") == ("fuzzy", "machne", 2)
+        assert parse_query("machne~0") == ("term", "machne")
+        assert parse_query("MACHNE~1") == ("fuzzy", "machne", 1)
+        assert parse_query("machne~1^2") == (
+            "boost",
+            ("fuzzy", "machne", 1),
+            2.0,
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="fuzzy distance"):
+            parse_query("machne~3")
+        # a base that analyzes to several tokens is NOT a fuzzy atom:
+        # the ~ reads as punctuation (old behavior preserved)
+        assert parse_query("foo~bar") == ("phrase", ["foo", "bar"])
+
+    def test_phrase_prefix_atoms(self):
+        assert parse_query('"machine lear*"') == (
+            "phrase_prefix",
+            ["machine"],
+            "lear",
+        )
+        assert parse_query('"a b lear*"') == (
+            "phrase_prefix",
+            ["a", "b"],
+            "lear",
+        )
+        # single word + * inside quotes: just a prefix atom
+        assert parse_query('"lear*"') == ("prefix", "lear")
+        import pytest
+
+        with pytest.raises(ValueError, match="phrase-prefix"):
+            parse_query('"machine lear*"~2')
+
+    def test_expand_multiterm_plan(self):
+        from xf_spark.query.parser import (
+            expand_multiterm_plan,
+            multiterm_leaves,
+        )
+
+        plan = parse_query("te*m OR machne~2 OR rust")
+        leaves = multiterm_leaves(plan)
+        assert leaves == {("wildcard", "te*m"), ("fuzzy", "machne", 2)}
+        got = expand_multiterm_plan(
+            plan,
+            {
+                ("wildcard", "te*m"): ["term", "team"],
+                ("fuzzy", "machne", 2): ["machine"],
+            },
+        )
+        # expansions splice into the parent OR (WAND stays reachable)
+        assert got == (
+            "or",
+            [
+                ("term", "term"),
+                ("term", "team"),
+                ("term", "machine"),
+                ("term", "rust"),
+            ],
+        )
+        # no dictionary match: wildcard -> none; fuzzy -> exact term
+        got = expand_multiterm_plan(
+            plan,
+            {("wildcard", "te*m"): [], ("fuzzy", "machne", 2): []},
+        )
+        assert got == ("or", [("term", "machne"), ("term", "rust")])
+        # phrase_prefix -> OR of exact phrases
+        pp = parse_query('"machine lear*"')
+        got = expand_multiterm_plan(
+            pp, {("pprefix", "lear"): ["learning", "learner"]}
+        )
+        assert got == (
+            "or",
+            [
+                ("phrase", ["machine", "learning"]),
+                ("phrase", ["machine", "learner"]),
+            ],
+        )
+        assert expand_multiterm_plan(pp, {("pprefix", "lear"): []}) == ("none",)
+
+    def test_expand_synonyms_plan(self):
+        from xf_spark.query.parser import expand_synonyms_plan
+
+        plan = parse_query("ml rust")
+        got = expand_synonyms_plan(
+            plan, {"ml": ["machine learning", "ai"], "rust": ["rustlang"]}
+        )
+        assert got == (
+            "or",
+            [
+                ("term", "ml"),
+                ("phrase", ["machine", "learning"]),
+                ("term", "ai"),
+                ("term", "rust"),
+                ("term", "rustlang"),
+            ],
+        )
+        # keys are analyzed; duplicate synonyms dedup; empty map no-op
+        assert expand_synonyms_plan(plan, {}) == plan
+        assert expand_synonyms_plan(
+            parse_query("ml"), {"ML": ["ai", "ai", "ml"]}
+        ) == ("or", [("term", "ml"), ("term", "ai")])
+        import pytest
+
+        with pytest.raises(ValueError, match="synonym keys"):
+            expand_synonyms_plan(plan, {"machine learning": ["ml"]})
+
     def test_msm_fuzzy_expansion_counts_clauses(self):
         from xf_spark.query.parser import (
             apply_min_should_match,

@@ -34,6 +34,13 @@ QUERIES = [
     ('"coding rustlang"~3', 50),
     ("machine^2 OR rust", 20),
     ('"machine learning"^1.5', 20),
+    # dictionary-resolved atoms: wildcard / ~d fuzzy / phrase-prefix
+    ("ma?hine", 20),
+    ("mach*ne rust", 20),
+    ("*earning", 20),
+    ("machne~2", 50),
+    ('"machine lear*"', 20),
+    ("rust NOT lear*ng", 20),
 ]
 
 
@@ -863,6 +870,40 @@ def test_near_scalar_fallback_matches_vectorized(monkeypatch):
     scal = eval_plan_on_data(dict(data), plan, idfs, avgdl, 100)
     assert list(vec["doc_id"]) == list(scal["doc_id"])
     assert np.allclose(vec["score"], scal["score"])
+
+
+def test_segment_synonyms(built):
+    """SegmentIndex.search(synonyms=...) == oracle with the same map;
+    multi-word synonyms act as phrases."""
+    ix, oracle, _, _ = built
+    syn = {"ml": ["machine learning", "ai"], "rust": ["rustlang"]}
+    for q in ("ml", "rust systems", "ml AND rust"):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in ix.search(q, limit=25, synonyms=syn).collect()
+        ]
+        want = oracle.search(q, limit=25, synonyms=syn)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (q, gd, gs, ws)
+
+
+def test_segment_multiterm_msearch(built):
+    """Dictionary-resolved atoms through the batch path: search_many
+    results == per-query oracle, and the expansion memo serves
+    repeated leaves without extra scans."""
+    ix, oracle, _, _ = built
+    qs = ["ma?hine", "machne~2", '"machine lear*"', "ma?hine rust"]
+    res = ix.search_many(qs, limit=15)
+    for q in qs:
+        got = [(d, round(s, 9)) for d, s in res[q]]
+        want = [(d, round(s, 9)) for d, s in oracle.search(q, limit=15)]
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (gd, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) <= TOL * max(1.0, abs(ws)), (q, gd, gs, ws)
+    assert ("wildcard", "ma?hine") in ix._multiterm_memo
+    assert ("fuzzy", "machne", 2) in ix._multiterm_memo
+    assert ("pprefix", "lear") in ix._multiterm_memo
 
 
 def test_segment_min_should_match(built):

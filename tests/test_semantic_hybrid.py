@@ -702,3 +702,52 @@ class TestMoreLikeThis:
         )
         with pytest.raises(ValueError):
             ix.more_like_this("conv5000000000000", 0)
+
+
+class TestSynonymsFacade:
+    """XfIndex-level synonyms knob: lexical passthrough + loud
+    rejection on the semantic/hybrid modes."""
+
+    @pytest.fixture(scope="class")
+    def syn_ix(self, spark, tmp_path_factory):
+        from xf_spark.engine import XfIndex
+        from xf_spark.transcripts import load_transcripts
+
+        path = str(tmp_path_factory.mktemp("synix") / "idx")
+        return XfIndex.build(load_transcripts(spark, 0.001), path, slices=1)
+
+    def test_lexical_passthrough(self, syn_ix):
+        syn = {"ml": ["machine learning", "ai"]}
+        got = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in syn_ix.search(
+                "ml", mode="lexical", limit=15, synonyms=syn
+            ).collect()
+        ]
+        want = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in syn_ix.segment_index.search(
+                "ml", limit=15, synonyms=syn
+            ).collect()
+        ]
+        assert got and [d for d, _ in got] == [d for d, _ in want]
+
+    def test_non_lexical_rejected(self, syn_ix):
+        for mode in ("semantic", "hybrid"):
+            with pytest.raises(ValueError, match="synonyms"):
+                syn_ix.search(
+                    "ml", mode=mode, limit=5, synonyms={"ml": ["ai"]}
+                )
+
+    def test_wildcard_rides_fast_path(self, syn_ix):
+        # dictionary-resolved atoms through the XfIndex rows fast path
+        # == the SegmentIndex DataFrame route
+        a = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in syn_ix.search("ma?hine", mode="lexical", limit=10).collect()
+        ]
+        b = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in syn_ix.segment_index.search("ma?hine", limit=10).collect()
+        ]
+        assert a and a == b

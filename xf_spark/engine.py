@@ -804,6 +804,7 @@ class XfIndex:
         n_probe: int = 4,
         fuzzy: bool = False,
         after: tuple | None = None,
+        synonyms: dict | None = None,
     ) -> DataFrame:
         """Mode dispatch lexical | semantic | hybrid (aliases bm25 |
         vector | rrf, hybrid.rs:51-85); natural-language since/until;
@@ -830,6 +831,11 @@ class XfIndex:
         )
         if after is not None and mode_n != "lexical":
             raise ValueError("after (cursor pagination) is lexical-only")
+        if synonyms and mode_n != "lexical":
+            raise ValueError(
+                "synonyms apply to lexical mode (the semantic branch is "
+                "synonym-tolerant by embedding construction)"
+            )
         if (
             mode_n in ("lexical", "semantic", "hybrid")
             and not context
@@ -840,6 +846,7 @@ class XfIndex:
             and roles is None
             and since is None
             and until is None
+            and synonyms is None
             and query.strip()
             and not (
                 mode_n in ("semantic", "hybrid") and self.embeddings is None
@@ -879,6 +886,7 @@ class XfIndex:
             n_probe=n_probe,
             fuzzy=fuzzy,
             after=after,
+            synonyms=synonyms,
         )
         if context:
             # conversation-context view: a different output SHAPE
@@ -1126,6 +1134,7 @@ class XfIndex:
         n_probe: int = 4,
         fuzzy: bool = False,
         after: tuple | None = None,
+        synonyms: dict | None = None,
     ) -> DataFrame:
         """search() up to the ranked (doc_id, score) hits — no
         hydration/sort/snippets. msearch's filtered members use this
@@ -1172,7 +1181,7 @@ class XfIndex:
         elif mode == "lexical":
             hits = self.segment_index.search(
                 query, limit=limit, offset=offset, fuzzy=fuzzy, after=after,
-                **common
+                synonyms=synonyms, **common
             )
         elif mode == "semantic":
             if self.embeddings is None:

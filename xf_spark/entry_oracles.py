@@ -1381,6 +1381,151 @@ LIMIT 20
 """
 
 
+def _tr_expansion_or_sql(conds: list[str]) -> str:
+    """Dictionary-expansion OR oracle (wildcard / ~d fuzzy atoms):
+    each ``cond`` (a SQL predicate over ``term``) is one atom's
+    expansion — matching vocabulary terms ranked df desc / term asc,
+    capped at 50 (MULTITERM_MAX_EXPANSIONS) — and the atoms' leaf
+    lists concatenate into one OR where every leaf is scored with its
+    OWN idf (the engines' expand_multiterm_plan semantics)."""
+    sets = "\n  UNION ALL\n".join(
+        f"""  SELECT term, df FROM (
+    SELECT term, count(DISTINCT did)::DOUBLE AS df
+    FROM ttok WHERE {c}
+    GROUP BY term ORDER BY df DESC, term LIMIT 50)"""
+        for c in conds
+    )
+    return f"""
+WITH {_TR_BASE},
+tvar AS (
+{sets}
+),
+ttf AS (
+  SELECT ttok.term, did, count(*)::DOUBLE AS tf
+  FROM ttok JOIN (SELECT DISTINCT term FROM tvar) v USING (term)
+  GROUP BY ttok.term, did
+),
+tscored AS (
+  SELECT ttf.did,
+         sum(ln(1 + (s.n - v.df + 0.5) / (v.df + 0.5)) * ttf.tf * 2.2
+           / (ttf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl))) AS score
+  FROM tvar v
+  JOIN ttf ON ttf.term = v.term
+  JOIN tdl ON tdl.did = ttf.did
+  CROSS JOIN tstats s
+  GROUP BY ttf.did
+)
+SELECT b.conv_id, b.turn_idx, round(t.score, 4) AS score
+FROM tscored t JOIN base b ON b.did = t.did
+ORDER BY t.score DESC, t.did
+LIMIT 20
+"""
+
+
+# wildcard atoms: LIKE expansion per pattern ('s?a*' -> s_a%,
+# 'ha?h' -> ha_h), leaves concatenated into one OR
+ORACLES["transcripts_wildcard"] = _tr_expansion_or_sql(
+    ["term LIKE 's_a%'", "term LIKE 'ha_h'"]
+)
+
+# fuzzy syntax sort~2: Levenshtein<=2 neighbors (DuckDB levenshtein ==
+# Spark F.levenshtein == the oracle's DP — plain edit distance)
+ORACLES["transcripts_fuzzy_syntax"] = _tr_expansion_or_sql(
+    ["levenshtein(term, 'sort') <= 2"]
+)
+
+# phrase-prefix "filter s*": the trailing prefix expands (df desc,
+# term asc, cap 50); each expansion e is the exact phrase
+# ('filter', e) — positional adjacency required, contribution =
+# bm25(filter) + bm25(e), summed over MATCHING expansions per doc
+ORACLES["transcripts_phrase_prefix"] = f"""
+WITH {_TR_BASE},
+pexp AS MATERIALIZED (
+  SELECT term, count(DISTINCT did)::DOUBLE AS df
+  FROM ttok WHERE term LIKE 's%'
+  GROUP BY term ORDER BY df DESC, term LIMIT 50
+),
+ptoks AS MATERIALIZED (
+  SELECT did,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                          x -> lower(x)),
+           x -> x <> '' AND strlen(x) < 40) AS t
+  FROM base
+),
+-- MATERIALIZED: without it DuckDB inlines these CTEs into the
+-- 6-way scoring join and re-evaluates the per-row list lambdas
+-- inside the reordered join tree (observed: minutes + tens of GB
+-- instead of 0.1 s on 4k docs)
+pcand AS MATERIALIZED (
+  SELECT p.did, e.term
+  FROM ptoks p CROSS JOIN pexp e
+  WHERE len(list_filter(range(1, len(p.t)),
+                        i -> p.t[i] = 'filter' AND p.t[i + 1] = e.term)) > 0
+),
+tffix AS (SELECT did, count(*)::DOUBLE AS tf FROM ttok
+          WHERE term = 'filter' GROUP BY did),
+dffix AS (SELECT count(*)::DOUBLE AS df FROM tffix),
+tfe AS (
+  SELECT did, ttok.term, count(*)::DOUBLE AS tf
+  FROM ttok JOIN (SELECT term FROM pexp) v USING (term)
+  GROUP BY did, ttok.term
+),
+pscored AS (
+  SELECT c.did,
+         sum( ln(1 + (s.n - fx.df + 0.5) / (fx.df + 0.5))
+              * tfx.tf * 2.2
+              / (tfx.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl))
+            + ln(1 + (s.n - e.df + 0.5) / (e.df + 0.5))
+              * tfe.tf * 2.2
+              / (tfe.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
+  FROM pcand c
+  JOIN tffix tfx ON tfx.did = c.did
+  CROSS JOIN dffix fx
+  JOIN pexp e ON e.term = c.term
+  JOIN tfe ON tfe.did = c.did AND tfe.term = c.term
+  JOIN tdl ON tdl.did = c.did
+  CROSS JOIN tstats s
+  GROUP BY c.did
+)
+SELECT b.conv_id, b.turn_idx, round(p.score, 4) AS score
+FROM pscored p JOIN base b ON b.did = p.did
+ORDER BY p.score DESC, p.did
+LIMIT 20
+"""
+
+# query-time synonyms: OR(term merge, term join, PHRASE 'hash join')
+# — two per-term BM25 legs UNION ALL the positional phrase leg (the
+# shared _tr_phrase_block arithmetic), summed per doc
+ORACLES["transcripts_synonyms"] = f"""
+WITH {_TR_BASE},
+{_tr_phrase_block("hash", "join")},
+sdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
+        WHERE term IN ('merge', 'join') GROUP BY term),
+stf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
+        WHERE term IN ('merge', 'join') GROUP BY did, term),
+sterm AS (
+  SELECT stf.did,
+         ln(1 + (s.n - sdf.df + 0.5) / (sdf.df + 0.5)) * stf.tf * 2.2
+           / (stf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) AS score
+  FROM stf
+  JOIN sdf USING (term)
+  JOIN tdl ON tdl.did = stf.did
+  CROSS JOIN tstats s
+),
+sall AS (
+  SELECT did, score FROM sterm
+  UNION ALL
+  SELECT did, score FROM pscored
+),
+stotal AS (SELECT did, sum(score) AS score FROM sall GROUP BY did)
+SELECT b.conv_id, b.turn_idx, round(t.score, 4) AS score
+FROM stotal t JOIN base b ON b.did = t.did
+ORDER BY t.score DESC, t.did
+LIMIT 20
+"""
+
+
 def _tr_msearch_member(qid: str, term: str) -> str:
     """One term member of the msearch union: top-10 (did, score)."""
     return f"""

@@ -958,6 +958,55 @@ def transcripts_min_should_match(spark, sf_dir):
     ).select("conv_id", "turn_idx", F.round("score", 4).alias("score"))
 
 
+def transcripts_wildcard(spark, sf_dir):
+    """Wildcard atoms 's?a* OR ha?h' (beyond-reference; Lucene
+    WildcardQuery under a top-terms rewrite): each pattern expands
+    against the term dictionary — 's?a*' -> {scan, small, spark} on
+    this corpus, 'ha?h' -> {hash} — into an OR where every expansion
+    carries its OWN idf. Oracle: the same LIKE expansion (df desc,
+    term asc, cap 50) replayed in DuckDB."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated("s?a* OR ha?h", limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+def transcripts_fuzzy_syntax(spark, sf_dir):
+    """Fuzzy term syntax 'sort~2' (Lucene FuzzyQuery syntax; the
+    fuzzy=True knob is query-wide d=1): Levenshtein<=2 dictionary
+    neighbors — {sort, part} here — OR-scored with per-variant idf.
+    Oracle: DuckDB levenshtein() expansion, same ranking and cap."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated("sort~2", limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+def transcripts_phrase_prefix(spark, sf_dir):
+    """Phrase-prefix '"filter s*"' (Elasticsearch match_phrase_prefix):
+    the trailing word is a dictionary prefix — six s-expansions here —
+    and the atom becomes an OR of exact phrases ('filter small',
+    'filter scan', ...), summed where several match. Oracle: per-
+    expansion positional adjacency + two-term BM25 sum in DuckDB."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated('"filter s*"', limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
+def transcripts_synonyms(spark, sf_dir):
+    """Query-time synonyms (Elasticsearch synonym-filter UX):
+    search('merge', synonyms={'merge': ['join', 'hash join']}) scores
+    OR(term merge, term join, PHRASE 'hash join') — the multi-word
+    synonym honors positions instead of degrading to word soup.
+    Oracle: term-BM25 legs UNION ALL the positional phrase leg,
+    summed per doc in DuckDB."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated(
+        "merge", limit=20, synonyms={"merge": ["join", "hash join"]}
+    ).select("conv_id", "turn_idx", F.round("score", 4).alias("score"))
+
+
 def _embeddings_semantic_candidates(spark, sf_dir, n):
     """Semantic candidate list for the hybrid differential: cosine
     top-n vs the vec_id=0 embedding from the driver's embeddings table

@@ -22,6 +22,7 @@ Pinned scoring semantics (FIXTURES.md §4, README.md:995-1000):
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -37,6 +38,25 @@ CANDIDATE_MULTIPLIER = 3
 
 def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _levenshtein(a: str, b: str, cutoff: int) -> int:
+    """Plain Levenshtein distance (insert/delete/substitute, cost 1 —
+    the F.levenshtein / DuckDB levenshtein() definition), early-exited
+    to cutoff+1 when every value in a DP row exceeds the cutoff."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        if min(cur) > cutoff:
+            return cutoff + 1
+        prev = cur
+    return prev[-1]
 
 
 def bm25_tf_part(tf: float, dl: float, avgdl: float) -> float:
@@ -97,6 +117,7 @@ class OracleIndex:
         query: str,
         limit: int = 20,
         doc_filter=None,
+        synonyms: dict | None = None,
     ) -> list[tuple]:
         """Query language parity with the reference QueryParser subset
         (README.md:1384-1390): bare terms (OR... Tantivy default is OR
@@ -111,6 +132,10 @@ class OracleIndex:
         from xf_spark.query.parser import parse_query  # shared grammar
 
         plan = parse_query(query)
+        if synonyms:
+            from xf_spark.query.parser import expand_synonyms_plan
+
+            plan = expand_synonyms_plan(plan, synonyms)
         scored = self._eval(plan)
         if doc_filter is not None:
             scored = {d: s for d, s in scored.items() if doc_filter(d)}
@@ -132,6 +157,23 @@ class OracleIndex:
             return self._phrase_scores(node[1])
         if kind == "near":
             return self._near_scores(node[1], node[2])
+        if kind == "wildcard":
+            exps = self._dictionary_expand("wildcard", node[1])
+            if not exps:
+                return {}
+            return self._eval(("or", [("term", t) for t in exps]))
+        if kind == "fuzzy":
+            exps = self._dictionary_expand("fuzzy", node[1], node[2])
+            if not exps:
+                exps = [node[1]]
+            return self._eval(("or", [("term", t) for t in exps]))
+        if kind == "phrase_prefix":
+            exps = self._dictionary_expand("pprefix", node[2])
+            if not exps:
+                return {}
+            return self._eval(
+                ("or", [("phrase", list(node[1]) + [e]) for e in exps])
+            )
         if kind == "boost":
             return {d: s * node[2] for d, s in self._eval(node[1]).items()}
         if kind == "msm":
@@ -186,6 +228,35 @@ class OracleIndex:
             if any(all((pos + i + 1) in rest[i] for i in range(len(rest))) for pos in first):
                 out[d] = sum(per_term[t].get(d, 0.0) for t in terms)
         return out
+
+    def _dictionary_expand(self, kind: str, arg: str, d: int = 1) -> list:
+        """Term-dictionary expansion for wildcard / ~d fuzzy / phrase-
+        prefix atoms — the same contract as the engines'
+        _multiterm_variants: matching vocabulary terms ranked
+        (df desc, term asc), capped at MULTITERM_MAX_EXPANSIONS.
+        Distances are plain Levenshtein (matching Spark's F.levenshtein
+        and DuckDB's levenshtein())."""
+        from xf_spark.query.parser import MULTITERM_MAX_EXPANSIONS
+        from xf_spark.query.segment_search import FUZZY_MIN_LEN
+
+        if kind == "wildcard":
+            import fnmatch
+
+            rx = re.compile(fnmatch.translate(arg))
+            match = lambda t: rx.match(t) is not None  # noqa: E731
+        elif kind == "fuzzy":
+            if len(arg) < FUZZY_MIN_LEN:
+                return [arg]
+            match = lambda t: (
+                abs(len(t) - len(arg)) <= d
+                and _levenshtein(t, arg, d) <= d
+            )  # noqa: E731
+        else:  # pprefix
+            match = lambda t: t.startswith(arg)  # noqa: E731
+        ranked = sorted(
+            ((-len(plist), t) for t, plist in self.postings.items() if match(t)),
+        )
+        return [t for _, t in ranked[:MULTITERM_MAX_EXPANSIONS]]
 
     def _near_scores(self, terms: list[str], slop: int) -> dict:
         """Ordered proximity ("a b"~slop): terms in query order with at

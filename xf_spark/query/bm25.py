@@ -88,6 +88,9 @@ class BM25Engine:
     # fuzzy-expansion memo: query term -> sorted variant list (the
     # vocabulary is static per engine build)
     _fuzzy_memo: dict = field(default_factory=dict, repr=False)
+    # dictionary-expansion memo for wildcard / ~d fuzzy / phrase-prefix
+    # atoms: multiterm_leaves key -> ranked term list
+    _multiterm_memo: dict = field(default_factory=dict, repr=False)
 
     # -- public API -------------------------------------------------------
 
@@ -102,6 +105,7 @@ class BM25Engine:
         fuzzy: bool = False,
         after: tuple | None = None,
         min_should_match: int = 1,
+        synonyms: dict | None = None,
     ) -> DataFrame:
         """-> (doc_id, score) top-k, pinned order (score desc, doc_id
         asc). Filters applied pre-top-k; scores stay global. Query-
@@ -126,8 +130,13 @@ class BM25Engine:
         plan, qroles = parse_query_extract(query)
         if min_should_match > 1:
             plan = apply_min_should_match(plan, min_should_match)
+        if synonyms:
+            from xf_spark.query.parser import expand_synonyms_plan
+
+            plan = expand_synonyms_plan(plan, synonyms)
         if fuzzy:
             plan = expand_fuzzy_plan(plan, self.fuzzy_variants)
+        plan = self._expand_multiterm(plan)
         if qroles:
             if roles:
                 roles = sorted(set(roles) & set(qroles))
@@ -200,6 +209,7 @@ class BM25Engine:
                 roles = qroles
         if fuzzy and plan != ("all",):
             plan = expand_fuzzy_plan(plan, self.fuzzy_variants)
+        plan = self._expand_multiterm(plan)
         scored = self._eval(plan)
         if roles or since is not None or until is not None:
             attrs = self.docs.select("doc_id", "role", "ts")
@@ -321,6 +331,7 @@ class BM25Engine:
         plan, qroles = parse_query_extract(query)
         if fuzzy:
             plan = expand_fuzzy_plan(plan, self.fuzzy_variants)
+        plan = self._expand_multiterm(plan)
         if plan[0] == "phrase":
             # PURE phrase: every top-k doc satisfies the adjacency by
             # construction, and the pinned phrase score IS the sum of
@@ -624,6 +635,75 @@ class BM25Engine:
         variants = [r["term"] for r in rows] or [term]
         self._fuzzy_memo[term] = variants
         return variants
+
+    def _vocab_df(self) -> DataFrame:
+        """(term, df) over the text field — the cached vocab table when
+        available, else a postings aggregate."""
+        if self.vocab is not None:
+            return self.vocab.select("term", "df")
+        return self.postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    def _multiterm_variants(self, leaves) -> dict:
+        """Resolve dictionary-expansion leaves against the vocabulary
+        (same contract and ranking as SegmentIndex._multiterm_variants:
+        df desc, term asc, capped at MULTITERM_MAX_EXPANSIONS; memoized
+        per engine build)."""
+        from xf_spark.query.parser import (
+            MULTITERM_MAX_EXPANSIONS,
+            wildcard_literal_prefix,
+            wildcard_to_like,
+        )
+        from xf_spark.query.segment_search import FUZZY_MIN_LEN
+
+        out: dict = {}
+        for leaf in leaves:
+            if leaf in self._multiterm_memo:
+                out[leaf] = self._multiterm_memo[leaf]
+                continue
+            kind = leaf[0]
+            if kind == "fuzzy":
+                t, d = leaf[1], leaf[2]
+                if len(t) < FUZZY_MIN_LEN:
+                    out[leaf] = self._multiterm_memo[leaf] = [t]
+                    continue
+                if d == 1:
+                    out[leaf] = self._multiterm_memo[leaf] = (
+                        self.fuzzy_variants(t)
+                    )
+                    continue
+                cond = F.length("term").between(len(t) - d, len(t) + d) & (
+                    F.levenshtein(F.col("term"), F.lit(t)) <= d
+                )
+            elif kind == "wildcard":
+                pat = leaf[1]
+                cond = F.col("term").like(wildcard_to_like(pat))
+                lit = wildcard_literal_prefix(pat)
+                if lit:
+                    cond = F.col("term").startswith(lit) & cond
+            else:  # pprefix
+                cond = F.col("term").startswith(leaf[1])
+            rows = (
+                self._vocab_df()
+                .where(cond)
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(MULTITERM_MAX_EXPANSIONS)
+                .collect()
+            )
+            out[leaf] = self._multiterm_memo[leaf] = [r["term"] for r in rows]
+        return out
+
+    def _expand_multiterm(self, plan):
+        """Rewrite wildcard / ~d fuzzy / phrase-prefix atoms into
+        classic nodes (no-op when the plan has none)."""
+        from xf_spark.query.parser import (
+            expand_multiterm_plan,
+            multiterm_leaves,
+        )
+
+        leaves = multiterm_leaves(plan)
+        if not leaves:
+            return plan
+        return expand_multiterm_plan(plan, self._multiterm_variants(leaves))
 
     def _term_dfs(self, terms: list[str], prefix: bool = False) -> dict:
         """df per query term. Resolved from the cached vocab table when

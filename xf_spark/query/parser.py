@@ -53,12 +53,38 @@ reference's parser subset lacks; each is oracled independently):
   ("msm", children, m) node: docs matching >= m of the OR's clauses,
   scored over their MATCHING clauses only (Lucene BooleanQuery
   setMinimumNumberShouldMatch semantics).
+- wildcard term: ``te*m`` / ``t?st`` / ``*ing`` — ``*`` = any run,
+  ``?`` = one char (Lucene WildcardQuery). Resolved at search time
+  against the term dictionary: the MULTITERM_MAX_EXPANSIONS
+  highest-df matching terms (df desc, term asc — the fuzzy ranking)
+  become an OR, each scored with its own idf. A bare trailing ``*``
+  with no other wildcard stays a ("prefix",) node (the edge-n-gram
+  field is cheaper than a dictionary scan).
+- fuzzy term: ``machne~`` / ``machne~1`` / ``machne~2`` — Levenshtein
+  distance d vocabulary neighbors (Lucene FuzzyQuery syntax; the
+  fuzzy=True knob is the query-wide d=1 equivalent). Bare ``~``
+  pins d=1 — the knob's distance — not Lucene's default 2; ``~0``
+  unwraps to the exact term; d > 2 is rejected (as in Lucene).
+  Terms shorter than FUZZY_MIN_LEN stay exact (AUTO clamping).
+- phrase prefix: ``"machine lear*"`` — match_phrase_prefix: the last
+  word is a dictionary prefix; the atom expands to an OR of exact
+  phrases, one per expansion (capped, df desc). OR-of-phrase scoring
+  applies: a doc matching several expansions sums them.
+
+The three dictionary-resolved atoms parse to UNRESOLVED nodes
+(("wildcard", pat) | ("fuzzy", t, d) | ("phrase_prefix", fixed, pfx));
+every engine rewrites them with expand_multiterm_plan + its own
+vocabulary before evaluation, so downstream operators only ever see
+the classic node kinds. Expansion is one term-dictionary scan per
+novel leaf (the same cost class as Lucene's FST automaton walk),
+memoized per index lifetime, and the cap bounds downstream cost.
 
 AST nodes (plain tuples, picklable into Spark closures):
   ("all",) | ("none",) | ("term", t) | ("prefix", p)
   | ("phrase", [t...]) | ("near", [t...], slop) | ("and", [n...])
   | ("or", [n...]) | ("not", base, excl) | ("boost", node, w)
-  | ("msm", [n...], m)
+  | ("msm", [n...], m) | ("wildcard", pat) | ("fuzzy", t, d)
+  | ("phrase_prefix", [fixed...], pfx)
 """
 
 from __future__ import annotations
@@ -74,6 +100,30 @@ _TOKEN_RE = re.compile(
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$", re.DOTALL)
 # "..."~N sloppy-phrase suffix (after any boost has been stripped)
 _SLOP_RE = re.compile(r'^("[^"]*")~(\d+)$', re.DOTALL)
+# bare-term ~d fuzzy suffix: base~ | base~0..9 (after boost strip)
+_FUZZY_RE = re.compile(r"^([^\s\"~]+)~(\d?)$", re.DOTALL)
+
+# dictionary-expansion cap shared by wildcard / fuzzy / phrase-prefix
+# atoms across every engine AND the oracles (Lucene FuzzyQuery's
+# maxExpansions default) — ranking is always (df desc, term asc)
+MULTITERM_MAX_EXPANSIONS = 50
+
+
+def wildcard_to_like(pat: str) -> str:
+    """Wildcard pattern -> SQL LIKE pattern (``*``->%, ``?``->_).
+    Pattern chars are restricted to alphanumerics + wildcards at parse
+    time, so no LIKE metacharacter escaping is needed."""
+    return pat.replace("*", "%").replace("?", "_")
+
+
+def wildcard_literal_prefix(pat: str) -> str:
+    """The literal run before the first wildcard char — a pushdown-
+    friendly startswith predicate for dictionary scans ('' when the
+    pattern leads with a wildcard)."""
+    for i, c in enumerate(pat):
+        if c in "*?":
+            return pat[:i]
+    return pat
 
 
 def _atom(raw: str):
@@ -98,7 +148,12 @@ def _atom(raw: str):
 def _atom_base(raw: str):
     sm = _SLOP_RE.match(raw)
     if sm:
-        terms = tokenize(sm[1][1:-1])
+        inner = sm[1][1:-1].strip()
+        if inner.endswith("*"):
+            raise ValueError(
+                f"slop and phrase-prefix cannot combine: {raw!r}"
+            )
+        terms = tokenize(inner)
         slop = int(sm[2])
         if not terms:
             return None
@@ -108,12 +163,41 @@ def _atom_base(raw: str):
             return ("phrase", terms)
         return ("near", terms, slop)
     if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
-        terms = tokenize(raw[1:-1])
+        inner = raw[1:-1].strip()
+        if inner.endswith("*"):
+            # match_phrase_prefix: the last word is a dictionary prefix
+            terms = tokenize(inner[:-1])
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return ("prefix", terms[0])
+            return ("phrase_prefix", terms[:-1], terms[-1])
+        terms = tokenize(inner)
         if not terms:
             return None
         if len(terms) == 1:
             return ("term", terms[0])
         return ("phrase", terms)
+    fz = _FUZZY_RE.match(raw)
+    if fz:
+        terms = tokenize(fz[1])
+        if len(terms) == 1:
+            d = int(fz[2]) if fz[2] else 1
+            if d > 2:
+                raise ValueError(
+                    f"fuzzy distance above 2 is not supported: {raw!r}"
+                )
+            return ("term", terms[0]) if d == 0 else ("fuzzy", terms[0], d)
+        # the base splits into several tokens ("foo-bar~1") or none:
+        # no single dictionary term to fuzz — fall through to the
+        # plain tokenization of the whole atom (the ~ is punctuation)
+    lowered = raw.lower()
+    if (
+        ("?" in lowered or "*" in lowered[:-1])
+        and re.fullmatch(r"[\w*?]+", lowered)
+        and re.search(r"\w", lowered.replace("*", "").replace("?", ""))
+    ):
+        return ("wildcard", lowered)
     if raw.endswith("*") and len(raw) > 1:
         terms = tokenize(raw[:-1])
         if not terms:
@@ -423,3 +507,161 @@ def expand_fuzzy_plan(plan, variants_fn):
             plan[2],
         )
     return plan
+
+
+def multiterm_leaves(node) -> set:
+    """The dictionary-resolved leaves in a plan, as hashable keys:
+    ("wildcard", pat) | ("fuzzy", term, d) | ("pprefix", pfx). Engines
+    resolve each key against their vocabulary ONCE (batched, memoized)
+    and feed the result to expand_multiterm_plan."""
+    kind = node[0]
+    if kind == "wildcard":
+        return {("wildcard", node[1])}
+    if kind == "fuzzy":
+        return {("fuzzy", node[1], node[2])}
+    if kind == "phrase_prefix":
+        return {("pprefix", node[2])}
+    if kind in ("and", "or", "msm"):
+        out: set = set()
+        for c in node[1]:
+            out |= multiterm_leaves(c)
+        return out
+    if kind == "not":
+        return multiterm_leaves(node[1]) | multiterm_leaves(node[2])
+    if kind == "boost":
+        return multiterm_leaves(node[1])
+    return set()
+
+
+def expand_multiterm_plan(plan, variants: dict):
+    """Rewrite dictionary-resolved atoms into classic nodes, given
+    ``variants``: leaf key (multiterm_leaves format) -> ranked term
+    list (df desc, term asc, capped at MULTITERM_MAX_EXPANSIONS).
+
+    - wildcard -> OR of matching terms, each with its own idf
+      (Lucene WildcardQuery under a top-terms rewrite); no match ->
+      ("none",).
+    - fuzzy -> OR of vocabulary neighbors (same shape as the
+      fuzzy=True knob's expansion); no neighbor -> the exact term
+      (which then matches nothing, like any absent term).
+    - phrase_prefix -> OR of exact phrases, one per expansion of the
+      trailing prefix (match_phrase_prefix); no expansion -> ("none",).
+
+    Expanded leaves splice into a parent OR (same WAND-preserving
+    flattening as expand_fuzzy_plan); an msm clause that expands
+    still counts as ONE clause."""
+    kind = plan[0]
+    if kind == "wildcard":
+        terms = variants[("wildcard", plan[1])]
+        if not terms:
+            return ("none",)
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", [("term", t) for t in terms])
+    if kind == "fuzzy":
+        terms = variants[("fuzzy", plan[1], plan[2])]
+        if not terms:
+            return ("term", plan[1])
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("or", [("term", t) for t in terms])
+    if kind == "phrase_prefix":
+        exps = variants[("pprefix", plan[2])]
+        if not exps:
+            return ("none",)
+        phrases = [("phrase", list(plan[1]) + [e]) for e in exps]
+        if len(phrases) == 1:
+            return phrases[0]
+        return ("or", phrases)
+    if kind == "or":
+        out = []
+        for c in plan[1]:
+            e = expand_multiterm_plan(c, variants)
+            if e[0] == "or":
+                out.extend(e[1])
+            elif e[0] != "none":
+                out.append(e)
+        if not out:
+            return ("none",)
+        if len(out) == 1:
+            return out[0]
+        return ("or", out)
+    if kind == "and":
+        return ("and", [expand_multiterm_plan(c, variants) for c in plan[1]])
+    if kind == "not":
+        return (
+            "not",
+            expand_multiterm_plan(plan[1], variants),
+            expand_multiterm_plan(plan[2], variants),
+        )
+    if kind == "boost":
+        return ("boost", expand_multiterm_plan(plan[1], variants), plan[2])
+    if kind == "msm":
+        out = [expand_multiterm_plan(c, variants) for c in plan[1]]
+        return ("msm", out, plan[2])
+    return plan
+
+
+def expand_synonyms_plan(plan, syn_map: dict):
+    """Query-time synonym expansion (the Elasticsearch synonym-filter
+    UX, applied at the plan level): each ("term", t) leaf with an entry
+    in ``syn_map`` becomes an OR of the original term plus its
+    synonyms, each scored with its OWN idf. A multi-word synonym
+    ("ml" -> "machine learning") contributes a PHRASE node — matching
+    the ES synonym_graph position-honoring behavior rather than
+    word-soup. Keys and synonym strings are analyzed with the index
+    tokenizer; phrase/prefix/near leaves stay exact (same policy as
+    the fuzzy rewrite). Expanded leaves splice into a parent OR; an
+    msm clause that expands still counts as ONE clause."""
+    norm: dict = {}
+    for k, syns in syn_map.items():
+        kt = tokenize(k)
+        if len(kt) != 1:
+            raise ValueError(
+                f"synonym keys must analyze to one term: {k!r} -> {kt}"
+            )
+        nodes = []
+        for s in syns:
+            st = tokenize(s)
+            if not st:
+                continue
+            nodes.append(("term", st[0]) if len(st) == 1 else ("phrase", st))
+        if nodes:
+            norm[kt[0]] = nodes
+
+    def rewrite(node):
+        kind = node[0]
+        if kind == "term":
+            extra = norm.get(node[1])
+            if not extra:
+                return node
+
+            def key(n):
+                return (n[0], tuple(n[1]) if isinstance(n[1], list) else n[1])
+
+            seen, clauses = {key(node)}, [node]
+            for e in extra:
+                if key(e) not in seen:
+                    seen.add(key(e))
+                    clauses.append(e)
+            return ("or", clauses) if len(clauses) > 1 else node
+        if kind == "or":
+            out = []
+            for c in node[1]:
+                e = rewrite(c)
+                if e[0] == "or":
+                    out.extend(e[1])
+                else:
+                    out.append(e)
+            return ("or", out)
+        if kind == "and":
+            return ("and", [rewrite(c) for c in node[1]])
+        if kind == "not":
+            return ("not", rewrite(node[1]), rewrite(node[2]))
+        if kind == "boost":
+            return ("boost", rewrite(node[1]), node[2])
+        if kind == "msm":
+            return ("msm", [rewrite(c) for c in node[1]], node[2])
+        return node
+
+    return rewrite(plan) if norm else plan

@@ -878,6 +878,9 @@ class SegmentIndex:
     # fuzzy-expansion memo: query term -> sorted variant list (the
     # vocabulary is static per index build, like _df_memo)
     _fuzzy_memo: dict = field(default_factory=dict, repr=False)
+    # dictionary-expansion memo for wildcard / ~d fuzzy / phrase-prefix
+    # atoms: multiterm_leaves key -> ranked term list
+    _multiterm_memo: dict = field(default_factory=dict, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
@@ -1060,6 +1063,75 @@ class SegmentIndex:
         parser.expand_fuzzy_plan for the semantics)."""
         return expand_fuzzy_plan(plan, self.fuzzy_variants)
 
+    def _multiterm_variants(self, leaves) -> dict:
+        """Resolve dictionary-expansion leaves (multiterm_leaves keys)
+        against the segment vocabulary: each novel leaf is ONE columnar
+        scan reading only (term, n_docs) with a pushed predicate —
+        startswith for phrase-prefix, startswith + LIKE for wildcard
+        (the literal prefix prunes; '' -> full dictionary scan, the
+        FST-walk cost class), length-window + levenshtein for ~d.
+        Ranked (df desc, term asc), capped at MULTITERM_MAX_EXPANSIONS,
+        memoized per index lifetime; found dfs feed _df_memo."""
+        from xf_spark.query.parser import (
+            MULTITERM_MAX_EXPANSIONS,
+            wildcard_literal_prefix,
+            wildcard_to_like,
+        )
+
+        out: dict = {}
+        for leaf in leaves:
+            if leaf in self._multiterm_memo:
+                out[leaf] = self._multiterm_memo[leaf]
+                continue
+            kind = leaf[0]
+            if kind == "fuzzy":
+                t, d = leaf[1], leaf[2]
+                if len(t) < FUZZY_MIN_LEN:
+                    # AUTO clamping: too short to fuzz, stays exact
+                    out[leaf] = self._multiterm_memo[leaf] = [t]
+                    continue
+                if d == 1:
+                    out[leaf] = self._multiterm_memo[leaf] = (
+                        self.fuzzy_variants(t)
+                    )
+                    continue
+                cond = F.length("term").between(len(t) - d, len(t) + d) & (
+                    F.levenshtein(F.col("term"), F.lit(t)) <= d
+                )
+            elif kind == "wildcard":
+                pat = leaf[1]
+                cond = F.col("term").like(wildcard_to_like(pat))
+                lit = wildcard_literal_prefix(pat)
+                if lit:
+                    cond = F.col("term").startswith(lit) & cond
+            else:  # pprefix
+                cond = F.col("term").startswith(leaf[1])
+            rows = (
+                self._segments.where((F.col("field") == "text") & cond)
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(MULTITERM_MAX_EXPANSIONS)
+                .collect()
+            )
+            for r in rows:
+                self._df_memo[("text", r["term"])] = int(r["df"])
+            out[leaf] = self._multiterm_memo[leaf] = [r["term"] for r in rows]
+        return out
+
+    def _expand_multiterm(self, plan):
+        """Rewrite wildcard / ~d fuzzy / phrase-prefix atoms into
+        classic nodes (no-op when the plan has none)."""
+        from xf_spark.query.parser import (
+            expand_multiterm_plan,
+            multiterm_leaves,
+        )
+
+        leaves = multiterm_leaves(plan)
+        if not leaves:
+            return plan
+        return expand_multiterm_plan(plan, self._multiterm_variants(leaves))
+
     def suggest(self, query: str) -> str | None:
         """Did-you-mean suggestion (the zero-hit UX of Lucene's
         DirectSpellChecker): every query term ABSENT from the
@@ -1186,8 +1258,15 @@ class SegmentIndex:
         fuzzy: bool = False,
         after: tuple | None = None,
         min_should_match: int = 1,
+        synonyms: dict | None = None,
     ) -> DataFrame:
-        """``after=(score, doc_id)``: cursor pagination (Elasticsearch
+        """``synonyms={"ml": ["machine learning", "ai"], ...}``:
+        query-time synonym expansion — each matching term leaf becomes
+        an OR of itself plus its synonyms (multi-word synonyms are
+        PHRASES), every clause scored with its own idf
+        (parser.expand_synonyms_plan).
+
+        ``after=(score, doc_id)``: cursor pagination (Elasticsearch
         search_after) — return the next ``limit`` hits STRICTLY after
         the cursor in (score desc, doc_id asc) order. Unlike offset
         pagination (whose cost grows as O(offset + limit) per page),
@@ -1228,8 +1307,13 @@ class SegmentIndex:
             from xf_spark.query.parser import apply_min_should_match
 
             plan = apply_min_should_match(plan, min_should_match)
+        if synonyms:
+            from xf_spark.query.parser import expand_synonyms_plan
+
+            plan = expand_synonyms_plan(plan, synonyms)
         if fuzzy:
             plan = self._expand_fuzzy(plan)
+        plan = self._expand_multiterm(plan)
         tterms = query_terms(plan)
         pterms = prefix_terms(plan)
         n = self.meta["n_docs"]
@@ -1382,6 +1466,7 @@ class SegmentIndex:
             return plan, roles, {}, set(), set(), 0
         if fuzzy:
             plan = self._expand_fuzzy(plan)
+        plan = self._expand_multiterm(plan)
         tterms = query_terms(plan)
         pterms = prefix_terms(plan)
         n = self.meta["n_docs"]
@@ -2429,6 +2514,13 @@ class SegmentIndex:
                 q: (self._expand_fuzzy(pl), qr)
                 for q, (pl, qr) in extracted.items()
             }
+        # dictionary-resolved atoms (wildcard / ~d / phrase-prefix):
+        # per-leaf scans, memoized — repeated leaves across batch
+        # members pay once
+        extracted = {
+            q: (self._expand_multiterm(pl), qr)
+            for q, (pl, qr) in extracted.items()
+        }
         # queries carrying type:/role: filters: light members take the
         # filtered single-query path (driver-resolved when warm); heavy
         # members batch through ONE filtered cogroup job below
