@@ -244,6 +244,61 @@ class TestCli:
         assert len(payload) == 3
         assert all("score" in row for row in payload)
 
+    def test_cli_search_synonyms_and_msm(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "ml", "--index", idx, "--mode", "lexical", "--limit", "3",
+             "--synonyms", '{"ml": ["machine learning"]}',
+             "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(payload) == 3  # phrase synonym matched
+        # guidance (not a traceback) when the mode can't honor the knob
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "ml", "--index", idx, "--synonyms", '{"ml": ["ai"]}'],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 1 and "--mode lexical" in r.stdout
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine rust learning", "--index", idx, "--mode", "lexical",
+             "--min-should-match", "2", "--limit", "3", "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert payload
+        # malformed JSON is a friendly one-liner
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "ml", "--index", idx, "--mode", "lexical",
+             "--synonyms", "{bad json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 1 and "bad --synonyms" in r.stdout
+
+    def test_cli_search_wildcard_fuzzy_syntax(self, cli_index):
+        idx, env = cli_index
+        for q in ("ma?hine", "machne~2", '"machine lear*"'):
+            r = subprocess.run(
+                [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+                 q, "--index", idx, "--mode", "lexical", "--limit", "3",
+                 "--format", "json"],
+                capture_output=True, text=True, env=env, cwd="/root/repo",
+                timeout=300,
+            )
+            assert r.returncode == 0, (q, r.stderr[-2000:])
+            payload = json.loads(r.stdout.strip().splitlines()[-1])
+            assert len(payload) == 3, q
+
     def test_cli_search_explain(self, cli_index):
         idx, env = cli_index
         r = subprocess.run(

@@ -636,6 +636,32 @@ def cmd_search(args) -> int:
     limit = args.limit if args.limit is not None else cfg["search.default_limit"]
     fuzzy = args.fuzzy if args.fuzzy is not None else cfg["search.fuzzy"]
     fmt = args.format or cfg["output.format"]
+    synonyms = None
+    raw_syn = getattr(args, "synonyms", None)
+    if raw_syn:
+        import json as _json
+
+        try:
+            if raw_syn.startswith("@"):
+                with open(raw_syn[1:], encoding="utf-8") as f:
+                    synonyms = _json.load(f)
+            else:
+                synonyms = _json.loads(raw_syn)
+            if not isinstance(synonyms, dict) or not all(
+                isinstance(v, list) for v in synonyms.values()
+            ):
+                raise ValueError("expected {term: [synonym, ...]}")
+        except (OSError, ValueError) as e:
+            print(f"bad --synonyms: {e}")
+            return 1
+    if (synonyms or getattr(args, "min_should_match", 1) > 1) and args.mode not in (
+        "lexical", "bm25"
+    ):
+        print(
+            "--synonyms / --min-should-match shape the lexical clause "
+            "list — add `--mode lexical`"
+        )
+        return 1
     spark = _spark(args)
     ix = XfIndex.open(spark, index)
     roles = args.roles.split(",") if args.roles else None
@@ -694,6 +720,8 @@ def cmd_search(args) -> int:
             snippets=fmt == "text",
             context=args.context,
             fuzzy=fuzzy,
+            synonyms=synonyms,
+            min_should_match=getattr(args, "min_should_match", 1),
         )
     rows = df.collect()
     cols = df.columns
@@ -1000,6 +1028,15 @@ def build_parser() -> argparse.ArgumentParser:
                          "vocabulary neighbors (search.fuzzy, config.rs:75; "
                          "default from config; --no-fuzzy overrides a "
                          "config-enabled default)")
+    ps.add_argument("--min-should-match", type=int, default=1,
+                    metavar="M", dest="min_should_match",
+                    help="docs must match >= M clauses of an OR query "
+                         "(Lucene minimum_should_match; lexical mode)")
+    ps.add_argument("--synonyms", default=None, metavar="JSON|@FILE",
+                    help='query-time synonyms, e.g. '
+                         '\'{"ml": ["machine learning", "ai"]}\' or '
+                         "@synonyms.json; multi-word synonyms match as "
+                         "phrases (lexical mode)")
     ps.add_argument("--format", default=None,
                     choices=["text", "json", "json-pretty", "csv", "compact"])
     ps.set_defaults(fn=cmd_search)

@@ -805,6 +805,7 @@ class XfIndex:
         fuzzy: bool = False,
         after: tuple | None = None,
         synonyms: dict | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """Mode dispatch lexical | semantic | hybrid (aliases bm25 |
         vector | rrf, hybrid.rs:51-85); natural-language since/until;
@@ -836,6 +837,11 @@ class XfIndex:
                 "synonyms apply to lexical mode (the semantic branch is "
                 "synonym-tolerant by embedding construction)"
             )
+        if min_should_match > 1 and mode_n != "lexical":
+            raise ValueError(
+                "min_should_match counts lexical should clauses — "
+                "lexical mode only"
+            )
         if (
             mode_n in ("lexical", "semantic", "hybrid")
             and not context
@@ -847,6 +853,7 @@ class XfIndex:
             and since is None
             and until is None
             and synonyms is None
+            and min_should_match <= 1
             and query.strip()
             and not (
                 mode_n in ("semantic", "hybrid") and self.embeddings is None
@@ -887,6 +894,7 @@ class XfIndex:
             fuzzy=fuzzy,
             after=after,
             synonyms=synonyms,
+            min_should_match=min_should_match,
         )
         if context:
             # conversation-context view: a different output SHAPE
@@ -1135,6 +1143,7 @@ class XfIndex:
         fuzzy: bool = False,
         after: tuple | None = None,
         synonyms: dict | None = None,
+        min_should_match: int = 1,
     ) -> DataFrame:
         """search() up to the ranked (doc_id, score) hits — no
         hydration/sort/snippets. msearch's filtered members use this
@@ -1181,7 +1190,8 @@ class XfIndex:
         elif mode == "lexical":
             hits = self.segment_index.search(
                 query, limit=limit, offset=offset, fuzzy=fuzzy, after=after,
-                synonyms=synonyms, **common
+                synonyms=synonyms, min_should_match=min_should_match,
+                **common
             )
         elif mode == "semantic":
             if self.embeddings is None:
