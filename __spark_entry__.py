@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_min_should_match": eq.transcripts_min_should_match,
         # dictionary-resolved atoms + synonyms (round 3, ES/Lucene
         # staples): wildcard, ~d fuzzy syntax, phrase-prefix, synonyms
+        "transcripts_percolate": eq.transcripts_percolate,
         "transcripts_wildcard": eq.transcripts_wildcard,
         "transcripts_fuzzy_syntax": eq.transcripts_fuzzy_syntax,
         "transcripts_phrase_prefix": eq.transcripts_phrase_prefix,

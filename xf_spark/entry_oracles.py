@@ -1526,6 +1526,48 @@ LIMIT 20
 """
 
 
+# percolate membership replay: each registered query is an independent
+# set predicate over the tokenized base (every 7th doc), UNION ALL'd
+# with its qid — the same five queries the Spark entry registers
+ORACLES["transcripts_percolate"] = f"""
+WITH {_TR_BASE},
+sel AS (SELECT did, conv_id, turn_idx, role, text FROM base WHERE did % 7 = 0),
+stok AS (SELECT ttok.did, term FROM ttok JOIN sel USING (did)),
+sptoks AS MATERIALIZED (
+  SELECT did,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                          x -> lower(x)),
+           x -> x <> '' AND strlen(x) < 40) AS t
+  FROM sel
+),
+hits AS (
+  SELECT did, 'q_phrase' AS qid FROM sptoks
+  WHERE len(list_filter(range(1, len(t)),
+                        i -> t[i] = 'hash' AND t[i + 1] = 'join')) > 0
+  UNION ALL
+  SELECT did, 'q_and' FROM sel s
+  WHERE EXISTS (SELECT 1 FROM stok WHERE did = s.did AND term = 'spark')
+    AND EXISTS (SELECT 1 FROM stok WHERE did = s.did AND term = 'merge')
+    AND EXISTS (SELECT 1 FROM stok WHERE did = s.did AND term = 'filter')
+  UNION ALL
+  SELECT did, 'q_not' FROM sel s
+  WHERE EXISTS (SELECT 1 FROM stok WHERE did = s.did AND term = 'dup')
+    AND NOT EXISTS (SELECT 1 FROM stok WHERE did = s.did AND term = 'slow')
+  UNION ALL
+  SELECT did, 'q_wild' FROM sel s
+  WHERE EXISTS (SELECT 1 FROM stok WHERE did = s.did AND term LIKE 've_tor')
+  UNION ALL
+  SELECT did, 'q_role' FROM sel s
+  WHERE s.role = 'assistant'
+    AND EXISTS (SELECT 1 FROM stok WHERE did = s.did AND term = 'stream')
+)
+SELECT s.conv_id, s.turn_idx, h.qid
+FROM hits h JOIN sel s USING (did)
+ORDER BY s.conv_id, s.turn_idx, h.qid
+"""
+
+
 def _tr_msearch_member(qid: str, term: str) -> str:
     """One term member of the msearch union: top-10 (did, score)."""
     return f"""

@@ -1007,6 +1007,41 @@ def transcripts_synonyms(spark, sf_dir):
     ).select("conv_id", "turn_idx", F.round("score", 4).alias("score"))
 
 
+def transcripts_percolate(spark, sf_dir):
+    """Percolate (beyond-reference; Elasticsearch percolator): five
+    registered queries — phrase, 3-term AND, NOT, wildcard, and a
+    role-filtered term — matched against every 7th derived-transcript
+    turn in ONE shuffle-free mapInPandas pass. Output: (conv_id,
+    turn_idx, qid) membership pairs. Oracle: per-query membership
+    replayed as DuckDB set predicates over the tokenized base."""
+    from xf_spark.query.percolate import percolate
+
+    tr = _derived_transcripts(spark, sf_dir)
+    docs = tr.withColumn(
+        "doc_id",
+        F.expr("cast(substring(conv_id, 2) as long) * 20 + turn_idx"),
+    ).where(F.col("doc_id") % 7 == 0)
+    out = percolate(
+        docs,
+        [
+            ("q_phrase", '"hash join"'),
+            ("q_and", "spark AND merge AND filter"),
+            ("q_not", "dup NOT slow"),
+            ("q_wild", "ve?tor"),
+            ("q_role", "type:assistant stream"),
+        ],
+        role_col="role",
+    )
+    return out.select(
+        F.concat(
+            F.lit("c"),
+            F.lpad((F.col("doc_id") / 20).cast("long").cast("string"), 6, "0"),
+        ).alias("conv_id"),
+        (F.col("doc_id") % 20).cast("int").alias("turn_idx"),
+        "qid",
+    )
+
+
 def _embeddings_semantic_candidates(spark, sf_dir, n):
     """Semantic candidate list for the hybrid differential: cosine
     top-n vs the vec_id=0 embedding from the driver's embeddings table
