@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dictionary-resolved atoms + synonyms (round 3, ES/Lucene
         # staples): wildcard, ~d fuzzy syntax, phrase-prefix, synonyms
         "transcripts_percolate": eq.transcripts_percolate,
+        "transcripts_facet_top_hits": eq.transcripts_facet_top_hits,
         "transcripts_wildcard": eq.transcripts_wildcard,
         "transcripts_fuzzy_syntax": eq.transcripts_fuzzy_syntax,
         "transcripts_phrase_prefix": eq.transcripts_phrase_prefix,

@@ -637,3 +637,82 @@ def test_facet_counts_multi(built):
         for r in ix.facet_counts_multi("machine", facets=["role"]).collect()
     }
     assert single == multi
+
+
+def _top_hits_want(meta, oracle, query, k, roles=None):
+    """Pure-Python replay of facet_top_hits over role: full scored
+    match set -> per-role count + top-k by (score desc, doc_id)."""
+    scored = oracle.search(query, limit=len(meta) + 1)
+    if roles:
+        scored = [(d, s) for d, s in scored if meta[d][1] in roles]
+    buckets = defaultdict(list)
+    for d, s in scored:
+        buckets[meta[d][1]].append((d, s))
+    out = []
+    for v, docs in buckets.items():
+        docs = sorted(docs, key=lambda t: (-t[1], t[0]))
+        for rank, (d, s) in enumerate(docs[:k], 1):
+            out.append((v, len(docs), rank, d, round(s, 9)))
+    return sorted(out, key=lambda t: (-t[1], t[0], t[2]))
+
+
+class TestFacetTopHits:
+    QUERIES = ["machine", "rust async", '"machine learning"', "ma?hine"]
+
+    def test_segment_matches_python_replay(self, built):
+        ix, _eng, oracle, meta = built
+        for q in self.QUERIES:
+            got = [
+                (r["value"], r["n_docs"], r["rank"], r["doc_id"],
+                 round(r["score"], 9))
+                for r in ix.facet_top_hits(q, facet="role", k=3).collect()
+            ]
+            want = _top_hits_want(meta, oracle, q, 3)
+            assert got == want, q
+
+    def test_bm25_twin_matches(self, built):
+        ix, eng, _oracle, _meta = built
+        for q in self.QUERIES:
+            a = [
+                (r["value"], r["n_docs"], r["rank"], r["doc_id"],
+                 round(r["score"], 9))
+                for r in ix.facet_top_hits(q, facet="role", k=2).collect()
+            ]
+            b = [
+                (r["value"], r["n_docs"], r["rank"], r["doc_id"],
+                 round(r["score"], 9))
+                for r in eng.facet_top_hits(q, facet="role", k=2).collect()
+            ]
+            assert a == b, q
+
+    def test_role_filter_and_bucket_limit(self, built):
+        ix, _eng, oracle, meta = built
+        got = [
+            (r["value"], r["n_docs"], r["rank"], r["doc_id"],
+             round(r["score"], 9))
+            for r in ix.facet_top_hits(
+                "machine", facet="role", k=2, roles=["assistant"]
+            ).collect()
+        ]
+        want = _top_hits_want(meta, oracle, "machine", 2, roles={"assistant"})
+        assert got == want
+        # bucket limit: only the biggest bucket survives
+        lim = ix.facet_top_hits("machine", facet="role", k=2, limit=1).collect()
+        full = ix.facet_top_hits("machine", facet="role", k=2).collect()
+        assert {r["value"] for r in lim} == {full[0]["value"]}
+
+    def test_match_all_and_validation(self, built):
+        ix, _eng, _oracle, meta = built
+        rows = ix.facet_top_hits("", facet="role", k=1).collect()
+        # match-all: every role bucket, counts sum to corpus size
+        assert sum(r["n_docs"] for r in rows) == len(meta)
+        assert all(r["rank"] == 1 and r["score"] == 1.0 for r in rows)
+        with pytest.raises(ValueError, match="k must be"):
+            ix.facet_top_hits("machine", k=0)
+
+    def test_date_facet_buckets(self, built):
+        ix, _eng, oracle, meta = built
+        rows = ix.facet_top_hits("machine", facet="date:year", k=1).collect()
+        scored = oracle.search("machine", limit=len(meta) + 1)
+        years = Counter(str(meta[d][2].year) for d, _ in scored)
+        assert {(r["value"], r["n_docs"]) for r in rows} == set(years.items())

@@ -937,6 +937,35 @@ class XfIndex:
             limit=limit,
         )
 
+    def facet_top_hits(
+        self,
+        query: str,
+        facet: str = "role",
+        k: int = 3,
+        limit: int | None = None,
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Per-bucket top hits (Elasticsearch terms + top_hits): for
+        each facet value over the lexical match set, the bucket count
+        and its top ``k`` hits. Accepts the same natural-language
+        since/until as search; ``limit`` bounds buckets."""
+        roles = _norm_roles(roles)
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        return self.segment_index.facet_top_hits(
+            query,
+            facet=facet,
+            k=k,
+            limit=limit,
+            roles=roles,
+            since=since_dt,
+            until=until_dt,
+            fuzzy=fuzzy,
+        )
+
     def facet_counts_multi(
         self,
         query: str,

@@ -1568,6 +1568,29 @@ ORDER BY s.conv_id, s.turn_idx, h.qid
 """
 
 
+# terms-agg + top_hits replay: per-role count + row_number over the
+# single-term scored CTE
+ORACLES["transcripts_facet_top_hits"] = f"""
+WITH {_TR_BASE},
+{_tr_scored("spark")},
+sv AS (
+  SELECT t.did, t.score, b.role AS value, b.conv_id, b.turn_idx
+  FROM tscored t JOIN base b ON b.did = t.did
+),
+cnt AS (SELECT value, count(*) AS n_docs FROM sv GROUP BY value),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY value ORDER BY score DESC, did
+  ) AS rank FROM sv
+)
+SELECT r.value, c.n_docs, r.rank::INT AS rank, r.conv_id, r.turn_idx,
+       round(r.score, 4) AS score
+FROM rk r JOIN cnt c USING (value)
+WHERE r.rank <= 2
+ORDER BY c.n_docs DESC, r.value, r.rank
+"""
+
+
 def _tr_msearch_member(qid: str, term: str) -> str:
     """One term member of the msearch union: top-10 (did, score)."""
     return f"""

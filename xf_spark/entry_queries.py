@@ -1042,6 +1042,25 @@ def transcripts_percolate(spark, sf_dir):
     )
 
 
+def transcripts_facet_top_hits(spark, sf_dir):
+    """Terms-agg + top_hits (beyond-reference; the Elasticsearch
+    "group results by X" shape): per role bucket over 'spark''s FULL
+    match set, the bucket count and its top-2 hits. Oracle: DuckDB
+    count + row_number window over the same scored CTE."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    th = eng.facet_top_hits("spark", facet="role", k=2)
+    return th.join(
+        eng.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+    ).select(
+        "value",
+        "n_docs",
+        "rank",
+        "conv_id",
+        "turn_idx",
+        F.round("score", 4).alias("score"),
+    )
+
+
 def _embeddings_semantic_candidates(spark, sf_dir, n):
     """Semantic candidate list for the hybrid differential: cosine
     top-n vs the vec_id=0 embedding from the driver's embeddings table

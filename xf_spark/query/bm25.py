@@ -255,6 +255,71 @@ class BM25Engine:
         out = out.orderBy(F.desc("n_docs"), F.asc_nulls_last("value"))
         return out.limit(limit) if limit else out
 
+    def facet_top_hits(
+        self,
+        query: str,
+        facet: str = "role",
+        k: int = 3,
+        limit: int | None = None,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Terms-aggregation with per-bucket top hits (DataFrame-path
+        twin of SegmentIndex.facet_top_hits — same contract): for each
+        facet value over the FULL match set, the bucket count and its
+        top ``k`` (score desc, doc_id asc) hits; ``limit`` bounds
+        BUCKETS. Fully declarative: scored match set joined to the
+        facet column, row_number window per bucket, count aggregate —
+        Catalyst handles partial aggregation and the window shuffle."""
+        from pyspark.sql.window import Window
+
+        from xf_spark.query.segment_search import (
+            TOP_HITS_SCHEMA,
+            _facet_expr,
+            empty_local,
+        )
+
+        if int(k) < 1:
+            raise ValueError("k must be >= 1")
+        vexpr = _facet_expr(facet)
+        scored = self._filtered_scored(query, roles, since, until, fuzzy)
+        if scored is None:
+            return empty_local(self.docs.sparkSession, TOP_HITS_SCHEMA)
+        svf = scored.join(
+            self.docs.select("doc_id", vexpr.alias("value")), "doc_id"
+        )
+        counts = svf.groupBy("value").agg(F.count(F.lit(1)).alias("n_docs"))
+        if limit:
+            counts = counts.orderBy(
+                F.desc("n_docs"), F.asc_nulls_last("value")
+            ).limit(limit)
+        w = Window.partitionBy("value").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = (
+            svf.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= int(k))
+            .alias("h")
+        )
+        return (
+            ranked.join(
+                counts.alias("c"),
+                F.col("h.value").eqNullSafe(F.col("c.value")),
+            )
+            .select(
+                F.col("h.value").alias("value"),
+                F.col("c.n_docs").alias("n_docs"),
+                F.col("h.rank").alias("rank"),
+                F.col("h.doc_id").alias("doc_id"),
+                F.col("h.score").alias("score"),
+            )
+            .orderBy(
+                F.desc("n_docs"), F.asc_nulls_last("value"), F.asc("rank")
+            )
+        )
+
     def search_collapsed(
         self,
         query: str,

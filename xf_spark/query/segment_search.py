@@ -783,6 +783,16 @@ FACET_SCHEMA = T.StructType(
     ]
 )
 
+TOP_HITS_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
 # date-histogram facet spec "date:<unit>": Spark date_format pattern +
 # the matching numpy datetime_as_string unit (driver fast path). The
 # 'T' separator keeps the two renderings byte-identical.
@@ -1599,6 +1609,191 @@ class SegmentIndex:
             .agg(F.sum("n_docs").alias("n_docs"))
         )
         return self._facet_order(out, lim_b)
+
+    def facet_top_hits(
+        self,
+        query: str,
+        facet: str = "role",
+        k: int = 3,
+        limit: int | None = None,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Terms-aggregation with per-bucket top hits (the
+        Elasticsearch terms + top_hits sub-aggregation shape every
+        "group results by X" UI sends): for each facet value over the
+        query's FULL match set, the bucket's match count AND its top
+        ``k`` hits by (score desc, doc_id asc).
+
+        -> (value, n_docs, rank, doc_id, score), buckets ordered
+        (n_docs desc, value asc), rank 1..k inside a bucket;
+        ``limit`` bounds the number of BUCKETS (not rows).
+
+        Scale shape: ONE match-set evaluation. Each shard task reduces
+        its matches to <= (k + 1) rows per distinct facet value — its
+        shard-local top-k plus one count partial — so nothing
+        match-set-sized leaves a task; the global step sums count
+        partials and windows the <= n_shards * k candidate rows per
+        value down to k. A high-cardinality facet degrades like a
+        groupBy (AQE-managed), never quadratically."""
+        if int(k) < 1:
+            raise ValueError("k must be >= 1")
+        k = int(k)
+        plan, roles, idfs, tterms, pterms, _total = self._resolve_match_plan(
+            query, roles, fuzzy
+        )
+        if plan is None:
+            return self._empty_local(TOP_HITS_SCHEMA)
+        vexpr = _facet_expr(facet)
+        if self.docs is None:
+            raise ValueError("facets require a docs table")
+        filtered = bool(roles) or since is not None or until is not None
+        if plan == ("all",):
+            svf = self.docs.where(_attr_cond(roles, since, until)).select(
+                "doc_id", F.lit(1.0).alias("score"), vexpr.alias("value")
+            )
+            counts = svf.groupBy("value").agg(
+                F.count(F.lit(1)).alias("n_docs")
+            )
+            return self._top_hits_merge(svf, counts, k, limit)
+        avgdl = self.meta["avgdl"]
+        seg = self._pruned_scan(tterms, pterms)
+        base = (
+            self.docs.where(_attr_cond(roles, since, until))
+            if filtered
+            else self.docs
+        )
+        attrs = self._attrs_with_shard(
+            base.withColumn("__fv", vexpr), "doc_id", "__fv"
+        )
+        plan_b, idfs_b, k_b, filt_b = plan, idfs, k, filtered
+
+        def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame):
+            empty = pd.DataFrame(
+                {
+                    "value": pd.Series([], dtype=object),
+                    "doc_id": pd.Series([], dtype="float64"),
+                    "score": pd.Series([], dtype="float64"),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+            if not len(seg_pdf) or not len(attr_pdf):
+                return empty
+            aid = attr_pdf["doc_id"].to_numpy(np.int64)
+            order = np.argsort(aid)
+            aid = aid[order]
+            afv = attr_pdf["__fv"].to_numpy(object)[order]
+            mp = match_set_on_data(
+                build_term_data(seg_pdf),
+                plan_b,
+                idfs_b,
+                avgdl,
+                aid if filt_b else None,
+            )
+            ids = mp["doc_id"].to_numpy(np.int64)
+            if not len(ids):
+                return empty
+            sc = mp["score"].to_numpy(np.float64)
+            pos = np.searchsorted(aid, ids)
+            np.clip(pos, 0, len(aid) - 1, out=pos)
+            m = aid[pos] == ids
+            ids, sc, fv = ids[m], sc[m], afv[pos[m]]
+            if not len(ids):
+                return empty
+            pdf = pd.DataFrame(
+                {
+                    "value": [None if pd.isna(v) else str(v) for v in fv],
+                    "doc_id": ids,
+                    "score": sc,
+                }
+            )
+            out = []
+            for v, g in pdf.groupby("value", dropna=False):
+                vv = None if pd.isna(v) else str(v)
+                top = g.sort_values(
+                    ["score", "doc_id"], ascending=[False, True], kind="stable"
+                ).head(k_b)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "value": vv,
+                            "doc_id": top["doc_id"].astype("float64"),
+                            "score": top["score"],
+                            "n": np.int64(-1),
+                        }
+                    )
+                )
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "value": [vv],
+                            "doc_id": [None],
+                            "score": [None],
+                            "n": [np.int64(len(g))],
+                        }
+                    )
+                )
+            return pd.concat(out, ignore_index=True)
+
+        part_schema = T.StructType(
+            [
+                T.StructField("value", T.StringType()),
+                T.StructField("doc_id", T.DoubleType()),
+                T.StructField("score", T.DoubleType()),
+                T.StructField("n", T.LongType()),
+            ]
+        )
+        part = (
+            seg.groupBy("shard")
+            .cogroup(attrs.groupBy("shard"))
+            .applyInPandas(run_cg, schema=part_schema)
+        )
+        counts = (
+            part.where(F.col("doc_id").isNull())
+            .groupBy("value")
+            .agg(F.sum("n").alias("n_docs"))
+        )
+        hits = part.where(F.col("doc_id").isNotNull()).select(
+            "value", F.col("doc_id").cast("long").alias("doc_id"), "score"
+        )
+        return self._top_hits_merge(hits, counts, k, limit)
+
+    def _top_hits_merge(
+        self, hits: DataFrame, counts: DataFrame, k: int, limit: int | None
+    ) -> DataFrame:
+        """(value, doc_id, score) candidates + (value, n_docs) counts
+        -> the TOP_HITS_SCHEMA result. Null facet values form their
+        own bucket (eqNullSafe join — a plain column join would drop
+        them)."""
+        from pyspark.sql.window import Window
+
+        if limit:
+            counts = self._facet_order(counts, limit)
+        w = Window.partitionBy("value").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        ranked = (
+            hits.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k)
+            .alias("h")
+        )
+        j = ranked.join(
+            counts.alias("c"),
+            F.col("h.value").eqNullSafe(F.col("c.value")),
+        )
+        return j.select(
+            F.col("h.value").alias("value"),
+            F.col("c.n_docs").alias("n_docs"),
+            F.col("h.rank").alias("rank"),
+            F.col("h.doc_id").alias("doc_id"),
+            F.col("h.score").alias("score"),
+        ).orderBy(
+            F.desc("n_docs"),
+            F.asc_nulls_last("value"),
+            F.asc("rank"),
+        )
 
     def facet_counts_multi(
         self,
