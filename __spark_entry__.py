@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # staples): wildcard, ~d fuzzy syntax, phrase-prefix, synonyms
         "transcripts_percolate": eq.transcripts_percolate,
         "transcripts_facet_top_hits": eq.transcripts_facet_top_hits,
+        "transcripts_match_stats": eq.transcripts_match_stats,
         "transcripts_wildcard": eq.transcripts_wildcard,
         "transcripts_fuzzy_syntax": eq.transcripts_fuzzy_syntax,
         "transcripts_phrase_prefix": eq.transcripts_phrase_prefix,

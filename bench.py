@@ -232,6 +232,57 @@ def query_phase(cores: int, seg_path: str):
                 ts.append(time.time() - s)
             queries[name] = round(sorted(ts)[RUNS // 2], 4)
 
+        # round-3 query-language extensions + reverse search: the
+        # dictionary-resolved wildcard (expansion memoized after the
+        # warm call — steady-state serving pays no vocab scan), the
+        # sloppy-phrase positional DP, and the per-bucket top-hits
+        # aggregation
+        for name, fn in [
+            (
+                "wildcard_p50",
+                lambda: fx.search(
+                    "ma?hine", mode="lexical", limit=20
+                ).collect(),
+            ),
+            (
+                "near_slop_p50",
+                lambda: fx.search(
+                    '"machine learning"~2', mode="lexical", limit=20
+                ).collect(),
+            ),
+            (
+                "facet_top_hits_p50",
+                lambda: fx.facet_top_hits(
+                    "machine", facet="role", k=3
+                ).collect(),
+            ),
+        ]:
+            fn()  # warm
+            ts = []
+            for _ in range(RUNS):
+                s = time.time()
+                fn()
+                ts.append(time.time() - s)
+            queries[name] = round(sorted(ts)[RUNS // 2], 4)
+        # percolate throughput: 5 registered alert queries against the
+        # whole docs table in one shuffle-free pass (docs/s)
+        from xf_spark.query.percolate import percolate
+
+        alert_qs = [
+            ("q1", '"machine learning"'),
+            ("q2", "rust AND async"),
+            ("q3", "python NOT snake"),
+            ("q4", "ma?hine"),
+            ("q5", "data stream"),
+        ]
+        n_docs_total = docs.count()
+        percolate(docs, alert_qs).count()  # warm
+        t0 = time.time()
+        percolate(docs, alert_qs).count()
+        queries["percolate_docs_per_s"] = round(
+            n_docs_total / (time.time() - t0), 1
+        )
+
         # pinned-matrix serving tier (vectors-in-RAM, the reference
         # vector.rs shape): exact semantic + hybrid RRF, hydrated
         for name, mode in [

@@ -285,6 +285,30 @@ class TestCli:
         )
         assert r.returncode == 1 and "bad --synonyms" in r.stdout
 
+    def test_cli_facet_top_hits(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--facet", "role",
+             "--top-hits", "2", "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert payload and {"value", "n_docs", "rank", "doc_id", "score"} <= set(
+            payload[0]
+        )
+        assert all(1 <= row["rank"] <= 2 for row in payload)
+        # --top-hits without --facet is a friendly one-liner
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--top-hits", "2"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 1 and "--facet" in r.stdout
+
     def test_cli_search_wildcard_fuzzy_syntax(self, cli_index):
         idx, env = cli_index
         for q in ("ma?hine", "machne~2", '"machine lear*"'):

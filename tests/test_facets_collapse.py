@@ -716,3 +716,39 @@ class TestFacetTopHits:
         scored = oracle.search("machine", limit=len(meta) + 1)
         years = Counter(str(meta[d][2].year) for d, _ in scored)
         assert {(r["value"], r["n_docs"]) for r in rows} == set(years.items())
+
+
+class TestMatchStats:
+    def test_segment_matches_python_replay(self, built):
+        ix, _eng, oracle, meta = built
+        import numpy as np
+
+        for q in ("machine", "rust async", "ma?hine"):
+            row = ix.match_stats(q, col="text_len").collect()[0]
+            ids = _matching_ids(meta, oracle, q)
+            lens = np.array([float(len(meta[d][3])) for d in ids])
+            assert row["n"] == len(ids)
+            assert row["min"] == lens.min() and row["max"] == lens.max()
+            assert abs(row["avg"] - lens.mean()) < 1e-9
+            assert row["sum"] == lens.sum()
+            for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+                want = float(
+                    np.percentile(lens, p * 100, method="linear")
+                )
+                assert abs(row[name] - want) < 1e-9, (q, name)
+
+    def test_bm25_twin_and_filters(self, built):
+        ix, eng, _oracle, _meta = built
+        a = ix.match_stats(
+            "machine", col="turn_idx", roles=["assistant"]
+        ).collect()[0]
+        b = eng.match_stats(
+            "machine", col="turn_idx", roles=["assistant"]
+        ).collect()[0]
+        assert a.asDict() == b.asDict()
+        assert a["n"] > 0
+
+    def test_no_match_is_zero_row(self, built):
+        ix, _eng, _oracle, _meta = built
+        row = ix.match_stats("zzzznoterm").collect()[0]
+        assert row["n"] == 0 and row["min"] is None and row["sum"] is None

@@ -675,18 +675,34 @@ def cmd_search(args) -> int:
         )
         print(n)
         return 0
+    if getattr(args, "top_hits", None) and not getattr(args, "facet", None):
+        print("--top-hits needs --facet (which buckets to rank inside)")
+        return 1
     if getattr(args, "facet", None):
         # facet aggregation replaces the hit list: (value, n_docs)
-        # counts over the FULL match set (mode is lexical-only here)
-        df = ix.facet_counts(
-            args.query,
-            facet=args.facet,
-            roles=roles,
-            since=args.since,
-            until=args.until,
-            fuzzy=fuzzy,
-            limit=limit,
-        )
+        # counts over the FULL match set (mode is lexical-only here);
+        # --top-hits K adds each bucket's top-K hits (ES top_hits)
+        if getattr(args, "top_hits", None):
+            df = ix.facet_top_hits(
+                args.query,
+                facet=args.facet,
+                k=args.top_hits,
+                limit=limit,
+                roles=roles,
+                since=args.since,
+                until=args.until,
+                fuzzy=fuzzy,
+            )
+        else:
+            df = ix.facet_counts(
+                args.query,
+                facet=args.facet,
+                roles=roles,
+                since=args.since,
+                until=args.until,
+                fuzzy=fuzzy,
+                limit=limit,
+            )
     elif getattr(args, "explain", False):
         # score breakdown replaces the hit list: one row per
         # (top-k doc, matched term) with the BM25 pieces
@@ -1028,6 +1044,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "vocabulary neighbors (search.fuzzy, config.rs:75; "
                          "default from config; --no-fuzzy overrides a "
                          "config-enabled default)")
+    ps.add_argument("--top-hits", type=int, default=None, metavar="K",
+                    dest="top_hits",
+                    help="with --facet: per-bucket top-K hits beside the "
+                         "counts (ES terms + top_hits)")
     ps.add_argument("--min-should-match", type=int, default=1,
                     metavar="M", dest="min_should_match",
                     help="docs must match >= M clauses of an OR query "

@@ -966,6 +966,32 @@ class XfIndex:
             fuzzy=fuzzy,
         )
 
+    def match_stats(
+        self,
+        query: str,
+        col: str = "text_len",
+        percentiles: tuple = (0.5, 0.9, 0.99),
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Numeric stats + exact percentiles over the lexical match
+        set (ES stats/percentiles aggregation analog); same
+        natural-language since/until as search."""
+        roles = _norm_roles(roles)
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        return self.segment_index.match_stats(
+            query,
+            col=col,
+            percentiles=percentiles,
+            roles=roles,
+            since=since_dt,
+            until=until_dt,
+            fuzzy=fuzzy,
+        )
+
     def facet_counts_multi(
         self,
         query: str,

@@ -1568,6 +1568,27 @@ ORDER BY s.conv_id, s.turn_idx, h.qid
 """
 
 
+# match-set numeric stats replay: DuckDB quantile_cont (continuous /
+# linear interpolation) is the same estimator as Spark's exact
+# percentile(); length() counts CHARACTERS in both engines
+ORACLES["transcripts_match_stats"] = f"""
+WITH {_TR_BASE},
+mset AS (SELECT DISTINCT did FROM ttok WHERE term = 'spark'),
+vals AS (
+  SELECT length(b.text)::DOUBLE AS v
+  FROM base b JOIN mset USING (did)
+)
+SELECT count(*) AS n,
+       min(v) AS min,
+       max(v) AS max,
+       round(avg(v), 6) AS avg,
+       sum(v) AS sum,
+       round(quantile_cont(v, 0.5), 6) AS p50,
+       round(quantile_cont(v, 0.9), 6) AS p90,
+       round(quantile_cont(v, 0.99), 6) AS p99
+FROM vals
+"""
+
 # terms-agg + top_hits replay: per-role count + row_number over the
 # single-term scored CTE
 ORACLES["transcripts_facet_top_hits"] = f"""

@@ -1061,6 +1061,25 @@ def transcripts_facet_top_hits(spark, sf_dir):
     )
 
 
+def transcripts_match_stats(spark, sf_dir):
+    """Numeric stats + exact percentiles over the 'spark' match set
+    (beyond-reference; ES stats/percentiles aggregation): one row of
+    text-length stats. Oracle: DuckDB quantile_cont == Spark's exact
+    percentile (both linear interpolation)."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    row = eng.match_stats("spark", col="text_len")
+    return row.select(
+        "n",
+        "min",
+        "max",
+        F.round("avg", 6).alias("avg"),
+        "sum",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+    )
+
+
 def _embeddings_semantic_candidates(spark, sf_dir, n):
     """Semantic candidate list for the hybrid differential: cosine
     top-n vs the vec_id=0 embedding from the driver's embeddings table

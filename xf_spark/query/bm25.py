@@ -320,6 +320,45 @@ class BM25Engine:
             )
         )
 
+    def match_stats(
+        self,
+        query: str,
+        col: str = "text_len",
+        percentiles: tuple = (0.5, 0.9, 0.99),
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Numeric stats over the match set (DataFrame-path twin of
+        SegmentIndex.match_stats — same contract)."""
+        scored = self._filtered_scored(query, roles, since, until, fuzzy)
+        cexpr = (
+            F.length("text").cast("double")
+            if col == "text_len"
+            else F.col(col).cast("double")
+        )
+        if scored is None:
+            vals = self.docs.select(cexpr.alias("v")).limit(0)
+        else:
+            vals = self.docs.join(
+                scored.select("doc_id"), "doc_id", "left_semi"
+            ).select(cexpr.alias("v"))
+        aggs = [
+            F.count("v").alias("n"),
+            F.min("v").alias("min"),
+            F.max("v").alias("max"),
+            F.avg("v").alias("avg"),
+            F.sum("v").alias("sum"),
+        ]
+        for p in percentiles:
+            aggs.append(
+                F.percentile("v", F.lit(float(p))).alias(
+                    f"p{int(round(p * 100))}"
+                )
+            )
+        return vals.agg(*aggs)
+
     def search_collapsed(
         self,
         query: str,

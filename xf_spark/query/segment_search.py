@@ -1795,6 +1795,56 @@ class SegmentIndex:
             F.asc("rank"),
         )
 
+    def match_stats(
+        self,
+        query: str,
+        col: str = "text_len",
+        percentiles: tuple = (0.5, 0.9, 0.99),
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Numeric stats sub-aggregation over the match set (the
+        Elasticsearch stats + percentiles aggregation shape): ONE row
+        (n, min, max, avg, sum, p50, p90, ...) of ``col`` across every
+        matching doc. ``col`` is a docs column cast to double, or
+        ``text_len`` (length(text) in characters). Percentiles are
+        EXACT with linear interpolation (Spark `percentile` ==
+        DuckDB `quantile_cont`) — at 100 TB swap in
+        `approx_percentile` if the t-digest tradeoff is wanted; the
+        exact version is the oracle-checkable contract.
+
+        Scale shape: pure aggregation — the match-set ids semi-join
+        the docs scan (column-pruned to one numeric), then a single
+        global aggregate row; nothing match-set-sized reaches the
+        driver."""
+        if self.docs is None:
+            raise ValueError("match_stats requires a docs table")
+        ids = self.match_ids_df(query, roles, since, until, fuzzy)
+        cexpr = (
+            F.length("text").cast("double")
+            if col == "text_len"
+            else F.col(col).cast("double")
+        )
+        vals = self.docs.join(ids, "doc_id", "left_semi").select(
+            cexpr.alias("v")
+        )
+        aggs = [
+            F.count("v").alias("n"),
+            F.min("v").alias("min"),
+            F.max("v").alias("max"),
+            F.avg("v").alias("avg"),
+            F.sum("v").alias("sum"),
+        ]
+        for p in percentiles:
+            aggs.append(
+                F.percentile("v", F.lit(float(p))).alias(
+                    f"p{int(round(p * 100))}"
+                )
+            )
+        return vals.agg(*aggs)
+
     def facet_counts_multi(
         self,
         query: str,
