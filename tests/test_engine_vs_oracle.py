@@ -49,6 +49,10 @@ QUERY_SET = [
     ("phrase_prefix", '"machine lear*"', 20),
     ("wildcard_boosted", "te?t^2 OR rust", 20),
     ("wildcard_not", "rust NOT lear*ng", 20),
+    # unordered window proximity (ES intervals all_of analog)
+    ("window_gap3", '"machine learning"~~3', 50),
+    ("window_reversed", '"learning machine"~~3', 50),
+    ("window_tight", '"coding rustlang"~~0', 50),
 ]
 
 
@@ -221,6 +225,45 @@ def test_fuzzy_distance_validation(built):
     a = _ranks_and_scores(engine.search("machine~0", limit=20))
     b = _ranks_and_scores(engine.search("machine", limit=20))
     assert a == b
+
+
+def test_window_vs_near_semantics(built):
+    """Unordered window vs ordered near on the same pair: the window
+    match set contains the in-order near set (same span budget:
+    near slop s covers spans up to s+1... window gaps G covers spans
+    up to 1+G for two terms), is order-insensitive, and grows with
+    G."""
+    engine, _, _ = built
+    near = {
+        d
+        for d, _ in _ranks_and_scores(
+            engine.search('"machine learning"~2', limit=1000)
+        )
+    }
+    win = {
+        d
+        for d, _ in _ranks_and_scores(
+            engine.search('"machine learning"~~2', limit=1000)
+        )
+    }
+    win_rev = {
+        d
+        for d, _ in _ranks_and_scores(
+            engine.search('"learning machine"~~2', limit=1000)
+        )
+    }
+    win5 = {
+        d
+        for d, _ in _ranks_and_scores(
+            engine.search('"machine learning"~~5', limit=1000)
+        )
+    }
+    # ordered slop-2 allows consecutive gaps in [1,3] -> span <= 3 ==
+    # window gaps 2 span bound for two terms; unordered additionally
+    # matches reversed occurrences
+    assert near <= win
+    assert win == win_rev  # order-insensitive
+    assert win <= win5
 
 
 def test_boost_scales_scores(built):

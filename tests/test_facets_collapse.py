@@ -752,3 +752,32 @@ class TestMatchStats:
         ix, _eng, _oracle, _meta = built
         row = ix.match_stats("zzzznoterm").collect()[0]
         assert row["n"] == 0 and row["min"] is None and row["sum"] is None
+
+
+def test_top_hits_driver_equals_distributed(built):
+    """The driver fast path and the distributed cogroup path must
+    return identical top-hits rows (the repo's serving-parity pin);
+    with pinned attrs the driver path runs zero Spark jobs for role
+    facets."""
+    ix, _eng, _oracle, _meta = built
+
+    def rows(q, **kw):
+        return [
+            (r["value"], r["n_docs"], r["rank"], r["doc_id"],
+             round(r["score"], 9))
+            for r in ix.facet_top_hits(q, **kw).collect()
+        ]
+
+    for q, kw in [
+        ("machine", dict(facet="role", k=3)),
+        ("machine", dict(facet="date:year", k=2, limit=2)),
+        ("rust async", dict(facet="role", k=2, roles=["user"])),
+    ]:
+        fast = rows(q, **kw)
+        old = ix.driver_topk_threshold
+        try:
+            ix.driver_topk_threshold = 0  # force distributed
+            slow = rows(q, **kw)
+        finally:
+            ix.driver_topk_threshold = old
+        assert fast == slow, (q, kw)

@@ -205,6 +205,37 @@ class TestParser:
         with pytest.raises(ValueError, match="min_should_match"):
             apply_min_should_match(parse_query(""), 2)
 
+    def test_window_atoms(self):
+        assert parse_query('"hash join"~~2') == (
+            "window",
+            ["hash", "join"],
+            2,
+        )
+        # order-insensitive by construction: terms are sorted
+        assert parse_query('"join hash"~~2') == parse_query('"hash join"~~2')
+        # duplicates collapse; single distinct term -> plain term
+        assert parse_query('"hash hash"~~3') == ("term", "hash")
+        assert parse_query('"a b c"~~0') == ("window", ["a", "b", "c"], 0)
+        assert parse_query('"hash join"~~1^2') == (
+            "boost",
+            ("window", ["hash", "join"], 1),
+            2.0,
+        )
+        import pytest
+
+        with pytest.raises(ValueError, match="window proximity"):
+            parse_query('"hash jo*"~~2')
+        assert query_terms(parse_query('"a b"~~1')) == {"a", "b"}
+
+    def test_min_cover_span(self):
+        from xf_spark.oracle import min_cover_span
+
+        assert min_cover_span([[0], [1]]) == 1
+        assert min_cover_span([[0, 10], [12], [11]]) == 2
+        assert min_cover_span([[5], []]) is None
+        assert min_cover_span([[3], [3]]) == 0  # same position allowed
+        assert min_cover_span([[0, 7], [2, 9], [4]]) == 4
+
     def test_wildcard_atoms(self):
         assert parse_query("te*m") == ("wildcard", "te*m")
         assert parse_query("t?st") == ("wildcard", "t?st")

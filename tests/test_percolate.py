@@ -24,6 +24,7 @@ QUERIES = [
     "python NOT snake",
     '"machine learning"',
     '"machine learning"~2',
+    '"learning machine"~~2',
     "progr*",
     "ma?hine",
     "machne~2",

@@ -41,6 +41,8 @@ QUERIES = [
     ("machne~2", 50),
     ('"machine lear*"', 20),
     ("rust NOT lear*ng", 20),
+    ('"machine learning"~~3', 50),
+    ('"learning machine"~~2', 20),
 ]
 
 
@@ -812,6 +814,94 @@ def test_near_randomized_encode_decode_isomorphism():
                 if sum(t in toks for t in present) >= m
             }
             assert got_ids == want_ids, f"case {case} msm{m}: {got_ids} != {want_ids}"
+
+
+def test_window_randomized_encode_decode_isomorphism():
+    """Window (unordered proximity) twin of the near randomized test:
+    seeded mini-corpora, real codec encode -> ev_window
+    (eval_plan_on_data) vs a brute-force minimal-cover check."""
+    import math
+    import random
+
+    import pandas as pd
+
+    from xf_spark.index.segments import _encode_term
+    from xf_spark.oracle import min_cover_span
+    from xf_spark.query.segment_search import build_term_data, eval_plan_on_data
+
+    K1, B = 1.2, 0.75
+    rng = random.Random(13)
+
+    for case in range(25):
+        n_docs = rng.randint(1, 40)
+        vocab = ["aa", "bb", "cc", "dd"]
+        docs = {
+            d: [vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(0, 30))]
+            for d in range(n_docs)
+        }
+        total = sum(len(t) for t in docs.values())
+        avgdl = total / n_docs if n_docs else 0.0
+        rows, df_by_term = [], {}
+        for t in vocab:
+            ids, tfs, dls, pos = [], [], [], []
+            for d in sorted(docs):
+                p = [i for i, w in enumerate(docs[d]) if w == t]
+                if p:
+                    ids.append(d)
+                    tfs.append(len(p))
+                    dls.append(len(docs[d]))
+                    pos.append(np.asarray(p, dtype=np.int64))
+            if not ids:
+                continue
+            df_by_term[t] = len(ids)
+            row = _encode_term(
+                t, 0, 0,
+                np.asarray(ids, dtype=np.int64),
+                np.asarray(tfs, dtype=np.int64),
+                np.asarray(dls, dtype=np.int64),
+                pos, avgdl,
+            )
+            row["field"] = "text"
+            rows.append(row)
+        if not rows:
+            continue
+        pdf = pd.DataFrame(rows)
+        data = build_term_data(pdf)
+        idfs = {
+            ("text", t): math.log(1 + (n_docs - df + 0.5) / (df + 0.5))
+            for t, df in df_by_term.items()
+        }
+
+        k_terms = 3 if rng.random() < 0.4 else 2
+        terms = sorted(set(
+            vocab[rng.randrange(len(vocab))] for _ in range(k_terms)
+        ))
+        gaps = rng.randint(0, 5)
+        span = len(terms) - 1 + gaps
+
+        out = eval_plan_on_data(
+            dict(data), ("window", terms, gaps), idfs, avgdl, 100
+        )
+        got = {
+            int(d): round(float(s), 9)
+            for d, s in zip(out["doc_id"], out["score"])
+        }
+        want = {}
+        for d, toks in docs.items():
+            plists = [
+                [i for i, w in enumerate(toks) if w == t] for t in terms
+            ]
+            best = min_cover_span(plists)
+            if best is not None and best <= span:
+                s = 0.0
+                for t in terms:
+                    tf = float(toks.count(t))
+                    dl = float(len(toks))
+                    s += idfs.get(("text", t), 0.0) * tf * (K1 + 1.0) / (
+                        tf + K1 * (1.0 - B + B * dl / avgdl)
+                    )
+                want[d] = round(s, 9)
+        assert got == want, f"case {case} window{terms}~~{gaps}"
 
 
 def test_near_scalar_fallback_matches_vectorized(monkeypatch):

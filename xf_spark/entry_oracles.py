@@ -1568,6 +1568,56 @@ ORDER BY s.conv_id, s.turn_idx, h.qid
 """
 
 
+# unordered-window replay: for TWO terms the minimal cover equals the
+# minimal pairwise position distance, so the candidate set is one
+# position self-join with |pi - pj| <= n_terms-1+gaps; scoring is the
+# phrase arithmetic (summed per-term BM25)
+ORACLES["transcripts_window_proximity"] = f"""
+WITH {_TR_BASE},
+wtoks AS MATERIALIZED (
+  SELECT did,
+         list_filter(
+           list_transform(regexp_split_to_array(text, '[^0-9A-Za-z]+'),
+                          x -> lower(x)),
+           x -> x <> '' AND strlen(x) < 40) AS t
+  FROM base
+),
+ph AS MATERIALIZED (
+  SELECT did, unnest(list_filter(range(1, len(t) + 1),
+                                 i -> t[i] = 'hash')) AS p
+  FROM wtoks
+),
+pj AS MATERIALIZED (
+  SELECT did, unnest(list_filter(range(1, len(t) + 1),
+                                 i -> t[i] = 'join')) AS p
+  FROM wtoks
+),
+wcand AS (
+  SELECT DISTINCT ph.did
+  FROM ph JOIN pj ON pj.did = ph.did AND abs(ph.p - pj.p) <= 3
+),
+wtf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
+        WHERE term IN ('hash', 'join') GROUP BY did, term),
+wdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
+        WHERE term IN ('hash', 'join') GROUP BY term),
+wscored AS (
+  SELECT wtf.did,
+         sum( ln(1 + (s.n - wdf.df + 0.5) / (wdf.df + 0.5))
+              * wtf.tf * 2.2
+              / (wtf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
+  FROM wtf
+  JOIN wdf USING (term)
+  JOIN tdl ON tdl.did = wtf.did
+  JOIN wcand ON wcand.did = wtf.did
+  CROSS JOIN tstats s
+  GROUP BY wtf.did
+)
+SELECT b.conv_id, b.turn_idx, round(w.score, 4) AS score
+FROM wscored w JOIN base b ON b.did = w.did
+ORDER BY w.score DESC, w.did
+LIMIT 20
+"""
+
 # match-set numeric stats replay: DuckDB quantile_cont (continuous /
 # linear interpolation) is the same estimator as Spark's exact
 # percentile(); length() counts CHARACTERS in both engines

@@ -1080,6 +1080,18 @@ def transcripts_match_stats(spark, sf_dir):
     )
 
 
+def transcripts_window_proximity(spark, sf_dir):
+    """Unordered window '"join hash"~~2' (beyond-reference; ES
+    intervals all_of(ordered=false, max_gaps=2)): both terms within a
+    3-token span in ANY order — matches 'hash join', 'join ... hash',
+    etc. Oracle: DuckDB pairwise position-distance replay (for two
+    terms, min cover == min |pi - pj|)."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    return eng.search_hydrated('"join hash"~~2', limit=20).select(
+        "conv_id", "turn_idx", F.round("score", 4).alias("score")
+    )
+
+
 def _embeddings_semantic_candidates(spark, sf_dir, n):
     """Semantic candidate list for the hybrid differential: cosine
     top-n vs the vec_id=0 embedding from the driver's embeddings table

@@ -40,6 +40,38 @@ def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def min_cover_span(plists) -> int | None:
+    """Minimal window covering one position from EACH list (the
+    classic merged-events sliding window): returns min over windows of
+    (max(p) - min(p)), or None when some list is empty. Shared by the
+    oracle, the BM25 twin's UDF, the segment evaluator, and percolate
+    — one definition of the ("window", terms, gaps) semantics."""
+    if any(not len(p) for p in plists):
+        return None
+    events = sorted(
+        (int(p), i) for i, pl in enumerate(plists) for p in pl
+    )
+    k = len(plists)
+    count = [0] * k
+    have = 0
+    left = 0
+    best = None
+    for r, (pr, tr) in enumerate(events):
+        count[tr] += 1
+        if count[tr] == 1:
+            have += 1
+        while have == k:
+            w = pr - events[left][0]
+            if best is None or w < best:
+                best = w
+            tl = events[left][1]
+            count[tl] -= 1
+            if count[tl] == 0:
+                have -= 1
+            left += 1
+    return best
+
+
 def _levenshtein(a: str, b: str, cutoff: int) -> int:
     """Plain Levenshtein distance (insert/delete/substitute, cost 1 —
     the F.levenshtein / DuckDB levenshtein() definition), early-exited
@@ -157,6 +189,8 @@ class OracleIndex:
             return self._phrase_scores(node[1])
         if kind == "near":
             return self._near_scores(node[1], node[2])
+        if kind == "window":
+            return self._window_scores(node[1], node[2])
         if kind == "wildcard":
             exps = self._dictionary_expand("wildcard", node[1])
             if not exps:
@@ -257,6 +291,26 @@ class OracleIndex:
             ((-len(plist), t) for t, plist in self.postings.items() if match(t)),
         )
         return [t for _, t in ranked[:MULTITERM_MAX_EXPANSIONS]]
+
+    def _window_scores(self, terms: list[str], gaps: int) -> dict:
+        """Unordered window ("a b"~~gaps): every DISTINCT term occurs
+        within a token window spanning <= len(terms)-1+gaps, any
+        order (min_cover_span semantics); scored like phrase (summed
+        per-term BM25)."""
+        if not terms:
+            return {}
+        span = len(terms) - 1 + gaps
+        plists = [self.postings.get(t, {}) for t in terms]
+        cand = set(plists[0])
+        for p in plists[1:]:
+            cand &= set(p)
+        per_term = {t: self._term_scores(t) for t in set(terms)}
+        out = {}
+        for d in cand:
+            best = min_cover_span([p[d] for p in plists])
+            if best is not None and best <= span:
+                out[d] = sum(per_term[t].get(d, 0.0) for t in terms)
+        return out
 
     def _near_scores(self, terms: list[str], slop: int) -> dict:
         """Ordered proximity ("a b"~slop): terms in query order with at

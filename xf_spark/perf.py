@@ -106,7 +106,7 @@ def budget_for_plan(plan, filtered: bool) -> str:
         return acc
 
     ks = kinds(plan, set())
-    if "phrase" in ks or "near" in ks:
+    if "phrase" in ks or "near" in ks or "window" in ks:
         return "search_phrase"
     if "prefix" in ks:
         return "search_wildcard"

@@ -643,6 +643,8 @@ class BM25Engine:
             return self._phrase_scored(node[1])
         if kind == "near":
             return self._phrase_scored(node[1], slop=node[2])
+        if kind == "window":
+            return self._phrase_scored(node[1], window_gaps=node[2])
         if kind == "boost":
             child = self._eval(node[1])
             return child.select(
@@ -869,12 +871,20 @@ class BM25Engine:
             out = out.where(F.col("_nt") == len(set(terms))).drop("_nt")
         return out
 
-    def _phrase_scored(self, terms: list[str], slop: int = 0) -> DataFrame:
+    def _phrase_scored(
+        self,
+        terms: list[str],
+        slop: int = 0,
+        window_gaps: int | None = None,
+    ) -> DataFrame:
         """Positional phrase match; ``slop > 0`` relaxes adjacency to
         ordered proximity (consecutive gaps in [1, slop+1] — the
         ("near", terms, slop) node) via a forward DP over the
-        candidate doc's position lists. Candidates and scoring are
-        identical to the exact-phrase path."""
+        candidate doc's position lists; ``window_gaps`` switches to
+        the UNORDERED window check (("window", terms, gaps) — all
+        terms within a span of len(terms)-1+gaps, min_cover_span
+        semantics). Candidates and scoring are identical to the
+        exact-phrase path."""
         if "positions" not in self.postings.columns:
             raise ValueError(
                 "phrase queries require postings built with positions "
@@ -904,7 +914,13 @@ class BM25Engine:
         @F.pandas_udf(T.DoubleType())
         def phrase_score(pmaps: pd.Series, dls: pd.Series) -> pd.Series:
             def one(pmap, dl):
-                if slop == 0:
+                if window_gaps is not None:
+                    from xf_spark.oracle import min_cover_span
+
+                    best = min_cover_span([pmap[t] for t in set(phrase)])
+                    span = len(set(phrase)) - 1 + window_gaps
+                    ok = best is not None and best <= span
+                elif slop == 0:
                     first = pmap[phrase[0]]
                     rest = [set(pmap[t]) for t in phrase[1:]]
                     ok = any(

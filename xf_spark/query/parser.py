@@ -66,6 +66,12 @@ reference's parser subset lacks; each is oracled independently):
   pins d=1 — the knob's distance — not Lucene's default 2; ``~0``
   unwraps to the exact term; d > 2 is rejected (as in Lucene).
   Terms shorter than FUZZY_MIN_LEN stay exact (AUTO clamping).
+- unordered window: ``"a b"~~G`` — every DISTINCT term occurs within
+  a token window spanning <= n_terms-1+G, in ANY order (the ES
+  intervals ``all_of(ordered=false, max_gaps=G)`` analog; minimal
+  cover via the merged-events sliding window). ``~N`` (one tilde)
+  stays the ORDERED proximity above; duplicate words collapse.
+  Scoring matches phrase scoring.
 - phrase prefix: ``"machine lear*"`` — match_phrase_prefix: the last
   word is a dictionary prefix; the atom expands to an OR of exact
   phrases, one per expansion (capped, df desc). OR-of-phrase scoring
@@ -84,7 +90,7 @@ AST nodes (plain tuples, picklable into Spark closures):
   | ("phrase", [t...]) | ("near", [t...], slop) | ("and", [n...])
   | ("or", [n...]) | ("not", base, excl) | ("boost", node, w)
   | ("msm", [n...], m) | ("wildcard", pat) | ("fuzzy", t, d)
-  | ("phrase_prefix", [fixed...], pfx)
+  | ("phrase_prefix", [fixed...], pfx) | ("window", [t...], gaps)
 """
 
 from __future__ import annotations
@@ -94,12 +100,15 @@ import re
 from xf_spark.functions.textcore import tokenize
 
 _TOKEN_RE = re.compile(
-    r'\w+:"[^"]*"|"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?|\S+'
+    r'\w+:"[^"]*"|"[^"]*"(?:~~?\d+)?(?:\^\d+(?:\.\d+)?)?|\S+'
 )
 # trailing ^W boost on any atom (quoted or bare); W = positive decimal
 _BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$", re.DOTALL)
 # "..."~N sloppy-phrase suffix (after any boost has been stripped)
 _SLOP_RE = re.compile(r'^("[^"]*")~(\d+)$', re.DOTALL)
+# "..."~~G unordered-window suffix: all terms within a window with at
+# most G total gaps, ANY order (ES intervals all_of max_gaps analog)
+_WSLOP_RE = re.compile(r'^("[^"]*")~~(\d+)$', re.DOTALL)
 # bare-term ~d fuzzy suffix: base~ | base~0..9 (after boost strip)
 _FUZZY_RE = re.compile(r"^([^\s\"~]+)~(\d?)$", re.DOTALL)
 
@@ -146,6 +155,21 @@ def _atom(raw: str):
 
 
 def _atom_base(raw: str):
+    wm = _WSLOP_RE.match(raw)
+    if wm:
+        inner = wm[1][1:-1].strip()
+        if inner.endswith("*"):
+            raise ValueError(
+                f"window proximity and phrase-prefix cannot combine: {raw!r}"
+            )
+        # unordered window over the DISTINCT terms (duplicate words
+        # collapse — the window covers each distinct term once)
+        terms = sorted(set(tokenize(inner)))
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return ("term", terms[0])
+        return ("window", terms, int(wm[2]))
     sm = _SLOP_RE.match(raw)
     if sm:
         inner = sm[1][1:-1].strip()
@@ -364,7 +388,7 @@ def query_terms(node) -> set[str]:
     kind = node[0]
     if kind == "term":
         return {node[1]}
-    if kind in ("phrase", "near"):
+    if kind in ("phrase", "near", "window"):
         return set(node[1])
     if kind in ("and", "or", "msm"):
         out: set[str] = set()
@@ -427,7 +451,7 @@ def term_leaf_counts(node):
         return Counter({node[1]: 1}), Counter()
     if kind == "prefix":
         return Counter(), Counter({node[1]: 1})
-    if kind in ("phrase", "near"):
+    if kind in ("phrase", "near", "window"):
         raise ValueError(
             "explain does not support phrases nested in a larger plan "
             "(a doc can reach the top-k without the adjacency, so "

@@ -52,7 +52,7 @@ def required_terms(node) -> set[str]:
     kind = node[0]
     if kind == "term":
         return {node[1]}
-    if kind in ("phrase", "near"):
+    if kind in ("phrase", "near", "window"):
         return set(node[1])
     if kind == "phrase_prefix":
         return set(node[1])  # the fixed members
@@ -112,6 +112,17 @@ def _match_node(node, toks: list, tokset: set, prefixes, text: str) -> bool:
             if not reach:
                 return False
         return True
+    if kind == "window":
+        from xf_spark.oracle import min_cover_span
+
+        wterms = node[1]
+        if any(t not in tokset for t in wterms):
+            return False
+        plists = [
+            [i for i, w in enumerate(toks) if w == t] for t in wterms
+        ]
+        best = min_cover_span(plists)
+        return best is not None and best <= len(wterms) - 1 + node[2]
     if kind == "phrase_prefix":
         fixed, pfx = node[1], node[2]
         if any(t not in tokset for t in fixed):
