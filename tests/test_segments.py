@@ -1264,3 +1264,56 @@ def test_search_many_fuzzy_equals_per_query(built):
     # non-fuzzy batch unchanged by the fuzzy plumbing
     plain = ix.search_many(["machin"], limit=20)
     assert plain["machin"] == []
+
+
+def test_search_rescored(built):
+    """Two-phase rescoring: engine == oracle replay; phrase-matching
+    docs jump docs that only match the bag of words; the distributed
+    (over-threshold) secondary path returns identical rows."""
+    ix, oracle, _, _ = built
+    q, rq = "machine learning", '"machine learning"'
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in ix.search_rescored(q, rq, limit=20, window=100).collect()
+    ]
+    want = [
+        (d, round(s, 9))
+        for d, s in oracle.search_rescored(q, rq, limit=20, window=100)
+    ]
+    assert got == want
+    # rescore actually reorders: the top doc matches the phrase
+    phrase_ids = {d for d, _ in oracle.search(rq, limit=10**9)}
+    assert got[0][0] in phrase_ids
+    # distributed secondary path (threshold forced to 0) is identical
+    old = ix.driver_topk_threshold
+    try:
+        ix.driver_topk_threshold = 0
+        slow = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search_rescored(q, rq, limit=20, window=100).collect()
+        ]
+    finally:
+        ix.driver_topk_threshold = old
+    assert slow == got
+    with pytest.raises(ValueError, match="window"):
+        ix.search_rescored(q, rq, limit=50, window=10)
+
+
+def test_search_rescored_bm25_twin(built):
+    ix, _oracle, _, _ = built
+    from xf_spark.transcripts import load_transcripts
+    # the bm25 twin built over the same corpus must agree
+    spark = ix.spark
+    from xf_spark.index.builder import build_engine
+
+    eng = build_engine(load_transcripts(spark, SCALE))
+    q, rq = "machine learning", '"machine learning"'
+    a = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in ix.search_rescored(q, rq, limit=15).collect()
+    ]
+    b = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in eng.search_rescored(q, rq, limit=15).collect()
+    ]
+    assert a == b

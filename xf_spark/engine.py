@@ -966,6 +966,37 @@ class XfIndex:
             fuzzy=fuzzy,
         )
 
+    def search_rescored(
+        self,
+        query: str,
+        rescore: str,
+        limit: int = 20,
+        window: int = 100,
+        weight: float = 2.0,
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """ES-style two-phase rescoring over the lexical index:
+        primary top-``window``, then ``rescore`` (typically a phrase /
+        proximity query) evaluated only on that window and folded in
+        as primary + weight * secondary."""
+        roles = _norm_roles(roles)
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        return self.segment_index.search_rescored(
+            query,
+            rescore,
+            limit=limit,
+            window=window,
+            weight=weight,
+            roles=roles,
+            since=since_dt,
+            until=until_dt,
+            fuzzy=fuzzy,
+        )
+
     def match_stats(
         self,
         query: str,

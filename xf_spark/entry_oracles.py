@@ -1568,6 +1568,38 @@ ORDER BY s.conv_id, s.turn_idx, h.qid
 """
 
 
+# two-phase rescore replay: primary OR-BM25 top-100 window, phrase
+# secondary on those docs only, combined = primary + 2 * secondary
+ORACLES["transcripts_rescored"] = f"""
+WITH {_TR_BASE},
+{_tr_phrase_block("hash", "join")},
+rtf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
+        WHERE term IN ('hash', 'join') GROUP BY did, term),
+rdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
+        WHERE term IN ('hash', 'join') GROUP BY term),
+rprim AS (
+  SELECT rtf.did,
+         sum( ln(1 + (s.n - rdf.df + 0.5) / (rdf.df + 0.5))
+              * rtf.tf * 2.2
+              / (rtf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
+  FROM rtf
+  JOIN rdf USING (term)
+  JOIN tdl ON tdl.did = rtf.did
+  CROSS JOIN tstats s
+  GROUP BY rtf.did
+  ORDER BY score DESC, rtf.did
+  LIMIT 100
+),
+rcomb AS (
+  SELECT p.did, p.score + 2.0 * coalesce(ph.score, 0) AS score
+  FROM rprim p LEFT JOIN pscored ph ON ph.did = p.did
+)
+SELECT b.conv_id, b.turn_idx, round(c.score, 4) AS score
+FROM rcomb c JOIN base b ON b.did = c.did
+ORDER BY c.score DESC, c.did
+LIMIT 20
+"""
+
 # unordered-window replay: for TWO terms the minimal cover equals the
 # minimal pairwise position distance, so the candidate set is one
 # position self-join with |pi - pj| <= n_terms-1+gaps; scoring is the

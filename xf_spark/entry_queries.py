@@ -1092,6 +1092,21 @@ def transcripts_window_proximity(spark, sf_dir):
     )
 
 
+def transcripts_rescored(spark, sf_dir):
+    """Two-phase rescoring (beyond-reference; ES rescore): bag-of-
+    words 'hash join' ranks a top-100 window, then the exact phrase
+    '"hash join"' is scored ONLY on that window and folded in at
+    weight 2 — phrase-matching docs jump the word-soup ones. Oracle:
+    primary top-100 CTE + phrase-score leg combined in DuckDB."""
+    eng = _docs_transcripts_engine(spark, sf_dir)
+    out = eng.search_rescored(
+        "hash join", '"hash join"', limit=20, window=100, weight=2.0
+    )
+    return out.join(
+        eng.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id"
+    ).select("conv_id", "turn_idx", F.round("score", 4).alias("score"))
+
+
 def _embeddings_semantic_candidates(spark, sf_dir, n):
     """Semantic candidate list for the hybrid differential: cosine
     top-n vs the vec_id=0 embedding from the driver's embeddings table

@@ -340,6 +340,27 @@ class OracleIndex:
                 out[d] = sum(per_term[t].get(d, 0.0) for t in terms)
         return out
 
+    def search_rescored(
+        self,
+        query: str,
+        rescore: str,
+        limit: int = 20,
+        window: int = 100,
+        weight: float = 2.0,
+    ) -> list[tuple]:
+        """Two-phase rescoring replay (same contract as the engines):
+        primary top-window, secondary evaluated on those docs only,
+        combined = primary + weight * secondary."""
+        from xf_spark.query.parser import parse_query
+
+        prim = self.search(query, limit=window)
+        sec = self._eval(parse_query(rescore))
+        combined = [
+            (d, s + weight * sec.get(d, 0.0)) for d, s in prim
+        ]
+        combined.sort(key=lambda kv: (-kv[1], kv[0]))
+        return combined[:limit]
+
     # -- semantic / hybrid ------------------------------------------------
 
     def semantic_topk(self, query: str, texts: dict, limit: int = 20, doc_filter=None):

@@ -359,6 +359,54 @@ class BM25Engine:
             )
         return vals.agg(*aggs)
 
+    def search_rescored(
+        self,
+        query: str,
+        rescore: str,
+        limit: int = 20,
+        window: int = 100,
+        weight: float = 2.0,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Two-phase rescoring (DataFrame-path twin of
+        SegmentIndex.search_rescored — same contract): primary
+        top-window page, secondary evaluated on a broadcast of the
+        window's ids only, combined = primary + weight * secondary."""
+        from xf_spark.query.parser import parse_query
+
+        if window < limit:
+            raise ValueError("window must be >= limit")
+        prim = self.search(
+            query, limit=window, roles=roles, since=since, until=until,
+            fuzzy=fuzzy,
+        )
+        rplan = self._expand_multiterm(parse_query(rescore))
+        sec = self._eval(rplan).join(
+            F.broadcast(prim.select("doc_id")), "doc_id"
+        )
+        return (
+            prim.alias("p")
+            .join(
+                sec.select(
+                    "doc_id", F.col("score").alias("rs")
+                ).alias("s"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                (
+                    F.col("p.score")
+                    + F.lit(float(weight)) * F.coalesce(F.col("rs"), F.lit(0.0))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(limit)
+        )
+
     def search_collapsed(
         self,
         query: str,

@@ -2122,6 +2122,130 @@ class SegmentIndex:
         )
         return self._facet_order(out, limit)
 
+    def search_rescored(
+        self,
+        query: str,
+        rescore: str,
+        limit: int = 20,
+        window: int = 100,
+        weight: float = 2.0,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Two-phase rescoring (the Elasticsearch ``rescore`` shape):
+        the cheap ``query`` ranks a top-``window`` candidate page,
+        then the expensive ``rescore`` query is evaluated ONLY on
+        those docs and folded in as
+        ``combined = primary + weight * secondary`` (ES
+        query_weight=1/rescore_query_weight=weight totals); the final
+        page is the top-``limit`` by (combined desc, doc_id asc).
+        Canonical use: a bag-of-words primary with a phrase/proximity
+        secondary that would be too expensive corpus-wide.
+
+        Scale shape: the primary is the ordinary k-bounded search;
+        the secondary's evaluation is RESTRICTED to the window's ids
+        (driver NumPy under the threshold, else the shard-cogroup
+        path with the window as a pushed id filter) — its cost is
+        bounded by the window, never by the secondary's df. The
+        combine runs on <= window rows on the driver."""
+        if window < limit:
+            raise ValueError("window must be >= limit")
+        prim = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in self.search(
+                query, limit=window, roles=roles, since=since,
+                until=until, fuzzy=fuzzy,
+            ).collect()
+        ]
+        if not prim:
+            return empty_local(self.spark, TOPK_SCHEMA)
+        ids = np.asarray(sorted(d for d, _ in prim), dtype=np.int64)
+        rplan, _rroles = parse_query_extract(rescore)
+        rplan = self._expand_multiterm(rplan)
+        rterms = query_terms(rplan)
+        rpterms = prefix_terms(rplan)
+        n = self.meta["n_docs"]
+        ridfs = {
+            ("text", t): idf_for(n, df)
+            for t, df in self.term_dfs(rterms, "text").items()
+        }
+        ridfs.update(
+            {
+                ("prefix", t): idf_for(n, df)
+                for t, df in self.term_dfs(rpterms, "prefix").items()
+            }
+        )
+        total = sum(
+            self._df_memo.get(("text", t), 0) for t in rterms
+        ) + sum(self._df_memo.get(("prefix", t), 0) for t in rpterms)
+        avgdl = self.meta["avgdl"]
+        if total <= self.driver_topk_threshold:
+            data = self._term_data_for(rterms, rpterms)
+            mp = match_set_on_data(data, rplan, ridfs, avgdl, ids)
+            sec = dict(
+                zip(
+                    mp["doc_id"].to_numpy(np.int64).tolist(),
+                    mp["score"].to_numpy(np.float64).tolist(),
+                )
+            )
+        else:
+            # window-bounded pushed id filter through the shard
+            # cogroup: attrs carry ONLY the window's ids, so each
+            # shard evaluates the rescore plan against <= window docs
+            iddf = self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": ids}), schema="doc_id long"
+            )
+            if self.docs is None:
+                raise ValueError("distributed rescore requires a docs table")
+            attrs = self._attrs_with_shard(
+                self.docs.join(F.broadcast(iddf), "doc_id"), "doc_id"
+            )
+            rplan_b, ridfs_b = rplan, ridfs
+
+            def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame):
+                if not len(seg_pdf) or not len(attr_pdf):
+                    return pd.DataFrame(
+                        {
+                            "doc_id": pd.Series([], dtype=np.int64),
+                            "score": pd.Series([], dtype=np.float64),
+                        }
+                    )
+                aid = np.sort(attr_pdf["doc_id"].to_numpy(np.int64))
+                mp = match_set_on_data(
+                    build_term_data(seg_pdf), rplan_b, ridfs_b, avgdl, aid
+                )
+                return mp[["doc_id", "score"]]
+
+            rows = (
+                self._pruned_scan(rterms, rpterms)
+                .groupBy("shard")
+                .cogroup(attrs.groupBy("shard"))
+                .applyInPandas(run_cg, schema="doc_id long, score double")
+                .collect()
+            )
+            sec = {int(r["doc_id"]): float(r["score"]) for r in rows}
+        combined = sorted(
+            (
+                (-(s + weight * sec.get(d, 0.0)), d)
+                for d, s in prim
+            ),
+        )[:limit]
+        return self.spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": np.asarray(
+                        [d for _, d in combined], dtype=np.int64
+                    ),
+                    "score": np.asarray(
+                        [-ns for ns, _ in combined], dtype=np.float64
+                    ),
+                }
+            ),
+            schema=TOPK_SCHEMA,
+        )
+
     def match_ids_df(
         self,
         query: str,
