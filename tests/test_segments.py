@@ -1317,3 +1317,37 @@ def test_search_rescored_bm25_twin(built):
         for r in eng.search_rescored(q, rq, limit=15).collect()
     ]
     assert a == b
+
+
+def test_mine_hard_negatives(built):
+    """Hard-negative mining == per-query oracle ranking minus the
+    labeled positives; batching (batch_size=2) and shared query texts
+    change nothing."""
+    from xf_spark.ops.mining import mine_hard_negatives
+
+    ix, oracle, _, _ = built
+    specs = []
+    for qid, text in [
+        ("q0", "machine learning"),
+        ("q1", "rust async"),
+        ("q2", "machine learning"),  # shared text, different positives
+        ("q3", "python"),
+    ]:
+        ranked = oracle.search(text, limit=3)
+        pos = {d for d, _ in ranked[: (2 if qid == "q2" else 1)]}
+        specs.append((qid, text, pos))
+    out = mine_hard_negatives(ix, specs, n_neg=5, batch_size=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["qid"], []).append(
+            (r["rank"], r["doc_id"], round(r["score"], 9))
+        )
+    for qid, text, pos in specs:
+        ranked = [
+            (d, round(s, 9))
+            for d, s in oracle.search(text, limit=5 + len(pos))
+            if d not in pos
+        ][:5]
+        want = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+        assert sorted(got[qid]) == want, qid
+        assert all(d not in pos for _, d, _ in got[qid])

@@ -1568,6 +1568,48 @@ ORDER BY s.conv_id, s.turn_idx, h.qid
 """
 
 
+def _tr_mined_member(qid: str, t1: str, t2: str) -> str:
+    """One mined query: two-term OR-BM25 ranking, rank-1 excluded (it
+    is the pinned positive), ranks 2..6 re-numbered 1..5."""
+    return f"""
+SELECT * FROM (
+  WITH {_TR_BASE},
+  mtf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM ttok
+          WHERE term IN ('{t1}', '{t2}') GROUP BY did, term),
+  mdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
+          WHERE term IN ('{t1}', '{t2}') GROUP BY term),
+  msc AS (
+    SELECT mtf.did,
+           sum( ln(1 + (s.n - mdf.df + 0.5) / (mdf.df + 0.5))
+                * mtf.tf * 2.2
+                / (mtf.tf + 1.2 * (0.25 + 0.75 * tdl.dl / s.avgdl)) ) AS score
+    FROM mtf
+    JOIN mdf USING (term)
+    JOIN tdl ON tdl.did = mtf.did
+    CROSS JOIN tstats s
+    GROUP BY mtf.did
+  ),
+  ranked AS (
+    SELECT did, score,
+           row_number() OVER (ORDER BY score DESC, did) AS rr
+    FROM msc
+  )
+  SELECT '{qid}' AS qid, (rr - 1)::INT AS rank, b.conv_id, b.turn_idx,
+         round(r.score, 4) AS score
+  FROM ranked r JOIN base b ON b.did = r.did
+  WHERE rr BETWEEN 2 AND 6
+)"""
+
+
+ORACLES["transcripts_hard_negatives"] = (
+    _tr_mined_member("hj", "hash", "join")
+    + "\nUNION ALL"
+    + _tr_mined_member("sm", "spark", "merge")
+    + "\nUNION ALL"
+    + _tr_mined_member("fs", "filter", "scan")
+    + "\nORDER BY qid, rank"
+)
+
 # two-phase rescore replay: primary OR-BM25 top-100 window, phrase
 # secondary on those docs only, combined = primary + 2 * secondary
 ORACLES["transcripts_rescored"] = f"""

@@ -1282,6 +1282,33 @@ def transcripts_segment_bm25(spark, sf_dir):
     return _hydrated_hits(ix, ix.search("spark", limit=20))
 
 
+def transcripts_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (beyond-reference; the DPR/SBERT
+    contrastive-training recipe): for three training queries whose
+    positive is pinned to the rank-1 hit, the next five BM25 hits are
+    the hard negatives. Runs through search_many (one batched decode).
+    Oracle: per-query BM25 ranking CTEs with rank-1 excluded."""
+    from xf_spark.ops.mining import mine_hard_negatives
+
+    ix = _segment_tr_index(spark, sf_dir)
+    specs = []
+    for qid, text in [
+        ("hj", "hash join"),
+        ("sm", "spark merge"),
+        ("fs", "filter scan"),
+    ]:
+        top1 = [r["doc_id"] for r in ix.search(text, limit=1).collect()]
+        specs.append((qid, text, set(top1)))
+    out = mine_hard_negatives(ix, specs, n_neg=5)
+    return out.join(ix.docs.select("doc_id", "conv_id", "turn_idx"), "doc_id").select(
+        "qid",
+        "rank",
+        "conv_id",
+        "turn_idx",
+        F.round("score", 4).alias("score"),
+    )
+
+
 def transcripts_fuzzy_bm25(spark, sf_dir):
     """Typo-tolerant search (the reference's `search.fuzzy` knob,
     config.rs:75): 'sart' is in nobody's vocabulary but sits at edit
