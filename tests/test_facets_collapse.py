@@ -781,3 +781,65 @@ def test_top_hits_driver_equals_distributed(built):
         finally:
             ix.driver_topk_threshold = old
         assert fast == slow, (q, kw)
+
+
+class TestSearchDecayed:
+    def _want(self, meta, oracle, q, hl, limit):
+        import math
+
+        scored = oracle.search(q, limit=len(meta) + 1)
+        ref = max(m[2] for m in meta.values() if m[2] is not None)
+        out = []
+        for d, s in scored:
+            ts = meta[d][2]
+            if ts is None:
+                f = 0.0
+            else:
+                f = 0.5 ** (((ref - ts).total_seconds() / 86400.0) / hl)
+            out.append((d, s * f))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return [(d, round(s, 9)) for d, s in out[:limit]]
+
+    def test_segment_matches_python_replay(self, built):
+        ix, _eng, oracle, meta = built
+        for q, hl in [("machine", 30.0), ("rust async", 365.0)]:
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in ix.search_decayed(q, half_life_days=hl).collect()
+            ]
+            assert got == self._want(meta, oracle, q, hl, 20), (q, hl)
+        # recency actually reorders vs plain BM25
+        plain = [r["doc_id"] for r in ix.search("machine", limit=20).collect()]
+        dec = [r["doc_id"] for r in ix.search_decayed("machine").collect()]
+        assert plain != dec
+
+    def test_bm25_twin_and_distributed(self, built):
+        ix, eng, _oracle, _meta = built
+        a = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search_decayed("machine", half_life_days=90).collect()
+        ]
+        b = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search_decayed("machine", half_life_days=90).collect()
+        ]
+        assert a == b
+        old = ix.driver_topk_threshold
+        try:
+            ix.driver_topk_threshold = 0
+            c = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in ix.search_decayed(
+                    "machine", half_life_days=90
+                ).collect()
+            ]
+        finally:
+            ix.driver_topk_threshold = old
+        assert a == c
+
+    def test_validation(self, built):
+        ix, _eng, _oracle, _meta = built
+        with pytest.raises(ValueError, match="half_life"):
+            ix.search_decayed("machine", half_life_days=0)
+        with pytest.raises(ValueError, match="scored query"):
+            ix.search_decayed("")

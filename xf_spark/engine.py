@@ -997,6 +997,32 @@ class XfIndex:
             fuzzy=fuzzy,
         )
 
+    def search_decayed(
+        self,
+        query: str,
+        half_life_days: float = 30.0,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Recency-decayed lexical ranking (ES function_score exp
+        decay): BM25 * 0.5^(age_days / half_life), anchored at the
+        corpus's newest ts (deterministic, replayable)."""
+        roles = _norm_roles(roles)
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        return self.segment_index.search_decayed(
+            query,
+            half_life_days=half_life_days,
+            limit=limit,
+            roles=roles,
+            since=since_dt,
+            until=until_dt,
+            fuzzy=fuzzy,
+        )
+
     def match_stats(
         self,
         query: str,

@@ -1568,6 +1568,30 @@ ORDER BY s.conv_id, s.turn_idx, h.qid
 """
 
 
+# recency-decay replay: BM25('spark') * 0.5^(age_days/90), age from
+# the corpus max ts (epoch() seconds — microsecond-exact on this
+# second-aligned derivation)
+ORACLES["transcripts_decayed"] = f"""
+WITH {_TR_BASE},
+{_tr_scored("spark")},
+dref AS (SELECT max(ts) AS m FROM base),
+dec AS (
+  SELECT t.did,
+         t.score * pow(
+           0.5,
+           (epoch(r.m) - epoch(b.ts)) / 86400.0 / 90.0
+         ) AS score
+  FROM tscored t
+  JOIN base b ON b.did = t.did
+  CROSS JOIN dref r
+)
+SELECT b.conv_id, b.turn_idx, round(d.score, 4) AS score
+FROM dec d JOIN base b ON b.did = d.did
+ORDER BY d.score DESC, d.did
+LIMIT 20
+"""
+
+
 def _tr_mined_member(qid: str, t1: str, t2: str) -> str:
     """One mined query: two-term OR-BM25 ranking, rank-1 excluded (it
     is the pinned positive), ranks 2..6 re-numbered 1..5."""

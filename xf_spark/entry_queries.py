@@ -1309,6 +1309,16 @@ def transcripts_hard_negatives(spark, sf_dir):
     )
 
 
+def transcripts_decayed(spark, sf_dir):
+    """Recency-decayed ranking (beyond-reference; ES function_score
+    exp decay): BM25('spark') * 0.5^(age_days/90), age anchored at
+    the corpus's newest ts — newer turns outrank older equals.
+    Oracle: the same decay arithmetic in DuckDB epoch seconds."""
+    ix = _segment_tr_index(spark, sf_dir)
+    hits = ix.search_decayed("spark", half_life_days=90.0, limit=20)
+    return _hydrated_hits(ix, hits, with_text=False)
+
+
 def transcripts_fuzzy_bm25(spark, sf_dir):
     """Typo-tolerant search (the reference's `search.fuzzy` knob,
     config.rs:75): 'sart' is in nobody's vocabulary but sits at edit

@@ -407,6 +407,47 @@ class BM25Engine:
             .limit(limit)
         )
 
+    def search_decayed(
+        self,
+        query: str,
+        half_life_days: float = 30.0,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Recency-decayed ranking (DataFrame-path twin of
+        SegmentIndex.search_decayed — same contract): combined =
+        BM25 * 0.5^(age_days / half_life), age from the corpus max
+        ts; null ts decays to 0. Fully declarative — the decay is a
+        Catalyst expression over the hydration join."""
+        hl = float(half_life_days)
+        if hl <= 0:
+            raise ValueError("half_life_days must be positive")
+        scored = self._filtered_scored(query, roles, since, until, fuzzy)
+        from xf_spark.query.segment_search import empty_local
+
+        if scored is None:
+            return empty_local(self.docs.sparkSession, "doc_id long, score double")
+        ref = self.docs.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        if ref is None:
+            return empty_local(self.docs.sparkSession, "doc_id long, score double")
+        # NTZ columns don't cast to double directly; both sides go
+        # through `timestamp` with the same session tz, so the shift
+        # cancels in the difference
+        refs = F.lit(ref).cast("timestamp").cast("double")
+        tsd = F.col("ts").cast("timestamp").cast("double")
+        decay = F.when(F.col("ts").isNull(), F.lit(0.0)).otherwise(
+            F.pow(F.lit(0.5), (refs - tsd) / F.lit(86400.0 * hl))
+        )
+        return (
+            scored.join(self.docs.select("doc_id", "ts"), "doc_id")
+            .select("doc_id", (F.col("score") * decay).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(limit)
+        )
+
     def search_collapsed(
         self,
         query: str,

@@ -926,6 +926,9 @@ class SegmentIndex:
     # dictionary-expansion memo for wildcard / ~d fuzzy / phrase-prefix
     # atoms: multiterm_leaves key -> ranked term list
     _multiterm_memo: dict = field(default_factory=dict, repr=False)
+    # corpus max-ts memo (decay-scoring anchor); append/compact reload
+    # a fresh SegmentIndex, so instance lifetime == index version
+    _max_ts_memo: object = field(default=None, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
@@ -2245,6 +2248,179 @@ class SegmentIndex:
             ),
             schema=TOPK_SCHEMA,
         )
+
+    def corpus_max_ts(self):
+        """The corpus's newest ts — the deterministic recency anchor
+        for decay scoring (numpy datetime64[us]); pinned attrs answer
+        it driver-side, else one docs aggregate, memoized."""
+        if getattr(self, "_max_ts_memo", None) is not None:
+            return self._max_ts_memo
+        if self._pinned_attrs is not None and len(self._pinned_attrs[0]):
+            ats = self._pinned_attrs[2]
+            ok = ats[~np.isnat(ats)]
+            self._max_ts_memo = ok.max() if len(ok) else None
+        else:
+            if self.docs is None:
+                raise ValueError("decay scoring requires a docs table")
+            row = self.docs.agg(F.max("ts").alias("m")).collect()[0]
+            self._max_ts_memo = (
+                np.datetime64(row["m"], "us") if row["m"] else None
+            )
+        return self._max_ts_memo
+
+    def search_decayed(
+        self,
+        query: str,
+        half_life_days: float = 30.0,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Recency-decayed ranking (the Elasticsearch function_score
+        exp-decay shape): combined = BM25 * 0.5^(age_days /
+        half_life_days), age measured from the corpus's newest ts (a
+        deterministic, replayable anchor — wall-clock "now" would make
+        results time-dependent). Docs with a null ts decay to 0 (they
+        can never outrank a dated doc — the conservative choice).
+
+        Unlike rescoring, decay MULTIPLIES, so a low-BM25 recent doc
+        can beat a high-BM25 old one from far outside any primary
+        window — the decay must see the FULL match set. Scale shape:
+        driver path decays the candidate-bounded match set in NumPy
+        (pinned ts attrs -> zero Spark jobs); distributed path
+        cogroups segments with shard-aligned (doc_id, ts) attrs and
+        emits <= limit rows per shard after local decay+top-k."""
+        hl = float(half_life_days)
+        if hl <= 0:
+            raise ValueError("half_life_days must be positive")
+        plan, roles, idfs, tterms, pterms, total = self._resolve_match_plan(
+            query, roles, fuzzy
+        )
+        if plan is None or plan == ("all",):
+            if plan == ("all",):
+                raise ValueError("decay scoring requires a scored query")
+            return empty_local(self.spark, TOPK_SCHEMA)
+        ref = self.corpus_max_ts()
+        if ref is None:
+            return empty_local(self.spark, TOPK_SCHEMA)
+        filtered = bool(roles) or since is not None or until is not None
+        avgdl = self.meta["avgdl"]
+
+        def decay_combine(ids, sc, ats):
+            age_days = (
+                (ref - ats).astype("timedelta64[us]").astype(np.float64)
+                / 86400e6
+            )
+            factor = np.where(
+                np.isnat(ats), 0.0, np.power(0.5, age_days / hl)
+            )
+            comb = sc * factor
+            k = min(limit, len(ids))
+            order = np.lexsort((ids, -comb))[:k]
+            return ids[order], comb[order]
+
+        if total <= self.driver_topk_threshold:
+            data = self._term_data_for(tterms, pterms)
+            allowed = None
+            if filtered and data:
+                if self.docs is None and self._pinned_attrs is None:
+                    raise ValueError("filters require a docs table")
+                allowed = self._allowed_ids(data, roles, since, until)
+            mp = match_set_on_data(data, plan, idfs, avgdl, allowed)
+            ids = mp["doc_id"].to_numpy(np.int64)
+            sc = mp["score"].to_numpy(np.float64)
+            if not len(ids):
+                return empty_local(self.spark, TOPK_SCHEMA)
+            if self._pinned_attrs is not None and len(self._pinned_attrs[0]):
+                aid, _arole, ats_all = self._pinned_attrs
+                pos = np.minimum(np.searchsorted(aid, ids), len(aid) - 1)
+                ats = np.where(
+                    aid[pos] == ids, ats_all[pos], np.datetime64("NaT", "us")
+                ).astype("datetime64[us]")
+            else:
+                iddf = self.spark.createDataFrame(
+                    pd.DataFrame({"doc_id": ids}), schema="doc_id long"
+                )
+                rows = (
+                    self.docs.join(F.broadcast(iddf), "doc_id")
+                    .select("doc_id", "ts")
+                    .collect()
+                )
+                by_id = {int(r["doc_id"]): r["ts"] for r in rows}
+                ats = np.array(
+                    [
+                        np.datetime64(by_id[int(d)], "us")
+                        if by_id.get(int(d)) is not None
+                        else np.datetime64("NaT", "us")
+                        for d in ids
+                    ],
+                    dtype="datetime64[us]",
+                )
+            oids, osc = decay_combine(ids, sc, ats)
+            return self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": oids, "score": osc}),
+                schema=TOPK_SCHEMA,
+            )
+        if self.docs is None:
+            raise ValueError("decay scoring requires a docs table")
+        base = (
+            self.docs.where(_attr_cond(roles, since, until))
+            if filtered
+            else self.docs
+        )
+        attrs = self._attrs_with_shard(base, "doc_id", "ts")
+        plan_b, idfs_b, lim_b, filt_b = plan, idfs, limit, filtered
+        ref_b, hl_b = ref, hl
+
+        def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame):
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=np.int64),
+                    "score": pd.Series([], dtype=np.float64),
+                }
+            )
+            if not len(seg_pdf) or not len(attr_pdf):
+                return empty
+            aid = attr_pdf["doc_id"].to_numpy(np.int64)
+            order = np.argsort(aid)
+            aid = aid[order]
+            avals = attr_pdf["ts"].to_numpy("datetime64[us]")[order]
+            mp = match_set_on_data(
+                build_term_data(seg_pdf),
+                plan_b,
+                idfs_b,
+                avgdl,
+                aid if filt_b else None,
+            )
+            ids = mp["doc_id"].to_numpy(np.int64)
+            if not len(ids):
+                return empty
+            sc = mp["score"].to_numpy(np.float64)
+            pos = np.minimum(np.searchsorted(aid, ids), len(aid) - 1)
+            m = aid[pos] == ids
+            ids, sc = ids[m], sc[m]
+            ats = avals[pos[m]]
+            age_days = (
+                (ref_b - ats).astype("timedelta64[us]").astype(np.float64)
+                / 86400e6
+            )
+            factor = np.where(
+                np.isnat(ats), 0.0, np.power(0.5, age_days / hl_b)
+            )
+            comb = sc * factor
+            k = min(lim_b, len(ids))
+            o = np.lexsort((ids, -comb))[:k]
+            return pd.DataFrame({"doc_id": ids[o], "score": comb[o]})
+
+        out = (
+            self._pruned_scan(tterms, pterms)
+            .groupBy("shard")
+            .cogroup(attrs.groupBy("shard"))
+            .applyInPandas(run_cg, schema=TOPK_SCHEMA)
+        )
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
     def match_ids_df(
         self,
