@@ -309,6 +309,46 @@ class TestCli:
         )
         assert r.returncode == 1 and "--facet" in r.stdout
 
+    def test_cli_rescore_and_decay(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine learning", "--index", idx, "--mode", "lexical",
+             "--rescore", '"machine learning"', "--limit", "3",
+             "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(payload) == 3
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--mode", "lexical",
+             "--half-life", "30", "--limit", "3", "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(payload) == 3
+        # guidance paths
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--half-life", "30"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 1 and "--mode lexical" in r.stdout
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--mode", "lexical",
+             "--half-life", "30", "--rescore", "x"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 1 and "mutually exclusive" in r.stdout
+
     def test_cli_search_wildcard_fuzzy_syntax(self, cli_index):
         idx, env = cli_index
         for q in ("ma?hine", "machne~2", '"machine lear*"'):

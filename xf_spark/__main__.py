@@ -654,13 +654,20 @@ def cmd_search(args) -> int:
         except (OSError, ValueError) as e:
             print(f"bad --synonyms: {e}")
             return 1
-    if (synonyms or getattr(args, "min_should_match", 1) > 1) and args.mode not in (
-        "lexical", "bm25"
-    ):
+    lex_only = (
+        synonyms
+        or getattr(args, "min_should_match", 1) > 1
+        or getattr(args, "rescore", None)
+        or getattr(args, "half_life", None) is not None
+    )
+    if lex_only and args.mode not in ("lexical", "bm25"):
         print(
-            "--synonyms / --min-should-match shape the lexical clause "
-            "list — add `--mode lexical`"
+            "--synonyms / --min-should-match / --rescore / --half-life "
+            "shape the lexical ranking — add `--mode lexical`"
         )
+        return 1
+    if getattr(args, "rescore", None) and getattr(args, "half_life", None):
+        print("--rescore and --half-life are mutually exclusive")
         return 1
     spark = _spark(args)
     ix = XfIndex.open(spark, index)
@@ -717,6 +724,28 @@ def cmd_search(args) -> int:
     elif getattr(args, "collapse", False):
         df = ix.search_collapsed(
             args.query,
+            limit=limit,
+            roles=roles,
+            since=args.since,
+            until=args.until,
+            fuzzy=fuzzy,
+        )
+    elif getattr(args, "rescore", None):
+        df = ix.search_rescored(
+            args.query,
+            args.rescore,
+            limit=limit,
+            window=args.rescore_window,
+            weight=args.rescore_weight,
+            roles=roles,
+            since=args.since,
+            until=args.until,
+            fuzzy=fuzzy,
+        )
+    elif getattr(args, "half_life", None) is not None:
+        df = ix.search_decayed(
+            args.query,
+            half_life_days=args.half_life,
             limit=limit,
             roles=roles,
             since=args.since,
@@ -1048,6 +1077,20 @@ def build_parser() -> argparse.ArgumentParser:
                     dest="top_hits",
                     help="with --facet: per-bucket top-K hits beside the "
                          "counts (ES terms + top_hits)")
+    ps.add_argument("--rescore", default=None, metavar="QUERY",
+                    help="two-phase rescoring: rerank the primary "
+                         "top-window by this (typically phrase) query "
+                         "(ES rescore; lexical mode)")
+    ps.add_argument("--rescore-window", type=int, default=100,
+                    dest="rescore_window", metavar="N",
+                    help="candidate window for --rescore (default 100)")
+    ps.add_argument("--rescore-weight", type=float, default=2.0,
+                    dest="rescore_weight", metavar="W",
+                    help="secondary weight for --rescore (default 2.0)")
+    ps.add_argument("--half-life", type=float, default=None,
+                    dest="half_life", metavar="DAYS",
+                    help="recency decay: score *= 0.5^(age_days/DAYS), "
+                         "age from the corpus's newest ts (lexical mode)")
     ps.add_argument("--min-should-match", type=int, default=1,
                     metavar="M", dest="min_should_match",
                     help="docs must match >= M clauses of an OR query "

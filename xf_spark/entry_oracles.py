@@ -1568,6 +1568,28 @@ ORDER BY s.conv_id, s.turn_idx, h.qid
 """
 
 
+# term-vectors replay for doc did=7: per-term tf from the doc's own
+# tokens, df from the corpus, contrib = the single-term BM25 leg
+ORACLES["transcripts_term_vectors"] = f"""
+WITH {_TR_BASE},
+vtf AS (SELECT term, count(*)::DOUBLE AS tf FROM ttok
+        WHERE did = 7 GROUP BY term),
+vdf AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM ttok
+        WHERE term IN (SELECT term FROM vtf) GROUP BY term),
+vdl AS (SELECT dl FROM tdl WHERE did = 7)
+SELECT v.term,
+       v.tf::BIGINT AS tf,
+       d.df::BIGINT AS df,
+       round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) AS idf,
+       round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * v.tf * 2.2
+             / (v.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6) AS contrib
+FROM vtf v
+JOIN vdf d USING (term)
+CROSS JOIN vdl l
+CROSS JOIN tstats s
+ORDER BY contrib DESC, v.term
+"""
+
 # recency-decay replay: BM25('spark') * 0.5^(age_days/90), age from
 # the corpus max ts (epoch() seconds — microsecond-exact on this
 # second-aligned derivation)

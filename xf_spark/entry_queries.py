@@ -1309,6 +1309,23 @@ def transcripts_hard_negatives(spark, sf_dir):
     )
 
 
+def transcripts_term_vectors(spark, sf_dir):
+    """Per-document term vectors (beyond-reference; ES _termvectors):
+    every term of turn did=7 with tf, corpus df, idf, and its BM25
+    contribution (== a single-term query's score for this doc).
+    Oracle: per-term replay over the tokenized base in DuckDB."""
+    from xf_spark.query.termvectors import term_vectors
+
+    ix = _segment_tr_index(spark, sf_dir)
+    return term_vectors(ix, 7).select(
+        "term",
+        "tf",
+        "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("contrib", 6).alias("contrib"),
+    )
+
+
 def transcripts_decayed(spark, sf_dir):
     """Recency-decayed ranking (beyond-reference; ES function_score
     exp decay): BM25('spark') * 0.5^(age_days/90), age anchored at
