@@ -843,3 +843,17 @@ class TestSearchDecayed:
             ix.search_decayed("machine", half_life_days=0)
         with pytest.raises(ValueError, match="scored query"):
             ix.search_decayed("")
+
+
+def test_decay_rescore_matchall_guards(built):
+    """Round-3 review fix: the twins must agree that match-all has no
+    BM25 leg to decay/rescore — both raise, neither silently scores."""
+    ix, eng, _oracle, _meta = built
+    with pytest.raises(ValueError, match="scored query"):
+        ix.search_decayed("")
+    with pytest.raises(ValueError, match="scored query"):
+        eng.search_decayed("")
+    with pytest.raises(ValueError, match="rescore requires"):
+        ix.search_rescored("machine", "")
+    with pytest.raises(ValueError, match="rescore requires"):
+        eng.search_rescored("machine", "")

@@ -227,6 +227,30 @@ class TestParser:
             parse_query('"hash jo*"~~2')
         assert query_terms(parse_query('"a b"~~1')) == {"a", "b"}
 
+    def test_review_fixes_round3(self):
+        """Pinned outcomes of the round-3 self-review findings."""
+        import pytest
+
+        # underscore is a LIKE metacharacter and never appears in a
+        # token — not a wildcard atom, falls back to tokenization
+        assert parse_query("v?_tor") == ("phrase", ["v", "tor"])
+        # multi-digit fuzzy distances reach the loud error, they do
+        # not silently re-tokenize into a phrase with the digits
+        with pytest.raises(ValueError, match="fuzzy distance"):
+            parse_query("machne~12")
+        # a DETACHED trailing * inside quotes is punctuation — the
+        # previous word must not silently become a prefix
+        assert parse_query('"machine learning *"') == (
+            "phrase",
+            ["machine", "learning"],
+        )
+        assert parse_query('"machine *"') == ("term", "machine")
+        assert parse_query('"machine learning *"~2') == (
+            "near",
+            ["machine", "learning"],
+            2,
+        )
+
     def test_min_cover_span(self):
         from xf_spark.oracle import min_cover_span
 

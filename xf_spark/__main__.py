@@ -666,8 +666,14 @@ def cmd_search(args) -> int:
             "shape the lexical ranking — add `--mode lexical`"
         )
         return 1
-    if getattr(args, "rescore", None) and getattr(args, "half_life", None):
+    if (
+        getattr(args, "rescore", None)
+        and getattr(args, "half_life", None) is not None
+    ):
         print("--rescore and --half-life are mutually exclusive")
+        return 1
+    if getattr(args, "half_life", None) is not None and args.half_life <= 0:
+        print("--half-life must be a positive number of days")
         return 1
     spark = _spark(args)
     ix = XfIndex.open(spark, index)

@@ -379,11 +379,13 @@ class BM25Engine:
 
         if window < limit:
             raise ValueError("window must be >= limit")
+        rplan = self._expand_multiterm(parse_query(rescore))
+        if rplan == ("all",):
+            raise ValueError("rescore requires a scored query")
         prim = self.search(
             query, limit=window, roles=roles, since=since, until=until,
             fuzzy=fuzzy,
         )
-        rplan = self._expand_multiterm(parse_query(rescore))
         sec = self._eval(rplan).join(
             F.broadcast(prim.select("doc_id")), "doc_id"
         )
@@ -425,6 +427,12 @@ class BM25Engine:
         hl = float(half_life_days)
         if hl <= 0:
             raise ValueError("half_life_days must be positive")
+        from xf_spark.query.parser import parse_query
+
+        if parse_query(query) == ("all",):
+            # twin-contract parity with SegmentIndex.search_decayed:
+            # match-all has no BM25 leg to decay
+            raise ValueError("decay scoring requires a scored query")
         scored = self._filtered_scored(query, roles, since, until, fuzzy)
         from xf_spark.query.segment_search import empty_local
 

@@ -109,8 +109,10 @@ _SLOP_RE = re.compile(r'^("[^"]*")~(\d+)$', re.DOTALL)
 # "..."~~G unordered-window suffix: all terms within a window with at
 # most G total gaps, ANY order (ES intervals all_of max_gaps analog)
 _WSLOP_RE = re.compile(r'^("[^"]*")~~(\d+)$', re.DOTALL)
-# bare-term ~d fuzzy suffix: base~ | base~0..9 (after boost strip)
-_FUZZY_RE = re.compile(r"^([^\s\"~]+)~(\d?)$", re.DOTALL)
+# bare-term ~d fuzzy suffix: base~ | base~N (after boost strip); N is
+# validated in _atom_base — multi-digit distances must reach the
+# loud ValueError, not silently re-tokenize
+_FUZZY_RE = re.compile(r"^([^\s\"~]+)~(\d*)$", re.DOTALL)
 
 # dictionary-expansion cap shared by wildcard / fuzzy / phrase-prefix
 # atoms across every engine AND the oracles (Lucene FuzzyQuery's
@@ -158,7 +160,7 @@ def _atom_base(raw: str):
     wm = _WSLOP_RE.match(raw)
     if wm:
         inner = wm[1][1:-1].strip()
-        if inner.endswith("*"):
+        if inner.endswith("*") and len(inner) >= 2 and not inner[-2].isspace():
             raise ValueError(
                 f"window proximity and phrase-prefix cannot combine: {raw!r}"
             )
@@ -173,7 +175,7 @@ def _atom_base(raw: str):
     sm = _SLOP_RE.match(raw)
     if sm:
         inner = sm[1][1:-1].strip()
-        if inner.endswith("*"):
+        if inner.endswith("*") and len(inner) >= 2 and not inner[-2].isspace():
             raise ValueError(
                 f"slop and phrase-prefix cannot combine: {raw!r}"
             )
@@ -188,8 +190,12 @@ def _atom_base(raw: str):
         return ("near", terms, slop)
     if raw.startswith('"') and raw.endswith('"') and len(raw) >= 2:
         inner = raw[1:-1].strip()
-        if inner.endswith("*"):
-            # match_phrase_prefix: the last word is a dictionary prefix
+        if inner.endswith("*") and len(inner) >= 2 and not inner[-2].isspace():
+            # match_phrase_prefix: the * is ATTACHED to the last word
+            # ("machine lear*"); a detached star ("machine learning *")
+            # is punctuation and dissolves in tokenization below —
+            # converting the previous word into a prefix would silently
+            # widen the phrase
             terms = tokenize(inner[:-1])
             if not terms:
                 return None
@@ -218,7 +224,11 @@ def _atom_base(raw: str):
     lowered = raw.lower()
     if (
         ("?" in lowered or "*" in lowered[:-1])
-        and re.fullmatch(r"[\w*?]+", lowered)
+        # alphanumerics + wildcards ONLY — '_' is excluded because the
+        # tokenizer splits on it (no term can contain one) AND it is a
+        # LIKE metacharacter: admitting it would make the SQL-LIKE
+        # engines match where the fnmatch oracle/percolate cannot
+        and re.fullmatch(r"(?:[^\W_]|[*?])+", lowered)
         and re.search(r"\w", lowered.replace("*", "").replace("?", ""))
     ):
         return ("wildcard", lowered)

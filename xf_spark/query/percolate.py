@@ -84,6 +84,24 @@ def required_terms(node) -> set[str]:
     return set()
 
 
+def _wildcard_rx(pat: str):
+    """Compiled wildcard matcher, memoized per process — the hot loop
+    evaluates registered queries against EVERY streamed doc, and
+    re-running fnmatch.translate + re.compile per (doc, query) relies
+    on re's evictable 512-entry cache. Registered patterns are a
+    small driver-side set, so the memo is bounded."""
+    rx = _WILDCARD_RX.get(pat)
+    if rx is None:
+        import fnmatch
+        import re as _re
+
+        rx = _WILDCARD_RX[pat] = _re.compile(fnmatch.translate(pat))
+    return rx
+
+
+_WILDCARD_RX: dict = {}
+
+
 def _match_node(node, toks: list, tokset: set, prefixes, text: str) -> bool:
     """Evaluate one AST node against one tokenized doc. ``prefixes``
     is a lazy holder: [set] or [] (built on first prefix-node hit)."""
@@ -137,11 +155,7 @@ def _match_node(node, toks: list, tokset: set, prefixes, text: str) -> bool:
             r + 1 < len(toks) and toks[r + 1].startswith(pfx) for r in reach
         )
     if kind == "wildcard":
-        import fnmatch
-        import re as _re
-
-        rx = _re.compile(fnmatch.translate(node[1]))
-        return any(rx.match(t) for t in tokset)
+        return any(_wildcard_rx(node[1]).match(t) for t in tokset)
     if kind == "fuzzy":
         from xf_spark.oracle import _levenshtein
         from xf_spark.query.segment_search import FUZZY_MIN_LEN

@@ -624,19 +624,64 @@ def eval_plan_on_data(
         datas, pos, tfp = got
         span = len(terms) - 1 + gaps
         uniq = sorted(set(terms))
-        common = datas[uniq[0]]["ids"]
-        for t in uniq[1:]:
-            common = common[np.isin(common, datas[t]["ids"])]
-        out = []
-        for doc in common:
-            plists = [
-                pos[t][int(np.searchsorted(datas[t]["ids"], doc))]
-                for t in uniq
-            ]
-            best = min_cover_span(plists)
-            if best is not None and best <= span:
-                out.append(int(doc))
-        matched = np.asarray(out, dtype=np.int64)
+        matched = None
+        if len(uniq) == 2:
+            # vectorized two-term path (the dominant query shape): in
+            # the doc*B + pos key space, for every occurrence of term
+            # A the nearest B-occurrence neighbors are searchsorted
+            # candidates; a pair in the SAME doc within `span` marks
+            # the doc. Cross-doc pairs differ by >= B > span, so the
+            # same-doc guard is one integer-divide compare.
+            def keys_of(t):
+                d = datas[t]
+                plist = pos[t]
+                lens = np.fromiter(
+                    (len(p) for p in plist), dtype=np.int64, count=len(plist)
+                )
+                flat = (
+                    np.concatenate(plist).astype(np.int64)
+                    if len(plist)
+                    else np.empty(0, dtype=np.int64)
+                )
+                if flat.size and int(flat.max()) + span + 1 >= _POS_B:
+                    return None
+                return np.repeat(d["ids"].astype(np.int64), lens) * _POS_B + flat
+
+            ka, kb = keys_of(uniq[0]), keys_of(uniq[1])
+            if ka is not None and kb is not None:
+                hits = []
+                for a, b in ((ka, kb), (kb, ka)):
+                    if not a.size or not b.size:
+                        continue
+                    idx = np.minimum(np.searchsorted(b, a), b.size - 1)
+                    diff = b[idx] - a
+                    m = (
+                        (diff >= 0)
+                        & (diff <= span)
+                        & (b[idx] // _POS_B == a // _POS_B)
+                    )
+                    hits.append(a[m] // _POS_B)
+                matched = (
+                    np.unique(np.concatenate(hits))
+                    if hits
+                    else np.empty(0, dtype=np.int64)
+                )
+        if matched is None:
+            # scalar fallback: K >= 3 terms, or positions beyond the
+            # key bound — per-candidate merged-events sliding window
+            common = datas[uniq[0]]["ids"]
+            for t in uniq[1:]:
+                common = common[np.isin(common, datas[t]["ids"])]
+            out = []
+            for doc in common:
+                plists = [
+                    pos[t][int(np.searchsorted(datas[t]["ids"], doc))]
+                    for t in uniq
+                ]
+                best = min_cover_span(plists)
+                if best is not None and best <= span:
+                    out.append(int(doc))
+            matched = np.asarray(out, dtype=np.int64)
         return _finish_positional(matched, datas, tfp, terms)
 
     def ev_phrase(terms: list[str]):
@@ -2155,6 +2200,10 @@ class SegmentIndex:
         combine runs on <= window rows on the driver."""
         if window < limit:
             raise ValueError("window must be >= limit")
+        rplan, _rroles = parse_query_extract(rescore)
+        if rplan == ("all",):
+            raise ValueError("rescore requires a scored query")
+        rplan = self._expand_multiterm(rplan)
         prim = [
             (int(r["doc_id"]), float(r["score"]))
             for r in self.search(
@@ -2165,8 +2214,6 @@ class SegmentIndex:
         if not prim:
             return empty_local(self.spark, TOPK_SCHEMA)
         ids = np.asarray(sorted(d for d, _ in prim), dtype=np.int64)
-        rplan, _rroles = parse_query_extract(rescore)
-        rplan = self._expand_multiterm(rplan)
         rterms = query_terms(rplan)
         rpterms = prefix_terms(rplan)
         n = self.meta["n_docs"]

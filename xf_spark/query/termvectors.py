@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from xf_spark.functions.textcore import tokenize
+from xf_spark.oracle import bm25_idf, bm25_tf_part
 
 TERM_VECTORS_SCHEMA = T.StructType(
     [
@@ -33,10 +34,6 @@ TERM_VECTORS_SCHEMA = T.StructType(
         T.StructField("contrib", T.DoubleType()),
     ]
 )
-
-K1 = 1.2
-B = 0.75
-
 
 def term_vectors(ix, doc_id: int) -> DataFrame:
     """(term, tf, positions, df, idf, contrib) for one document of a
@@ -66,11 +63,10 @@ def term_vectors(ix, doc_id: int) -> DataFrame:
     recs = []
     for t, plist in pos.items():
         df = int(dfs.get(t, 0))
-        idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5))) if df else 0.0
-        tf = float(len(plist))
-        contrib = (
-            idf * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
-        )
+        # the PINNED scoring arithmetic (oracle.py) — contrib must
+        # equal a single-term query's score for this doc
+        idf = bm25_idf(n, df) if df else 0.0
+        contrib = idf * bm25_tf_part(float(len(plist)), dl, avgdl)
         recs.append((t, len(plist), plist, df, idf, contrib))
     recs.sort(key=lambda r: (-r[5], r[0]))
     return ix.spark.createDataFrame(
