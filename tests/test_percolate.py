@@ -160,3 +160,51 @@ def test_percolate_streaming_alerts(spark, tmp_path, corpus):
             if d < 300:
                 want.add((d, qid))
     assert got == want
+
+
+def test_percolate_cli(spark, tmp_path, corpus):
+    """CLI wiring: percolate --queries file --input parquet --out dir
+    writes (doc_id, qid) pairs equal to the library call; bad query
+    files get a friendly one-liner."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    rows, oracle = corpus
+    src = tmp_path / "docs.parquet"
+    pd.DataFrame(
+        {"doc_id": [i for i, _, _ in rows[:400]],
+         "text": [t for _, t, _ in rows[:400]],
+         "role": [r for _, _, r in rows[:400]]}
+    ).to_parquet(src, coerce_timestamps="us")
+    qfile = tmp_path / "alerts.json"
+    qfile.write_text(json.dumps({"ml": '"machine learning"', "w": "ma?hine"}))
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    out_dir = str(tmp_path / "alerts_out")
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "--cores", "4", "percolate",
+         "--queries", str(qfile), "--input", str(src), "--out", out_dir],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "ml:" in r.stdout and "w:" in r.stdout
+    got = {
+        (x["doc_id"], x["qid"]) for x in spark.read.parquet(out_dir).collect()
+    }
+    want = set()
+    for qid, q in [("ml", '"machine learning"'), ("w", "ma?hine")]:
+        for d, _ in oracle.search(q, limit=10**9):
+            if d < 400:
+                want.add((d, qid))
+    assert got == want
+    r = subprocess.run(
+        [sys.executable, "-m", "xf_spark", "--cores", "4", "percolate",
+         "--queries", str(tmp_path / "nope.json"), "--input", str(src)],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+        timeout=300,
+    )
+    assert r.returncode == 1 and "bad --queries" in r.stdout

@@ -387,6 +387,62 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_percolate(args) -> int:
+    """`percolate --queries alerts.json --input docs.parquet [--out P]`
+    — reverse search (ES percolator): which registered queries match
+    each input document. The alerting/routing primitive; one
+    shuffle-free pass over the input (see query/percolate.py)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from xf_spark.query.percolate import percolate
+
+    try:
+        with open(args.queries, encoding="utf-8") as f:
+            qmap = _json.load(f)
+        if not isinstance(qmap, dict) or not qmap:
+            raise ValueError("expected a non-empty {qid: query} object")
+        pairs = sorted((str(k), str(v)) for k, v in qmap.items())
+    except (OSError, ValueError) as e:
+        print(f"bad --queries: {e}")
+        return 1
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    if args.id_col not in docs.columns or args.text_col not in docs.columns:
+        print(
+            f"input lacks --id-col {args.id_col!r} / --text-col "
+            f"{args.text_col!r} (has: {', '.join(docs.columns)})"
+        )
+        return 1
+    role_col = args.role_col if args.role_col in docs.columns else None
+    try:
+        out = percolate(
+            docs,
+            pairs,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            role_col=role_col,
+        )
+    except ValueError as e:
+        print(str(e))
+        return 1
+    out = out.orderBy("doc_id", "qid")
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        counts = {
+            r["qid"]: r["n"]
+            for r in out.groupBy("qid").agg(F.count("*").alias("n")).collect()
+        }
+        for qid, _q in pairs:
+            print(f"{qid}: {counts.get(qid, 0)} matches")
+        print(f"wrote {args.out}")
+        return 0
+    rows = out.collect()
+    _format_rows(rows, args.format, ["doc_id", "qid"])
+    return 0
+
+
 def cmd_similar(args) -> int:
     """Similar turns to an existing one by embedding cosine
     (more-like-this; beyond the reference CLI surface)."""
@@ -1184,6 +1240,25 @@ def build_parser() -> argparse.ArgumentParser:
     pcu.add_argument("--max-hamming", type=int, default=3,
                      help="simhash hamming radius")
     pcu.set_defaults(fn=cmd_curate)
+
+    ppc = sub.add_parser(
+        "percolate",
+        help="reverse search: which registered queries match each doc "
+             "(ES percolator / streaming alerts)",
+    )
+    ppc.add_argument("--queries", required=True, metavar="FILE.json",
+                     help='{"qid": "query", ...} — full query grammar')
+    ppc.add_argument("--input", required=True,
+                     help="parquet of documents to percolate")
+    ppc.add_argument("--out", default=None,
+                     help="write (doc_id, qid) pairs as parquet; "
+                          "prints per-query counts")
+    ppc.add_argument("--id-col", default="doc_id", dest="id_col")
+    ppc.add_argument("--text-col", default="text", dest="text_col")
+    ppc.add_argument("--role-col", default="role", dest="role_col")
+    ppc.add_argument("--format", default="json",
+                     choices=["text", "json", "json-pretty", "csv"])
+    ppc.set_defaults(fn=cmd_percolate)
 
     psm = sub.add_parser(
         "similar", help="turns most similar to an existing turn (cosine)"
