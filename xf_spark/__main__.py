@@ -793,7 +793,7 @@ def cmd_search(args) -> int:
             fuzzy=fuzzy,
         )
     elif getattr(args, "rescore", None):
-        df = ix.search_rescored(
+        hits = ix.search_rescored(
             args.query,
             args.rescore,
             limit=limit,
@@ -804,8 +804,9 @@ def cmd_search(args) -> int:
             until=args.until,
             fuzzy=fuzzy,
         )
+        df, _presorted = ix._hydrate(hits, "relevance")
     elif getattr(args, "half_life", None) is not None:
-        df = ix.search_decayed(
+        hits = ix.search_decayed(
             args.query,
             half_life_days=args.half_life,
             limit=limit,
@@ -814,6 +815,7 @@ def cmd_search(args) -> int:
             until=args.until,
             fuzzy=fuzzy,
         )
+        df, _presorted = ix._hydrate(hits, "relevance")
     else:
         df = ix.search(
             args.query,
