@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_hard_negatives": eq.transcripts_hard_negatives,
         "transcripts_decayed": eq.transcripts_decayed,
         "transcripts_term_vectors": eq.transcripts_term_vectors,
+        "transcripts_demoted": eq.transcripts_demoted,
         "transcripts_boosted_or": eq.transcripts_boosted_or,
         "transcripts_min_should_match": eq.transcripts_min_should_match,
         # dictionary-resolved atoms + synonyms (round 3, ES/Lucene

@@ -857,3 +857,71 @@ def test_decay_rescore_matchall_guards(built):
         ix.search_rescored("machine", "")
     with pytest.raises(ValueError, match="rescore requires"):
         eng.search_rescored("machine", "")
+
+
+class TestSearchDemoted:
+    def test_segment_matches_oracle(self, built):
+        ix, _eng, oracle, _meta = built
+        for q, neg, f in [
+            ("machine", '"machine learning"', 0.3),
+            ("rust async", "python", 0.5),
+        ]:
+            got = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in ix.search_demoted(q, neg, factor=f, limit=20).collect()
+            ]
+            want = [
+                (d, round(s, 9))
+                for d, s in oracle.search_demoted(q, neg, factor=f, limit=20)
+            ]
+            assert got == want, (q, neg)
+        # demoted docs stay findable (unlike NOT) at score * factor
+        plain = {
+            r["doc_id"]: r["score"]
+            for r in ix.search("machine", limit=1000).collect()
+        }
+        dem = {
+            r["doc_id"]: r["score"]
+            for r in ix.search_demoted(
+                "machine", "rust", factor=0.25, limit=1000
+            ).collect()
+        }
+        neg_ids = {d for d, _ in oracle.search("rust", limit=10**9)}
+        both = set(plain) & neg_ids
+        assert both  # fixture must exercise the demotion
+        for d in both:
+            assert abs(dem[d] - 0.25 * plain[d]) < 1e-9
+        for d in set(plain) - neg_ids:
+            assert abs(dem[d] - plain[d]) < 1e-9
+
+    def test_bm25_twin_and_distributed(self, built):
+        ix, eng, _oracle, _meta = built
+        a = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in ix.search_demoted("machine", "rust", factor=0.4).collect()
+        ]
+        b = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in eng.search_demoted("machine", "rust", factor=0.4).collect()
+        ]
+        assert a == b
+        old = ix.driver_topk_threshold
+        try:
+            ix.driver_topk_threshold = 0
+            c = [
+                (r["doc_id"], round(r["score"], 9))
+                for r in ix.search_demoted(
+                    "machine", "rust", factor=0.4
+                ).collect()
+            ]
+        finally:
+            ix.driver_topk_threshold = old
+        assert a == c
+
+    def test_validation(self, built):
+        ix, eng, _oracle, _meta = built
+        for e in (ix, eng):
+            with pytest.raises(ValueError, match="scored query|negative"):
+                e.search_demoted("machine", "")
+        with pytest.raises(ValueError, match="factor"):
+            ix.search_demoted("machine", "rust", factor=0)

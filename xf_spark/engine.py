@@ -1023,6 +1023,33 @@ class XfIndex:
             fuzzy=fuzzy,
         )
 
+    def search_demoted(
+        self,
+        query: str,
+        negative: str,
+        factor: float = 0.5,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Boosting-query demotion (Lucene BoostingQuery): docs
+        matching ``negative`` stay findable at score * factor."""
+        roles = _norm_roles(roles)
+        since_dt = parse_date_flexible(since) if since else None
+        until_dt = parse_date_flexible(until, end=True) if until else None
+        return self.segment_index.search_demoted(
+            query,
+            negative,
+            factor=factor,
+            limit=limit,
+            roles=roles,
+            since=since_dt,
+            until=until_dt,
+            fuzzy=fuzzy,
+        )
+
     def match_stats(
         self,
         query: str,

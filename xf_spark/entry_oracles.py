@@ -1590,6 +1590,24 @@ CROSS JOIN tstats s
 ORDER BY contrib DESC, v.term
 """
 
+# boosting-query demotion replay: BM25('spark') * 0.3 where the doc
+# also matches the positional phrase "hash join", * 1 otherwise
+ORACLES["transcripts_demoted"] = f"""
+WITH {_TR_BASE},
+{_tr_phrase_block("hash", "join")},
+{_tr_scored("spark")},
+dcomb AS (
+  SELECT t.did,
+         t.score * CASE WHEN p.did IS NULL THEN 1.0 ELSE 0.3 END AS score
+  FROM tscored t
+  LEFT JOIN (SELECT DISTINCT did FROM pscored) p ON p.did = t.did
+)
+SELECT b.conv_id, b.turn_idx, round(c.score, 4) AS score
+FROM dcomb c JOIN base b ON b.did = c.did
+ORDER BY c.score DESC, c.did
+LIMIT 20
+"""
+
 # recency-decay replay: BM25('spark') * 0.5^(age_days/90), age from
 # the corpus max ts (epoch() seconds — microsecond-exact on this
 # second-aligned derivation)

@@ -1326,6 +1326,16 @@ def transcripts_term_vectors(spark, sf_dir):
     )
 
 
+def transcripts_demoted(spark, sf_dir):
+    """Boosting-query demotion (beyond-reference; Lucene
+    BoostingQuery): 'spark' hits that also match '"hash join"' stay
+    findable at 0.3x — ranked down, not excluded. Oracle: the scored
+    CTE with a left-join membership flag in DuckDB."""
+    ix = _segment_tr_index(spark, sf_dir)
+    hits = ix.search_demoted("spark", '"hash join"', factor=0.3, limit=20)
+    return _hydrated_hits(ix, hits, with_text=False)
+
+
 def transcripts_decayed(spark, sf_dir):
     """Recency-decayed ranking (beyond-reference; ES function_score
     exp decay): BM25('spark') * 0.5^(age_days/90), age anchored at

@@ -361,6 +361,25 @@ class OracleIndex:
         combined.sort(key=lambda kv: (-kv[1], kv[0]))
         return combined[:limit]
 
+    def search_demoted(
+        self,
+        query: str,
+        negative: str,
+        factor: float = 0.5,
+        limit: int = 20,
+    ) -> list[tuple]:
+        """Boosting-query demotion replay: docs matching ``negative``
+        keep their match at score * factor."""
+        from xf_spark.query.parser import parse_query
+
+        neg = set(self._eval(parse_query(negative)))
+        out = [
+            (d, s * (factor if d in neg else 1.0))
+            for d, s in self._eval(parse_query(query)).items()
+        ]
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:limit]
+
     # -- semantic / hybrid ------------------------------------------------
 
     def semantic_topk(self, query: str, texts: dict, limit: int = 20, doc_filter=None):

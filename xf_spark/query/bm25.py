@@ -456,6 +456,53 @@ class BM25Engine:
             .limit(limit)
         )
 
+    def search_demoted(
+        self,
+        query: str,
+        negative: str,
+        factor: float = 0.5,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Boosting-query demotion (the Lucene BoostingQuery / ES
+        boosting-query shape): docs matching ``negative`` keep their
+        match but their score is multiplied by ``factor`` (0 < f < 1
+        demotes; unlike NOT, they stay findable). Demotion reorders
+        the FULL match set, so it is applied before top-k."""
+        from xf_spark.query.parser import parse_query
+
+        f = float(factor)
+        if not (0.0 < f):
+            raise ValueError("factor must be positive")
+        nplan = self._expand_multiterm(parse_query(negative))
+        if nplan == ("all",):
+            raise ValueError("negative requires a scored query")
+        scored = self._filtered_scored(query, roles, since, until, fuzzy)
+        from xf_spark.query.segment_search import empty_local
+
+        if scored is None:
+            return empty_local(
+                self.docs.sparkSession, "doc_id long, score double"
+            )
+        neg = self._eval(nplan).select(
+            "doc_id", F.lit(True).alias("_neg")
+        )
+        return (
+            scored.join(neg, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("score")
+                    * F.when(F.col("_neg"), F.lit(f)).otherwise(F.lit(1.0))
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(limit)
+        )
+
     def search_collapsed(
         self,
         query: str,

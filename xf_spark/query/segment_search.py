@@ -2469,6 +2469,155 @@ class SegmentIndex:
         )
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
+    def search_demoted(
+        self,
+        query: str,
+        negative: str,
+        factor: float = 0.5,
+        limit: int = 20,
+        roles: list[str] | None = None,
+        since=None,
+        until=None,
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Boosting-query demotion (Lucene BoostingQuery / ES boosting
+        query): docs matching ``negative`` keep their match but score
+        * ``factor`` — unlike NOT they stay findable, just ranked
+        down. Demotion reorders the FULL match set (a demoted
+        high-BM25 doc can fall below an undemoted low one), so it
+        applies before top-k.
+
+        Scale shape: BOTH plans evaluate in the SAME pass — the
+        pruned postings scan carries the union of their terms, and
+        each shard task computes its local matches, flags the
+        negative subset (doc_ids are shard-local in segments), and
+        emits <= limit rows after local demote+top-k. Driver path:
+        candidate-bounded NumPy with np.isin membership."""
+        f = float(factor)
+        if f <= 0:
+            raise ValueError("factor must be positive")
+        plan, roles, idfs, tterms, pterms, total = self._resolve_match_plan(
+            query, roles, fuzzy
+        )
+        if plan is None:
+            return empty_local(self.spark, TOPK_SCHEMA)
+        if plan == ("all",):
+            raise ValueError("demotion requires a scored query")
+        nplan, _nroles = parse_query_extract(negative)
+        if nplan == ("all",):
+            raise ValueError("negative requires a scored query")
+        nplan = self._expand_multiterm(nplan)
+        nterms = query_terms(nplan)
+        npterms = prefix_terms(nplan)
+        n = self.meta["n_docs"]
+        idfs = dict(idfs)
+        idfs.update(
+            {
+                ("text", t): idf_for(n, df)
+                for t, df in self.term_dfs(nterms, "text").items()
+            }
+        )
+        idfs.update(
+            {
+                ("prefix", t): idf_for(n, df)
+                for t, df in self.term_dfs(npterms, "prefix").items()
+            }
+        )
+        filtered = bool(roles) or since is not None or until is not None
+        avgdl = self.meta["avgdl"]
+        all_t = tterms | nterms
+        all_p = pterms | npterms
+        ntotal = total + sum(
+            self._df_memo.get(("text", t), 0) for t in nterms
+        ) + sum(self._df_memo.get(("prefix", t), 0) for t in npterms)
+        if ntotal <= self.driver_topk_threshold:
+            data = self._term_data_for(all_t, all_p)
+            allowed = None
+            if filtered and data:
+                if self.docs is None and self._pinned_attrs is None:
+                    raise ValueError("filters require a docs table")
+                allowed = self._allowed_ids(data, roles, since, until)
+            mp = match_set_on_data(data, plan, idfs, avgdl, allowed)
+            ids = mp["doc_id"].to_numpy(np.int64)
+            sc = mp["score"].to_numpy(np.float64)
+            if not len(ids):
+                return empty_local(self.spark, TOPK_SCHEMA)
+            neg = match_set_on_data(data, nplan, idfs, avgdl, None)[
+                "doc_id"
+            ].to_numpy(np.int64)
+            comb = np.where(np.isin(ids, neg), sc * f, sc)
+            k = min(limit, len(ids))
+            o = np.lexsort((ids, -comb))[:k]
+            return self.spark.createDataFrame(
+                pd.DataFrame({"doc_id": ids[o], "score": comb[o]}),
+                schema=TOPK_SCHEMA,
+            )
+        plan_b, nplan_b, idfs_b, lim_b, f_b = plan, nplan, idfs, limit, f
+        seg = self._pruned_scan(all_t, all_p)
+        if filtered:
+            if self.docs is None:
+                raise ValueError("filters require a docs table")
+            attrs = self._attrs_with_shard(
+                self.docs.where(_attr_cond(roles, since, until)), "doc_id"
+            )
+
+            def run_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame):
+                empty = pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype=np.int64),
+                        "score": pd.Series([], dtype=np.float64),
+                    }
+                )
+                if not len(seg_pdf) or not len(attr_pdf):
+                    return empty
+                data = build_term_data(seg_pdf)
+                aid = np.sort(attr_pdf["doc_id"].to_numpy(np.int64))
+                mp = match_set_on_data(data, plan_b, idfs_b, avgdl, aid)
+                ids = mp["doc_id"].to_numpy(np.int64)
+                if not len(ids):
+                    return empty
+                sc = mp["score"].to_numpy(np.float64)
+                neg = match_set_on_data(data, nplan_b, idfs_b, avgdl, None)[
+                    "doc_id"
+                ].to_numpy(np.int64)
+                comb = np.where(np.isin(ids, neg), sc * f_b, sc)
+                k = min(lim_b, len(ids))
+                o = np.lexsort((ids, -comb))[:k]
+                return pd.DataFrame({"doc_id": ids[o], "score": comb[o]})
+
+            out = (
+                seg.groupBy("shard")
+                .cogroup(attrs.groupBy("shard"))
+                .applyInPandas(run_cg, schema=TOPK_SCHEMA)
+            )
+        else:
+
+            def run(seg_pdf: pd.DataFrame):
+                empty = pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype=np.int64),
+                        "score": pd.Series([], dtype=np.float64),
+                    }
+                )
+                if not len(seg_pdf):
+                    return empty
+                data = build_term_data(seg_pdf)
+                mp = match_set_on_data(data, plan_b, idfs_b, avgdl, None)
+                ids = mp["doc_id"].to_numpy(np.int64)
+                if not len(ids):
+                    return empty
+                sc = mp["score"].to_numpy(np.float64)
+                neg = match_set_on_data(data, nplan_b, idfs_b, avgdl, None)[
+                    "doc_id"
+                ].to_numpy(np.int64)
+                comb = np.where(np.isin(ids, neg), sc * f_b, sc)
+                k = min(lim_b, len(ids))
+                o = np.lexsort((ids, -comb))[:k]
+                return pd.DataFrame({"doc_id": ids[o], "score": comb[o]})
+
+            out = seg.groupBy("shard").applyInPandas(run, schema=TOPK_SCHEMA)
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
     def match_ids_df(
         self,
         query: str,
