@@ -349,6 +349,28 @@ class TestCli:
         )
         assert r.returncode == 1 and "mutually exclusive" in r.stdout
 
+    def test_cli_demote(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--mode", "lexical",
+             "--demote", "rust", "--demote-factor", "0.25",
+             "--limit", "3", "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(payload) == 3 and all("text" in row for row in payload)
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--mode", "lexical",
+             "--demote", "rust", "--rescore", "x"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 1 and "mutually exclusive" in r.stdout
+
     def test_cli_search_wildcard_fuzzy_syntax(self, cli_index):
         idx, env = cli_index
         for q in ("ma?hine", "machne~2", '"machine lear*"'):

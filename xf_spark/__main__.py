@@ -714,19 +714,25 @@ def cmd_search(args) -> int:
         synonyms
         or getattr(args, "min_should_match", 1) > 1
         or getattr(args, "rescore", None)
+        or getattr(args, "demote", None)
         or getattr(args, "half_life", None) is not None
     )
     if lex_only and args.mode not in ("lexical", "bm25"):
         print(
-            "--synonyms / --min-should-match / --rescore / --half-life "
-            "shape the lexical ranking — add `--mode lexical`"
+            "--synonyms / --min-should-match / --rescore / --demote / "
+            "--half-life shape the lexical ranking — add `--mode lexical`"
         )
         return 1
-    if (
-        getattr(args, "rescore", None)
-        and getattr(args, "half_life", None) is not None
-    ):
-        print("--rescore and --half-life are mutually exclusive")
+    rankers = sum(
+        1
+        for v in (
+            getattr(args, "rescore", None),
+            getattr(args, "demote", None),
+        )
+        if v
+    ) + (1 if getattr(args, "half_life", None) is not None else 0)
+    if rankers > 1:
+        print("--rescore / --demote / --half-life are mutually exclusive")
         return 1
     if getattr(args, "half_life", None) is not None and args.half_life <= 0:
         print("--half-life must be a positive number of days")
@@ -799,6 +805,18 @@ def cmd_search(args) -> int:
             limit=limit,
             window=args.rescore_window,
             weight=args.rescore_weight,
+            roles=roles,
+            since=args.since,
+            until=args.until,
+            fuzzy=fuzzy,
+        )
+        df, _presorted = ix._hydrate(hits, "relevance")
+    elif getattr(args, "demote", None):
+        hits = ix.search_demoted(
+            args.query,
+            args.demote,
+            factor=args.demote_factor,
+            limit=limit,
             roles=roles,
             since=args.since,
             until=args.until,
@@ -1151,6 +1169,13 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--rescore-weight", type=float, default=2.0,
                     dest="rescore_weight", metavar="W",
                     help="secondary weight for --rescore (default 2.0)")
+    ps.add_argument("--demote", default=None, metavar="QUERY",
+                    help="boosting query: docs matching QUERY stay "
+                         "findable at score * --demote-factor "
+                         "(Lucene BoostingQuery; lexical mode)")
+    ps.add_argument("--demote-factor", type=float, default=0.5,
+                    dest="demote_factor", metavar="F",
+                    help="demotion multiplier for --demote (default 0.5)")
     ps.add_argument("--half-life", type=float, default=None,
                     dest="half_life", metavar="DAYS",
                     help="recency decay: score *= 0.5^(age_days/DAYS), "
