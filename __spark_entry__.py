@@ -80,7 +80,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wrapper
 
+    # Registry ORDER is load-bearing: the driver's CORRECTNESS run
+    # samples a time-budgeted window from the FRONT of this dict
+    # (r1=38, r2=44, r3=50 entries). Rounds 1-3 verified the first ~53
+    # entries of the old order; the 55 entries that had never received
+    # a driver-green row (plus transcripts_hybrid_rrf, green in r2 but
+    # rotated out since) now lead, ordered by value: the persisted
+    # segment-index path first (the at-rest artifact the north rule is
+    # about), then hybrid fusion, the aggregation/pagination surfaces,
+    # the extended query grammar, Iceberg, and the curation ops. The
+    # previously-verified entries follow so a longer window still
+    # re-covers them. Future rounds: rotate so both halves stay green.
     return {k: shipped(v) for k, v in {
+        # --- PERSISTED segment-index path (delta+varint codec,
+        # block-max WAND, batched msearch, append -> compact lifecycle,
+        # compaction purge) — never driver-verified before round 4
+        "transcripts_segment_bm25": eq.transcripts_segment_bm25,
+        "transcripts_fuzzy_bm25": eq.transcripts_fuzzy_bm25,
+        "transcripts_segment_msearch": eq.transcripts_segment_msearch,
+        "transcripts_lifecycle_bm25": eq.transcripts_lifecycle_bm25,
+        "transcripts_purge_bm25": eq.transcripts_purge_bm25,
+        "transcripts_purge_stats": eq.transcripts_purge_stats,
+        # --- hybrid fusion (RRF + ANN-pruned semantic leg + explain)
+        "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,
+        "hybrid_ann_full_probe": eq.hybrid_ann_full_probe,
+        "hybrid_explain_rrf": eq.hybrid_explain_rrf,
+        # --- aggregation / pagination surfaces over the match set
+        "transcripts_facet_role": eq.transcripts_facet_role,
+        "transcripts_facet_day": eq.transcripts_facet_day,
+        "transcripts_facets_multi": eq.transcripts_facets_multi,
+        "transcripts_facet_top_hits": eq.transcripts_facet_top_hits,
+        "transcripts_collapse_best": eq.transcripts_collapse_best,
+        "transcripts_count_assistant": eq.transcripts_count_assistant,
+        "transcripts_search_after_page2": eq.transcripts_search_after_page2,
+        "transcripts_significant_terms": eq.transcripts_significant_terms,
+        "transcripts_suggest": eq.transcripts_suggest,
+        "transcripts_match_stats": eq.transcripts_match_stats,
+        # --- extended query grammar (sloppy phrase, proximity window,
+        # rescore, decay, demotion, boosts, msm, percolate, wildcard,
+        # fuzzy syntax, phrase-prefix, synonyms, term vectors, mining)
+        "transcripts_near_slop": eq.transcripts_near_slop,
+        "transcripts_window_proximity": eq.transcripts_window_proximity,
+        "transcripts_rescored": eq.transcripts_rescored,
+        "transcripts_hard_negatives": eq.transcripts_hard_negatives,
+        "transcripts_decayed": eq.transcripts_decayed,
+        "transcripts_term_vectors": eq.transcripts_term_vectors,
+        "transcripts_demoted": eq.transcripts_demoted,
+        "transcripts_boosted_or": eq.transcripts_boosted_or,
+        "transcripts_min_should_match": eq.transcripts_min_should_match,
+        "transcripts_percolate": eq.transcripts_percolate,
+        "transcripts_wildcard": eq.transcripts_wildcard,
+        "transcripts_fuzzy_syntax": eq.transcripts_fuzzy_syntax,
+        "transcripts_phrase_prefix": eq.transcripts_phrase_prefix,
+        "transcripts_synonyms": eq.transcripts_synonyms,
+        # --- pure-Python Iceberg v2 layer + snapshot-diff index sync
+        "iceberg_roundtrip": eq.iceberg_roundtrip,
+        "iceberg_time_travel": eq.iceberg_time_travel,
+        "iceberg_partition_prune": eq.iceberg_partition_prune,
+        "transcripts_iceberg_sync_bm25": eq.transcripts_iceberg_sync_bm25,
+        # --- LLM-curation ops (never driver-verified before round 4)
+        "curate_report": eq.curate_report,
+        "curate_kept_sample": eq.curate_kept_sample,
+        "decontam_overlap": eq.decontam_overlap,
+        "decontam_report": eq.decontam_report,
+        "pii_redact_stats": eq.pii_redact_stats,
+        "gopher_report": eq.gopher_report,
+        "c4_filter_report": eq.c4_filter_report,
+        "dsir_weights_top": eq.dsir_weights_top,
+        "dsir_sample_top": eq.dsir_sample_top,
+        "repetition_report": eq.repetition_report,
+        "mixture_sample_report": eq.mixture_sample_report,
+        "token_budget_sample": eq.token_budget_sample,
+        "pack_chunks_sample": eq.pack_chunks_sample,
+        "pack_chunks_stats": eq.pack_chunks_stats,
+        "chunk_split_sample": eq.chunk_split_sample,
+        "unigram_logprob_sample": eq.unigram_logprob_sample,
+        "split_report": eq.split_report,
+        "sft_render_sample": eq.sft_render_sample,
+        "tfidf_keywords_top": eq.tfidf_keywords_top,
+        # ================= previously driver-verified (r1-r3 green;
+        # re-covered whenever the window extends past the new heads)
         # full-text core (SURVEY.md §2.3)
         "bm25_single_term": eq.bm25_single_term,
         "bm25_or_terms": eq.bm25_or_terms,
@@ -149,95 +228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_field_query": eq.transcripts_field_query,
         "transcripts_bm25_merge": eq.transcripts_bm25_merge,
         "transcripts_phrase_hash_join": eq.transcripts_phrase_hash_join,
-        # round-3 query-language extensions: sloppy phrase, boosts,
-        # minimum-should-match (Lucene staples, beyond-reference)
-        "transcripts_near_slop": eq.transcripts_near_slop,
-        "transcripts_window_proximity": eq.transcripts_window_proximity,
-        "transcripts_rescored": eq.transcripts_rescored,
-        "transcripts_hard_negatives": eq.transcripts_hard_negatives,
-        "transcripts_decayed": eq.transcripts_decayed,
-        "transcripts_term_vectors": eq.transcripts_term_vectors,
-        "transcripts_demoted": eq.transcripts_demoted,
-        "transcripts_boosted_or": eq.transcripts_boosted_or,
-        "transcripts_min_should_match": eq.transcripts_min_should_match,
-        # dictionary-resolved atoms + synonyms (round 3, ES/Lucene
-        # staples): wildcard, ~d fuzzy syntax, phrase-prefix, synonyms
-        "transcripts_percolate": eq.transcripts_percolate,
-        "transcripts_facet_top_hits": eq.transcripts_facet_top_hits,
-        "transcripts_match_stats": eq.transcripts_match_stats,
-        "transcripts_wildcard": eq.transcripts_wildcard,
-        "transcripts_fuzzy_syntax": eq.transcripts_fuzzy_syntax,
-        "transcripts_phrase_prefix": eq.transcripts_phrase_prefix,
-        "transcripts_synonyms": eq.transcripts_synonyms,
-        "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,
-        "hybrid_ann_full_probe": eq.hybrid_ann_full_probe,
-        "hybrid_explain_rrf": eq.hybrid_explain_rrf,
+        # hybrid context expansion (DM-context analog, r3-green)
         "transcripts_context_expansion": eq.transcripts_context_expansion,
-        # PERSISTED segment-index path (delta+varint codec, block-max
-        # WAND, batched msearch, incremental append -> compact, and
-        # compaction purge) — each against the same flat DuckDB
-        # recomputation, so the at-rest artifact gets driver-level
-        # third-engine evidence, not just pytest
-        "transcripts_segment_bm25": eq.transcripts_segment_bm25,
-        "transcripts_fuzzy_bm25": eq.transcripts_fuzzy_bm25,
-        "transcripts_segment_msearch": eq.transcripts_segment_msearch,
-        "transcripts_lifecycle_bm25": eq.transcripts_lifecycle_bm25,
-        "transcripts_purge_bm25": eq.transcripts_purge_bm25,
-        "transcripts_purge_stats": eq.transcripts_purge_stats,
-        # aggregation query surfaces over the match set: facet counts
-        # (Lucene facet collector), date histograms, and field
-        # collapsing (best turn per conversation); plus per-doc tf-idf
-        # keyword extraction
-        "transcripts_facet_role": eq.transcripts_facet_role,
-        "transcripts_facet_day": eq.transcripts_facet_day,
-        "transcripts_collapse_best": eq.transcripts_collapse_best,
-        "tfidf_keywords_top": eq.tfidf_keywords_top,
-        # match-set count (_count analog) + search_after cursor
-        # pagination (page 2 strictly-after the page-1 cursor ==
-        # the OFFSET replay)
-        "transcripts_count_assistant": eq.transcripts_count_assistant,
-        "transcripts_search_after_page2": eq.transcripts_search_after_page2,
-        # significant-terms aggregation (lift vs corpus background)
-        "transcripts_significant_terms": eq.transcripts_significant_terms,
-        # did-you-mean spell correction (levenshtein vocab replay)
-        "transcripts_suggest": eq.transcripts_suggest,
-        # multi-facet request: one match set, several aggregations
-        "transcripts_facets_multi": eq.transcripts_facets_multi,
-        # composed curation pipeline (quality gate -> exact dedup):
-        # stage counts + kept membership, both SQL-replayed
-        "curate_report": eq.curate_report,
-        "curate_kept_sample": eq.curate_kept_sample,
-        # eval-set decontamination (GPT-3 13-gram rule): broadcast
-        # ref grams, map-side contamination join, anti-join keep set
-        "decontam_overlap": eq.decontam_overlap,
-        "decontam_report": eq.decontam_report,
-        # pipeline ops: PII redaction (narrow regexp map), Gopher
-        # repetition stats, deterministic md5 mixture sampling, and
-        # concat-and-chunk sequence packing (two-pass bucket prefix
-        # sum — no single-partition window)
-        "pii_redact_stats": eq.pii_redact_stats,
-        "gopher_report": eq.gopher_report,
-        "c4_filter_report": eq.c4_filter_report,
-        "dsir_weights_top": eq.dsir_weights_top,
-        "dsir_sample_top": eq.dsir_sample_top,
-        "repetition_report": eq.repetition_report,
-        "mixture_sample_report": eq.mixture_sample_report,
-        "token_budget_sample": eq.token_budget_sample,
-        "pack_chunks_sample": eq.pack_chunks_sample,
-        "pack_chunks_stats": eq.pack_chunks_stats,
-        "chunk_split_sample": eq.chunk_split_sample,
-        "unigram_logprob_sample": eq.unigram_logprob_sample,
-        "split_report": eq.split_report,
-        "sft_render_sample": eq.sft_render_sample,
-        # pure-Python Iceberg v2 layer (sources/iceberg.py): commit ->
-        # read-back fidelity, snapshot time travel, partition pruning
-        "iceberg_roundtrip": eq.iceberg_roundtrip,
-        "iceberg_time_travel": eq.iceberg_time_travel,
-        "iceberg_partition_prune": eq.iceberg_partition_prune,
-        # snapshot-diff index maintenance: build at snapshot 1, commit
-        # a delta, sync (manifest diff appends ONLY the new files) —
-        # BM25 afterward must equal the flat SQL over the whole corpus
-        "transcripts_iceberg_sync_bm25": eq.transcripts_iceberg_sync_bm25,
     }.items()}
 
 
