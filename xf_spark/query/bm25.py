@@ -91,6 +91,12 @@ class BM25Engine:
     # dictionary-expansion memo for wildcard / ~d fuzzy / phrase-prefix
     # atoms: multiterm_leaves key -> ranked term list
     _multiterm_memo: dict = field(default_factory=dict, repr=False)
+    # per-term df memo, keyed (term, prefix): the index DataFrames are
+    # immutable per engine build, so df never changes — Lucene/Tantivy
+    # read df from the term dictionary in O(1), this cache is the
+    # analog (without it every repeated query pays a postings-scan
+    # collect just to learn the dfs it already learned)
+    _df_memo: dict = field(default_factory=dict, repr=False)
 
     # -- public API -------------------------------------------------------
 
@@ -958,20 +964,27 @@ class BM25Engine:
     def _term_dfs(self, terms: list[str], prefix: bool = False) -> dict:
         """df per query term. Resolved from the cached vocab table when
         available (vocab-sized scan, never touches postings); falls
-        back to a pruned postings aggregate otherwise."""
+        back to a pruned postings aggregate otherwise. Memoized per
+        (term, prefix): a df==0 (absent) result is memoized too —
+        both are immutable facts of the built index."""
         uniq = list(set(terms))
-        voc = self.prefix_vocab if prefix else self.vocab
-        if voc is not None:
-            rows = voc.where(F.col("term").isin(uniq)).collect()
-            return {r["term"]: r["df"] for r in rows}
-        src = self.prefix_postings if prefix else self.postings
-        return {
-            r["term"]: r["df"]
-            for r in src.where(F.col("term").isin(uniq))
-            .groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .collect()
-        }
+        missing = [t for t in uniq if (t, prefix) not in self._df_memo]
+        if missing:
+            voc = self.prefix_vocab if prefix else self.vocab
+            if voc is not None:
+                rows = voc.where(F.col("term").isin(missing)).collect()
+            else:
+                src = self.prefix_postings if prefix else self.postings
+                rows = (
+                    src.where(F.col("term").isin(missing))
+                    .groupBy("term")
+                    .agg(F.count("*").alias("df"))
+                    .collect()
+                )
+            found = {r["term"]: r["df"] for r in rows}
+            for t in missing:
+                self._df_memo[(t, prefix)] = found.get(t, 0)
+        return {t: self._df_memo[(t, prefix)] for t in uniq}
 
     def _idf_map_col(self, terms: list[str], dfs: dict):
         """Literal term->idf map column (no join, no createDataFrame).
@@ -1001,6 +1014,13 @@ class BM25Engine:
         hits = src.where(F.col("term").isin(present)).withColumn(
             "tscore", _score_col(idf_map[F.col("term")], self.stats)
         )
+        if len(present) == 1:
+            # postings are unique on (term, doc_id): a single-term
+            # query has exactly one row per matching doc, so the
+            # per-doc sum below would shuffle rows only to add each
+            # to itself — skip the exchange entirely (require_all with
+            # one surviving term is equally trivial: _nt == 1 always)
+            return hits.select("doc_id", F.col("tscore").alias("score"))
         # sum term contributions in SORTED term order, not partial-agg
         # arrival order: float addition is order-sensitive at the ulp,
         # and the search_after cursor compares this score across two
