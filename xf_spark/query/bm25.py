@@ -61,10 +61,19 @@ def _det_sum_by(key_col: str, val_col: str):
     )
 
 
-def _score_col(idf_col, stats: CorpusStats):
-    """BM25 expression over (tf, dl) columns — pure Catalyst, codegen'd."""
+def _score_col(idf_col, stats: CorpusStats, norms: str = "exact"):
+    """BM25 expression over (tf, dl) columns — pure Catalyst, codegen'd.
+
+    ``norms="tantivy"`` routes dl through the Lucene SmallFloat
+    256-entry fieldnorm table (the reference's Tantivy byte-quantized
+    norms, search.rs:579) — still a JVM-side expression. Default stays
+    the repo's pinned exact-length semantics (SURVEY.md §7.0)."""
     tf = F.col("tf").cast("double")
     dl = F.col("dl").cast("double")
+    if norms == "tantivy":
+        from xf_spark.functions.fieldnorm import quantize_col
+
+        dl = quantize_col(F.col("dl")).cast("double")
     denom = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * dl / F.lit(stats.avgdl))
     return idf_col * tf * F.lit(K1 + 1.0) / denom
 
@@ -97,6 +106,10 @@ class BM25Engine:
     # analog (without it every repeated query pays a postings-scan
     # collect just to learn the dfs it already learned)
     _df_memo: dict = field(default_factory=dict, repr=False)
+    # norm semantics: "exact" (pinned default, SURVEY.md §7.0) or
+    # "tantivy" (opt-in Lucene SmallFloat fieldnorm quantization for
+    # byte-parity work vs Tantivy-scored fixtures)
+    norms: str = "exact"
 
     # -- public API -------------------------------------------------------
 
@@ -1012,7 +1025,7 @@ class BM25Engine:
             return self._empty_scored()
         idf_map = self._idf_map_col(terms, dfs)
         hits = src.where(F.col("term").isin(present)).withColumn(
-            "tscore", _score_col(idf_map[F.col("term")], self.stats)
+            "tscore", _score_col(idf_map[F.col("term")], self.stats, self.norms)
         )
         if len(present) == 1:
             # postings are unique on (term, doc_id): a single-term
@@ -1061,6 +1074,7 @@ class BM25Engine:
         idf_by_term = {t: idf_for(self.stats.n_docs, dfs[t]) for t in uniq}
         stats = self.stats
         phrase = list(terms)
+        tantivy_norms = self.norms == "tantivy"
 
         # candidate docs: contain ALL phrase terms (single scan+group)
         cand = (
@@ -1103,6 +1117,10 @@ class BM25Engine:
                     ok = bool(reach)
                 if not ok:
                     return None
+                if tantivy_norms:
+                    from xf_spark.functions.fieldnorm import quantize_length
+
+                    dl = float(quantize_length(int(dl)))
                 # score = sum of member-term BM25 (phrase order, dupes
                 # double-count) — pinned identically in the oracle
                 s = 0.0
