@@ -974,6 +974,8 @@ class SegmentIndex:
     # corpus max-ts memo (decay-scoring anchor); append/compact reload
     # a fresh SegmentIndex, so instance lifetime == index version
     _max_ts_memo: object = field(default=None, repr=False)
+    # lazily-built sorted vocabulary artifact (see _vocab_df)
+    _vocab_cache: DataFrame | None = field(default=None, repr=False)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, docs: DataFrame | None = None):
@@ -1089,19 +1091,86 @@ class SegmentIndex:
                     out[t] = found[t]
         return out
 
+    def _vocab_df(self) -> "DataFrame":
+        """Sorted vocabulary artifact: (term, len, df) for the text
+        field, term-ORDERED parquet under ``<index>/vocab`` — the
+        Tantivy term-dictionary (FST) analog for multiterm expansion.
+
+        Why: wildcard / fuzzy / phrase-prefix / complete / suggest
+        resolve against the vocabulary. The segments table is hash-
+        bucketed, so its row-group term ranges span the alphabet and a
+        ``te*`` scan reads every row group (~n_shards rows per term).
+        This artifact is one row per term, range-partitioned and
+        sorted by term, so parquet min/max stats prune a prefix
+        pattern to O(matching range) row groups, and the length
+        column prunes fuzzy windows — at 10^12-turn vocabulary sizes
+        the difference between "walk the whole dictionary" and "read
+        one range".
+
+        Built LAZILY on first use (one distributed aggregate over the
+        segments metadata columns), committed atomically (tmp dir +
+        rename), and keyed on (n_docs, total_tokens) so any append /
+        purge invalidates it; compaction preserves corpus content and
+        keeps it valid. Falls back to the segments aggregate when the
+        index dir is not writable."""
+        if getattr(self, "_vocab_cache", None) is not None:
+            return self._vocab_cache
+        import shutil
+
+        vpath = os.path.join(self.path, "vocab")
+        marker = os.path.join(vpath, "_VOCAB_META.json")
+        key = {
+            "n_docs": int(self.meta["n_docs"]),
+            "total_tokens": int(self.meta.get("total_tokens", 0)),
+        }
+        fresh = False
+        if os.path.isfile(marker):
+            try:
+                with open(marker) as f:
+                    fresh = json.load(f) == key
+            except (OSError, ValueError):
+                fresh = False
+        if not fresh:
+            agg = (
+                self._segments.where(F.col("field") == "text")
+                .groupBy("term")
+                .agg(F.sum("n_docs").cast("long").alias("df"))
+                .withColumn("len", F.length("term"))
+            )
+            n_parts = max(1, int(self.meta.get("n_buckets", 8)) // 16)
+            tmp = vpath + ".tmp"
+            try:
+                shutil.rmtree(tmp, ignore_errors=True)
+                (
+                    agg.repartitionByRange(n_parts, "term")
+                    .sortWithinPartitions("term")
+                    .write.mode("overwrite")
+                    .option("compression", "zstd")
+                    .parquet(tmp)
+                )
+                with open(os.path.join(tmp, "_VOCAB_META.json"), "w") as f:
+                    json.dump(key, f)
+                shutil.rmtree(vpath, ignore_errors=True)
+                os.rename(tmp, vpath)
+            except OSError:
+                # read-only index dir: serve the aggregate directly
+                self._vocab_cache = agg
+                return agg
+        self._vocab_cache = self.spark.read.parquet(vpath)
+        return self._vocab_cache
+
     def fuzzy_variants(self, term: str) -> list[str]:
         """Dictionary terms within Levenshtein distance 1 of ``term``
         (the exact term included when present), df-ranked and capped at
         FUZZY_MAX_EXPANSIONS — Lucene FuzzyQuery semantics over the
         segment vocabulary.
 
-        Scale shape: ONE columnar scan of the segments table reading
-        only (term, n_docs), with a `length(term) BETWEEN L-1 AND L+1`
-        predicate pushed to parquet. Bucket pruning cannot apply (a
-        variant hashes anywhere), so this is a vocabulary-sized scan —
-        the same cost class as Tantivy's FST automaton walk — paid once
-        per NOVEL fuzzy term and memoized for the index lifetime.
-        Found dfs feed _df_memo, so idf resolution is free afterward."""
+        Scale shape: ONE scan of the sorted vocabulary artifact
+        (_vocab_df: one row per term) with the `len BETWEEN L-1 AND
+        L+1` window as a plain column predicate — n_shards-times fewer
+        rows than the segments table, paid once per NOVEL fuzzy term
+        and memoized for the index lifetime. Found dfs feed _df_memo,
+        so idf resolution is free afterward."""
         return self.fuzzy_variants_many({term})[term]
 
     def fuzzy_variants_many(self, terms) -> dict[str, list[str]]:
@@ -1122,18 +1191,17 @@ class SegmentIndex:
                 novel.append(term)
         if not novel:
             return out
-        # one scan reading only (term, n_docs); the pushed predicate is
-        # the union of the per-term length windows
+        # one scan of the sorted vocab artifact (one row per term, len
+        # column pushed); the predicate is the union of the per-term
+        # length windows
         length_cond = None
         for t in novel:
-            c = F.length("term").between(len(t) - 1, len(t) + 1)
+            c = F.col("len").between(len(t) - 1, len(t) + 1)
             length_cond = c if length_cond is None else (length_cond | c)
         spark = self._segments.sparkSession
         qdf = spark.createDataFrame([(t,) for t in novel], ["qterm"])
         rows = (
-            self._segments.where((F.col("field") == "text") & length_cond)
-            .groupBy("term")
-            .agg(F.sum("n_docs").alias("df"))
+            self._vocab_df().where(length_cond)
             .join(
                 F.broadcast(qdf),
                 F.levenshtein(F.col("term"), F.col("qterm")) <= 1,
@@ -1158,11 +1226,12 @@ class SegmentIndex:
 
     def _multiterm_variants(self, leaves) -> dict:
         """Resolve dictionary-expansion leaves (multiterm_leaves keys)
-        against the segment vocabulary: each novel leaf is ONE columnar
-        scan reading only (term, n_docs) with a pushed predicate —
-        startswith for phrase-prefix, startswith + LIKE for wildcard
-        (the literal prefix prunes; '' -> full dictionary scan, the
-        FST-walk cost class), length-window + levenshtein for ~d.
+        against the sorted vocabulary artifact (_vocab_df): each novel
+        leaf is ONE range-pruned scan — startswith for phrase-prefix,
+        startswith + LIKE for wildcard (the literal prefix is a term
+        RANGE over the sorted files, so parquet stats prune it; '' ->
+        full dictionary scan, the FST-walk cost class), length-window
+        + levenshtein for ~d.
         Ranked (df desc, term asc), capped at MULTITERM_MAX_EXPANSIONS,
         memoized per index lifetime; found dfs feed _df_memo."""
         from xf_spark.query.parser import (
@@ -1188,7 +1257,7 @@ class SegmentIndex:
                         self.fuzzy_variants(t)
                     )
                     continue
-                cond = F.length("term").between(len(t) - d, len(t) + d) & (
+                cond = F.col("len").between(len(t) - d, len(t) + d) & (
                     F.levenshtein(F.col("term"), F.lit(t)) <= d
                 )
             elif kind == "wildcard":
@@ -1196,13 +1265,14 @@ class SegmentIndex:
                 cond = F.col("term").like(wildcard_to_like(pat))
                 lit = wildcard_literal_prefix(pat)
                 if lit:
+                    # sorted artifact: startswith is a term RANGE, so
+                    # parquet min/max stats prune to the matching row
+                    # groups instead of walking the dictionary
                     cond = F.col("term").startswith(lit) & cond
             else:  # pprefix
                 cond = F.col("term").startswith(leaf[1])
             rows = (
-                self._segments.where((F.col("field") == "text") & cond)
-                .groupBy("term")
-                .agg(F.sum("n_docs").alias("df"))
+                self._vocab_df().where(cond)
                 .orderBy(F.desc("df"), F.asc("term"))
                 .limit(MULTITERM_MAX_EXPANSIONS)
                 .collect()
@@ -1264,10 +1334,10 @@ class SegmentIndex:
         ``prefix`` (analyzed with the index tokenizer), ranked df
         desc / term asc. Output: (term string, df long).
 
-        Scale shape: one columnar aggregate over the segments table's
-        (term, n_docs) metadata — no posting decode, no row data; the
-        same scan shape as the fuzzy vocabulary pass. Output is
-        limit-bounded via TakeOrdered."""
+        Scale shape: a range-pruned scan of the sorted vocabulary
+        artifact (prefix = term range -> parquet row-group pruning);
+        no posting decode, no row data. Output is limit-bounded via
+        TakeOrdered."""
         from xf_spark.functions.textcore import tokenize
 
         toks = tokenize(prefix)
@@ -1276,12 +1346,8 @@ class SegmentIndex:
                 f"complete expects one analyzable term, got {prefix!r}"
             )
         p = toks[0]
-        vocab = (
-            self._segments.where(
-                (F.col("field") == "text") & F.col("term").startswith(p)
-            )
-            .groupBy("term")
-            .agg(F.sum("n_docs").cast("long").alias("df"))
+        vocab = self._vocab_df().where(F.col("term").startswith(p)).select(
+            "term", F.col("df").cast("long").alias("df")
         )
         return vocab.orderBy(F.desc("df"), F.asc("term")).limit(limit)
 
