@@ -122,6 +122,35 @@ class TestStats:
 
 
 class TestDates:
+    def test_chrono_english_long_tail(self):
+        """date_parser.rs:130-136 chrono-english fallback, long-tail
+        forms: articles, fortnights, ordinal days, beginning/end-of."""
+        base = dt.datetime(2026, 8, 16, 12, 0, 0)  # a Sunday
+        lo, hi = parse_date_range("a fortnight ago", now=base)
+        assert lo.date() == dt.date(2026, 8, 2) and hi.date() == lo.date()
+        lo, _ = parse_date_range("a week ago", now=base)
+        assert lo.date() == dt.date(2026, 8, 9)
+        lo, hi = parse_date_range("last 2 fortnights", now=base)
+        assert lo.date() == dt.date(2026, 7, 19) and hi.date() == base.date()
+        # ordinal day-of-month forms
+        for expr in ("june 3rd", "the 3rd of june", "3rd of june", "3 june"):
+            lo, hi = parse_date_range(expr, now=base)
+            assert lo.date() == dt.date(2026, 6, 3), expr
+            assert hi.date() == dt.date(2026, 6, 3), expr
+        lo, _ = parse_date_range("the 21st of december 2024", now=base)
+        assert lo.date() == dt.date(2024, 12, 21)
+        lo, _ = parse_date_range("june 1st, 2024", now=base)
+        assert lo.date() == dt.date(2024, 6, 1)
+        # beginning/start/end of <expr>
+        lo, hi = parse_date_range("beginning of june", now=base)
+        assert lo.date() == dt.date(2026, 6, 1) and hi.date() == lo.date()
+        lo, _ = parse_date_range("end of last year", now=base)
+        assert lo.date() == dt.date(2025, 12, 31)
+        lo, _ = parse_date_range("start of q2 2024", now=base)
+        assert lo.date() == dt.date(2024, 4, 1)
+        lo, _ = parse_date_range("end of this month", now=base)
+        assert lo.date() == dt.date(2026, 8, 31)
+
     def test_year_offsets_clamp_leap_day(self):
         from xf_spark.query.dates import parse_date_range
 

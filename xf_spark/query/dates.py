@@ -21,7 +21,10 @@ date_parser.rs grammar (846 lines; SURVEY.md §2.5):
   "last tuesday" = most recent strictly before today; "this tuesday" =
   that weekday of the current Mon-based week; "next week/month/year";
   bare month name = that month of the current year; "june 3",
-  "june 3, 2024", "3 june", "3 june 2024" day-month forms.
+  "june 3, 2024", "3 june", "3 june 2024" day-month forms; ordinal
+  days ("june 3rd", "the 3rd of june", "3rd of june 2024"); articles
+  ("a week ago", "a fortnight ago") and fortnight units; "beginning/
+  start/end of <expr>" = the first/last day of <expr>'s range.
 
 Returns naive UTC datetimes (the engine pins session TZ = UTC).
 ``now`` is injectable for deterministic tests.
@@ -38,7 +41,7 @@ MONTHS.update({m.lower(): i for i, m in enumerate(calendar.month_abbr) if m})
 WEEKDAYS = {d.lower(): i for i, d in enumerate(calendar.day_name)}
 WEEKDAYS.update({d.lower(): i for i, d in enumerate(calendar.day_abbr)})
 
-_UNITS = {"day": 1, "week": 7}
+_UNITS = {"day": 1, "week": 7, "fortnight": 14}
 
 
 def _offset_date(today: dt.date, n: int, unit: str) -> dt.date:
@@ -147,9 +150,20 @@ def parse_date_range(
     if m and m[1] in MONTHS:
         return _month_range(int(m[2]), MONTHS[m[1]])
 
-    # relative (date_parser.rs:199-228); "past X" == "last X"
+    # relative (date_parser.rs:199-228); "past X" == "last X";
+    # chrono-english articles: "a/an <unit> ago" == "1 <unit> ago"
     s = re.sub(r"^past\b", "last", s)
+    s = re.sub(r"\ban?\s+(day|week|fortnight|month|year)\b", r"1 \1", s)
     today = now.date()
+
+    # beginning/start/end of <expr> (pinned semantics: the first/last
+    # DAY of whatever range <expr> parses to — "beginning of june" =
+    # June 1, "end of last year" = Dec 31 of last year)
+    m = re.fullmatch(r"(beginning|start|end)\s+of\s+(.+)", s)
+    if m:
+        lo, hi = parse_date_range(m[2], now=now)
+        d = lo.date() if m[1] in ("beginning", "start") else hi.date()
+        return _start_of_day(d), _end_of_day(d)
     if s == "today":
         return _start_of_day(today), _end_of_day(today)
     if s == "yesterday":
@@ -190,11 +204,11 @@ def parse_date_range(
         return _start_of_day(dt.date(today.year - 1, 1, 1)), _end_of_day(
             dt.date(today.year - 1, 12, 31)
         )
-    m = re.fullmatch(r"last\s+(\d+)\s+(day|week|month|year)s?", s)
+    m = re.fullmatch(r"last\s+(\d+)\s+(day|week|fortnight|month|year)s?", s)
     if m:
         start = _offset_date(today, int(m[1]), m[2])
         return _start_of_day(start), _end_of_day(today)
-    m = re.fullmatch(r"(\d+)\s+(day|week|month|year)s?\s+ago", s)
+    m = re.fullmatch(r"(\d+)\s+(day|week|fortnight|month|year)s?\s+ago", s)
     if m:
         d = _offset_date(today, int(m[1]), m[2])
         return _start_of_day(d), _end_of_day(d)
@@ -237,13 +251,19 @@ def parse_date_range(
     if s in MONTHS:
         return _month_range(today.year, MONTHS[s])
 
-    # "june 3" / "june 3, 2024" / "3 june" / "3 june 2024"
-    m = re.fullmatch(r"([a-z]+)\s+(\d{1,2})(?:,?\s+(\d{4}))?", s)
+    # day-month forms incl. the chrono-english ordinal long tail:
+    # "june 3" / "june 3rd" / "june 3, 2024" / "3 june" / "3rd june" /
+    # "the 3rd of june" / "3rd of june 2024"
+    _ORD = r"(?:st|nd|rd|th)?"
+    m = re.fullmatch(rf"([a-z]+)\s+(\d{{1,2}}){_ORD}(?:,?\s+(\d{{4}}))?", s)
     if m and m[1] in MONTHS and 1 <= int(m[2]) <= 31:
         y = int(m[3]) if m[3] else today.year
         d = dt.date(y, MONTHS[m[1]], int(m[2]))
         return _start_of_day(d), _end_of_day(d)
-    m = re.fullmatch(r"(\d{1,2})\s+([a-z]+)(?:,?\s+(\d{4}))?", s)
+    m = re.fullmatch(
+        rf"(?:the\s+)?(\d{{1,2}}){_ORD}\s+(?:of\s+)?([a-z]+)(?:,?\s+(\d{{4}}))?",
+        s,
+    )
     if m and m[2] in MONTHS and 1 <= int(m[1]) <= 31:
         y = int(m[3]) if m[3] else today.year
         d = dt.date(y, MONTHS[m[2]], int(m[1]))
