@@ -156,7 +156,7 @@ def cmd_repl(args) -> int:
                   if sugg else "(no results)")
 
     print("xf_spark repl — type a query, 'help', or 'quit'")
-    for line in _sys.stdin:
+    for line in _repl_lines(_sys):
         line = line.strip()
         if not line:
             continue
@@ -171,6 +171,75 @@ def cmd_repl(args) -> int:
             # keeps the session alive on per-command errors)
             print(f"error: {exc}")
     return 0
+
+
+_REPL_VERBS = (
+    "more", "show", "similar", "refine", "facet", "count", "explain",
+    "complete", "stats", "set", "export", "help", "quit", "exit",
+)
+_REPL_SET_KEYS = ("mode", "limit", "roles", "fuzzy")
+
+
+def _repl_lines(_sys):
+    """REPL input lines. On a TTY with readline available: rustyline-
+    parity line editing (repl.rs:218-231) — tab-completion of verbs,
+    `set` keys, and modes, plus persistent history in
+    ~/.xf_spark_history. Non-TTY (piped scripts, tests) falls back to
+    plain stdin iteration; readline import failures degrade the same
+    way."""
+    use_rl = False
+    if _sys.stdin.isatty():
+        try:
+            import atexit
+            import os as _os
+            import readline
+
+            hist = _os.path.expanduser("~/.xf_spark_history")
+            try:
+                readline.read_history_file(hist)
+            except OSError:
+                pass
+            readline.set_history_length(1000)
+            atexit.register(lambda: _try_write_history(readline, hist))
+
+            def completer(text, state_i):
+                buf = readline.get_line_buffer()
+                head = buf[: readline.get_begidx()].strip().lower()
+                if not head:
+                    cands = [v for v in _REPL_VERBS if v.startswith(text)]
+                elif head == "set":
+                    cands = [k for k in _REPL_SET_KEYS if k.startswith(text)]
+                elif head == "set mode":
+                    cands = [m for m in _REPL_MODES if m.startswith(text)]
+                elif head == "export":
+                    cands = [f for f in ("json", "csv") if f.startswith(text)]
+                else:
+                    cands = []
+                return cands[state_i] if state_i < len(cands) else None
+
+            readline.set_completer(completer)
+            readline.parse_and_bind("tab: complete")
+            use_rl = True
+        except ImportError:
+            use_rl = False
+    if use_rl:
+        while True:
+            try:
+                yield input("xf> ")
+            except EOFError:
+                return
+            except KeyboardInterrupt:
+                print()
+                continue
+    else:
+        yield from _sys.stdin
+
+
+def _try_write_history(readline_mod, path: str) -> None:
+    try:
+        readline_mod.write_history_file(path)
+    except OSError:
+        pass
 
 
 _REPL_MODES = ("lexical", "semantic", "hybrid", "bm25", "vector", "rrf")
