@@ -101,6 +101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_lifecycle_bm25": eq.transcripts_lifecycle_bm25,
         "transcripts_purge_bm25": eq.transcripts_purge_bm25,
         "transcripts_purge_stats": eq.transcripts_purge_stats,
+        # --- Tantivy fieldnorm quantization opt-in (round 4; the
+        # round-3 VERDICT's last named scoring divergence)
+        "bm25_tantivy_norms": eq.bm25_tantivy_norms,
         # --- hybrid fusion (RRF + ANN-pruned semantic leg + explain)
         "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,
         "hybrid_ann_full_probe": eq.hybrid_ann_full_probe,

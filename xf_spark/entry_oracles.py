@@ -80,6 +80,47 @@ LIMIT 20
 
 ORACLES: dict[str, str] = {}
 
+# Tantivy SmallFloat fieldnorm quantization (functions/fieldnorm.py):
+# identity below 24, then 4-significant-bit truncation of (dl - 24) —
+# s = max(0, floor(log2(e)) - 3), q = 24 + e - e % 2^s. log2(e + 0.5)
+# sidesteps log2(0) at e = 0 without moving any integer's floor.
+_QDL = """
+CASE WHEN dl.dl < 24 THEN dl.dl
+     ELSE 24 + (CAST(dl.dl AS BIGINT) - 24)
+            - ((CAST(dl.dl AS BIGINT) - 24) % CAST(POWER(2, GREATEST(
+                  0,
+                  CAST(FLOOR(LOG2(CAST(dl.dl AS BIGINT) - 24 + 0.5))
+                       AS BIGINT) - 3)) AS BIGINT))
+END
+"""
+
+ORACLES["bm25_tantivy_norms"] = f"""
+WITH {_TOK}, {_STATS},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN ('spark', 'join') GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok WHERE term IN ('spark', 'join') GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * ({_QDL}) / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
 ORACLES["bm25_single_term"] = _bm25_sql(["spark"])
 ORACLES["bm25_or_terms"] = _bm25_sql(["spark", "join", "window"])
 ORACLES["bm25_and_terms"] = _bm25_sql(["spark", "join"], require_all=True)

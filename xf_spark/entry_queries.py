@@ -76,6 +76,26 @@ def bm25_not_terms(spark, sf_dir):
     )
 
 
+def bm25_tantivy_norms(spark, sf_dir):
+    """BM25 'spark join'@20 under the opt-in Tantivy fieldnorm
+    quantization (BM25Engine norms="tantivy": dl routed through the
+    Lucene SmallFloat 256-entry table, functions/fieldnorm.py — the
+    reference's Tantivy byte-quantized norms, search.rs:579). The
+    oracle replays the identical table arithmetic in DuckDB SQL
+    (floor-log2 + power-of-two truncation), so the quantization
+    itself gets third-engine evidence."""
+    from xf_spark.query.bm25 import BM25Engine
+
+    key = (id(spark), sf_dir, "doc_eng_tantivy")
+    if key not in _ENGINE_MEMO:
+        base = _doc_engine(spark, sf_dir)  # shares cached postings
+        _ENGINE_MEMO[key] = BM25Engine(
+            docs=base.docs, postings=base.postings, stats=base.stats,
+            norms="tantivy",
+        )
+    return _rounded_hits(_ENGINE_MEMO[key].search("spark join", limit=20))
+
+
 def bm25_explain(spark, sf_dir):
     """Score breakdown for the top-10 'spark join' hits (the
     Lucene/Tantivy explain analog): one row per (doc, matched term)
