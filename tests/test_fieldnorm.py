@@ -88,3 +88,71 @@ def test_engine_norms_tantivy_quantizes_scores(spark):
     assert exact[2] == pytest.approx(want_exact, rel=1e-9)
     assert quant[2] == pytest.approx(want_quant, rel=1e-9)
     assert quant[2] > exact[2]
+
+
+def test_tantivy_query_topk_matches_pure_python(spark):
+    """Two-field f32 scoring isomorphism: engine vs a from-scratch
+    pure-Python replay (tokenize + prefixes + SmallFloat + f32) on a
+    synthetic corpus, single- and multi-term."""
+    from xf_spark.functions.textcore import generate_prefixes, tokenize
+    from xf_spark.index.builder import build_engine
+    from xf_spark.query.tantivy_parity import tantivy_query_topk
+
+    texts = [
+        "alpha beta gamma delta",
+        "alpha alpha beta " + " ".join(f"w{i}" for i in range(40)),
+        "alphabet soup beta",          # 'alphabet' prefix-matches 'alpha'
+        "gamma delta epsilon",
+        "alpha " + "x " * 60,
+        "beta beta beta alphabetical", # prefix leg via 'alphabetical'
+    ]
+    rows = [
+        (f"c{i}", 0, "user", t, "", None) for i, t in enumerate(texts)
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    eng = build_engine(tr)
+    # map doc_id -> text via the engine's own doc store
+    id_text = {r["doc_id"]: r["text"] for r in eng.docs.collect()}
+
+    f32 = np.float32
+    n = len(texts)
+    toks = {d: tokenize(t) for d, t in id_text.items()}
+    prefs = {d: generate_prefixes(t) for d, t in id_text.items()}
+    tot_t = sum(len(v) for v in toks.values())
+    tot_p = sum(len(v) for v in prefs.values())
+
+    def leg(tf, fn, df, tot):
+        x = (f32(n - df) + f32(0.5)) / (f32(df) + f32(0.5))
+        idf = f32(np.log1p(f32(x)))
+        avg = f32(tot) / f32(n)
+        norm = f32(1.2) * (f32(0.25) + f32(0.75) * f32(quantize_length(fn)) / avg)
+        return (idf * f32(2.2)) * (f32(tf) / (f32(tf) + norm))
+
+    def expected(terms):
+        uniq = list(dict.fromkeys(terms))
+        out = {}
+        for d in id_text:
+            acc = f32(0.0)
+            for t in uniq:
+                df_t = sum(1 for v in toks.values() if t in v)
+                df_p = sum(1 for v in prefs.values() if t in v)
+                tf = toks[d].count(t)
+                if tf and df_t:
+                    acc = f32(acc + leg(tf, len(toks[d]), df_t, tot_t))
+                if t in prefs[d] and df_p:
+                    acc = f32(acc + leg(1, len(prefs[d]), df_p, tot_p))
+            if acc > 0:
+                out[d] = float(acc)
+        return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    for terms in (["alpha"], ["alpha", "beta"], ["gamma", "alpha", "zzz"]):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in tantivy_query_topk(eng, terms, limit=10).collect()
+        ]
+        want = expected(terms)[:10]
+        assert got == want, (terms, got, want)

@@ -115,7 +115,23 @@ def tantivy_term_topk(
     prefix_totals: str = "exact",
 ) -> DataFrame:
     """Top-k for a single bare term under the reference CLI's exact
-    semantics (text + prefix legs, quantized norms, f32 arithmetic).
+    semantics — see :func:`tantivy_query_topk`."""
+    return tantivy_query_topk(engine, [term], limit, prefix_totals)
+
+
+def tantivy_query_topk(
+    engine: BM25Engine,
+    terms: list[str],
+    limit: int = 20,
+    prefix_totals: str = "exact",
+) -> DataFrame:
+    """Top-k for a bare-term query (one or more terms) under the
+    reference CLI's exact semantics: Tantivy's QueryParser turns each
+    term into a Should pair of TermQueries over text and text_prefix,
+    so a doc's score is the f32 sum of up to 2·len(terms) BM25 legs,
+    each with its own per-field df/average-fieldnorm and quantized
+    per-doc norm. Summation order is pinned (query term order, text
+    leg before prefix leg) so scores are reproducible bit-for-bit.
 
     -> (doc_id, score) ordered (score desc, doc_id asc). ``score`` is
     the f32 value widened to double (bit-exact: every f32 is a
@@ -124,11 +140,11 @@ def tantivy_term_topk(
     docstring)."""
     if engine.prefix_postings is None:
         raise ValueError("two-field scoring requires prefix postings")
+    uniq = list(dict.fromkeys(terms))  # preserve query order
     st = two_field_stats(engine)
-    dfs_t = engine._term_dfs([term])
-    dfs_p = engine._term_dfs([term], prefix=True)
-    df_t, df_p = dfs_t.get(term, 0), dfs_p.get(term, 0)
-    if not df_t and not df_p:
+    dfs_t = engine._term_dfs(uniq)
+    dfs_p = engine._term_dfs(uniq, prefix=True)
+    if not any(dfs_t.get(t) or dfs_p.get(t) for t in uniq):
         return engine._empty_scored()
     n = st.n_docs
     if prefix_totals == "quantized":
@@ -137,46 +153,65 @@ def tantivy_term_topk(
         tot_t, tot_p = st.total_text_tokens, st.total_prefix_tokens
     avg_t = _f32(tot_t) / _f32(n)
     avg_p = _f32(tot_p) / _f32(n)
-    w_t, _ = _bm25_weight_f32(n, df_t) if df_t else (_f32(0.0), _f32(0.0))
-    w_p, _ = _bm25_weight_f32(n, df_p) if df_p else (_f32(0.0), _f32(0.0))
+    # per-(term-slot, field) f32 weights, indexed 2*i (text) / 2*i+1
+    # (prefix) — the pinned summation order
+    weights = np.zeros(2 * len(uniq), dtype=np.float32)
+    for i, t in enumerate(uniq):
+        if dfs_t.get(t):
+            weights[2 * i] = _bm25_weight_f32(n, dfs_t[t])[0]
+        if dfs_p.get(t):
+            weights[2 * i + 1] = _bm25_weight_f32(n, dfs_p[t])[0]
+    slot = {t: i for i, t in enumerate(uniq)}
+    slot_col = F.create_map(
+        *[x for t, i in slot.items() for x in (F.lit(t), F.lit(i))]
+    )
 
-    tleg = engine.postings.where(F.col("term") == term).select(
-        "doc_id", F.col("tf").alias("tf_t"), F.col("dl").alias("dl_t")
+    # one scan per field, tagged with the term slot; prefix rows carry
+    # the prefix-field doc length
+    tleg = engine.postings.where(F.col("term").isin(uniq)).select(
+        "doc_id",
+        (slot_col[F.col("term")] * 2).alias("leg"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("fn"),
     )
     pleg = (
-        engine.prefix_postings.where(F.col("term") == term)
-        .select("doc_id")
+        engine.prefix_postings.where(F.col("term").isin(uniq))
+        .select("doc_id", (slot_col[F.col("term")] * 2 + 1).alias("leg"))
         .join(_prefix_doclens(engine), "doc_id")
+        .select(
+            "doc_id", "leg", F.lit(1).cast("long").alias("tf"),
+            F.col("pdl").cast("long").alias("fn"),
+        )
     )
-    cand = tleg.join(pleg, "doc_id", "full_outer")
+    legs = tleg.unionByName(pleg)
+    per_doc = legs.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("leg", "tf", "fn"))
+        ).alias("legs")
+    )
+
+    wb = weights
+    avg_by_parity = (avg_t, avg_p)
 
     @F.pandas_udf(T.DoubleType())
-    def f32_score(tf_t: pd.Series, dl_t: pd.Series, pdl: pd.Series) -> pd.Series:
+    def f32_sum(leg_lists: pd.Series) -> pd.Series:
         from xf_spark.functions.fieldnorm import quantize_lengths
 
-        out = np.zeros(len(tf_t), dtype=np.float32)
-        has_t = tf_t.notna().to_numpy()
-        if has_t.any():
-            tf = tf_t.to_numpy(dtype=np.float64)[has_t].astype(np.float32)
-            fn = quantize_lengths(
-                dl_t.to_numpy(dtype=np.float64)[has_t].astype(np.int64)
-            ).astype(np.float32)
-            norm = _f32(K1) * (_f32(1.0 - B) + _f32(B) * fn / avg_t)
-            out[has_t] += w_t * (tf / (tf + norm))
-        has_p = pdl.notna().to_numpy()
-        if has_p.any():
-            fn = quantize_lengths(
-                pdl.to_numpy(dtype=np.float64)[has_p].astype(np.int64)
-            ).astype(np.float32)
-            norm = _f32(K1) * (_f32(1.0 - B) + _f32(B) * fn / avg_p)
-            # Basic record option: tf == 1 on the prefix leg
-            out[has_p] += w_p * (_f32(1.0) / (_f32(1.0) + norm))
-        return pd.Series(out.astype(np.float64))
+        out = np.empty(len(leg_lists), dtype=np.float64)
+        for i, legs_ in enumerate(leg_lists):
+            acc = _f32(0.0)
+            for row in legs_:
+                leg, tf, fn = row["leg"], row["tf"], row["fn"]
+                avg = avg_by_parity[leg & 1]
+                fnq = _f32(int(quantize_lengths(np.array([fn]))[0]))
+                norm = _f32(K1) * (_f32(1.0 - B) + _f32(B) * fnq / avg)
+                tf32 = _f32(tf)
+                acc = _f32(acc + wb[leg] * (tf32 / (tf32 + norm)))
+            out[i] = float(acc)
+        return pd.Series(out)
 
     return (
-        cand.select(
-            "doc_id", f32_score("tf_t", "dl_t", "pdl").alias("score")
-        )
+        per_doc.select("doc_id", f32_sum("legs").alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(limit)
     )
