@@ -100,6 +100,7 @@ def stream_index(
     checkpoint_dir: str,
     available_now: bool = True,
     compact_every: int = 0,
+    max_files_per_trigger: int = 16,
     **build_kw,
 ):
     """Stream transcript files into versioned index builds.
@@ -163,7 +164,7 @@ def stream_index(
         _set_current(index_root, new_dir)
 
     writer = (
-        transcript_stream(spark, input_dir)
+        transcript_stream(spark, input_dir, max_files_per_trigger)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
