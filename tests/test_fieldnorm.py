@@ -45,6 +45,11 @@ def test_vectorized_matches_scalar():
     idx = np.random.RandomState(7).randint(0, 200_000, size=500)
     for i in idx:
         assert v[i] == quantize_length(int(i))
+    # one-byte-id saturation: both paths clamp at the 255th entry
+    big = np.array([10**12, 2**40, FIELD_NORMS_TABLE[-1] + 1])
+    assert list(quantize_lengths(big)) == [
+        quantize_length(int(x)) for x in big
+    ] == [FIELD_NORMS_TABLE[-1]] * 3
 
 
 def test_quantize_col_matches_scalar(spark):

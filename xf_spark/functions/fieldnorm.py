@@ -75,8 +75,12 @@ def quantize_lengths(dls: np.ndarray) -> np.ndarray:
         nb[pos] = np.floor(np.log2(e[pos])).astype(np.int64) + 1
         shift = np.maximum(0, nb - 4)
         # 4-significant-bit truncation: (e >> s) << s keeps the
-        # implicit leading bit plus 3 stored bits
-        out[big] = _NUM_FREE + ((e >> shift) << shift)
+        # implicit leading bit plus 3 stored bits; saturate at the
+        # 255th table entry like the one-byte id does (the scalar
+        # path's min(255, ...) — matters only for ~2e9-token docs)
+        out[big] = np.minimum(
+            _NUM_FREE + ((e >> shift) << shift), FIELD_NORMS_TABLE[-1]
+        )
     return out
 
 
@@ -90,7 +94,10 @@ def quantize_col(dl: Column) -> Column:
     # (e >> s) << s without a variable-shift builtin: clear the low
     # s bits via modulo with 2^s (s <= 59 here, pow stays exact)
     p = F.pow(F.lit(2.0), shift.cast("double")).cast("long")
-    dec = F.lit(_NUM_FREE) + (e - e % p)
+    # saturate at the 255th table entry (the one-byte id ceiling)
+    dec = F.least(
+        F.lit(_NUM_FREE) + (e - e % p), F.lit(int(FIELD_NORMS_TABLE[-1]))
+    )
     return F.when(dl < F.lit(_NUM_FREE), dl.cast("long")).otherwise(
         F.when(e <= F.lit(0), F.lit(_NUM_FREE).cast("long")).otherwise(dec)
     )

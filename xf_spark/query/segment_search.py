@@ -1152,8 +1152,11 @@ class SegmentIndex:
                     json.dump(key, f)
                 shutil.rmtree(vpath, ignore_errors=True)
                 os.rename(tmp, vpath)
-            except OSError:
-                # read-only index dir: serve the aggregate directly
+            except Exception:  # noqa: BLE001 — artifact is an optimization
+                # read-only index dir (surfaces as OSError from the
+                # marker/rename ops or as a JVM write error from the
+                # parquet commit): serve the aggregate directly — same
+                # results, no persisted artifact
                 self._vocab_cache = agg
                 return agg
         self._vocab_cache = self.spark.read.parquet(vpath)
