@@ -60,7 +60,7 @@ def build_once(
     """Full build(s) at a parallelism level. With runs > 1, build_sec
     is the MIN across runs (noise floor on a ±2-3x-variance host)."""
     from xf_spark.index.segments import build_index
-    from xf_spark.session import get_spark
+    from xf_spark.session import get_spark, quiet_stop
     from xf_spark.transcripts import ensure_transcripts_parquet
 
     # materialize fixture outside the timed window
@@ -97,7 +97,7 @@ def build_once(
             )
         return n_turns, best
     finally:
-        spark.stop()
+        quiet_stop(spark)
 
 
 def query_phase(cores: int, seg_path: str):
@@ -109,7 +109,7 @@ def query_phase(cores: int, seg_path: str):
     doc/vector pins — the headline) and the unwarmed plain-cache
     figure (r2-comparable honesty number)."""
     from xf_spark.query.segment_search import SegmentIndex
-    from xf_spark.session import get_spark
+    from xf_spark.session import get_spark, quiet_stop
 
     spark = get_spark("benchq", cores=cores, shuffle_partitions=max(8, cores))
     try:
@@ -328,12 +328,12 @@ def query_phase(cores: int, seg_path: str):
         )
         return queries, qps
     finally:
-        spark.stop()
+        quiet_stop(spark)
 
 
 def docs_table_query(sf_dir: str, cores: int) -> float:
     from xf_spark.entry_queries import bm25_single_term
-    from xf_spark.session import get_spark
+    from xf_spark.session import get_spark, quiet_stop
 
     spark = get_spark("benchdocs", cores=cores)
     try:
@@ -345,7 +345,7 @@ def docs_table_query(sf_dir: str, cores: int) -> float:
             ts.append(time.time() - s)
         return round(sorted(ts)[1], 4)
     finally:
-        spark.stop()
+        quiet_stop(spark)
 
 
 def main():

@@ -76,3 +76,24 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+def quiet_stop(spark: SparkSession) -> None:
+    """Stop a session without the shutdown-race stack trace.
+
+    In local mode ``spark.stop()`` can close the Python accumulator
+    server while the JVM's heartbeat thread still has an update in
+    flight; the JVM then logs an ERROR stack trace
+    (``PythonAccumulatorV2.merge: EOF reached before Python server
+    acknowledged``). The job is already complete at that point — the
+    trace is pure teardown noise, but it pollutes captured bench
+    output. Drain briefly so in-flight accumulator merges land, then
+    mute the JVM loggers for the teardown itself."""
+    import time as _time
+
+    try:
+        _time.sleep(0.3)
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass  # context already gone — nothing left to silence
+    spark.stop()
