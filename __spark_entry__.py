@@ -82,156 +82,139 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Registry ORDER is load-bearing: the driver's CORRECTNESS run
     # samples a time-budgeted window from the FRONT of this dict
-    # (r1=38, r2=44, r3=50 entries). Rounds 1-3 verified the first ~53
-    # entries of the old order; the 55 entries that had never received
-    # a driver-green row (plus transcripts_hybrid_rrf, green in r2 but
-    # rotated out since) now lead, ordered by value: the persisted
-    # segment-index path first (the at-rest artifact the north rule is
-    # about), then hybrid fusion, the aggregation/pagination surfaces,
-    # the extended query grammar, Iceberg, and the curation ops. The
-    # previously-verified entries follow so a longer window still
-    # re-covers them. Future rounds: rotate so both halves stay green.
+    # (r1=38, r2=44, r3=50, r4=50 entries). After round 4, 102/109
+    # entries had at least one driver-green row; the only 7 never
+    # verified sat at positions 51-57. Round 5 puts those 7 FIRST,
+    # followed by a representative spread of previously-green entries
+    # (segment path, hybrid, Iceberg, core BM25, facets, grammar,
+    # dedup, curation, stats, full engine) so the window re-covers
+    # both halves. Future rounds: keep rotating.
     return {k: shipped(v) for k, v in {
-        # --- PERSISTED segment-index path (delta+varint codec,
-        # block-max WAND, batched msearch, append -> compact lifecycle,
-        # compaction purge) — never driver-verified before round 4
+        # --- the 7 entries never driver-verified through round 4
+        # (old positions 51-57, just past the 50-entry window); front of
+        # the registry so CORRECTNESS_r5 completes 109/109 coverage
+        "tfidf_keywords_top": eq.tfidf_keywords_top,
+        "chunk_split_sample": eq.chunk_split_sample,
+        "pack_chunks_sample": eq.pack_chunks_sample,
+        "pack_chunks_stats": eq.pack_chunks_stats,
+        "unigram_logprob_sample": eq.unigram_logprob_sample,
+        "split_report": eq.split_report,
+        "sft_render_sample": eq.sft_render_sample,
+        # --- representative spread of previously-green entries so the
+        # ~50-entry window re-covers both halves: persisted segment path
         "transcripts_segment_bm25": eq.transcripts_segment_bm25,
-        "transcripts_fuzzy_bm25": eq.transcripts_fuzzy_bm25,
-        "transcripts_segment_msearch": eq.transcripts_segment_msearch,
         "transcripts_lifecycle_bm25": eq.transcripts_lifecycle_bm25,
         "transcripts_purge_bm25": eq.transcripts_purge_bm25,
-        "transcripts_purge_stats": eq.transcripts_purge_stats,
-        # --- Tantivy fieldnorm quantization opt-in (round 4; the
-        # round-3 VERDICT's last named scoring divergence)
+        "transcripts_segment_msearch": eq.transcripts_segment_msearch,
+        "transcripts_fuzzy_bm25": eq.transcripts_fuzzy_bm25,
         "bm25_tantivy_norms": eq.bm25_tantivy_norms,
-        # --- hybrid fusion (RRF + ANN-pruned semantic leg + explain)
+        # hybrid fusion
         "transcripts_hybrid_rrf": eq.transcripts_hybrid_rrf,
         "hybrid_ann_full_probe": eq.hybrid_ann_full_probe,
         "hybrid_explain_rrf": eq.hybrid_explain_rrf,
-        # --- aggregation / pagination surfaces over the match set
-        "transcripts_facet_role": eq.transcripts_facet_role,
-        "transcripts_facet_day": eq.transcripts_facet_day,
-        "transcripts_facets_multi": eq.transcripts_facets_multi,
-        "transcripts_facet_top_hits": eq.transcripts_facet_top_hits,
-        "transcripts_collapse_best": eq.transcripts_collapse_best,
-        "transcripts_count_assistant": eq.transcripts_count_assistant,
-        "transcripts_search_after_page2": eq.transcripts_search_after_page2,
-        "transcripts_significant_terms": eq.transcripts_significant_terms,
-        "transcripts_suggest": eq.transcripts_suggest,
-        "transcripts_match_stats": eq.transcripts_match_stats,
-        # --- extended query grammar (sloppy phrase, proximity window,
-        # rescore, decay, demotion, boosts, msm, percolate, wildcard,
-        # fuzzy syntax, phrase-prefix, synonyms, term vectors, mining)
-        "transcripts_near_slop": eq.transcripts_near_slop,
-        "transcripts_window_proximity": eq.transcripts_window_proximity,
-        "transcripts_rescored": eq.transcripts_rescored,
-        "transcripts_hard_negatives": eq.transcripts_hard_negatives,
-        "transcripts_decayed": eq.transcripts_decayed,
-        "transcripts_term_vectors": eq.transcripts_term_vectors,
-        "transcripts_demoted": eq.transcripts_demoted,
-        "transcripts_boosted_or": eq.transcripts_boosted_or,
-        "transcripts_min_should_match": eq.transcripts_min_should_match,
-        "transcripts_percolate": eq.transcripts_percolate,
-        "transcripts_wildcard": eq.transcripts_wildcard,
-        "transcripts_fuzzy_syntax": eq.transcripts_fuzzy_syntax,
-        "transcripts_phrase_prefix": eq.transcripts_phrase_prefix,
-        "transcripts_synonyms": eq.transcripts_synonyms,
-        # --- pure-Python Iceberg v2 layer + snapshot-diff index sync
+        # Iceberg plane
         "iceberg_roundtrip": eq.iceberg_roundtrip,
         "iceberg_time_travel": eq.iceberg_time_travel,
         "iceberg_partition_prune": eq.iceberg_partition_prune,
         "transcripts_iceberg_sync_bm25": eq.transcripts_iceberg_sync_bm25,
-        # --- LLM-curation ops (never driver-verified before round 4)
+        # core BM25 (r1-r3 green)
+        "bm25_single_term": eq.bm25_single_term,
+        "bm25_and_terms": eq.bm25_and_terms,
+        "bm25_or_terms": eq.bm25_or_terms,
+        "bm25_not_terms": eq.bm25_not_terms,
+        "bm25_explain": eq.bm25_explain,
+        "term_doc_freq": eq.term_doc_freq,
+        "corpus_stats_row": eq.corpus_stats_row,
+        # facets / pagination surfaces (r4 green)
+        "transcripts_facets_multi": eq.transcripts_facets_multi,
+        "transcripts_facet_top_hits": eq.transcripts_facet_top_hits,
+        "transcripts_collapse_best": eq.transcripts_collapse_best,
+        "transcripts_search_after_page2": eq.transcripts_search_after_page2,
+        "transcripts_significant_terms": eq.transcripts_significant_terms,
+        "transcripts_match_stats": eq.transcripts_match_stats,
+        # extended query grammar (r4 green)
+        "transcripts_near_slop": eq.transcripts_near_slop,
+        "transcripts_wildcard": eq.transcripts_wildcard,
+        "transcripts_fuzzy_syntax": eq.transcripts_fuzzy_syntax,
+        "transcripts_percolate": eq.transcripts_percolate,
+        "transcripts_rescored": eq.transcripts_rescored,
+        "transcripts_boosted_or": eq.transcripts_boosted_or,
+        # dedup family (r3 green)
+        "dedup_exact_groups": eq.dedup_exact_groups,
+        "minhash_dedup": eq.minhash_dedup,
+        "simhash_pairs": eq.simhash_pairs,
+        "embedding_near_dup": eq.embedding_near_dup,
+        "semdedup_groups": eq.semdedup_groups,
+        # LLM-curation ops (r4 green)
         "curate_report": eq.curate_report,
-        "curate_kept_sample": eq.curate_kept_sample,
         "decontam_overlap": eq.decontam_overlap,
-        "decontam_report": eq.decontam_report,
-        "pii_redact_stats": eq.pii_redact_stats,
         "gopher_report": eq.gopher_report,
-        "c4_filter_report": eq.c4_filter_report,
         "dsir_weights_top": eq.dsir_weights_top,
+        "token_budget_sample": eq.token_budget_sample,
+        "pii_redact_stats": eq.pii_redact_stats,
+        # ANN / similarity
+        "cosine_topk": eq.cosine_topk,
+        "ann_ivf_full_probe": eq.ann_ivf_full_probe,
+        # stats surface
+        "events_daily_counts": eq.events_daily_counts,
+        "events_value_percentiles": eq.events_value_percentiles,
+        # full engine over the documents-derived table
+        "transcripts_docs_bm25": eq.transcripts_docs_bm25,
+        "transcripts_docs_phrase": eq.transcripts_docs_phrase,
+        "transcripts_docs_context": eq.transcripts_docs_context,
+        "thread_reconstruction": eq.thread_reconstruction,
+        "tpch_q1": eq.tpch_q1,
+        # ================= remainder (all previously driver-green);
+        # re-covered whenever the window extends past the heads
+        "transcripts_purge_stats": eq.transcripts_purge_stats,
+        "transcripts_facet_role": eq.transcripts_facet_role,
+        "transcripts_facet_day": eq.transcripts_facet_day,
+        "transcripts_count_assistant": eq.transcripts_count_assistant,
+        "transcripts_suggest": eq.transcripts_suggest,
+        "transcripts_window_proximity": eq.transcripts_window_proximity,
+        "transcripts_hard_negatives": eq.transcripts_hard_negatives,
+        "transcripts_decayed": eq.transcripts_decayed,
+        "transcripts_term_vectors": eq.transcripts_term_vectors,
+        "transcripts_demoted": eq.transcripts_demoted,
+        "transcripts_min_should_match": eq.transcripts_min_should_match,
+        "transcripts_phrase_prefix": eq.transcripts_phrase_prefix,
+        "transcripts_synonyms": eq.transcripts_synonyms,
+        "curate_kept_sample": eq.curate_kept_sample,
+        "decontam_report": eq.decontam_report,
+        "c4_filter_report": eq.c4_filter_report,
         "dsir_sample_top": eq.dsir_sample_top,
         "repetition_report": eq.repetition_report,
         "mixture_sample_report": eq.mixture_sample_report,
-        "token_budget_sample": eq.token_budget_sample,
-        "pack_chunks_sample": eq.pack_chunks_sample,
-        "pack_chunks_stats": eq.pack_chunks_stats,
-        "chunk_split_sample": eq.chunk_split_sample,
-        "unigram_logprob_sample": eq.unigram_logprob_sample,
-        "split_report": eq.split_report,
-        "sft_render_sample": eq.sft_render_sample,
-        "tfidf_keywords_top": eq.tfidf_keywords_top,
-        # ================= previously driver-verified (r1-r3 green;
-        # re-covered whenever the window extends past the new heads)
-        # full-text core (SURVEY.md §2.3)
-        "bm25_single_term": eq.bm25_single_term,
-        "bm25_or_terms": eq.bm25_or_terms,
-        "bm25_and_terms": eq.bm25_and_terms,
-        "bm25_not_terms": eq.bm25_not_terms,
-        "bm25_explain": eq.bm25_explain,
         "term_complete": eq.term_complete,
-        "term_doc_freq": eq.term_doc_freq,
-        "corpus_stats_row": eq.corpus_stats_row,
         "doc_token_lengths": eq.doc_token_lengths,
-        # dedup family (training-data ops)
         "dedup_exact_stats": eq.dedup_exact_stats,
-        "dedup_exact_groups": eq.dedup_exact_groups,
         "ngram_jaccard_pairs": eq.ngram_jaccard_pairs,
-        "minhash_dedup": eq.minhash_dedup,
         "near_dup_groups": eq.near_dup_groups,
         "near_dup_groups_longest": eq.near_dup_groups_longest,
-        "simhash_pairs": eq.simhash_pairs,
         "fingerprint_stats": eq.fingerprint_stats,
-        "embedding_near_dup": eq.embedding_near_dup,
-        "semdedup_groups": eq.semdedup_groups,
         "dup_span_report": eq.dup_span_report,
         "dup_span_excise": eq.dup_span_excise,
         "multimodal_features": eq.multimodal_features,
-        # text ops
         "lang_id_distribution": eq.lang_id_distribution,
         "token_count_stats": eq.token_count_stats,
-        # ANN
-        "ann_ivf_full_probe": eq.ann_ivf_full_probe,
         "knn_graph_full_probe": eq.knn_graph_full_probe,
-        # text analysis
         "text_quality": eq.text_quality,
         "length_histogram": eq.length_histogram,
         "lang_distribution": eq.lang_distribution,
-        # similarity
-        "cosine_topk": eq.cosine_topk,
         "mlt_topk": eq.mlt_topk,
         "label_centroid_norms": eq.label_centroid_norms,
-        # stats/analytics surface (SURVEY.md §2.8)
-        "events_daily_counts": eq.events_daily_counts,
         "events_hourly_histogram": eq.events_hourly_histogram,
         "events_dow_histogram": eq.events_dow_histogram,
         "events_type_engagement": eq.events_type_engagement,
         "events_monthly_trend": eq.events_monthly_trend,
         "events_longest_gap": eq.events_longest_gap,
-        "events_value_percentiles": eq.events_value_percentiles,
         "events_user_activity": eq.events_user_activity,
         "events_activity_summary": eq.events_activity_summary,
-        # general engine sanity
-        "tpch_q1": eq.tpch_q1,
-        # recursive-CTE analog (thread reconstruction)
-        "thread_reconstruction": eq.thread_reconstruction,
-        # transcripts engine over the documents-derived table — the
-        # FULL engine path (docID assignment -> postings -> BM25 /
-        # phrase / filters / context) with DuckDB differentials
-        "transcripts_docs_bm25": eq.transcripts_docs_bm25,
-        "transcripts_docs_phrase": eq.transcripts_docs_phrase,
         "transcripts_docs_filtered": eq.transcripts_docs_filtered,
         "transcripts_docs_prefix": eq.transcripts_docs_prefix,
-        "transcripts_docs_context": eq.transcripts_docs_context,
-        # transcripts flagship engine (reference query-set analogs:
-        # 'machine' lexical / '"machine learning"' phrase / 'rust'
-        # hybrid / context expansion — routed over the documents-
-        # derived table so each has a full DuckDB differential; the
-        # in-repo synthesized transcripts keep their pytest oracles)
         "transcripts_field_query": eq.transcripts_field_query,
         "transcripts_bm25_merge": eq.transcripts_bm25_merge,
         "transcripts_phrase_hash_join": eq.transcripts_phrase_hash_join,
-        # hybrid context expansion (DM-context analog, r3-green)
         "transcripts_context_expansion": eq.transcripts_context_expansion,
     }.items()}
 
