@@ -6,9 +6,13 @@ local[$SPARK_GRAFT_CPUS]:
 1. BUILD: transcripts (deterministic seed-42 table, scale 0.1,
    ~155k turns) -> docIDs -> postings -> prefix postings -> persisted
    compressed segment index. Metric: indexed turns/sec end-to-end.
-2. QUERY: p50 latency over the reference query set (FIXTURES.md §2)
-   against the cached segment index (5 runs warm, middle value),
-   via the full DataFrame round-trip.
+2. QUERY: warm latency over the reference query set (FIXTURES.md §2)
+   against the cached segment index, via the full DataFrame
+   round-trip. Estimator: interleaved min-of-rounds (see
+   _interleave_min) — each metric samples a short consecutive
+   hot-cache block per round-robin round and reports the min across
+   rounds, so a host-contention window inflates one round of
+   everything instead of one metric's whole sample (round-4 finding).
 3. SCALING (north rule N vs 4N proxy): the same build job at
    local[N/4] vs local[N]; efficiency = (thru_hi / thru_lo) / 4.
 4. sf_dir grounding: BM25 top-k over the driver's documents table.
@@ -100,6 +104,37 @@ def build_once(
         quiet_stop(spark)
 
 
+def _interleave_min(measures: list, rounds: int = 2, inner: int = 3) -> dict:
+    """Two-level noise-floor estimator (round-4 VERDICT finding #1).
+
+    Per measure, a ROUND takes ``inner`` CONSECUTIVE timed iterations
+    and keeps their min: consecutive keeps CPU caches hot (the serving
+    steady state every earlier round and the reference CLI quote —
+    fully round-robin sampling was tried first and cross-talk from the
+    heavy measures, e.g. the 239 MB pinned-matrix matmul, inflated
+    every light probe ~2x). Rounds then round-robin over ALL measures,
+    so each measure's samples are spread across the whole phase
+    wall-clock; the final figure is the min across rounds. A
+    host-contention window therefore inflates the co-located round of
+    every measure instead of every sample of one measure, and
+    min-of-rounds recovers the clean window — the same estimator the
+    scaling section uses for its lo/hi builds."""
+    for _name, fn in measures:
+        fn()  # warm outside the timed rounds
+    floors = {name: None for name, _fn in measures}
+    for _ in range(rounds):
+        for name, fn in measures:
+            best = None
+            for _i in range(inner):
+                s = time.time()
+                fn()
+                dt = time.time() - s
+                best = dt if best is None else min(best, dt)
+            prev = floors[name]
+            floors[name] = best if prev is None else min(prev, best)
+    return floors
+
+
 def query_phase(cores: int, seg_path: str):
     """Query timings in a FRESH session (round-3 change: the recorded
     r2 lexical p50 was 71 ms vs 24-35 ms in a clean session — listener
@@ -107,7 +142,12 @@ def query_phase(cores: int, seg_path: str):
     local action, and a serving process is a separate session anyway).
     Reports BOTH the documented serving config (term-LRU prefetch +
     doc/vector pins — the headline) and the unwarmed plain-cache
-    figure (r2-comparable honesty number)."""
+    figure (r2-comparable honesty number).
+
+    Round 5: every warm metric is measured with interleaved min-of-N
+    (`_interleave_min`) instead of per-metric sequential medians; the
+    *_p50 key names are kept for round-over-round comparability but
+    the estimator is the interleaved noise floor."""
     from xf_spark.query.segment_search import SegmentIndex
     from xf_spark.session import get_spark, quiet_stop
 
@@ -116,7 +156,10 @@ def query_phase(cores: int, seg_path: str):
         docs = spark.read.parquet(os.path.join(seg_path, "docs"))
         queries = {}
 
-        # -- unwarmed tier: plain cache, no prefetch (r2 config) ------
+        # -- unwarmed tier: plain cache, no prefetch (r2 config).
+        # Measured alone (the prefetch below mutates the shared cache,
+        # so this tier cannot join the interleaved group) but with the
+        # same min estimator.
         ix0 = SegmentIndex.load(spark, seg_path, docs=docs).cache()
         ix0.search("machine", limit=10).collect()  # warm workers
         ts = []
@@ -124,71 +167,14 @@ def query_phase(cores: int, seg_path: str):
             s = time.time()
             ix0.search("machine", limit=20).collect()
             ts.append(time.time() - s)
-        queries["lexical_machine_unpinned"] = round(sorted(ts)[RUNS // 2], 4)
+        queries["lexical_machine_unpinned"] = round(min(ts), 4)
 
         # -- serving config: warm term prefetch (BENCH.md tier) -------
         ix = ix0
         ix.cache(warm_top_terms=64)
-        for name, q, k in QUERY_SET:
-            ts = []
-            for _ in range(RUNS):
-                s = time.time()
-                ix.search(q, limit=k).collect()
-                ts.append(time.time() - s)
-            queries[name] = round(sorted(ts)[RUNS // 2], 4)
-        # pure engine latency (warm postings + WAND, returning
-        # (doc_id, score) pairs with no DataFrame materialization:
-        # a size-1 search_many batch) — the direct apples-to-apples
-        # against the reference's in-process CLI, which never
-        # crosses a session boundary either
-        ix.search_many(["machine"], limit=20)  # warm
-        ts = []
-        for _ in range(RUNS):
-            s = time.time()
-            ix.search_many(["machine"], limit=20)
-            ts.append(time.time() - s)
-        queries["lexical_machine_engine_p50"] = round(
-            sorted(ts)[RUNS // 2], 4
-        )
 
-        # typo-tolerant search: first call pays the one-time
-        # vocabulary scan (fuzzy_variants memo), steady-state is the
-        # expanded-OR decode — report the warm number like the rest
-        ix.search_many(["machin"], limit=20, fuzzy=True)  # prime memo
-        ts = []
-        for _ in range(RUNS):
-            s = time.time()
-            ix.search_many(["machin"], limit=20, fuzzy=True)
-            ts.append(time.time() - s)
-        queries["lexical_fuzzy_engine_p50"] = round(
-            sorted(ts)[RUNS // 2], 4
-        )
-
-        # sustained serving throughput: batched multi-search
-        # (msearch pattern — one pruned scan + one decode per
-        # batch of 8). QPS, not single-query latency, is the
-        # serving metric at cluster scale; per-query latency pays
-        # the local job floor every time.
-        batch = [q for _n, q, _k in QUERY_SET]
-        ix.search_many(batch, limit=20)  # warm
-        rounds = 5
-        t0 = time.time()
-        for _ in range(rounds):
-            ix.search_many(batch, limit=20)
-        qps = round(rounds * len(batch) / (time.time() - t0), 1)
-        big = (batch * 8)[:64]
-        ix.search_many(big, limit=20)
-        t0 = time.time()
-        for _ in range(3):
-            ix.search_many(big, limit=20)
-        queries["qps_msearch_batch64"] = round(
-            3 * len(big) / (time.time() - t0), 1
-        )
-
-        # HYDRATED lexical p50 (full doc rows): pinned doc store,
-        # zero warm Spark jobs — the reference numbers include
-        # hydration, so this is the apples-to-apples figure
         from xf_spark.engine import XfIndex
+        from xf_spark.query.percolate import percolate
         from xf_spark.query.semantic import build_embeddings
 
         emb = build_embeddings(docs)
@@ -196,78 +182,63 @@ def query_phase(cores: int, seg_path: str):
             spark=spark, path=seg_path, segment_index=ix, docs=docs,
             embeddings=emb,
         ).cache(pin_docs_mb=1024, pin_vectors_mb=1024)
-        fx.search("machine", mode="lexical", limit=20).collect()
-        ts = []
-        for _ in range(RUNS):
-            s = time.time()
-            fx.search("machine", mode="lexical", limit=20).collect()
-            ts.append(time.time() - s)
-        queries["lexical_hydrated_p50"] = round(sorted(ts)[RUNS // 2], 4)
 
-        # aggregation surfaces (round 3): facet counts, field
-        # collapsing, and filtered match counts — with the doc pins
-        # above these serve from the zero-Spark-job driver paths
-        # (pinned attrs / pinned groups), which is the serving shape
-        for name, fn in [
-            (
-                "facet_role_p50",
-                lambda: fx.facet_counts("machine", facet="role").collect(),
-            ),
-            (
-                "collapse_p50",
-                lambda: fx.search_collapsed(
-                    "machine", limit=20, hydrate=False
-                ).collect(),
-            ),
-            (
-                "count_filtered_p50",
-                lambda: fx.count_matches("machine", roles=["assistant"]),
-            ),
-        ]:
-            fn()  # warm
-            ts = []
-            for _ in range(RUNS):
-                s = time.time()
-                fn()
-                ts.append(time.time() - s)
-            queries[name] = round(sorted(ts)[RUNS // 2], 4)
+        # latency measures: one timed iteration per round each.
+        # DataFrame round-trip for the reference query set; pure engine
+        # latency (size-1 search_many — the apples-to-apples against
+        # the reference's in-process CLI, which never crosses a session
+        # boundary either); fuzzy steady-state (vocab memo primed by
+        # the warm call); hydrated + aggregation + grammar surfaces on
+        # the pinned XfIndex (zero-Spark-job driver paths).
+        def _search(q, k):
+            return lambda: ix.search(q, limit=k).collect()
 
-        # round-3 query-language extensions + reverse search: the
-        # dictionary-resolved wildcard (expansion memoized after the
-        # warm call — steady-state serving pays no vocab scan), the
-        # sloppy-phrase positional DP, and the per-bucket top-hits
-        # aggregation
-        for name, fn in [
-            (
-                "wildcard_p50",
-                lambda: fx.search(
-                    "ma?hine", mode="lexical", limit=20
-                ).collect(),
-            ),
-            (
-                "near_slop_p50",
-                lambda: fx.search(
-                    '"machine learning"~2', mode="lexical", limit=20
-                ).collect(),
-            ),
-            (
-                "facet_top_hits_p50",
-                lambda: fx.facet_top_hits(
-                    "machine", facet="role", k=3
-                ).collect(),
-            ),
-        ]:
-            fn()  # warm
-            ts = []
-            for _ in range(RUNS):
-                s = time.time()
-                fn()
-                ts.append(time.time() - s)
-            queries[name] = round(sorted(ts)[RUNS // 2], 4)
-        # percolate throughput: 5 registered alert queries against the
-        # whole docs table in one shuffle-free pass (docs/s)
-        from xf_spark.query.percolate import percolate
+        latency = [(name, _search(q, k)) for name, q, k in QUERY_SET]
+        latency += [
+            ("lexical_machine_engine_p50",
+             lambda: ix.search_many(["machine"], limit=20)),
+            ("lexical_fuzzy_engine_p50",
+             lambda: ix.search_many(["machin"], limit=20, fuzzy=True)),
+            ("lexical_hydrated_p50",
+             lambda: fx.search("machine", mode="lexical", limit=20).collect()),
+            ("facet_role_p50",
+             lambda: fx.facet_counts("machine", facet="role").collect()),
+            ("collapse_p50",
+             lambda: fx.search_collapsed(
+                 "machine", limit=20, hydrate=False).collect()),
+            ("count_filtered_p50",
+             lambda: fx.count_matches("machine", roles=["assistant"])),
+            ("wildcard_p50",
+             lambda: fx.search("ma?hine", mode="lexical", limit=20).collect()),
+            ("near_slop_p50",
+             lambda: fx.search(
+                 '"machine learning"~2', mode="lexical", limit=20).collect()),
+            ("facet_top_hits_p50",
+             lambda: fx.facet_top_hits("machine", facet="role", k=3).collect()),
+            # pinned-matrix serving tier (vectors-in-RAM, the reference
+            # vector.rs shape): exact semantic + hybrid RRF, hydrated
+            ("semantic_pinned_p50",
+             lambda: fx.search("machine", mode="semantic", limit=100).collect()),
+            ("hybrid_pinned_p50",
+             lambda: fx.search("machine", mode="hybrid", limit=100).collect()),
+        ]
 
+        # throughput measures: one BATCH per round; converted to rates
+        # from the same per-measure min (min time = max rate). QPS, not
+        # single-query latency, is the serving metric at cluster scale.
+        # DISTINCT batches exist because msearch dedupes repeated
+        # members (round 3): the repeat-heavy batches measure a
+        # hot-query stream, the distinct ones the all-unique floor.
+        batch = [q for _n, q, _k in QUERY_SET]
+        big = (batch * 8)[:64]
+        hb = (batch * 4)[:32]
+        W = ["machine", "rust", "async", "python", "learning", "data",
+             "code", "test", "error", "spark", "model", "train",
+             "query", "index", "build", "search"]
+        d64 = [f"{a} {b}" for a in W for b in W if a != b][:64]
+        d32 = d64[:32]
+        # percolate: 5 registered alert queries against the whole docs
+        # table in one shuffle-free mapInPandas pass (docs/s)
         alert_qs = [
             ("q1", '"machine learning"'),
             ("q2", "rust AND async"),
@@ -276,57 +247,77 @@ def query_phase(cores: int, seg_path: str):
             ("q5", "data stream"),
         ]
         n_docs_total = docs.count()
-        percolate(docs, alert_qs).count()  # warm
-        t0 = time.time()
-        percolate(docs, alert_qs).count()
-        queries["percolate_docs_per_s"] = round(
-            n_docs_total / (time.time() - t0), 1
-        )
+        throughput = [
+            ("qps_msearch_batch8",
+             lambda: ix.search_many(batch, limit=20)),
+            ("qps_msearch_batch64",
+             lambda: ix.search_many(big, limit=20)),
+            ("qps_msearch_batch64_distinct",
+             lambda: ix.search_many(d64, limit=20)),
+            ("qps_hybrid_msearch_batch32",
+             lambda: fx.msearch(hb, limit=20, mode="hybrid")),
+            ("qps_hybrid_msearch_batch32_distinct",
+             lambda: fx.msearch(d32, limit=20, mode="hybrid")),
+            ("percolate_docs_per_s",
+             lambda: percolate(docs, alert_qs).count()),
+        ]
+        batch_sizes = {
+            "qps_msearch_batch8": len(batch),
+            "qps_msearch_batch64": len(big),
+            "qps_msearch_batch64_distinct": len(d64),
+            "qps_hybrid_msearch_batch32": len(hb),
+            "qps_hybrid_msearch_batch32_distinct": len(d32),
+            "percolate_docs_per_s": n_docs_total,
+        }
 
-        # pinned-matrix serving tier (vectors-in-RAM, the reference
-        # vector.rs shape): exact semantic + hybrid RRF, hydrated
-        for name, mode in [
-            ("semantic_pinned_p50", "semantic"),
-            ("hybrid_pinned_p50", "hybrid"),
-        ]:
-            fx.search("machine", mode=mode, limit=100).collect()
-            ts = []
-            for _ in range(RUNS):
-                s = time.time()
-                fx.search("machine", mode=mode, limit=100).collect()
-                ts.append(time.time() - s)
-            queries[name] = round(sorted(ts)[RUNS // 2], 4)
-        hb = (batch * 4)[:32]
-        fx.msearch(hb, limit=20, mode="hybrid")  # warm
-        t0 = time.time()
-        for _ in range(3):
-            fx.msearch(hb, limit=20, mode="hybrid")
-        queries["qps_hybrid_msearch_batch32"] = round(
-            3 * len(hb) / (time.time() - t0), 1
-        )
-        # DISTINCT-query batches: msearch dedupes repeated members
-        # (round 3), so the repeat-heavy batches above measure a
-        # hot-query stream; these measure the all-unique floor
-        W = ["machine", "rust", "async", "python", "learning", "data",
-             "code", "test", "error", "spark", "model", "train",
-             "query", "index", "build", "search"]
-        d64 = [f"{a} {b}" for a in W for b in W if a != b][:64]
-        ix.search_many(d64, limit=20)  # warm
-        t0 = time.time()
-        for _ in range(3):
-            ix.search_many(d64, limit=20)
-        queries["qps_msearch_batch64_distinct"] = round(
-            3 * len(d64) / (time.time() - t0), 1
-        )
-        d32 = d64[:32]
-        fx.msearch(d32, limit=20, mode="hybrid")  # warm
-        t0 = time.time()
-        for _ in range(3):
-            fx.msearch(d32, limit=20, mode="hybrid")
-        queries["qps_hybrid_msearch_batch32_distinct"] = round(
-            3 * len(d32) / (time.time() - t0), 1
-        )
+        # throughput batches keep inner=2: each iteration is itself an
+        # average over a whole batch, so the per-iteration noise is
+        # already amortized and wall-clock is better spent on rounds
+        floors = _interleave_min(latency, rounds=3, inner=3)
+        floors.update(_interleave_min(throughput, rounds=3, inner=2))
+        for name, _fn in latency:
+            queries[name] = round(floors[name], 4)
+        for name, _fn in throughput:
+            queries[name] = round(batch_sizes[name] / floors[name], 1)
+        qps = queries.pop("qps_msearch_batch8")
         return queries, qps
+    finally:
+        quiet_stop(spark)
+
+
+def percolate_scale1(cores: int) -> dict:
+    """Percolate at scale 1.0 (1.57M turns) — the round-4 VERDICT asked
+    for the sf1.0 figure in the driver-recorded file, not only in the
+    surfaces sweep. One shuffle-free mapInPandas pass; min-of-2 rate."""
+    from xf_spark.query.percolate import percolate
+    from xf_spark.session import get_spark, quiet_stop
+    from xf_spark.transcripts import ensure_transcripts_parquet
+
+    fixture = ensure_transcripts_parquet(1.0)
+    spark = get_spark("benchperc", cores=cores, shuffle_partitions=max(8, cores))
+    try:
+        from pyspark.sql import functions as F
+
+        # raw transcripts lack a doc_id; synthesize one shuffle-free
+        docs = spark.read.parquet(fixture).withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        )
+        n = docs.count()
+        alert_qs = [
+            ("q1", '"machine learning"'),
+            ("q2", "rust AND async"),
+            ("q3", "python NOT snake"),
+            ("q4", "ma?hine"),
+            ("q5", "data stream"),
+        ]
+        percolate(docs, alert_qs).count()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            percolate(docs, alert_qs).count()
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+        return {"turns": n, "docs_per_s": round(n / best, 1)}
     finally:
         quiet_stop(spark)
 
@@ -430,9 +421,12 @@ def main():
                 "host contention); true value ~0.85-0.95, see BENCH.md"
             )
         queries["docs_bm25_build_and_query"] = docs_table_query(sf_dir, cpus)
+        perc1 = percolate_scale1(cpus)
+        queries["percolate_sf1_docs_per_s"] = perc1["docs_per_s"]
 
         out = {
-            "metric": "p50 lexical BM25 top-20 latency (segment index, warm)",
+            "metric": "warm lexical BM25 top-20 latency "
+                      "(segment index; interleaved min-of-rounds noise floor)",
             "value": queries["lexical_machine"],
             "unit": "sec",
             "queries": queries,
@@ -446,7 +440,12 @@ def main():
             },
             "scaling": scaling,
         }
-        print(json.dumps(out))
+        # the JSON line must be the LAST thing on stdout (driver
+        # contract); progress bars are disabled session-wide
+        # (spark.ui.showConsoleProgress=false) so it is also the ONLY
+        # stdout line
+        sys.stdout.flush()
+        print(json.dumps(out), flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

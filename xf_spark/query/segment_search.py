@@ -1138,7 +1138,10 @@ class SegmentIndex:
                 .withColumn("len", F.length("term"))
             )
             n_parts = max(1, int(self.meta.get("n_buckets", 8)) // 16)
-            tmp = vpath + ".tmp"
+            # uniquely-suffixed tmp dir: two builders racing here must
+            # not clobber each other's in-progress write (a shared
+            # vpath+'.tmp' would let one rmtree the other's output)
+            tmp = "{}.tmp-{}-{}".format(vpath, os.getpid(), id(self))
             try:
                 shutil.rmtree(tmp, ignore_errors=True)
                 (
@@ -1157,9 +1160,23 @@ class SegmentIndex:
                 # marker/rename ops or as a JVM write error from the
                 # parquet commit): serve the aggregate directly — same
                 # results, no persisted artifact
+                shutil.rmtree(tmp, ignore_errors=True)
                 self._vocab_cache = agg
                 return agg
-        self._vocab_cache = self.spark.read.parquet(vpath)
+        try:
+            self._vocab_cache = self.spark.read.parquet(vpath)
+        except Exception:  # noqa: BLE001
+            # rmtree+rename above is not atomic for a CONCURRENT reader
+            # in another process: it can observe a missing/half-swapped
+            # dir. Serve the segments aggregate for this call (same
+            # results); the next call re-checks the marker and picks up
+            # the completed artifact.
+            return (
+                self._segments.where(F.col("field") == "text")
+                .groupBy("term")
+                .agg(F.sum("n_docs").cast("long").alias("df"))
+                .withColumn("len", F.length("term"))
+            )
         return self._vocab_cache
 
     def fuzzy_variants(self, term: str) -> list[str]:
@@ -2789,9 +2806,10 @@ class SegmentIndex:
         Scale shape: two aggregations joined on term. Foreground =
         ONE tokenize pass over MATCHED docs only (left-semi prune of
         the docs scan, Arrow UDF, per-doc distinct terms, term-keyed
-        partial agg); background df = the columnar (term, n_docs)
-        vocabulary aggregate off the segments table. Nothing
-        match-set-sized reaches the driver."""
+        partial agg); background df = the sorted vocabulary artifact
+        (_vocab_df — one row per term, persisted), not a per-call
+        re-aggregate of the segments table. Nothing match-set-sized
+        reaches the driver."""
         if self.docs is None:
             raise ValueError("significant_terms requires a docs table")
         from xf_spark.functions.udfs import tokenize_udf
@@ -2824,11 +2842,12 @@ class SegmentIndex:
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("n_match"))
         )
-        bg = (
-            self._segments.where(F.col("field") == "text")
-            .groupBy("term")
-            .agg(F.sum("n_docs").alias("df"))
-        )
+        # background model = the persisted sorted vocabulary artifact
+        # (one row per term, already exactly this (term, df) aggregate)
+        # instead of re-aggregating the segments table per call — at
+        # 100x corpus the segments groupBy is a full metadata-scan
+        # shuffle per query; the artifact read is O(vocab)
+        bg = self._vocab_df().select("term", "df")
         n = self.meta["n_docs"]
         return (
             fg.join(bg, "term")

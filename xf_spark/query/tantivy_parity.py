@@ -43,9 +43,14 @@ from xf_spark.query.bm25 import B, K1, BM25Engine
 
 _f32 = np.float32
 
-# per-engine memo (engines are immutable; keyed by id like the
-# entry-queries engine memo)
-_MEMO: dict = {}
+def _memo(engine) -> dict:
+    """Per-engine memo stored ON the engine instance (engines are
+    immutable after build). A module-level dict keyed by id(engine)
+    would outlive the engine: CPython reuses ids after GC, so a new
+    engine could silently inherit a dead engine's cached stats and
+    cached DataFrames (wrong scores + pinned cluster memory). Instance
+    storage dies with the engine."""
+    return engine.__dict__.setdefault("_tantivy_parity_memo", {})
 
 
 @dataclass(frozen=True)
@@ -60,22 +65,21 @@ class TwoFieldStats:
 def _prefix_doclens(engine: BM25Engine) -> DataFrame:
     """(doc_id, pdl): the prefix FIELD's own token count per doc —
     one narrow aggregate over prefix postings, cached."""
-    key = (id(engine), "pdl")
-    if key not in _MEMO:
-        pdl = (
+    memo = _memo(engine)
+    if "pdl" not in memo:
+        memo["pdl"] = (
             engine.prefix_postings.groupBy("doc_id")
             .agg(F.sum("tf").alias("pdl"))
             .cache()
         )
-        _MEMO[key] = pdl
-    return _MEMO[key]
+    return memo["pdl"]
 
 
 def two_field_stats(engine: BM25Engine) -> TwoFieldStats:
     """Per-field totals for average_fieldnorm, exact AND quantized
     (two aggregates, memoized per engine)."""
-    key = (id(engine), "stats")
-    if key not in _MEMO:
+    memo = _memo(engine)
+    if "stats" not in memo:
         from xf_spark.functions.fieldnorm import quantize_col
 
         tl = (
@@ -91,14 +95,14 @@ def two_field_stats(engine: BM25Engine) -> TwoFieldStats:
             F.sum("pdl").alias("p"),
             F.sum(quantize_col(F.col("pdl"))).alias("pq"),
         ).first()
-        _MEMO[key] = TwoFieldStats(
+        memo["stats"] = TwoFieldStats(
             n_docs=engine.stats.n_docs,
             total_text_tokens=int(tl["t"] or 0),
             total_prefix_tokens=int(pl["p"] or 0),
             total_text_tokens_q=int(tl["tq"] or 0),
             total_prefix_tokens_q=int(pl["pq"] or 0),
         )
-    return _MEMO[key]
+    return memo["stats"]
 
 
 def _bm25_weight_f32(n_docs: int, df: int):

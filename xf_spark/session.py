@@ -59,6 +59,9 @@ def get_spark(
             os.environ.get("XF_SPARK_MAX_RESULT", "16g"),
         )
         .config("spark.ui.enabled", "false")
+        # keep stdout/stderr clean for harnesses that capture output
+        # (the driver's bench tail must end with the one JSON line)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # split single parquet files across cores: the default 128 MB
         # split swallows a ~100 MB input whole -> 1-task scans (measured
@@ -69,7 +72,17 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # quiet_stop mutes the JVM log4j root logger for teardown; in local
+    # mode that mutation outlives the stopped SparkContext, so a later
+    # session in the same process (bench.py runs build/query/docs
+    # phases sequentially) would otherwise run with logging OFF and
+    # hide real errors. Restore the default level on every create.
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:
+        pass
+    return spark
 
 
 def stop_spark() -> None:
