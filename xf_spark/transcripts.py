@@ -166,6 +166,131 @@ def generate_transcripts_pdf(scale: float = 0.001, seed: int = SEED) -> pd.DataF
     )
 
 
+ZIPF_SYLLABLES = [
+    "ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu",
+    "na", "pe", "qi", "ro", "su", "ta", "ve", "wi", "xo", "yu",
+    "zan", "ber", "cil", "dor", "fen", "gam", "hol", "jin", "kur", "lem",
+    "mon", "nep", "quil", "rost", "sarn", "tev", "vash", "wex", "yor", "zub",
+]
+
+
+def zipf_vocab(vocab_size: int) -> np.ndarray:
+    """Deterministic vocabulary of exactly ``vocab_size`` DISTINCT
+    terms with a realistic shape: each term is the syllable spelling of
+    its index in base len(ZIPF_SYLLABLES) (bijective, so unique by
+    construction), which yields 2-8-char terms sharing long prefixes —
+    the regime where the sorted vocab artifact's range pruning matters
+    and a hash-bucketed segments scan does not."""
+    base = len(ZIPF_SYLLABLES)
+    syl = np.array(ZIPF_SYLLABLES, dtype=object)
+    idx = np.arange(vocab_size, dtype=np.int64)
+    terms = syl[idx % base].copy()
+    rest = idx // base
+    while (rest > 0).any():
+        mask = rest > 0
+        terms[mask] = syl[rest[mask] % base] + terms[mask]
+        rest = rest // base
+    return terms
+
+
+def generate_zipf_transcripts_pdf(
+    n_turns: int = 200_000,
+    vocab_size: int = 120_000,
+    seed: int = SEED,
+    zipf_a: float = 1.2,
+    mean_tokens: int = 24,
+) -> pd.DataFrame:
+    """High-cardinality-vocabulary variant of the transcripts table
+    (same schema). The seed-42 english corpus has only ~711 distinct
+    terms, so the vocab artifact, wildcard/fuzzy expansion caps, and
+    head-term build salting are exercised in a toy regime there; this
+    table draws every token from a ``vocab_size``-term dictionary under
+    a Zipf(``zipf_a``) rank distribution — a heavy head (the rank-1
+    term appears in a large fraction of turns: real head-term skew for
+    the (term, shard) salted build key) and a ~100k-term tail (real
+    dictionary-scan asymptotics for multiterm expansion)."""
+    rng = np.random.default_rng(seed)
+    vocab = zipf_vocab(vocab_size)
+
+    n_convs = max(2, n_turns // MEAN_TURNS_PER_CONV)
+    lens = 2 + np.minimum(
+        rng.geometric(1.0 / (MEAN_TURNS_PER_CONV - 2), size=n_convs), 38
+    )
+    n = int(lens.sum())
+
+    conv_ord = np.repeat(np.arange(n_convs), lens)
+    conv_ids = np.array(
+        [f"zipf{7_000_000_000_000 + i:013d}" for i in range(n_convs)],
+        dtype=object,
+    )
+    starts = np.zeros(n_convs, dtype=np.int64)
+    starts[1:] = np.cumsum(lens)[:-1]
+    turn_idx = np.arange(n, dtype=np.int64) - starts[conv_ord]
+
+    role = np.where(turn_idx % 2 == 0, "user", "assistant").astype(object)
+
+    # token ranks: numpy Zipf is unbounded — resample the overflow tail
+    # into the in-vocab range (uniform over the tail half) so every
+    # token is a dictionary member and the head keeps its Zipf mass
+    tokens_per_turn = 4 + np.minimum(
+        rng.geometric(1.0 / (mean_tokens - 4), size=n), 120
+    )
+    total = int(tokens_per_turn.sum())
+    ranks = rng.zipf(zipf_a, size=total)
+    over = ranks > vocab_size
+    n_over = int(over.sum())
+    if n_over:
+        ranks[over] = rng.integers(vocab_size // 2, vocab_size, size=n_over) + 1
+    words = vocab[ranks - 1]
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tokens_per_turn, out=bounds[1:])
+    texts = np.array(
+        [" ".join(words[bounds[i]:bounds[i + 1]]) for i in range(n)],
+        dtype=object,
+    )
+
+    conv_start = rng.integers(END_TS - SPAN_SECONDS, END_TS - 24 * 3600, size=n_convs)
+    gaps = rng.integers(1, 600, size=n)
+    gap_cum = np.cumsum(gaps)
+    ts = conv_start[conv_ord] + gap_cum - gap_cum[starts[conv_ord]] + gaps[starts[conv_ord]]
+
+    return pd.DataFrame(
+        {
+            "conv_id": conv_ids[conv_ord],
+            "turn_idx": turn_idx.astype(np.int32),
+            "role": role,
+            "text": texts,
+            "tool": np.full(n, "", dtype=object),
+            "ts": pd.to_datetime(ts, unit="s"),
+        }
+    )
+
+
+def ensure_zipf_parquet(
+    n_turns: int = 200_000,
+    vocab_size: int = 120_000,
+    root: str | None = None,
+) -> str:
+    """Materialize (once) the zipf-vocabulary table; return path."""
+    base = os.path.dirname(transcripts_parquet_path(1.0, root))
+    path = os.path.join(
+        base, f"zipf_transcripts_{n_turns}t_{vocab_size}v.parquet"
+    )
+    if not os.path.exists(path):
+        pdf = generate_zipf_transcripts_pdf(n_turns, vocab_size)
+        os.makedirs(base, exist_ok=True)
+        tmp = path + ".tmp"
+        pdf.to_parquet(
+            tmp,
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+            row_group_size=16384,
+        )
+        os.replace(tmp, path)
+    return path
+
+
 def transcripts_parquet_path(scale: float, root: str | None = None) -> str:
     if root is None:
         root = os.environ.get("XF_SPARK_FIXTURES_DIR")
