@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--cores", type=int, default=16)
     ap.add_argument("--compact-every", type=int, default=4)
+    ap.add_argument(
+        "--max-files-per-trigger", type=int, default=1,
+        help="micro-batch size in file drops: 1 = every drop is its own "
+        "checkpointed batch+cutover (max freshness, max fixed cost); "
+        "larger = the operating point a throughput-focused user picks",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -74,7 +80,7 @@ def main() -> None:
             spark, in_dir, root, ckpt,
             available_now=True,
             compact_every=args.compact_every,
-            max_files_per_trigger=1,
+            max_files_per_trigger=args.max_files_per_trigger,
             with_embeddings=False, n_shards=16, n_buckets=16, slices=1,
         )
         q.awaitTermination()
@@ -89,6 +95,8 @@ def main() -> None:
             "scale": args.scale,
             "turns": n,
             "batches": args.batches,
+            "max_files_per_trigger": args.max_files_per_trigger,
+            "compact_every": args.compact_every,
             "ingest_sec": round(wall, 2),
             "turns_per_sec": round(n / wall, 1),
             "n_versions": len(versions),
