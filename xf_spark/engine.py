@@ -1059,10 +1059,14 @@ class XfIndex:
         since: str | None = None,
         until: str | None = None,
         fuzzy: bool = False,
+        approx: bool = False,
+        approx_accuracy: int = 10_000,
     ) -> DataFrame:
         """Numeric stats + exact percentiles over the lexical match
         set (ES stats/percentiles aggregation analog); same
-        natural-language since/until as search."""
+        natural-language since/until as search. ``approx=True`` uses
+        the mergeable approx_percentile sketch (100-TB path) with the
+        same output schema."""
         roles = _norm_roles(roles)
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
@@ -1070,6 +1074,8 @@ class XfIndex:
             query,
             col=col,
             percentiles=percentiles,
+            approx=approx,
+            approx_accuracy=approx_accuracy,
             roles=roles,
             since=since_dt,
             until=until_dt,

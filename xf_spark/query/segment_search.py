@@ -2108,6 +2108,8 @@ class SegmentIndex:
         since=None,
         until=None,
         fuzzy: bool = False,
+        approx: bool = False,
+        approx_accuracy: int = 10_000,
     ) -> DataFrame:
         """Numeric stats sub-aggregation over the match set (the
         Elasticsearch stats + percentiles aggregation shape): ONE row
@@ -2115,9 +2117,13 @@ class SegmentIndex:
         matching doc. ``col`` is a docs column cast to double, or
         ``text_len`` (length(text) in characters). Percentiles are
         EXACT with linear interpolation (Spark `percentile` ==
-        DuckDB `quantile_cont`) — at 100 TB swap in
-        `approx_percentile` if the t-digest tradeoff is wanted; the
-        exact version is the oracle-checkable contract.
+        DuckDB `quantile_cont`) by default — the oracle-checkable
+        contract. ``approx=True`` swaps in `approx_percentile`
+        (Greenwald-Khanna, error <= 1/approx_accuracy relative rank):
+        at 100 TB the exact percentile's per-group value buffer is the
+        memory hazard, the sketch is mergeable constant space. Same
+        output schema either way; `tests/test_approx_stats.py` pins
+        exact==approx within the accuracy bound on the fixtures.
 
         Scale shape: pure aggregation — the match-set ids semi-join
         the docs scan (column-pruned to one numeric), then a single
@@ -2142,11 +2148,15 @@ class SegmentIndex:
             F.sum("v").alias("sum"),
         ]
         for p in percentiles:
-            aggs.append(
-                F.percentile("v", F.lit(float(p))).alias(
-                    f"p{int(round(p * 100))}"
+            name = f"p{int(round(p * 100))}"
+            if approx:
+                aggs.append(
+                    F.approx_percentile(
+                        "v", F.lit(float(p)), F.lit(int(approx_accuracy))
+                    ).cast("double").alias(name)
                 )
-            )
+            else:
+                aggs.append(F.percentile("v", F.lit(float(p))).alias(name))
         return vals.agg(*aggs)
 
     def facet_counts_multi(
