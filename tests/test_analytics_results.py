@@ -151,6 +151,45 @@ class TestDates:
         lo, _ = parse_date_range("end of this month", now=base)
         assert lo.date() == dt.date(2026, 8, 31)
 
+    def test_chrono_english_round5_forms(self):
+        """now / tomorrow / weekend qualifiers / future offsets / US
+        slash dates (chrono-english Dialect::Us)."""
+        base = dt.datetime(2026, 8, 16, 12, 0, 0)  # a Sunday
+        lo, hi = parse_date_range("now", now=base)
+        assert lo == base and hi == base
+        lo, hi = parse_date_range("tomorrow", now=base)
+        assert lo.date() == dt.date(2026, 8, 17) and hi.date() == lo.date()
+        # this weekend == weekend (most recent Sat-Sun on/before today:
+        # Sat 15 - Sun 16); last weekend is the pair before
+        lo, hi = parse_date_range("this weekend", now=base)
+        assert lo.date() == dt.date(2026, 8, 15)
+        assert hi.date() == dt.date(2026, 8, 16)
+        lo, hi = parse_date_range("last weekend", now=base)
+        assert lo.date() == dt.date(2026, 8, 8)
+        assert hi.date() == dt.date(2026, 8, 9)
+        # future offsets
+        for expr in ("in 2 weeks", "2 weeks from now", "2 weeks hence"):
+            lo, hi = parse_date_range(expr, now=base)
+            assert lo.date() == dt.date(2026, 8, 30), expr
+        lo, _ = parse_date_range("in 1 month", now=dt.datetime(2026, 12, 15))
+        assert lo.date() == dt.date(2027, 1, 15)
+        lo, _ = parse_date_range("in 6 months", now=base)
+        assert lo.date() == dt.date(2027, 2, 16)
+        lo, _ = parse_date_range("3 days hence", now=base)
+        assert lo.date() == dt.date(2026, 8, 19)
+        # US slash dates: month/day/year, 2-digit pivot at 70
+        lo, hi = parse_date_range("6/15/2024", now=base)
+        assert lo.date() == dt.date(2024, 6, 15) and hi.date() == lo.date()
+        lo, _ = parse_date_range("6/15/24", now=base)
+        assert lo.date() == dt.date(2024, 6, 15)
+        lo, _ = parse_date_range("12/31/99", now=base)
+        assert lo.date() == dt.date(1999, 12, 31)
+        # day-granular subset still errors loudly on time-of-day
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            parse_date_range("8pm", now=base)
+
     def test_year_offsets_clamp_leap_day(self):
         from xf_spark.query.dates import parse_date_range
 

@@ -24,7 +24,13 @@ date_parser.rs grammar (846 lines; SURVEY.md §2.5):
   "june 3, 2024", "3 june", "3 june 2024" day-month forms; ordinal
   days ("june 3rd", "the 3rd of june", "3rd of june 2024"); articles
   ("a week ago", "a fortnight ago") and fortnight units; "beginning/
-  start/end of <expr>" = the first/last day of <expr>'s range.
+  start/end of <expr>" = the first/last day of <expr>'s range;
+  "now" / "tomorrow" / "this|last weekend"; future offsets ("in 2
+  weeks", "2 weeks from now", "3 days hence"); US slash dates
+  ("6/15/2024", "6/15/24" — Dialect::Us month/day order, 2-digit
+  years pivot at 70). Still outside the subset (errors loudly):
+  time-of-day forms ("8pm", "june 3 at 4pm") — range filters are
+  day-granular here — and colloquialisms like "teatime".
 
 Returns naive UTC datetimes (the engine pins session TZ = UTC).
 ``now`` is injectable for deterministic tests.
@@ -45,9 +51,10 @@ _UNITS = {"day": 1, "week": 7, "fortnight": 14}
 
 
 def _offset_date(today: dt.date, n: int, unit: str) -> dt.date:
-    """``today`` minus ``n`` day/week/month/year units, day-of-month
-    clamped to the target month's length (so '1 year ago' on a leap
-    day or '1 month ago' on the 31st never raises)."""
+    """``today`` minus ``n`` day/week/month/year units (``n`` may be
+    negative for future offsets — "in 2 months"), day-of-month clamped
+    to the target month's length (so '1 year ago' on a leap day or
+    '1 month ago' on the 31st never raises)."""
     if unit in _UNITS:
         return today - dt.timedelta(days=n * _UNITS[unit])
     if unit == "month":
@@ -55,6 +62,9 @@ def _offset_date(today: dt.date, n: int, unit: str) -> dt.date:
         while mth <= 0:
             mth += 12
             y -= 1
+        while mth > 12:
+            mth -= 12
+            y += 1
     else:  # year
         y, mth = today.year - n, today.month
     return dt.date(y, mth, min(today.day, calendar.monthrange(y, mth)[1]))
@@ -113,6 +123,15 @@ def parse_date_range(
     if m:
         d = dt.date(int(m[1]), int(m[2]), int(m[3]))
         return _start_of_day(d), _end_of_day(d)
+    # US slash dates (chrono-english Dialect::Us: month/day/year;
+    # 2-digit years pivot at 70 like chrono's %y)
+    m = re.fullmatch(r"(\d{1,2})/(\d{1,2})/(\d{2}|\d{4})", s)
+    if m:
+        y = int(m[3])
+        if y < 100:
+            y += 1900 if y >= 70 else 2000
+        d = dt.date(y, int(m[1]), int(m[2]))
+        return _start_of_day(d), _end_of_day(d)
     m = re.fullmatch(r"(\d{4})-(\d{2})", s)
     if m:
         return _month_range(int(m[1]), int(m[2]))
@@ -164,12 +183,24 @@ def parse_date_range(
         lo, hi = parse_date_range(m[2], now=now)
         d = lo.date() if m[1] in ("beginning", "start") else hi.date()
         return _start_of_day(d), _end_of_day(d)
+    if s == "now":
+        # chrono-english "now": the instant itself (not a day range)
+        return now, now
     if s == "today":
         return _start_of_day(today), _end_of_day(today)
     if s == "yesterday":
         d = today - dt.timedelta(days=1)
         return _start_of_day(d), _end_of_day(d)
-    if s == "weekend":
+    if s == "tomorrow":
+        d = today + dt.timedelta(days=1)
+        return _start_of_day(d), _end_of_day(d)
+    if s == "last weekend":
+        # the Sat-Sun pair before the most recent one
+        saturday = today - dt.timedelta(days=(today.weekday() + 2) % 7 + 7)
+        return _start_of_day(saturday), _end_of_day(
+            saturday + dt.timedelta(days=1)
+        )
+    if s in ("weekend", "this weekend"):
         # most recent Sat-Sun on or before today (date_parser.rs:320-326)
         saturday = today - dt.timedelta(days=(today.weekday() + 2) % 7)
         return _start_of_day(saturday), _end_of_day(
@@ -211,6 +242,19 @@ def parse_date_range(
     m = re.fullmatch(r"(\d+)\s+(day|week|fortnight|month|year)s?\s+ago", s)
     if m:
         d = _offset_date(today, int(m[1]), m[2])
+        return _start_of_day(d), _end_of_day(d)
+    # future offsets (chrono-english: "in 2 weeks", "2 weeks from now",
+    # "3 days hence") — useful as an --until bound
+    m = (
+        re.fullmatch(r"in\s+(\d+)\s+(day|week|fortnight|month|year)s?", s)
+        or re.fullmatch(
+            r"(\d+)\s+(day|week|fortnight|month|year)s?\s+"
+            r"(?:from\s+(?:now|today)|hence)",
+            s,
+        )
+    )
+    if m:
+        d = _offset_date(today, -int(m[1]), m[2])
         return _start_of_day(d), _end_of_day(d)
 
     # --- chrono-english-style free-form fallback (date_parser.rs:130-
