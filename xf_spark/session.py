@@ -104,9 +104,25 @@ def quiet_stop(spark: SparkSession) -> None:
     mute the JVM loggers for the teardown itself."""
     import time as _time
 
+    gw = None
     try:
         _time.sleep(0.3)
+        gw = spark.sparkContext._gateway
         spark.sparkContext.setLogLevel("OFF")
     except Exception:
         pass  # context already gone — nothing left to silence
     spark.stop()
+    # Teardown stragglers (the DAGScheduler's accumulator merge against
+    # the closed Python server) can log for a beat AFTER stop() returns
+    # — restoring the level on the next get_spark alone un-muted the
+    # root logger into that window and let the trace back into captured
+    # bench output. Wait the stragglers out muted, then restore WARN
+    # here so the muting also cannot outlive this call and hide real
+    # errors in later sessions (round-4 ADVICE).
+    _time.sleep(0.5)
+    try:
+        if gw is not None:
+            log4j = gw.jvm.org.apache.logging.log4j
+            log4j.core.config.Configurator.setRootLevel(log4j.Level.WARN)
+    except Exception:
+        pass  # JVM gone (process exit) — nothing to restore
