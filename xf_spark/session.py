@@ -82,7 +82,41 @@ def get_spark(
         spark.sparkContext.setLogLevel("WARN")
     except Exception:
         pass
+    _install_teardown_log_filter(spark)
     return spark
+
+
+def _install_teardown_log_filter(spark) -> None:
+    """Deny the one known-noise teardown message at the log4j2 layer.
+
+    When a session stops, a DAGScheduler task-completion event can be
+    mid-merge into the (now closed) Python accumulator server; the
+    merge blocks on the dead socket and logs ``ERROR DAGScheduler:
+    Failed to update accumulator ... EOF reached before Python server
+    acknowledged`` MINUTES later — long after quiet_stop's muted
+    window, and into the next session's captured output (observed
+    twice in round-5 bench runs at +0.5 s and +2 s drains). The job is
+    complete when this fires; it is pure teardown noise, but
+    time-based muting cannot cover a TCP-timeout-length straggler.
+    A message-scoped StringMatchFilter denies exactly this line and
+    nothing else (other DAGScheduler ERRORs still print). Installed
+    once per process (the JVM outlives sessions in local mode)."""
+    if getattr(_install_teardown_log_filter, "_done", False):
+        return
+    try:
+        jvm = spark.sparkContext._gateway.jvm
+        core = jvm.org.apache.logging.log4j.core
+        b = core.filter.StringMatchFilter.newBuilder()
+        b.setMatchString("Failed to update accumulator")
+        b.setOnMatch(core.Filter.Result.DENY)
+        b.setOnMismatch(core.Filter.Result.NEUTRAL)
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        cfg = ctx.getConfiguration()
+        cfg.getRootLogger().addFilter(b.build())
+        ctx.updateLoggers()
+        _install_teardown_log_filter._done = True
+    except Exception:
+        pass  # non-log4j2 deployments: filter is best-effort
 
 
 def stop_spark() -> None:
@@ -119,6 +153,9 @@ def quiet_stop(spark: SparkSession) -> None:
     # bench output. Wait the stragglers out muted, then restore WARN
     # here so the muting also cannot outlive this call and hide real
     # errors in later sessions (round-4 ADVICE).
+    # the minutes-long accumulator-merge straggler is handled by the
+    # message-scoped filter in _install_teardown_log_filter; this short
+    # drain only covers the immediate stop-window chatter
     _time.sleep(0.5)
     try:
         if gw is not None:
