@@ -55,6 +55,45 @@ def test_match_stats_approx_matches_exact(ix):
         )
 
 
+def test_significant_terms_sampled_foreground(ix):
+    """sample_fraction=1.0 must equal exact byte-for-byte; a sampled
+    run (deterministic seed) must keep the schema and put the same
+    term at rank 1 on the fixture (the head of the lift ranking is
+    robust to 50% thinning at this corpus size)."""
+    exact = ix.significant_terms("machine", limit=10).collect()
+    full = ix.significant_terms(
+        "machine", limit=10, sample_fraction=1.0
+    ).collect()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in full]
+
+    sampled = ix.significant_terms(
+        "machine", limit=10, sample_fraction=0.5
+    ).collect()
+    assert sampled, "sampled run returned nothing"
+    assert sampled[0].asDict().keys() == exact[0].asDict().keys()
+    assert sampled[0]["term"] == exact[0]["term"]
+    # HT estimate: df column is exact (background untouched); n_match
+    # is scaled back to match-set units, so it must be in the
+    # ballpark of the exact count for the top term
+    assert abs(sampled[0]["n_match"] - exact[0]["n_match"]) <= (
+        0.5 * exact[0]["n_match"]
+    )
+    # two runs are deterministic (seeded sample)
+    again = ix.significant_terms(
+        "machine", limit=10, sample_fraction=0.5
+    ).collect()
+    assert [tuple(r) for r in sampled] == [tuple(r) for r in again]
+
+
+def test_significant_terms_sample_fraction_validation(ix):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ix.significant_terms("machine", sample_fraction=0.0)
+    with _pytest.raises(ValueError):
+        ix.significant_terms("machine", sample_fraction=1.5)
+
+
 def test_match_stats_approx_roles_filter(ix):
     """The approx path must flow through the same pre-aggregation
     filters as the exact one."""

@@ -1222,10 +1222,13 @@ class XfIndex:
         until: str | None = None,
         fuzzy: bool = False,
         min_count: int = 2,
+        sample_fraction: float | None = None,
     ) -> DataFrame:
         """Terms over-represented in the match set vs the corpus
         (Elasticsearch significant_terms analog), lift-scored; accepts
-        natural-language since/until."""
+        natural-language since/until. ``sample_fraction`` opts into the
+        Horvitz-Thompson sampled foreground (100-TB path) — exact when
+        None."""
         roles = _norm_roles(roles)
         since_dt = parse_date_flexible(since) if since else None
         until_dt = parse_date_flexible(until, end=True) if until else None
@@ -1237,6 +1240,7 @@ class XfIndex:
             until=until_dt,
             fuzzy=fuzzy,
             min_count=min_count,
+            sample_fraction=sample_fraction,
         )
 
     def search_collapsed(

