@@ -309,6 +309,37 @@ class TestCli:
         )
         assert r.returncode == 1 and "--facet" in r.stdout
 
+    def test_cli_significant_terms_and_stats(self, cli_index):
+        idx, env = cli_index
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--significant-terms",
+             "--limit", "5", "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert payload and {"term", "n_match", "df", "lift"} == set(payload[0])
+        assert len(payload) <= 5
+        # lift-ranked descending
+        lifts = [row["lift"] for row in payload]
+        assert lifts == sorted(lifts, reverse=True)
+
+        r = subprocess.run(
+            [sys.executable, "-m", "xf_spark", "--cores", "4", "search",
+             "machine", "--index", idx, "--stats", "text_len",
+             "--format", "json"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        payload = json.loads(r.stdout.strip().splitlines()[-1])
+        assert len(payload) == 1
+        row = payload[0]
+        assert {"n", "min", "max", "avg", "sum", "p50", "p90", "p99"} <= set(row)
+        assert row["n"] > 0 and row["min"] <= row["p50"] <= row["max"]
+
     def test_cli_rescore_and_decay(self, cli_index):
         idx, env = cli_index
         r = subprocess.run(

@@ -847,6 +847,29 @@ def cmd_search(args) -> int:
                 fuzzy=fuzzy,
                 limit=limit,
             )
+    elif getattr(args, "significant_terms", False):
+        # (term, n_match, df, lift) over the match set replaces the
+        # hit list (ES significant_terms)
+        df = ix.significant_terms(
+            args.query,
+            limit=limit,
+            roles=roles,
+            since=args.since,
+            until=args.until,
+            fuzzy=fuzzy,
+        )
+    elif getattr(args, "stats_col", None):
+        # one stats row (n/min/max/avg/sum + exact percentiles) of a
+        # numeric doc column across the match set (ES stats +
+        # percentiles aggregation)
+        df = ix.match_stats(
+            args.query,
+            col=args.stats_col,
+            roles=roles,
+            since=args.since,
+            until=args.until,
+            fuzzy=fuzzy,
+        )
     elif getattr(args, "explain", False):
         # score breakdown replaces the hit list: one row per
         # (top-k doc, matched term) with the BM25 pieces
@@ -1218,6 +1241,16 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--explain", action="store_true",
                     help="BM25 score breakdown per (top-k doc, matched "
                          "term): tf, df, idf, contribution, total")
+    ps.add_argument("--significant-terms", action="store_true",
+                    dest="significant_terms",
+                    help="terms over-represented in the match set vs "
+                         "the corpus, lift-scored (ES significant_terms)"
+                         " — replaces the hit list")
+    ps.add_argument("--stats", default=None, metavar="COL",
+                    dest="stats_col",
+                    help="numeric stats + exact percentiles of a doc "
+                         "column (or text_len) over the match set (ES "
+                         "stats/percentiles) — replaces the hit list")
     ps.add_argument("--fuzzy", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="typo tolerance: expand terms to edit-distance-1 "
