@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -674,6 +675,7 @@ class TestRepl:
             "machin",
             "explain machine",        # score breakdown rows
             'explain rust "machine learning"',  # nested phrase: refused
+            "sig",                    # significant terms of the session query
             "stats",
             "quit",
         ]) + "\n"
@@ -701,6 +703,10 @@ class TestRepl:
         assert out.rindex("] (conv") > out.rindex("fuzzy = on")
         assert "contrib" in out            # explain breakdown printed
         assert "explain: explain does not support phrases nested" in out
+        # sig: significant-terms rows print as "term n_match df lift" —
+        # 'fascinating' co-occurs with 'machine' in its pool sentence,
+        # so it is always a top-lift term for the session query
+        assert re.search(r"^fascinating\s+\d+\s+\d+\s+[\d.]+", out, re.M)
         assert "n_turns" in out            # stats — session survived all errors
 
 

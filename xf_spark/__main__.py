@@ -175,7 +175,7 @@ def cmd_repl(args) -> int:
 
 _REPL_VERBS = (
     "more", "show", "similar", "refine", "facet", "count", "explain",
-    "complete", "stats", "set", "export", "help", "quit", "exit",
+    "complete", "stats", "sig", "set", "export", "help", "quit", "exit",
 )
 _REPL_SET_KEYS = ("mode", "limit", "roles", "fuzzy")
 
@@ -249,8 +249,20 @@ def _repl_dispatch(w, rest, line, state, cols, ix, run_search) -> None:
     if w in ("help", "h", "?"):
         print("commands: <query> | more | show N | similar N | "
               "refine <terms> | facet <col> [query] | count [query] | "
-              "explain [query] | complete <prefix> | stats | "
-              "set mode|limit|roles|fuzzy <v> | export json|csv | quit")
+              "sig [query] | explain [query] | complete <prefix> | "
+              "stats | set mode|limit|roles|fuzzy <v> | "
+              "export json|csv | quit")
+    elif w == "sig":
+        # significant terms over the session's current (or given)
+        # query — the ES significant_terms analog, lift-ranked
+        q = rest.strip() or state["query"] or ""
+        if not q:
+            print("sig: usage: sig [query] (or run a search first)")
+            return
+        rows = ix.significant_terms(
+            q, limit=10, roles=state["roles"], fuzzy=state["fuzzy"]
+        ).collect()
+        _format_rows(rows, "text", ["term", "n_match", "df", "lift"])
     elif w == "facet":
         col, _, fq = rest.partition(" ")
         if not col:
