@@ -127,3 +127,33 @@ class TestJoinAndTopK:
         eng = build_engine(load_transcripts(spark, 0.001), with_prefix=False)
         plan = plan_of(eng.search("machine", limit=5), "simple")
         assert "TakeOrderedAndProject" in plan
+
+
+class TestVocabArtifactPlans:
+    """Round-5 pins: the sorted vocabulary artifact must stay the
+    background model of significant_terms (not a per-call segments
+    re-aggregate), and prefix predicates against it must reach the
+    parquet scan (the term-sorted row-group pruning the artifact
+    exists for)."""
+
+    def test_prefix_range_pushed_to_artifact_scan(self, seg_ix):
+        vocab = seg_ix._vocab_df()
+        plan = plan_of(vocab.where(F.col("term").startswith("ma")))
+        assert "PushedFilters" in plan
+        assert "StringStartsWith(term,ma)" in plan
+
+    def test_significant_terms_reads_artifact_not_segments_agg(self, seg_ix):
+        # the vocab artifact files live under <index>/vocab; the
+        # segments table under <index>/segments. The bg side of the
+        # plan must scan vocab, and the ONLY segments scan allowed is
+        # the foreground match evaluation (no groupBy over segments
+        # feeding the term join).
+        df = seg_ix.significant_terms("machine", limit=5)
+        plan = plan_of(df)
+        assert "/vocab" in plan, "background model no longer reads the artifact"
+        # the artifact read carries the (term, df) aggregate already
+        # materialized — a regression to the per-call aggregate shows
+        # up as a sum(n_docs) hash aggregate in the plan (the
+        # foreground match evaluation may scan segments, but never
+        # aggregates n_docs)
+        assert "sum(n_docs)" not in plan
