@@ -691,11 +691,11 @@ class XfIndex:
         from xf_spark.query.semantic import embed_query
 
         top_ids, top_sc = self._pinned_vecs.topk(embed_query(query), k)
-        import pandas as pd
+        from xf_spark.query.segment_search import arrow_local
 
-        return self.spark.createDataFrame(
-            pd.DataFrame({"doc_id": top_ids, "score": top_sc}),
-            schema="doc_id long, score double",
+        return arrow_local(
+            self.spark, "doc_id long, score double",
+            {"doc_id": top_ids, "score": top_sc},
         )
 
     def _vector_for(self, doc_id: int):
@@ -760,15 +760,13 @@ class XfIndex:
         # +1: the target itself ranks first (cosine 1.0) unless the
         # filter already excludes it
         if flt is None and self._pinned_vecs is not None:
-            import pandas as pd
+            from xf_spark.query.segment_search import arrow_local
 
             ids, sc = self._pinned_vecs.topk(qv, limit + 1)
             keep = ids != target
-            hits = self.spark.createDataFrame(
-                pd.DataFrame(
-                    {"doc_id": ids[keep][:limit], "score": sc[keep][:limit]}
-                ),
-                schema="doc_id long, score double",
+            hits = arrow_local(
+                self.spark, "doc_id long, score double",
+                {"doc_id": ids[keep][:limit], "score": sc[keep][:limit]},
             )
         else:
             hits = (
@@ -1499,11 +1497,12 @@ class XfIndex:
             return empty_local(self.spark, schema)
         import pandas as pd
 
-        # pandas (Arrow) local relation: ~30 ms round trip vs ~250 ms
-        # for the list-backed one (measured; the Arrow path skips the
-        # per-row pickle plan evaluation on collect)
+        from xf_spark.query.segment_search import arrow_local
+
+        # Arrow local relation: the list-backed form costs ~250 ms of
+        # per-row pickle plan evaluation on collect (measured)
         pdf = pd.DataFrame(data, columns=cols + ["score"])
-        return self.spark.createDataFrame(pdf, schema=schema)
+        return arrow_local(self.spark, schema, pdf)
 
     def _pinned_topk_block(
         self, queries: list[str], k: int

@@ -111,7 +111,7 @@ def hybrid_search(
     sem_rows = [(r["doc_id"], r["score"]) for r in sem.collect()]
     fused = _rrf_fuse_local(lex_rows, sem_rows, limit=limit, offset=offset)
     spark = embeddings.sparkSession
-    import pandas as pd
+    import numpy as np
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -120,10 +120,17 @@ def hybrid_search(
             T.StructField("score", T.DoubleType()),
         ]
     )
-    # pandas (Arrow) local relation — the list-backed form costs ~250ms
-    # per materialization in local mode (measured)
-    pdf = pd.DataFrame(fused, columns=["doc_id", "score"])
-    return spark.createDataFrame(pdf, schema=schema)
+    # Arrow local relation — the list-backed form costs ~250ms per
+    # materialization in local mode (measured)
+    from xf_spark.query.segment_search import arrow_local
+
+    return arrow_local(
+        spark, schema,
+        {
+            "doc_id": np.asarray([d for d, _ in fused], dtype=np.int64),
+            "score": np.asarray([s for _, s in fused], dtype=np.float64),
+        },
+    )
 
 
 def rrf_explain_local(

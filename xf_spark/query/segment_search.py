@@ -92,6 +92,43 @@ def empty_local(spark: SparkSession, schema) -> DataFrame:
     return spark.createDataFrame(one, schema=schema).limit(0)
 
 
+def arrow_local(spark: SparkSession, schema, data) -> DataFrame:
+    """Small local-relation DataFrame straight from a pyarrow Table.
+
+    The serving hot paths resolve rank in-driver and emit the final
+    page as a local relation; ``createDataFrame(pandas)`` pays ~4-5 ms
+    of pandas-introspection machinery per call ON TOP of the Arrow
+    transfer (measured on this host: 17.5 ms vs 13.1 ms min for a
+    fresh 20-row create+collect — the reference CLI's whole lexical
+    round trip is 13 ms). Building the pyarrow Table ourselves skips
+    that layer; every k-bounded result page goes through here.
+
+    ``data`` is a dict of equal-length numpy arrays / lists (zero-copy
+    into Arrow) or a pandas DataFrame. Columns are emitted in SCHEMA
+    order by name. Empty input routes to ``empty_local`` (a 0-row
+    arrow table would fall off the local-relation plan onto a real
+    parallelize job). Any conversion surprise (exotic dtype, cast
+    failure) falls back to the pandas path rather than erroring."""
+    if isinstance(schema, str):
+        schema = T._parse_datatype_string(schema)
+    is_pdf = isinstance(data, pd.DataFrame)
+    n = len(data) if is_pdf else (len(next(iter(data.values()))) if data else 0)
+    if not n:
+        return empty_local(spark, schema)
+    try:
+        import pyarrow as pa
+
+        if is_pdf:
+            tbl = pa.Table.from_pandas(data, preserve_index=False)
+        else:
+            tbl = pa.table({k: pa.array(v) for k, v in data.items()})
+        tbl = tbl.select([f.name for f in schema.fields])
+        return spark.createDataFrame(tbl, schema=schema)
+    except Exception:
+        pdf = data if is_pdf else pd.DataFrame(data)
+        return spark.createDataFrame(pdf, schema=schema)
+
+
 def _attr_cond(roles, since, until):
     """Role/ts predicate over the docs attribute columns (pushed down
     to the docs parquet scan wherever it is applied)."""
@@ -1554,10 +1591,8 @@ class SegmentIndex:
             perf.record(
                 perf.budget_for_plan(plan, filtered), time.time() - _t0
             )
-            if not len(ids):
-                return empty_local(self.spark, TOPK_SCHEMA)
-            return self.spark.createDataFrame(
-                pd.DataFrame({"doc_id": ids, "score": sc}), schema=TOPK_SCHEMA
+            return arrow_local(
+                self.spark, TOPK_SCHEMA, {"doc_id": ids, "score": sc}
             )
         if filtered:
             # distributed filtered path: cogroup segments with the
@@ -2048,15 +2083,15 @@ class SegmentIndex:
                     )
                 if not parts:
                     return self._empty_local(TOP_HITS_SCHEMA)
-                return self.spark.createDataFrame(
+                return arrow_local(
+                    self.spark, TOP_HITS_SCHEMA,
                     pd.concat(parts, ignore_index=True),
-                    schema=TOP_HITS_SCHEMA,
                 )
         if self.docs is None:
             raise ValueError("facets require a docs table")
-        sdf = self.spark.createDataFrame(
-            pd.DataFrame({"doc_id": ids, "score": scores}),
-            schema="doc_id long, score double",
+        sdf = arrow_local(
+            self.spark, "doc_id long, score double",
+            {"doc_id": ids, "score": scores},
         )
         svf = self.docs.join(F.broadcast(sdf), "doc_id").select(
             "doc_id", "score", vexpr.alias("value")
@@ -2253,12 +2288,10 @@ class SegmentIndex:
                 pdf = _facet_counts_pdf(ser, limit)
                 if not len(pdf):
                     return self._empty_local(FACET_SCHEMA)
-                return self.spark.createDataFrame(pdf, schema=FACET_SCHEMA)
+                return arrow_local(self.spark, FACET_SCHEMA, pdf)
         if self.docs is None:
             raise ValueError("facets require a docs table")
-        iddf = self.spark.createDataFrame(
-            pd.DataFrame({"doc_id": ids}), schema="doc_id long"
-        )
+        iddf = arrow_local(self.spark, "doc_id long", {"doc_id": ids})
         out = (
             self.docs.join(F.broadcast(iddf), "doc_id")
             .groupBy(vexpr.alias("value"))
@@ -2340,9 +2373,7 @@ class SegmentIndex:
             # window-bounded pushed id filter through the shard
             # cogroup: attrs carry ONLY the window's ids, so each
             # shard evaluates the rescore plan against <= window docs
-            iddf = self.spark.createDataFrame(
-                pd.DataFrame({"doc_id": ids}), schema="doc_id long"
-            )
+            iddf = arrow_local(self.spark, "doc_id long", {"doc_id": ids})
             if self.docs is None:
                 raise ValueError("distributed rescore requires a docs table")
             attrs = self._attrs_with_shard(
@@ -2378,18 +2409,16 @@ class SegmentIndex:
                 for d, s in prim
             ),
         )[:limit]
-        return self.spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "doc_id": np.asarray(
-                        [d for _, d in combined], dtype=np.int64
-                    ),
-                    "score": np.asarray(
-                        [-ns for ns, _ in combined], dtype=np.float64
-                    ),
-                }
-            ),
-            schema=TOPK_SCHEMA,
+        return arrow_local(
+            self.spark, TOPK_SCHEMA,
+            {
+                "doc_id": np.asarray(
+                    [d for _, d in combined], dtype=np.int64
+                ),
+                "score": np.asarray(
+                    [-ns for ns, _ in combined], dtype=np.float64
+                ),
+            },
         )
 
     def corpus_max_ts(self):
@@ -2483,8 +2512,8 @@ class SegmentIndex:
                     aid[pos] == ids, ats_all[pos], np.datetime64("NaT", "us")
                 ).astype("datetime64[us]")
             else:
-                iddf = self.spark.createDataFrame(
-                    pd.DataFrame({"doc_id": ids}), schema="doc_id long"
+                iddf = arrow_local(
+                    self.spark, "doc_id long", {"doc_id": ids}
                 )
                 rows = (
                     self.docs.join(F.broadcast(iddf), "doc_id")
@@ -2502,9 +2531,8 @@ class SegmentIndex:
                     dtype="datetime64[us]",
                 )
             oids, osc = decay_combine(ids, sc, ats)
-            return self.spark.createDataFrame(
-                pd.DataFrame({"doc_id": oids, "score": osc}),
-                schema=TOPK_SCHEMA,
+            return arrow_local(
+                self.spark, TOPK_SCHEMA, {"doc_id": oids, "score": osc}
             )
         if self.docs is None:
             raise ValueError("decay scoring requires a docs table")
@@ -2644,9 +2672,9 @@ class SegmentIndex:
             comb = np.where(np.isin(ids, neg), sc * f, sc)
             k = min(limit, len(ids))
             o = np.lexsort((ids, -comb))[:k]
-            return self.spark.createDataFrame(
-                pd.DataFrame({"doc_id": ids[o], "score": comb[o]}),
-                schema=TOPK_SCHEMA,
+            return arrow_local(
+                self.spark, TOPK_SCHEMA,
+                {"doc_id": ids[o], "score": comb[o]},
             )
         plan_b, nplan_b, idfs_b, lim_b, f_b = plan, nplan, idfs, limit, f
         seg = self._pruned_scan(all_t, all_p)
@@ -2753,8 +2781,8 @@ class SegmentIndex:
             ].to_numpy(np.int64)
             if not len(ids):
                 return self._empty_local(id_schema)
-            return self.spark.createDataFrame(
-                pd.DataFrame({"doc_id": np.sort(ids)}), schema=id_schema
+            return arrow_local(
+                self.spark, id_schema, {"doc_id": np.sort(ids)}
             )
         plan_b, idfs_b = plan, idfs
         if filtered:
@@ -3219,8 +3247,8 @@ class SegmentIndex:
             sub = sub.drop_duplicates(group_col, keep="first").head(limit)
             if not len(sub):
                 return self._empty_local(out_schema)
-            return self.spark.createDataFrame(
-                sub.reset_index(drop=True), schema=out_schema
+            return arrow_local(
+                self.spark, out_schema, sub.reset_index(drop=True)
             )
         if self.docs is None:
             raise ValueError("collapse requires a docs table")
@@ -3373,9 +3401,7 @@ class SegmentIndex:
             return cand[mask]  # cand is sorted; masking preserves it
         if self.docs is None:
             raise ValueError("filters require a docs table")
-        cdf = self.spark.createDataFrame(
-            pd.DataFrame({"doc_id": cand}), schema="doc_id long"
-        )
+        cdf = arrow_local(self.spark, "doc_id long", {"doc_id": cand})
         cond = _attr_cond(roles, since, until)
         rows = (
             self.docs.where(cond)
