@@ -60,9 +60,15 @@ def get_by_ids(docs: DataFrame, ids: list[tuple[str, int]]) -> DataFrame:
     conv_id in the request simply never matches — a miss row, not an
     error."""
     spark = docs.sparkSession
-    req = spark.createDataFrame(
-        [(c, t, i) for i, (c, t) in enumerate(ids)],
-        "conv_id string, turn_idx int, req_order long",
+    from xf_spark.query.segment_search import arrow_local
+
+    req = arrow_local(
+        spark, "conv_id string, turn_idx int, req_order long",
+        {
+            "conv_id": [c for c, _ in ids],
+            "turn_idx": [t for _, t in ids],
+            "req_order": list(range(len(ids))),
+        },
     )
     convs = sorted({c for c, _ in ids if c is not None})
     pruned = docs.where(F.col("conv_id").isin(convs)) if convs else docs.where(

@@ -88,7 +88,14 @@ def empty_local(spark: SparkSession, schema) -> DataFrame:
     every zero-hit query."""
     if isinstance(schema, str):
         schema = T._parse_datatype_string(schema)
-    one = pd.DataFrame({f.name: [None] for f in schema.fields})
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        asch = to_arrow_schema(schema)
+        one = pa.table({f.name: pa.nulls(1, type=f.type) for f in asch})
+    except Exception:
+        one = pd.DataFrame({f.name: [None] for f in schema.fields})
     return spark.createDataFrame(one, schema=schema).limit(0)
 
 
@@ -1256,7 +1263,7 @@ class SegmentIndex:
             c = F.col("len").between(len(t) - 1, len(t) + 1)
             length_cond = c if length_cond is None else (length_cond | c)
         spark = self._segments.sparkSession
-        qdf = spark.createDataFrame([(t,) for t in novel], ["qterm"])
+        qdf = arrow_local(spark, "qterm string", {"qterm": list(novel)})
         rows = (
             self._vocab_df().where(length_cond)
             .join(
