@@ -184,11 +184,67 @@ class TestDates:
         assert lo.date() == dt.date(2024, 6, 15)
         lo, _ = parse_date_range("12/31/99", now=base)
         assert lo.date() == dt.date(1999, 12, 31)
-        # day-granular subset still errors loudly on time-of-day
+        # outside the documented subset: still errors loudly
         import pytest as _pytest
 
         with _pytest.raises(ValueError):
-            parse_date_range("8pm", now=base)
+            parse_date_range("teatime", now=base)
+
+    def test_time_of_day_points(self):
+        """date_parser.rs:141-147: has_explicit_time -> the result is
+        a POINT (lo == hi == the instant), never a day range."""
+        base = dt.datetime(2026, 8, 16, 12, 0, 0)  # a Sunday
+        lo, hi = parse_date_range("8pm", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 20, 0)
+        lo, hi = parse_date_range("8:30pm", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 20, 30)
+        lo, hi = parse_date_range("16:30", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 16, 30)
+        lo, hi = parse_date_range("12am", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 0, 0)
+        lo, hi = parse_date_range("12pm", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 12, 0)
+        lo, hi = parse_date_range("noon", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 12, 0)
+        lo, hi = parse_date_range("midnight", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 0, 0)
+        # attached to a date expression, with or without "at"
+        lo, hi = parse_date_range("june 3 at 4pm", now=base)
+        assert lo == hi == dt.datetime(2026, 6, 3, 16, 0)
+        lo, hi = parse_date_range("june 3, 2024 at 4:05:06pm", now=base)
+        assert lo == hi == dt.datetime(2024, 6, 3, 16, 5, 6)
+        # "friday 8pm": bare weekday = next occurrence (Fri Aug 21)
+        lo, hi = parse_date_range("friday 8pm", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 21, 20, 0)
+        lo, hi = parse_date_range("yesterday at noon", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 15, 12, 0)
+        lo, hi = parse_date_range("2024-06-15 16:30", now=base)
+        assert lo == hi == dt.datetime(2024, 6, 15, 16, 30)
+        # flexible: since/until both resolve to the same point
+        assert parse_date_flexible(
+            "8pm", end=True, now=base
+        ) == parse_date_flexible("8pm", end=False, now=base)
+        # sub-day relative offsets anchor on ``now`` itself
+        lo, hi = parse_date_range("2 hours ago", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 10, 0)
+        lo, hi = parse_date_range("an hour ago", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 11, 0)
+        lo, hi = parse_date_range("in 30 minutes", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 12, 30)
+        lo, hi = parse_date_range("45 seconds ago", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 11, 59, 15)
+        lo, hi = parse_date_range("3 hours from now", now=base)
+        assert lo == hi == dt.datetime(2026, 8, 16, 15, 0)
+        # invalid times stay loud
+        import pytest as _pytest
+
+        for bad in ("25:00", "13pm", "0am", "12:61"):
+            with _pytest.raises(ValueError):
+                parse_date_range(bad, now=base)
+        # day-only expressions keep their day-range semantics
+        lo, hi = parse_date_range("june 3", now=base)
+        assert lo.date() == hi.date() == dt.date(2026, 6, 3)
+        assert lo.time() == dt.time(0, 0) and hi.hour == 23
 
     def test_year_offsets_clamp_leap_day(self):
         from xf_spark.query.dates import parse_date_range

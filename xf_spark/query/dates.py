@@ -28,12 +28,23 @@ date_parser.rs grammar (846 lines; SURVEY.md §2.5):
   "now" / "tomorrow" / "this|last weekend"; future offsets ("in 2
   weeks", "2 weeks from now", "3 days hence"); US slash dates
   ("6/15/2024", "6/15/24" — Dialect::Us month/day order, 2-digit
-  years pivot at 70). Still outside the subset (errors loudly):
-  time-of-day forms ("8pm", "june 3 at 4pm") — range filters are
-  day-granular here — and colloquialisms like "teatime".
+  years pivot at 70); time-of-day forms ("8pm", "16:30", "june 3 at
+  4pm", "friday 8pm", noon/midnight) and sub-day offsets ("2 hours
+  ago", "in 30 minutes") as POINTs, below. Still outside the subset
+  (errors loudly): colloquialisms like "teatime".
 
 Returns naive UTC datetimes (the engine pins session TZ = UTC).
 ``now`` is injectable for deterministic tests.
+
+Time-of-day (round 5): the reference treats any expression carrying
+an explicit time as a POINT, not a day range (date_parser.rs:141-147
+``has_explicit_time`` -> ``ParsedDate::Point``; chrono-english parses
+the time itself). Supported here with the same point semantics:
+"<date-expr> [at] <time>" ("june 3 at 4pm", "friday 8pm", "yesterday
+at noon"), bare "<time>" = today at that time ("8pm", "16:30"),
+12-hour am/pm and 24-hour colon forms plus noon/midnight, and
+sub-day relative offsets ("2 hours ago", "in 30 minutes", "an hour
+ago") anchored at ``now``.
 """
 
 from __future__ import annotations
@@ -48,6 +59,35 @@ WEEKDAYS = {d.lower(): i for i, d in enumerate(calendar.day_name)}
 WEEKDAYS.update({d.lower(): i for i, d in enumerate(calendar.day_abbr)})
 
 _UNITS = {"day": 1, "week": 7, "fortnight": 14}
+
+# explicit time-of-day: requires am/pm, a colon, or noon/midnight —
+# the same signal date_parser.rs:175-197 (has_explicit_time) keys on,
+# so a bare day number ("june 3") can never be read as a time
+_TIME_SRC = (
+    r"(?:(?P<h12>\d{1,2})(?::(?P<m12>\d{2})(?::(?P<s12>\d{2}))?)?"
+    r"\s*(?P<ap>am|pm)"
+    r"|(?P<h24>\d{1,2}):(?P<m24>\d{2})(?::(?P<s24>\d{2}))?"
+    r"|(?P<word>noon|midnight))"
+)
+_SUBDAY = {"hour": 3600, "minute": 60, "min": 60, "second": 1, "sec": 1}
+
+
+def _time_of_day(m: re.Match) -> dt.time:
+    """Validated time from a ``_TIME_SRC`` match (12h: 1-12 + am/pm
+    with 12am=00:00 and 12pm=12:00; 24h: 0-23:0-59)."""
+    if m["word"]:
+        return dt.time(12, 0) if m["word"] == "noon" else dt.time(0, 0)
+    if m["ap"]:
+        h = int(m["h12"])
+        if not 1 <= h <= 12:
+            raise ValueError(f"invalid 12-hour time: {m.group(0)!r}")
+        h = h % 12 + (12 if m["ap"] == "pm" else 0)
+        mi, sec = int(m["m12"] or 0), int(m["s12"] or 0)
+    else:
+        h, mi, sec = int(m["h24"]), int(m["m24"]), int(m["s24"] or 0)
+    if h > 23 or mi > 59 or sec > 59:
+        raise ValueError(f"invalid time of day: {m.group(0)!r}")
+    return dt.time(h, mi, sec)
 
 
 def _offset_date(today: dt.date, n: int, unit: str) -> dt.date:
@@ -119,6 +159,40 @@ def parse_date_range(
             if t.tzinfo is not None:
                 t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
             return t, t
+    # explicit time-of-day -> a POINT (date_parser.rs:141-147: any
+    # expression with has_explicit_time parses to ParsedDate::Point).
+    # The optional date part is resolved through the full grammar and
+    # anchors on the FIRST day of its range ("friday 8pm" = that
+    # friday; "march 9am" = March 1); no date part = today.
+    tm = re.fullmatch(rf"(?:(.+?)\s+)??(?:at\s+)?{_TIME_SRC}", s)
+    if tm and (tm["ap"] or tm["h24"] or tm["word"]):
+        tod = _time_of_day(tm)
+        if tm[1]:
+            anchor = parse_date_range(tm[1], now=now)[0].date()
+        else:
+            anchor = now.date()
+        point = dt.datetime.combine(anchor, tod)
+        return point, point
+
+    # sub-day relative offsets -> POINTs anchored at ``now``
+    s_subday = re.sub(r"\ban?\s+(hour|minute|min|second|sec)\b", r"1 \1", s)
+    m = re.fullmatch(
+        r"(\d+)\s+(hour|minute|min|second|sec)s?\s+ago", s_subday
+    )
+    if m:
+        point = now - dt.timedelta(seconds=int(m[1]) * _SUBDAY[m[2]])
+        return point, point
+    m = re.fullmatch(
+        r"in\s+(\d+)\s+(hour|minute|min|second|sec)s?", s_subday
+    ) or re.fullmatch(
+        r"(\d+)\s+(hour|minute|min|second|sec)s?\s+"
+        r"(?:from\s+now|hence)",
+        s_subday,
+    )
+    if m:
+        point = now + dt.timedelta(seconds=int(m[1]) * _SUBDAY[m[2]])
+        return point, point
+
     m = re.fullmatch(r"(\d{4})-(\d{2})-(\d{2})", s)
     if m:
         d = dt.date(int(m[1]), int(m[2]), int(m[3]))
