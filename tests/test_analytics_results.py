@@ -486,3 +486,54 @@ class TestResults:
         by_eng = apply_sort(hyd, "engagement").collect()
         lens = [len(r["text"]) for r in by_eng]
         assert lens == sorted(lens, reverse=True)
+
+
+class TestSparkline:
+    """Terminal sparkline rendering (stats_analytics.rs:916-1001);
+    pure-python semantics pinned against the reference's own tests."""
+
+    def test_empty_and_zero_width(self):
+        assert S.sparkline([], 10) == ""
+        assert S.sparkline([1, 2], 0) == ""
+
+    def test_single_value_is_max(self):
+        assert S.sparkline([5], 1) == "█"
+
+    def test_scaling_and_floor(self):
+        out = S.sparkline([1, 5, 10, 8, 3, 1], 10)
+        assert len(out) == 6
+        assert out[2] == "█"  # the max
+        assert out[0] == S._BLOCKS[int(1 / 10 * 7)]
+        # all-zero series renders the floor glyph
+        assert S.sparkline([0, 0, 0], 10) == "▁▁▁"
+
+    def test_bucketing_integer_average(self):
+        # 6 values into width 3 -> ceil-div bucket size 2, int avg
+        out = S.sparkline([0, 10, 10, 10, 4, 6], 3)
+        assert len(out) == 3
+        # buckets: 5, 10, 5 -> glyphs scale against bucketed max 10
+        assert out[1] == "█"
+        assert out[0] == out[2] == S._BLOCKS[int(5 / 10 * 7)]
+
+    def test_daily_sparkline_fills_gaps(self, built):
+        engine, transcripts, rows = built
+        daily = S.daily_counts(transcripts)
+        n_days = daily.count()
+        line = S.sparkline_from_daily(daily, 50)
+        assert 0 < len(line) <= 50
+        # span >= active days, so a sparse corpus still renders wide
+        import datetime as _dt
+
+        d = sorted({x["ts"].date() for x in rows})
+        span = (d[-1] - d[0]).days + 1
+        assert len(line) == min(span, 50) and span >= n_days
+
+    def test_hourly_and_dow_formats(self, built):
+        engine, transcripts, rows = built
+        hl = S.format_hourly_sparkline(S.hourly_distribution(transcripts))
+        assert len(hl) == 24 and set(hl) <= set(S._BLOCKS)
+        chart = S.format_dow_distribution(S.dow_distribution(transcripts))
+        lines = chart.splitlines()
+        assert len(lines) == 7 and lines[0].startswith("Sun: ")
+        # the busiest weekday carries the full 10-block bar
+        assert any(line.endswith("█" * 10) for line in lines)

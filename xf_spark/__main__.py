@@ -1019,6 +1019,48 @@ def cmd_stats(args) -> int:
             )
         out["graph"] = graph
     print(json.dumps(out, default=str, indent=2))
+    if getattr(args, "temporal", False):
+        # Temporal Patterns block (cmd_stats --temporal,
+        # main.rs:2208-2285): activity sparkline + key metrics +
+        # hourly sparkline + day-of-week bars
+        from xf_spark.analytics import stats as S
+
+        docs = ix.docs
+        print()
+        print("Temporal Patterns")
+        print("─" * 40)
+        daily = S.daily_counts(docs)
+        print("  Activity:", S.sparkline_from_daily(daily, 50))
+        a = S.activity_summary(docs).first()
+        print(f"  {'Active days:':<25} {a['active_days']:>10}")
+        print(f"  {'Total days in range:':<25} {a['days_in_range']:>10}")
+        print(
+            f"  {'Avg turns/active day:':<25} "
+            f"{float(a['avg_per_active_day'] or 0):>10.1f}"
+        )
+        if a["most_active_day"] is not None:
+            print(
+                f"  {'Most active day:':<25} {a['most_active_day']} "
+                f"({a['most_active_day_count']})"
+            )
+        if a["most_active_hour"] is not None:
+            print(
+                f"  {'Most active hour:':<25} "
+                f"{int(a['most_active_hour']):02d}:00 "
+                f"({a['most_active_hour_count']})"
+            )
+        gap = S.longest_gap_days(docs).first()["max_gap_days"]
+        if gap and gap > 1:
+            print(f"  {'Longest gap:':<25} {gap} days")
+        print()
+        print("  Hourly distribution (00-23):")
+        print("  " + S.format_hourly_sparkline(S.hourly_distribution(docs)))
+        print()
+        print("  Day of week:")
+        for line in S.format_dow_distribution(
+            S.dow_distribution(docs)
+        ).splitlines():
+            print("  " + line)
     return 0
 
 
@@ -1320,6 +1362,10 @@ def build_parser() -> argparse.ArgumentParser:
     pt = sub.add_parser("stats")
     pt.add_argument("--index", default=None)
     pt.add_argument("--detailed", action="store_true")
+    pt.add_argument("--temporal", action="store_true",
+                    help="render the Temporal Patterns block: activity "
+                         "sparkline, hourly sparkline, day-of-week bars "
+                         "(main.rs:2208-2285)")
     pt.add_argument("--archive", default=None,
                     help="extracted archive dir: include social-graph "
                          "counts (main.rs:2129-2146)")

@@ -219,3 +219,74 @@ def turns_per_conversation_histogram(transcripts: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Terminal rendering (sparkline, stats_analytics.rs:916-1001; driver-
+# side pure python over the tiny collected aggregates — never run on
+# executors)
+# ---------------------------------------------------------------------------
+
+_BLOCKS = "▁▂▃▄▅▆▇█"
+
+
+def sparkline(values, width: int = 50) -> str:
+    """Unicode sparkline (stats_analytics.rs:932-963): if there are
+    more values than ``width``, bucket by ceil-div-sized chunks and
+    take the integer average per bucket; scale against the bucketed
+    max onto the 8 block glyphs; an all-zero series renders the floor
+    glyph; empty input or width 0 renders ''."""
+    vals = [int(v) for v in values]
+    if not vals or width <= 0:
+        return ""
+    if len(vals) > width:
+        bs = -(-len(vals) // width)  # ceil div
+        vals = [
+            sum(chunk) // len(chunk)
+            for chunk in (vals[i : i + bs] for i in range(0, len(vals), bs))
+        ]
+    mx = max(vals)
+    if mx == 0:
+        return _BLOCKS[0] * min(len(vals), width)
+    return "".join(_BLOCKS[int(v / mx * 7)] for v in vals[:width])
+
+
+def sparkline_from_daily(daily: DataFrame, width: int = 50) -> str:
+    """Activity sparkline over the ``daily_counts`` frame
+    (sparkline_from_daily, stats_analytics.rs:967-970). Missing days
+    are filled with 0 so gaps look like gaps, matching the reference's
+    contiguous daily_counts construction (stats_analytics.rs:121-148);
+    the collect is bounded by the corpus's day span."""
+    import datetime as _dt
+
+    rows = daily.orderBy("day").collect()
+    if not rows:
+        return ""
+    by_day = {r["day"]: int(r["n"]) for r in rows}
+    d0, d1 = rows[0]["day"], rows[-1]["day"]
+    series = [
+        by_day.get(d0 + _dt.timedelta(days=i), 0)
+        for i in range((d1 - d0).days + 1)
+    ]
+    return sparkline(series, width)
+
+
+def format_hourly_sparkline(hourly: DataFrame) -> str:
+    """24-hour sparkline (format_hourly_sparkline,
+    stats_analytics.rs:999-1001); absent hours are 0."""
+    by_hour = {int(r["hour"]): int(r["n"]) for r in hourly.collect()}
+    return sparkline([by_hour.get(h, 0) for h in range(24)], 24)
+
+
+def format_dow_distribution(dow: DataFrame) -> str:
+    """Day-of-week mini bar chart, Sun=0 (format_dow_distribution,
+    stats_analytics.rs:979-995): bar length = count/max * 10 full
+    blocks, one 'Day: bar' line per weekday."""
+    by_dow = {int(r["dow"]): int(r["n"]) for r in dow.collect()}
+    counts = [by_dow.get(d, 0) for d in range(7)]
+    mx = max(counts) if counts else 0
+    days = ["Sun", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat"]
+    return "\n".join(
+        f"{day}: " + "█" * (int(c / mx * 10) if mx else 0)
+        for day, c in zip(days, counts)
+    )
